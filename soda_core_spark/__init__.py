@@ -1,0 +1,35 @@
+"""soda_core_spark — a from-scratch PySpark-native analytics / data-quality
+engine with the check semantics of sodadata/soda-core, recast as:
+
+* a declarative contract-check engine compiled to fused DataFrame
+  aggregations (one ``df.agg`` per scan instead of generated SQL strings),
+* a partition-parallel keep/drop **quality-filter pipeline** for
+  Common-Crawl-style web pages (language-ID, perplexity, heuristic rules,
+  PII/toxicity scrub), and
+* large-scale training-data operators (dedup, similarity search, text
+  analysis) built on the same primitives.
+
+Everything here derives from public knowledge only: the Apache Spark /
+PySpark API and the reference repo's *behaviour* (cited by file:line in
+docstrings). No code is copied from the reference — the reference is a
+SQL-string compiler over external engines; this is a native DataFrame
+planner.
+"""
+
+__version__ = "0.1.0"
+
+from soda_core_spark.plans.model import (  # noqa: F401
+    CheckSpec,
+    ColumnSpec,
+    Contract,
+    MissingConfig,
+    Threshold,
+    ValidityConfig,
+)
+from soda_core_spark.plans.results import (  # noqa: F401
+    CheckOutcome,
+    CheckResult,
+    ContractVerificationResult,
+    Measurement,
+)
+from soda_core_spark.operators.engine import verify_contract  # noqa: F401

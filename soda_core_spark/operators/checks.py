@@ -1,0 +1,665 @@
+"""Check operators: each check type plans metrics and evaluates outcomes.
+
+Re-expresses the reference's 9 core check types
+(``soda-core/src/soda_core/contracts/impl/check_types/check_types.py:14-114``)
+over native Spark plans:
+
+* every aggregation metric becomes one aliased expression inside a single
+  fused ``df.agg(...)`` (the reference's AggregationQuery batching,
+  ``contract_verification_impl.py:1577-1644``, without the SQL-length limit),
+* reference-data validity becomes a broadcast **left-anti join**
+  (the reference emits ``LEFT JOIN ... WHERE ref IS NULL``,
+  ``invalidity_check.py:287-338`` — anti-join is the idiomatic Spark form),
+* schema checks are a pure-Python ``df.schema`` diff (the reference
+  introspects information_schema / DESCRIBE, ``schema_check.py:83-262``),
+* derived metrics (percent, duplicate_count) are driver-side arithmetic
+  with None-propagation so a failed upstream metric yields NOT_EVALUATED,
+  never a false PASS (ref ``gather_dependency_values`` :1488-1497).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from soda_core_spark.operators.compiler import (
+    check_filter_col,
+    combined_key,
+    count_if,
+    is_invalid_col,
+    is_missing_col,
+)
+from soda_core_spark.plans.model import CheckSpec, Contract
+from soda_core_spark.plans.results import (
+    CheckOutcome,
+    CheckResult,
+    check_identity,
+)
+
+
+# ---------------------------------------------------------------------------
+# Metric planning primitives
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AggMetric:
+    """One aggregate expression destined for the fused ``df.agg``.
+
+    ``key`` is the dedup identity — the reference dedupes metrics by an
+    identity hash over (type, dataset, column, filter, validity, expression)
+    (``contract_verification_impl.py:1356-1436``); metrics shared by several
+    checks (e.g. missing_count used by missing+invalid+duplicate) are
+    computed once and fanned out.
+    """
+
+    key: str
+    name: str
+    build: Callable[[], Column]
+    coerce_zero: bool = False  # SUM over zero rows is NULL; reference coerces to 0
+
+
+@dataclass
+class SideQuery:
+    """A metric that needs its own Spark job (reference-data anti-join,
+    user metric query) — the reference's dedicated query roundtrips
+    (``invalidity_check.py:255-256``, ``metric_check.py:152-199``)."""
+
+    key: str
+    name: str
+    run: Callable[["CheckContext"], Any]
+
+
+@dataclass
+class CheckContext:
+    spark: SparkSession
+    contract: Contract
+    df: DataFrame  # unfiltered dataset
+    filtered: DataFrame  # dataset under the contract-level filter
+    datasets: dict[str, DataFrame] = field(default_factory=dict)
+    data_timestamp: Optional[datetime] = None
+
+    def now_utc(self) -> Optional[datetime]:
+        ts = self.data_timestamp
+        if ts is None:
+            return None
+        if ts.tzinfo is None:
+            return ts.replace(tzinfo=timezone.utc)
+        return ts.astimezone(timezone.utc)
+
+
+@dataclass
+class CheckPlan:
+    check: CheckSpec
+    metrics: list[AggMetric] = field(default_factory=list)
+    side_queries: list[SideQuery] = field(default_factory=list)
+    evaluate: Callable[[dict[str, Any], CheckContext], CheckResult] = None  # type: ignore
+
+
+# ---------------------------------------------------------------------------
+# Shared metric builders
+# ---------------------------------------------------------------------------
+
+
+def _fkey(check: CheckSpec) -> str:
+    return check.filter or ""
+
+
+def rows_metric(check: CheckSpec) -> AggMetric:
+    """check_rows_tested — COUNT(*) under the check filter."""
+    f = check_filter_col(check)
+    key = f"rows|{_fkey(check)}"
+    if f is not None:
+        return AggMetric(key, "check_rows_tested", lambda: count_if(check_filter_col(check)), True)
+    return AggMetric(key, "check_rows_tested", lambda: F.count(F.lit(1)), True)
+
+
+def dataset_rows_metric() -> AggMetric:
+    return AggMetric("rows|", "dataset_rows_tested", lambda: F.count(F.lit(1)), True)
+
+
+def missing_metric(check: CheckSpec) -> AggMetric:
+    col, cfg = check.column, check.missing
+    key = f"missing|{col}|{cfg!r}|{_fkey(check)}"
+
+    def build() -> Column:
+        cond = is_missing_col(col, cfg)
+        f = check_filter_col(check)
+        if f is not None:
+            cond = f & cond
+        return count_if(cond)
+
+    return AggMetric(key, f"missing_count({col})", build, True)
+
+
+def invalid_metric(check: CheckSpec) -> AggMetric:
+    col, validity, missing = check.column, check.validity, check.missing
+    key = f"invalid|{col}|{validity!r}|{missing!r}|{_fkey(check)}"
+
+    def build() -> Column:
+        cond = is_invalid_col(col, validity, missing)
+        f = check_filter_col(check)
+        if f is not None:
+            cond = f & cond
+        return count_if(cond)
+
+    return AggMetric(key, f"invalid_count({col})", build, True)
+
+
+def _percent(numerator: Any, denominator: Any) -> Optional[float]:
+    """fraction*100/total, 0 when total==0, None-propagating
+    (reference :1506-1526, :1488-1497)."""
+    if numerator is None or denominator is None:
+        return None
+    if denominator == 0:
+        return 0.0
+    return 100.0 * float(numerator) / float(denominator)
+
+
+def _outcome(check: CheckSpec, value: Any) -> CheckOutcome:
+    if value is None:
+        return CheckOutcome.NOT_EVALUATED
+    if check.threshold.passes(value):
+        return CheckOutcome.PASSED
+    return CheckOutcome.WARNED if check.level == "warn" else CheckOutcome.FAILED
+
+
+def _identity(ctx: CheckContext, check: CheckSpec) -> str:
+    extra = ",".join(check.columns) if check.columns else None
+    return check_identity(
+        ctx.contract.dataset, check.type, check.column, check.qualifier, extra
+    )
+
+
+def _base_result(
+    ctx: CheckContext,
+    check: CheckSpec,
+    value: Any,
+    diagnostics: dict[str, Any],
+    message: Optional[str] = None,
+) -> CheckResult:
+    return CheckResult(
+        identity=_identity(ctx, check),
+        check_type=check.type,
+        name=check.default_name(),
+        column=check.column,
+        outcome=_outcome(check, value),
+        metric_value=value,
+        threshold=check.threshold.describe(),
+        level=check.level,
+        diagnostics=diagnostics,
+        message=message,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Check planners (registry at the bottom)
+# ---------------------------------------------------------------------------
+
+
+def plan_row_count(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """row_count_check.py:36-115 — COUNT(*) (optionally filtered)."""
+    rm = rows_metric(check)
+    dm = dataset_rows_metric()
+
+    def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+        value = values.get(rm.key)
+        return _base_result(
+            ctx,
+            check,
+            value,
+            {
+                "datasetRowsTested": values.get(dm.key),
+                "checkRowsTested": value,
+            },
+        )
+
+    return CheckPlan(check, metrics=[rm, dm], evaluate=evaluate)
+
+
+def plan_missing(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """missing_check.py:39-140 — count/percent of missing values."""
+    mm = missing_metric(check)
+    rm = rows_metric(check)
+    dm = dataset_rows_metric()
+
+    def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+        count = values.get(mm.key)
+        rows = values.get(rm.key)
+        pct = _percent(count, rows)
+        value = pct if check.metric == "percent" else count
+        return _base_result(
+            ctx,
+            check,
+            value,
+            {
+                "failedRowsCount": count,
+                "failedRowsPercent": pct,
+                "datasetRowsTested": values.get(dm.key),
+                "checkRowsTested": rows,
+            },
+        )
+
+    return CheckPlan(check, metrics=[mm, rm, dm], evaluate=evaluate)
+
+
+def plan_invalid(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """invalidity_check.py:52-349 — in-set/format/range/length validity,
+    plus reference-data validity as a broadcast left-anti join."""
+    rm = rows_metric(check)
+    mm = missing_metric(check)
+    dm = dataset_rows_metric()
+    metrics = [rm, mm, dm]
+    side: list[SideQuery] = []
+
+    if check.validity.has_reference():
+        ref_ds = check.validity.valid_reference_dataset
+        ref_col = check.validity.valid_reference_column or check.column
+        key = f"invalid_ref|{check.column}|{ref_ds}.{ref_col}|{check.missing!r}|{_fkey(check)}"
+
+        def run_ref(ctx: CheckContext) -> int:
+            # invalid := not-missing values with no match in the reference
+            # column. Reference emits LEFT JOIN + IS NULL filter
+            # (invalidity_check.py:287-338); Spark-first: broadcast
+            # left-anti join — no NULL-probe ambiguity, one shuffle-free
+            # pass when the reference list is small.
+            if ref_ds not in ctx.datasets:
+                raise ValueError(f"reference dataset {ref_ds!r} not provided")
+            ref_df = ctx.datasets[ref_ds].select(
+                F.col(ref_col).alias("__ref_value")
+            ).where(F.col("__ref_value").isNotNull()).distinct()
+            left = ctx.filtered
+            f = check_filter_col(check)
+            if f is not None:
+                left = left.where(f)
+            left = left.where(~is_missing_col(check.column, check.missing))
+            return left.join(
+                F.broadcast(ref_df),
+                on=left[check.column] == ref_df["__ref_value"],
+                how="left_anti",
+            ).count()
+
+        side.append(SideQuery(key, f"invalid_reference_count({check.column})", run_ref))
+        value_key = key
+    else:
+        im = invalid_metric(check)
+        metrics.append(im)
+        value_key = im.key
+
+    def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+        count = values.get(value_key)
+        rows = values.get(rm.key)
+        pct = _percent(count, rows)
+        value = pct if check.metric == "percent" else count
+        return _base_result(
+            ctx,
+            check,
+            value,
+            {
+                "failedRowsCount": count,
+                "failedRowsPercent": pct,
+                "missingCount": values.get(mm.key),
+                "datasetRowsTested": values.get(dm.key),
+                "checkRowsTested": rows,
+            },
+        )
+
+    return CheckPlan(check, metrics=metrics, side_queries=side, evaluate=evaluate)
+
+
+def plan_duplicate(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """duplicate_check.py:58-343 —
+    single column:  dup = rows_tested − missing − distinct (:122-131)
+    multi column:   dup = rows_tested − distinct(combined key) (:333-338)
+    Spark-first: ``countDistinct`` directly; multi-column NULLs kept via the
+    sentinel key (see compiler.combined_key). At web scale a contract can
+    opt into ``approx: true`` semantics via the engine flag (exact used for
+    parity tests)."""
+    rm = rows_metric(check)
+    dm = dataset_rows_metric()
+    metrics = [rm, dm]
+
+    if check.columns:  # multi-column
+        cols = list(check.columns)
+        dkey = f"distinct_multi|{','.join(cols)}|{_fkey(check)}"
+
+        def build_distinct() -> Column:
+            key_col = combined_key(cols)
+            f = check_filter_col(check)
+            if f is not None:
+                key_col = F.when(f, key_col)
+            return F.countDistinct(key_col)
+
+        distinct_m = AggMetric(dkey, f"distinct_count({','.join(cols)})", build_distinct, True)
+        metrics.append(distinct_m)
+        mm = None
+    else:
+        col = check.column
+        dkey = f"distinct|{col}|{check.missing!r}|{_fkey(check)}"
+
+        def build_distinct() -> Column:
+            cond = ~is_missing_col(col, check.missing)
+            f = check_filter_col(check)
+            if f is not None:
+                cond = f & cond
+            return F.countDistinct(F.when(cond, F.col(col)))
+
+        distinct_m = AggMetric(dkey, f"distinct_count({col})", build_distinct, True)
+        mm = missing_metric(check)
+        metrics.extend([distinct_m, mm])
+
+    def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+        rows = values.get(rm.key)
+        distinct = values.get(distinct_m.key)
+        miss = values.get(mm.key) if mm is not None else 0
+        if rows is None or distinct is None or miss is None:
+            dup = None
+        else:
+            dup = rows - miss - distinct
+        pct = _percent(dup, rows)
+        value = pct if check.metric == "percent" else dup
+        return _base_result(
+            ctx,
+            check,
+            value,
+            {
+                "failedRowsCount": dup,
+                "failedRowsPercent": pct,
+                "distinctCount": distinct,
+                "missingCount": miss,
+                "datasetRowsTested": values.get(dm.key),
+                "checkRowsTested": rows,
+            },
+        )
+
+    return CheckPlan(check, metrics=metrics, evaluate=evaluate)
+
+
+_FRESHNESS_DIVISORS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def plan_freshness(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """freshness_check.py:46-276 — now − MAX(ts), floored to unit, UTC."""
+    col = check.column
+    key = f"max_ts|{col}|{_fkey(check)}"
+
+    def build() -> Column:
+        c = F.col(col)
+        f = check_filter_col(check)
+        if f is not None:
+            c = F.when(f, c)
+        return F.max(c)
+
+    max_m = AggMetric(key, f"max({col})", build, False)
+    rm = rows_metric(check)
+
+    def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+        max_ts = values.get(key)
+        now = ctx.now_utc()
+        if max_ts is None or now is None:
+            # reference fails outright when max or now is unavailable
+            # (freshness_check.py:208-209)
+            res = _base_result(ctx, check, None, {"maxTimestamp": max_ts, "now": now})
+            res.outcome = CheckOutcome.FAILED
+            res.message = "freshness not computable: missing max timestamp or data_timestamp"
+            return res
+        if max_ts.tzinfo is None:
+            max_ts = max_ts.replace(tzinfo=timezone.utc)
+        delta_s = (now - max_ts).total_seconds()
+        value = math.floor(delta_s / _FRESHNESS_DIVISORS[check.unit])
+        return _base_result(
+            ctx,
+            check,
+            value,
+            {
+                "maxTimestamp": max_ts.isoformat(),
+                "now": now.isoformat(),
+                "freshnessMs": int(delta_s * 1000),
+                "unit": check.unit,
+                "checkRowsTested": values.get(rm.key),
+            },
+        )
+
+    return CheckPlan(check, metrics=[max_m, rm], evaluate=evaluate)
+
+
+_AGG_FUNCS = {"avg", "sum", "min", "max", "avg_length", "min_length", "max_length"}
+
+
+def plan_aggregate(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """aggregate_check.py:42-153 — whitelisted function over *valid* values
+    (non-missing, non-invalid, check-filtered); whitelist mirrors
+    sql_dialect.py:1335-1364."""
+    fn = (check.function or "").lower()
+    if fn not in _AGG_FUNCS:
+        raise ValueError(f"aggregate function {fn!r} not in {sorted(_AGG_FUNCS)}")
+    col = check.column
+    key = f"agg|{fn}|{col}|{check.validity!r}|{check.missing!r}|{_fkey(check)}"
+
+    def build() -> Column:
+        valid = ~is_missing_col(col, check.missing)
+        inv = is_invalid_col(col, check.validity, check.missing)
+        valid = valid & ~F.coalesce(inv, F.lit(False))
+        f = check_filter_col(check)
+        if f is not None:
+            valid = f & valid
+        base = F.col(col)
+        if fn.endswith("_length"):
+            base = F.length(base.cast("string"))
+        guarded = F.when(valid, base)
+        # NaN guard for float aggregates (databricks_data_source.py:174-177)
+        if fn in ("avg", "sum", "min", "max") and not fn.endswith("_length"):
+            guarded = F.when(valid & ~F.isnan(base.cast("double")), base)
+        agg = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+               "avg_length": F.avg, "min_length": F.min, "max_length": F.max}[fn]
+        return agg(guarded)
+
+    m = AggMetric(key, f"{fn}({col})", build, False)
+
+    def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+        return _base_result(ctx, check, values.get(key), {"function": fn})
+
+    return CheckPlan(check, metrics=[m], evaluate=evaluate)
+
+
+def plan_metric(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """metric_check.py:48-199 — expression form joins the fused agg as
+    ``F.expr``; query form is a dedicated ``spark.sql`` roundtrip reading
+    the first cell of the first row (:185-199)."""
+    if check.expression:
+        key = f"metric_expr|{check.expression}|{_fkey(check)}"
+
+        def build() -> Column:
+            e = F.expr(check.expression)
+            return e
+
+        m = AggMetric(key, f"metric({check.expression})", build, False)
+
+        def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+            return _base_result(ctx, check, values.get(key), {"expression": check.expression})
+
+        return CheckPlan(check, metrics=[m], evaluate=evaluate)
+
+    if check.query:
+        key = f"metric_query|{check.query}"
+
+        def run(ctx: CheckContext) -> Any:
+            row = ctx.spark.sql(check.query).first()
+            return None if row is None else row[0]
+
+        sq = SideQuery(key, "metric_query", run)
+
+        def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+            return _base_result(ctx, check, values.get(key), {"query": check.query})
+
+        return CheckPlan(check, side_queries=[sq], evaluate=evaluate)
+
+    raise ValueError("metric check requires 'expression' or 'query'")
+
+
+def plan_failed_rows(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """failed_rows_check.py:47-372 — expression form counts rows where the
+    boolean condition holds (∧ check filter, :247-256); query form counts a
+    user SQL's result (CTE-wrapped COUNT in the reference :322-329 — in
+    Spark simply ``spark.sql(q).count()``, always pushed)."""
+    rm = rows_metric(check)
+    dm = dataset_rows_metric()
+    metrics = [rm, dm]
+    side: list[SideQuery] = []
+
+    if check.condition:
+        key = f"failed_rows|{check.condition}|{_fkey(check)}"
+
+        def build() -> Column:
+            cond = F.expr(check.condition)
+            f = check_filter_col(check)
+            if f is not None:
+                cond = f & cond
+            return count_if(cond)
+
+        metrics.append(AggMetric(key, f"failed_rows({check.condition})", build, True))
+        value_key = key
+    elif check.query:
+        key = f"failed_rows_query|{check.query}"
+
+        def run(ctx: CheckContext) -> int:
+            return ctx.spark.sql(check.query).count()
+
+        side.append(SideQuery(key, "failed_rows_query", run))
+        value_key = key
+    else:
+        raise ValueError("failed_rows check requires 'condition' or 'query'")
+
+    def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+        count = values.get(value_key)
+        rows = values.get(rm.key)
+        pct = _percent(count, rows)
+        value = pct if check.metric == "percent" else count
+        return _base_result(
+            ctx,
+            check,
+            value,
+            {
+                "failedRowsCount": count,
+                "failedRowsPercent": pct,
+                "datasetRowsTested": values.get(dm.key),
+                "checkRowsTested": rows,
+            },
+        )
+
+    return CheckPlan(check, metrics=metrics, side_queries=side, evaluate=evaluate)
+
+
+# --- schema check -----------------------------------------------------------
+
+#: canonical type-name synonym classes (sparkdf_data_source.py:137-141)
+_TYPE_SYNONYMS = [
+    {"text", "varchar", "char", "string"},
+    {"numeric", "decimal"},
+    {"timestamp_tz", "timestamp"},
+    {"integer", "int"},
+]
+
+
+def _canonical(name: str) -> str:
+    name = name.lower().split("(")[0].strip()
+    for cls in _TYPE_SYNONYMS:
+        if name in cls:
+            return sorted(cls)[0]
+    return name
+
+
+_SPARK_TO_CANONICAL = {
+    T.StringType: "string",
+    T.ShortType: "smallint",
+    T.IntegerType: "integer",
+    T.LongType: "bigint",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BooleanType: "boolean",
+    T.DateType: "date",
+    T.TimestampType: "timestamp",
+    T.TimestampNTZType: "timestamp",
+    T.BinaryType: "binary",
+}
+
+
+def spark_type_canonical(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    return _SPARK_TO_CANONICAL.get(type(dt), dt.simpleString())
+
+
+def plan_schema(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """schema_check.py:83-262 — pure-Python diff of declared contract
+    columns vs ``df.schema`` (missing / extra / type mismatch / order);
+    the reference introspects information_schema, Spark hands us the
+    StructType for free."""
+
+    def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
+        declared = [
+            (c.name, c.data_type) for c in ctx.contract.columns
+        ]
+        actual_fields = ctx.df.schema.fields
+        actual = {f.name: spark_type_canonical(f.dataType) for f in actual_fields}
+        actual_order = [f.name for f in actual_fields]
+
+        missing_cols = [n for n, _ in declared if n not in actual]
+        declared_names = {n for n, _ in declared}
+        extra_cols = (
+            [] if check.allow_extra_columns
+            else [n for n in actual_order if n not in declared_names]
+        )
+        type_mismatches = {}
+        for n, dt in declared:
+            if dt is not None and n in actual:
+                if _canonical(dt) != _canonical(actual[n]):
+                    type_mismatches[n] = {"expected": dt, "actual": actual[n]}
+        order_mismatch = False
+        if not check.allow_other_column_order:
+            declared_seq = [n for n, _ in declared if n in actual]
+            actual_seq = [n for n in actual_order if n in declared_names]
+            order_mismatch = declared_seq != actual_seq
+
+        problems = (
+            len(missing_cols) + len(extra_cols) + len(type_mismatches)
+            + (1 if order_mismatch else 0)
+        )
+        res = _base_result(
+            ctx,
+            check,
+            problems,
+            {
+                "missingColumns": missing_cols,
+                "extraColumns": extra_cols,
+                "typeMismatches": type_mismatches,
+                "orderMismatch": order_mismatch,
+            },
+        )
+        # PASS iff all diff categories empty (schema_check.py:237-246)
+        res.outcome = (
+            CheckOutcome.PASSED if problems == 0
+            else (CheckOutcome.WARNED if check.level == "warn" else CheckOutcome.FAILED)
+        )
+        return res
+
+    return CheckPlan(check, evaluate=evaluate)
+
+
+CHECK_PLANNERS: dict[str, Callable[[CheckSpec, CheckContext], CheckPlan]] = {
+    "schema": plan_schema,
+    "row_count": plan_row_count,
+    "missing": plan_missing,
+    "invalid": plan_invalid,
+    "duplicate": plan_duplicate,
+    "freshness": plan_freshness,
+    "aggregate": plan_aggregate,
+    "metric": plan_metric,
+    "failed_rows": plan_failed_rows,
+}

@@ -1,0 +1,235 @@
+"""Verification engine: contract + DataFrame → one fused scan → results.
+
+The reference's lifecycle (SURVEY §3.1): parse → plan (metric dedup +
+aggregation batching) → sequential SQL roundtrips → derived metrics →
+threshold evaluation. Here:
+
+* planning = collecting ``AggMetric``s from every check and deduping by
+  identity key (reference ``MetricsResolver.resolve_metric``
+  ``contract_verification_impl.py:826-839``),
+* ALL aggregation metrics fuse into **one** ``df.agg(m_0, m_1, ...)`` —
+  a single Spark job / single pass over the data; the reference needs
+  greedy statement-length batching (``:1577-1644``), Spark doesn't,
+* side queries (reference-data anti-joins, user metric queries) run as
+  their own jobs afterwards,
+* a failing metric/check marks its checks NOT_EVALUATED without sinking
+  the scan (reference per-query error isolation, base.py:876-889).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from datetime import datetime
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from soda_core_spark.operators.checks import (
+    AggMetric,
+    CheckContext,
+    CheckPlan,
+    CHECK_PLANNERS,
+    SideQuery,
+)
+from soda_core_spark.operators.compiler import apply_scan_filter
+from soda_core_spark.plans.model import CheckSpec, Contract
+from soda_core_spark.plans.results import (
+    CheckOutcome,
+    CheckResult,
+    ContractVerificationResult,
+    Measurement,
+    check_identity,
+)
+
+
+class DuplicateCheckIdentityError(Exception):
+    """Two checks resolved to the same identity — a contract error in the
+    reference too (base.py:1263-1282)."""
+
+
+def _matches_selector(check: CheckSpec, selectors: list[str]) -> bool:
+    """``field=glob`` selectors: same-field OR, cross-field AND
+    (reference check_selector.py:13-186). Bare globs match the check name."""
+    if not selectors:
+        return True
+    by_field: dict[str, list[str]] = {}
+    for s in selectors:
+        if "=" in s:
+            f, pat = s.split("=", 1)
+        else:
+            f, pat = "name", s
+        by_field.setdefault(f, []).append(pat)
+    fields = {
+        "type": check.type,
+        "name": check.default_name(),
+        "column": check.column or "",
+        "qualifier": check.qualifier or "",
+    }
+    for f, pats in by_field.items():
+        val = fields.get(f, "")
+        if not any(fnmatch.fnmatch(val, p) for p in pats):
+            return False
+    return True
+
+
+def verify_contract(
+    spark: SparkSession,
+    contract: Contract,
+    df: Optional[DataFrame] = None,
+    datasets: Optional[dict[str, DataFrame]] = None,
+    data_timestamp: Optional[datetime] = None,
+    check_selectors: Optional[list[str]] = None,
+) -> ContractVerificationResult:
+    """Run all checks of ``contract`` against ``df`` in (at most) one fused
+    aggregation job plus one job per side query.
+
+    ``df`` defaults to ``spark.table(contract.dataset)`` /
+    ``datasets[contract.dataset]``. ``datasets`` supplies reference-data
+    tables for ``valid_reference_data`` checks.
+    """
+    datasets = dict(datasets or {})
+    if df is None:
+        df = datasets.get(contract.dataset)
+    if df is None:
+        df = spark.table(contract.dataset)
+    datasets.setdefault(contract.dataset, df)
+
+    filtered = apply_scan_filter(df, contract.filter)
+    ctx = CheckContext(
+        spark=spark,
+        contract=contract,
+        df=df,
+        filtered=filtered,
+        datasets=datasets,
+        data_timestamp=data_timestamp,
+    )
+
+    # --- plan -------------------------------------------------------------
+    checks = contract.all_checks()
+    plans: list[tuple[CheckSpec, Optional[CheckPlan], Optional[str]]] = []
+    seen_identities: set[str] = set()
+    for check in checks:
+        ident = check_identity(
+            contract.dataset,
+            check.type,
+            check.column,
+            check.qualifier,
+            ",".join(check.columns) if check.columns else None,
+        )
+        if ident in seen_identities:
+            raise DuplicateCheckIdentityError(
+                f"duplicate check identity {ident} for {check.default_name()}; "
+                "add a distinct 'qualifier'"
+            )
+        seen_identities.add(ident)
+        if not _matches_selector(check, check_selectors or []):
+            plans.append((check, None, "excluded"))
+            continue
+        try:
+            plans.append((check, CHECK_PLANNERS[check.type](check, ctx), None))
+        except Exception as e:  # planning error → NOT_EVALUATED, scan continues
+            plans.append((check, None, f"planning failed: {e}"))
+
+    # --- metric dedup + fused aggregation ----------------------------------
+    agg_metrics: dict[str, AggMetric] = {}
+    side_queries: dict[str, SideQuery] = {}
+    for _, plan, _err in plans:
+        if plan is None:
+            continue
+        for m in plan.metrics:
+            agg_metrics.setdefault(m.key, m)
+        for sq in plan.side_queries:
+            side_queries.setdefault(sq.key, sq)
+
+    # Error isolation (reference: per-query try/except, base.py:876-889).
+    # Fusing all metrics into one df.agg must not let one bad expression
+    # (parse/analysis error in a check's filter/condition/expression) sink
+    # the whole scan: build+analyze each metric individually first; fuse
+    # only the valid ones; on a runtime failure of the fused job fall back
+    # to per-metric jobs. A metric with no value leaves its checks
+    # NOT_EVALUATED via None-propagation.
+    values: dict[str, Any] = {}
+    measurements: list[Measurement] = []
+    built: list[AggMetric] = []
+    built_cols = []
+    for m in agg_metrics.values():
+        try:
+            col = m.build()
+            filtered.select(col.alias("__soda_validate"))  # force analysis
+            built.append(m)
+            built_cols.append(col)
+        except Exception:
+            measurements.append(Measurement(m.key, None, m.name))
+    if built:
+        exprs = [c.alias(f"m_{i}") for i, c in enumerate(built_cols)]
+        try:
+            row = filtered.agg(*exprs).collect()[0]
+            rows = [row[i] for i in range(len(built))]
+        except Exception:
+            rows = []
+            for c in built_cols:
+                try:
+                    rows.append(filtered.agg(c.alias("m_0")).collect()[0][0])
+                except Exception:
+                    rows.append(None)
+        for m, v in zip(built, rows):
+            if v is None and m.coerce_zero:
+                v = 0  # SUM(CASE WHEN ...) is NULL over zero rows (ref missing_check.py:137-140)
+            values[m.key] = v
+            measurements.append(Measurement(m.key, v, m.name))
+
+    for sq in side_queries.values():
+        try:
+            v = sq.run(ctx)
+        except Exception:
+            v = None  # dependent checks → NOT_EVALUATED
+        values[sq.key] = v
+        measurements.append(Measurement(sq.key, v, sq.name))
+
+    # --- evaluate -----------------------------------------------------------
+    results: list[CheckResult] = []
+    for check, plan, err in plans:
+        if plan is None:
+            outcome = (
+                CheckOutcome.EXCLUDED if err == "excluded" else CheckOutcome.NOT_EVALUATED
+            )
+            results.append(
+                CheckResult(
+                    identity=check_identity(
+                        contract.dataset, check.type, check.column, check.qualifier,
+                        ",".join(check.columns) if check.columns else None,
+                    ),
+                    check_type=check.type,
+                    name=check.default_name(),
+                    column=check.column,
+                    outcome=outcome,
+                    threshold=check.threshold.describe(),
+                    level=check.level,
+                    message=None if err == "excluded" else err,
+                )
+            )
+            continue
+        try:
+            results.append(plan.evaluate(values, ctx))
+        except Exception as e:
+            results.append(
+                CheckResult(
+                    identity=check_identity(
+                        contract.dataset, check.type, check.column, check.qualifier,
+                        ",".join(check.columns) if check.columns else None,
+                    ),
+                    check_type=check.type,
+                    name=check.default_name(),
+                    column=check.column,
+                    outcome=CheckOutcome.NOT_EVALUATED,
+                    threshold=check.threshold.describe(),
+                    level=check.level,
+                    message=f"evaluation failed: {e}",
+                )
+            )
+
+    return ContractVerificationResult(
+        dataset=contract.dataset,
+        check_results=results,
+        measurements=measurements,
+    )

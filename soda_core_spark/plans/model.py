@@ -1,0 +1,486 @@
+"""Contract / rule model — pure-Python dataclasses, no Spark imports.
+
+Mirrors the *semantics* of the reference's contract language (behavioural
+parity, fresh implementation):
+
+* missing/validity config keys: reference
+  ``soda-core/src/soda_core/contracts/impl/contract_yaml.py:383-406``
+* threshold keys + pass logic: ``contract_yaml.py:714-765`` and
+  ``contract_verification_impl.py:1012-1030``
+* check registry (9 core types): ``contracts/impl/check_types/check_types.py:14-114``
+* variable resolution ``${var}``: ``contract_yaml.py:88-245``
+
+Contracts can be built from Python dicts or YAML text with the same shape
+as the reference's contract files::
+
+    dataset: web_pages
+    filter: "lang = 'en'"
+    columns:
+      - name: text
+        missing_values: ['']
+        checks:
+          - missing:
+              metric: percent
+              must_be_less_than: 5
+    checks:
+      - row_count:
+          must_be_greater_than: 0
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+class ContractParseError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Thresholds
+# ---------------------------------------------------------------------------
+
+THRESHOLD_KEYS = (
+    "must_be",
+    "must_not_be",
+    "must_be_greater_than",
+    "must_be_greater_than_or_equal",
+    "must_be_less_than",
+    "must_be_less_than_or_equal",
+    "must_be_between",
+    "must_be_not_between",
+)
+
+
+@dataclass(frozen=True)
+class Threshold:
+    """Numeric threshold on a metric value.
+
+    Pass logic mirrors reference ``contract_verification_impl.py:1012-1030``:
+    every configured comparator must hold; ``must_be_between`` is an
+    inclusive inner range; ``must_be_not_between`` an (exclusive-inside)
+    outer range.
+    """
+
+    must_be: Optional[float] = None
+    must_not_be: Optional[float] = None
+    must_be_greater_than: Optional[float] = None
+    must_be_greater_than_or_equal: Optional[float] = None
+    must_be_less_than: Optional[float] = None
+    must_be_less_than_or_equal: Optional[float] = None
+    must_be_between: Optional[tuple[float, float]] = None
+    must_be_not_between: Optional[tuple[float, float]] = None
+
+    def is_configured(self) -> bool:
+        return any(
+            getattr(self, k) is not None for k in THRESHOLD_KEYS
+        )
+
+    def passes(self, value: Any) -> bool:
+        if value is None:
+            return False
+        v = float(value)
+        if self.must_be is not None and not v == float(self.must_be):
+            return False
+        if self.must_not_be is not None and v == float(self.must_not_be):
+            return False
+        if self.must_be_greater_than is not None and not v > self.must_be_greater_than:
+            return False
+        if (
+            self.must_be_greater_than_or_equal is not None
+            and not v >= self.must_be_greater_than_or_equal
+        ):
+            return False
+        if self.must_be_less_than is not None and not v < self.must_be_less_than:
+            return False
+        if (
+            self.must_be_less_than_or_equal is not None
+            and not v <= self.must_be_less_than_or_equal
+        ):
+            return False
+        if self.must_be_between is not None:
+            lo, hi = self.must_be_between
+            if not (lo <= v <= hi):
+                return False
+        if self.must_be_not_between is not None:
+            lo, hi = self.must_be_not_between
+            if lo < v < hi:
+                return False
+        return True
+
+    def describe(self) -> str:
+        parts = []
+        for k in THRESHOLD_KEYS:
+            val = getattr(self, k)
+            if val is not None:
+                parts.append(f"{k} {val}")
+        return " and ".join(parts) if parts else "no threshold"
+
+    @staticmethod
+    def from_dict(d: dict) -> "Threshold":
+        kwargs: dict[str, Any] = {}
+        for k in THRESHOLD_KEYS:
+            if k in d and d[k] is not None:
+                val = d[k]
+                if k in ("must_be_between", "must_be_not_between"):
+                    if not (isinstance(val, (list, tuple)) and len(val) == 2):
+                        raise ContractParseError(
+                            f"{k} must be a two-element list, got {val!r}"
+                        )
+                    kwargs[k] = (float(val[0]), float(val[1]))
+                else:
+                    kwargs[k] = float(val)
+        return Threshold(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Missing / validity configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MissingConfig:
+    """``is_missing`` = NULL OR value IN missing_values OR value matches
+    missing_format — reference ``contract_verification_impl.py:715-722``."""
+
+    missing_values: Optional[tuple] = None
+    missing_format: Optional[str] = None  # regex
+
+    def is_configured(self) -> bool:
+        return self.missing_values is not None or self.missing_format is not None
+
+    @staticmethod
+    def from_dict(d: dict) -> "MissingConfig":
+        mv = d.get("missing_values")
+        return MissingConfig(
+            missing_values=tuple(mv) if mv is not None else None,
+            missing_format=d.get("missing_format"),
+        )
+
+
+@dataclass(frozen=True)
+class ValidityConfig:
+    """``is_invalid`` = NOT missing AND (any configured validity rule fails)
+    — full disjunction, reference ``contract_verification_impl.py:724-764``.
+    An explicitly-empty ``valid_values`` list means *everything* is invalid
+    (reference :732-738).
+    """
+
+    valid_values: Optional[tuple] = None
+    invalid_values: Optional[tuple] = None
+    valid_format: Optional[str] = None  # regex the value MUST match
+    invalid_format: Optional[str] = None  # regex the value must NOT match
+    valid_min: Optional[float] = None
+    valid_max: Optional[float] = None
+    valid_min_length: Optional[int] = None
+    valid_max_length: Optional[int] = None
+    valid_length: Optional[int] = None
+    # reference-data validity: value must exist in another dataset's column
+    # (reference invalidity_check.py:199-349)
+    valid_reference_dataset: Optional[str] = None
+    valid_reference_column: Optional[str] = None
+
+    def is_configured(self) -> bool:
+        return any(
+            getattr(self, f.name) is not None
+            for f in self.__dataclass_fields__.values()  # type: ignore[attr-defined]
+        )
+
+    def has_reference(self) -> bool:
+        return self.valid_reference_dataset is not None
+
+    @staticmethod
+    def from_dict(d: dict) -> "ValidityConfig":
+        ref = d.get("valid_reference_data") or {}
+        vv = d.get("valid_values")
+        iv = d.get("invalid_values")
+        return ValidityConfig(
+            valid_values=tuple(vv) if vv is not None else None,
+            invalid_values=tuple(iv) if iv is not None else None,
+            valid_format=d.get("valid_format"),
+            invalid_format=d.get("invalid_format"),
+            valid_min=d.get("valid_min"),
+            valid_max=d.get("valid_max"),
+            valid_min_length=d.get("valid_min_length"),
+            valid_max_length=d.get("valid_max_length"),
+            valid_length=d.get("valid_length"),
+            valid_reference_dataset=ref.get("dataset"),
+            valid_reference_column=ref.get("column"),
+        )
+
+
+MISSING_KEYS = ("missing_values", "missing_format")
+VALIDITY_KEYS = (
+    "valid_values",
+    "invalid_values",
+    "valid_format",
+    "invalid_format",
+    "valid_min",
+    "valid_max",
+    "valid_min_length",
+    "valid_max_length",
+    "valid_length",
+    "valid_reference_data",
+)
+
+
+# ---------------------------------------------------------------------------
+# Checks
+# ---------------------------------------------------------------------------
+
+CHECK_TYPES = (
+    "schema",
+    "row_count",
+    "missing",
+    "invalid",
+    "duplicate",
+    "freshness",
+    "aggregate",
+    "metric",
+    "failed_rows",
+)
+
+
+@dataclass
+class CheckSpec:
+    """One check — the engine's unit of evaluation.
+
+    ``type`` is one of CHECK_TYPES (reference check registry
+    ``check_types.py:14-114``). Column-level checks carry ``column``;
+    dataset-level checks (row_count, freshness, metric, failed_rows,
+    schema, multi-column duplicate) may not.
+    """
+
+    type: str
+    column: Optional[str] = None
+    columns: Optional[tuple[str, ...]] = None  # multi-column duplicate
+    threshold: Threshold = field(default_factory=Threshold)
+    level: str = "fail"  # fail | warn  (contract_yaml.py:714-765)
+    filter: Optional[str] = None  # SQL boolean expression (check-scoped)
+    qualifier: Optional[str] = None
+    name: Optional[str] = None
+    metric: str = "count"  # count | percent (missing/invalid/duplicate/failed_rows)
+    missing: MissingConfig = field(default_factory=MissingConfig)
+    validity: ValidityConfig = field(default_factory=ValidityConfig)
+    # aggregate check (aggregate_check.py:42-153)
+    function: Optional[str] = None  # avg|sum|min|max|avg_length|min_length|max_length
+    # metric check (metric_check.py)
+    expression: Optional[str] = None  # SQL aggregate expression
+    query: Optional[str] = None  # full SQL query (first cell of first row)
+    # freshness check (freshness_check.py:46-276)
+    unit: str = "minute"  # second|minute|hour|day
+    # failed_rows expression check (failed_rows_check.py:47-259)
+    condition: Optional[str] = None  # SQL boolean: TRUE == row failed
+    # schema check
+    allow_extra_columns: bool = False
+    allow_other_column_order: bool = True
+
+    def default_name(self) -> str:
+        base = self.name or self.type
+        if self.column:
+            return f"{base}({self.column})"
+        if self.columns:
+            return f"{base}({','.join(self.columns)})"
+        return base
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    data_type: Optional[str] = None
+    character_maximum_length: Optional[int] = None
+    numeric_precision: Optional[int] = None
+    numeric_scale: Optional[int] = None
+    missing: MissingConfig = field(default_factory=MissingConfig)
+    validity: ValidityConfig = field(default_factory=ValidityConfig)
+    checks: list[CheckSpec] = field(default_factory=list)
+
+
+@dataclass
+class Contract:
+    dataset: str
+    filter: Optional[str] = None  # SQL boolean expression over the dataset
+    columns: list[ColumnSpec] = field(default_factory=list)
+    checks: list[CheckSpec] = field(default_factory=list)
+    variables: dict[str, str] = field(default_factory=dict)
+
+    def all_checks(self) -> list[CheckSpec]:
+        """Checks in contract order: dataset-level first, then per column
+        (reference orders checks as declared in YAML, base.py:620-629)."""
+        out = list(self.checks)
+        for col in self.columns:
+            out.extend(col.checks)
+        return out
+
+    def column_spec(self, name: str) -> Optional[ColumnSpec]:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Parsing (dict / YAML)
+# ---------------------------------------------------------------------------
+
+_VAR_RE = re.compile(r"\$\{\s*([A-Za-z0-9_.]+)\s*\}")
+
+
+def resolve_variables(text: str, variables: dict[str, str]) -> str:
+    """``${var}`` substitution with a circular-reference guard
+    (reference contract_yaml.py:88-245)."""
+    seen: set[str] = set()
+
+    def sub_once(s: str) -> str:
+        def repl(m: re.Match) -> str:
+            key = m.group(1)
+            if key in seen:
+                raise ContractParseError(f"circular variable reference: {key}")
+            if key not in variables:
+                raise ContractParseError(f"unknown variable: {key}")
+            seen.add(key)
+            return str(variables[key])
+
+        return _VAR_RE.sub(repl, s)
+
+    prev = text
+    for _ in range(10):
+        cur = sub_once(prev)
+        if cur == prev:
+            return cur
+        prev = cur
+    raise ContractParseError("variable resolution did not converge")
+
+
+def _parse_check(
+    type_name: str,
+    body: Any,
+    column: Optional[ColumnSpec] = None,
+) -> CheckSpec:
+    if body is None:
+        body = {}
+    if not isinstance(body, dict):
+        raise ContractParseError(f"check body for {type_name!r} must be a mapping")
+    if type_name not in CHECK_TYPES:
+        raise ContractParseError(
+            f"unknown check type {type_name!r}; expected one of {CHECK_TYPES}"
+        )
+
+    threshold = Threshold.from_dict(body)
+    # defaults mirror the reference:
+    #   row_count: must_be_greater_than 0      (row_count_check.py:49-52)
+    #   missing / invalid / duplicate: must_be 0 (missing_check.py:51-55)
+    if not threshold.is_configured():
+        if type_name == "row_count":
+            threshold = Threshold(must_be_greater_than=0)
+        elif type_name in ("missing", "invalid", "duplicate", "failed_rows"):
+            threshold = Threshold(must_be=0)
+
+    missing = MissingConfig.from_dict(body)
+    validity = ValidityConfig.from_dict(body)
+    # column-level missing/validity defaults are inherited by checks that
+    # don't override them (reference contract_verification_impl.py:777-800)
+    if column is not None:
+        if not missing.is_configured():
+            missing = column.missing
+        if not validity.is_configured():
+            validity = column.validity
+
+    cols = body.get("columns")
+    spec = CheckSpec(
+        type=type_name,
+        column=column.name if column is not None else body.get("column"),
+        columns=tuple(cols) if cols else None,
+        threshold=threshold,
+        level=body.get("level", "fail"),
+        filter=body.get("filter"),
+        qualifier=body.get("qualifier"),
+        name=body.get("name"),
+        metric=body.get("metric", "count"),
+        missing=missing,
+        validity=validity,
+        function=body.get("function"),
+        expression=body.get("expression"),
+        query=body.get("query"),
+        unit=body.get("unit", "minute"),
+        condition=body.get("condition") or body.get("expression")
+        if type_name == "failed_rows"
+        else body.get("condition"),
+        allow_extra_columns=bool(body.get("allow_extra_columns", False)),
+        allow_other_column_order=bool(body.get("allow_other_column_order", True)),
+    )
+    if type_name == "freshness" and spec.column is None:
+        raise ContractParseError("freshness check requires a column")
+    if type_name == "aggregate" and not spec.function:
+        raise ContractParseError("aggregate check requires 'function'")
+    return spec
+
+
+def _parse_checks_list(raw: Any, column: Optional[ColumnSpec] = None) -> list[CheckSpec]:
+    checks: list[CheckSpec] = []
+    if raw is None:
+        return checks
+    if not isinstance(raw, list):
+        raise ContractParseError("'checks' must be a list")
+    for item in raw:
+        if isinstance(item, str):
+            checks.append(_parse_check(item, {}, column))
+        elif isinstance(item, dict):
+            if len(item) != 1:
+                raise ContractParseError(
+                    f"each check must be a single-key mapping, got {list(item)}"
+                )
+            ((type_name, body),) = item.items()
+            checks.append(_parse_check(type_name, body, column))
+        else:
+            raise ContractParseError(f"bad check entry: {item!r}")
+    return checks
+
+
+def contract_from_dict(d: dict) -> Contract:
+    if "dataset" not in d:
+        raise ContractParseError("contract requires 'dataset'")
+    variables = {str(k): str(v) for k, v in (d.get("variables") or {}).items()}
+    columns: list[ColumnSpec] = []
+    for col_raw in d.get("columns") or []:
+        if not isinstance(col_raw, dict) or "name" not in col_raw:
+            raise ContractParseError(f"bad column entry: {col_raw!r}")
+        col = ColumnSpec(
+            name=col_raw["name"],
+            data_type=col_raw.get("data_type"),
+            character_maximum_length=col_raw.get("character_maximum_length"),
+            numeric_precision=col_raw.get("numeric_precision"),
+            numeric_scale=col_raw.get("numeric_scale"),
+            missing=MissingConfig.from_dict(col_raw),
+            validity=ValidityConfig.from_dict(col_raw),
+        )
+        col.checks = _parse_checks_list(col_raw.get("checks"), col)
+        columns.append(col)
+    return Contract(
+        dataset=str(d["dataset"]),
+        filter=d.get("filter"),
+        columns=columns,
+        checks=_parse_checks_list(d.get("checks")),
+        variables=variables,
+    )
+
+
+def contract_from_yaml(text: str, variables: Optional[dict[str, str]] = None) -> Contract:
+    import yaml
+
+    merged_vars = dict(variables or {})
+    # first parse to pick up declared variables, then resolve ${...} and re-parse
+    raw = yaml.safe_load(text)
+    if isinstance(raw, dict) and raw.get("variables"):
+        for k, v in raw["variables"].items():
+            merged_vars.setdefault(str(k), str(v))
+    if merged_vars and _VAR_RE.search(text):
+        text = resolve_variables(text, merged_vars)
+        raw = yaml.safe_load(text)
+    if not isinstance(raw, dict):
+        raise ContractParseError("contract YAML must be a mapping")
+    raw.setdefault("variables", {})
+    raw["variables"] = {**merged_vars, **(raw["variables"] or {})}
+    return contract_from_dict(raw)
