@@ -1,0 +1,124 @@
+"""KenLM-style n-gram perplexity scoring as a vectorized pandas UDF.
+
+A real pipeline loads a KenLM binary per executor and scores Arrow batches;
+the model binary isn't available in this container, so the stand-in is a
+deterministic **character-trigram language model** trained at import time
+on a small embedded seed corpus (public-domain-style English sentences
+written for this repo). The Spark-side plumbing — iterator-form pandas UDF
+so the model is built once per executor python worker, Arrow batches, no
+per-row Python UDF — is exactly the production shape; only ``_MODEL`` would
+change.
+
+Perplexity = exp(mean over char trigrams of −log P(c3 | c1 c2)) with
+add-k smoothing. English-like text scores low (< ~25 on this model),
+random symbols / repeated junk scores high.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_SEED_CORPUS = """
+the quick brown fox jumps over the lazy dog and runs across the field
+a government of the people by the people for the people shall not perish
+it was the best of times it was the worst of times it was the age of wisdom
+in the beginning the world was without form and darkness was upon the deep
+we hold these truths to be self evident that all people are created equal
+the history of science is the history of ideas tested against observation
+when in the course of human events it becomes necessary for one people
+to be or not to be that is the question whether it is nobler in the mind
+all happy families are alike each unhappy family is unhappy in its own way
+call me ishmael some years ago never mind how long precisely having little
+the sun rose slowly over the quiet village as the river ran down to the sea
+she walked along the narrow road between the old houses and the green hills
+there are more things in heaven and earth than are dreamt of in philosophy
+knowledge speaks but wisdom listens and time passes for every living thing
+the rain fell softly on the roof while the children slept through the night
+every great journey begins with a single step taken in hope and in courage
+"""
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+_K = 0.1  # add-k smoothing
+
+
+def _normalize(text: str) -> str:
+    return "".join(c if c in _ALPHABET else " " for c in text.lower())
+
+
+def _train() -> tuple[dict[str, dict[str, float]], float]:
+    """Trigram conditional log-probs + a backoff log-prob for unseen
+    contexts. Deterministic: pure counting over the frozen seed corpus."""
+    tri: Counter[str] = Counter()
+    bi: Counter[str] = Counter()
+    body = " ".join(_normalize(_SEED_CORPUS).split())
+    for i in range(len(body) - 2):
+        bi[body[i : i + 2]] += 1
+        tri[body[i : i + 3]] += 1
+    v = len(_ALPHABET)
+    logp: dict[str, dict[str, float]] = {}
+    for gram, c in tri.items():
+        ctx, nxt = gram[:2], gram[2]
+        logp.setdefault(ctx, {})[nxt] = math.log((c + _K) / (bi[ctx] + _K * v))
+    backoff = math.log(_K / (_K * v))  # unseen context → uniform
+    return logp, backoff
+
+
+def _train_unseen() -> dict[str, float]:
+    """log P of an unseen next-char within a *seen* context."""
+    bi: Counter[str] = Counter()
+    body = " ".join(_normalize(_SEED_CORPUS).split())
+    for i in range(len(body) - 2):
+        bi[body[i : i + 2]] += 1
+    v = len(_ALPHABET)
+    return {ctx: math.log(_K / (c + _K * v)) for ctx, c in bi.items()}
+
+
+_MODEL, _BACKOFF = _train()
+_UNSEEN_IN_CTX = _train_unseen()
+
+
+def doc_log_perplexity(text: str) -> float:
+    """Mean −log P per trigram; 20.0 (a high sentinel) for texts too short
+    to score. Exposed for the oracle (same model data, direct call)."""
+    body = " ".join(_normalize(text or "").split())
+    n = len(body) - 2
+    if n <= 0:
+        return 20.0
+    total = 0.0
+    model, unseen, backoff = _MODEL, _UNSEEN_IN_CTX, _BACKOFF
+    for i in range(n):
+        ctx = body[i : i + 2]
+        probs = model.get(ctx)
+        if probs is None:
+            total -= backoff
+        else:
+            total -= probs.get(body[i + 2], unseen[ctx])
+    return total / n
+
+
+def score_batch(texts: pd.Series) -> pd.Series:
+    """Score an Arrow batch. The trigram walk is a tight dict-lookup loop
+    per document — the same per-document cost profile as
+    ``kenlm.Model.score`` called per row inside a pandas UDF, which is the
+    accepted production pattern (the constraint bans per-row *Spark* UDFs,
+    i.e. row-at-a-time serialization, not loops inside an Arrow batch)."""
+    return texts.map(doc_log_perplexity).astype(np.float64)
+
+
+@pandas_udf(T.DoubleType())
+def perplexity_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # iterator form: model stays warm across batches in one python worker
+    for batch in it:
+        yield score_batch(batch)
+
+
+def log_perplexity(text: Column) -> Column:
+    return perplexity_udf(text)

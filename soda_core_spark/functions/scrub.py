@@ -1,0 +1,105 @@
+"""PII / toxicity scrubbing — an ordered regex-replace chain.
+
+Byte-identical output per url is an acceptance criterion
+(BASELINE.json input_hint), and Java-vs-Python regex divergence is the
+main parity hazard (SURVEY §7.2 step 6). So the scrub runs **inside a
+vectorized pandas UDF using Python ``re``** (via pandas ``str.replace``,
+Arrow-batched) — the oracle scrubs with the same engine, so semantics are
+pinned by construction. The rule *table* below is the shared contract;
+the two inference paths (pandas vectorized vs plain-Python loop) are
+independent code.
+
+soda-core has no scrub operator — its closest machinery is the per-row
+failed-rows condition (failed_rows_check.py:47-259); scrubbing is the
+quality-filter extension mandated by the north rule.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+#: ordered scrub rules: (name, pattern, replacement). Order matters —
+#: e.g. SSN before phone so 123-45-6789 isn't half-eaten by a phone rule.
+SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b",
+        "<PHONE>",
+    ),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "credit_card",
+        r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b",
+        "<CARD>",
+    ),
+)
+
+#: fixed toxicity lexicon (mild placeholder terms — the mechanism is the
+#: deliverable; swap the lexicon freely). Whole-word, case-insensitive.
+TOXICITY_LEXICON: tuple[str, ...] = (
+    "frakking",
+    "gorram",
+    "smegging",
+    "feldercarb",
+)
+
+_TOX_PATTERN = r"(?i)\b(?:" + "|".join(re.escape(w) for w in TOXICITY_LEXICON) + r")\b"
+_TOX_REPLACEMENT = "<TOX>"
+
+#: the full ordered chain applied to every document
+ALL_RULES: tuple[tuple[str, str, str], ...] = SCRUB_RULES + (
+    ("toxicity", _TOX_PATTERN, _TOX_REPLACEMENT),
+)
+
+_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in ALL_RULES]
+
+
+def scrub_text(text: str | None) -> str | None:
+    """Plain-Python single-document scrub (used by the oracle)."""
+    if text is None:
+        return None
+    for _, rx, repl in _COMPILED:
+        text = rx.sub(repl, text)
+    return text
+
+
+def scrub_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized scrub over an Arrow batch: one pandas ``str.replace``
+    (Python re under the hood) per rule over the whole batch."""
+    out = texts
+    for _, rx, repl in _COMPILED:
+        out = out.str.replace(rx, repl, regex=True)
+    return out
+
+
+@pandas_udf(T.StringType())
+def scrub_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # iterator form: compiled patterns stay warm per python worker
+    for batch in it:
+        yield scrub_batch(batch)
+
+
+def scrubbed(text: Column) -> Column:
+    return scrub_udf(text)
+
+
+def pii_hit_count(texts: pd.Series) -> pd.Series:
+    """Number of scrub-rule hits per document (diagnostic metric)."""
+    total = pd.Series(0, index=texts.index)
+    for _, rx, _repl in _COMPILED:
+        total = total + texts.str.count(rx)
+    return total.fillna(0).astype("int64")
+
+
+@pandas_udf(T.LongType())
+def pii_count_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for batch in it:
+        yield pii_hit_count(batch)

@@ -1,0 +1,147 @@
+"""Text-quality signal columns — pure built-in ``pyspark.sql.functions``.
+
+These are the heuristic quality signals of a Common-Crawl-style filter
+(doc length, word stats, symbol/word ratio, stopword density, repetition —
+the Gopher/CCNet rule family) expressed as **JVM-side Column expressions**:
+whole-stage codegen, no Python in the hot path. The Spark-side definitions
+are mirrored exactly by the plain-pandas oracle in
+``soda_core_spark/sources/webtext_oracle.py`` — any change here must be
+made there too (keep/drop parity is the acceptance criterion).
+
+Tokenization contract (both sides): words = text split on ASCII whitespace
+runs, empty tokens dropped. Synthetic data is ASCII-whitespace only, which
+sidesteps the Java-vs-Python ``\\s`` unicode divergence.
+
+soda-core analogue: these are the per-column signal expressions its
+``invalid`` / ``failed_rows`` checks would reference
+(reference invalidity_check.py:52-221 — the disjunction compiler is the
+same machinery, see operators/compiler.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: shared English stopword list (top function words) — also used by the
+#: language-ID model (functions/langid.py) and the oracle. Frozen: order
+#: and content are part of the keep/drop contract.
+EN_STOPWORDS = (
+    "the of and to in a is that it was for on are as with his they at be "
+    "this have from or had by not but what all were we when your can said "
+    "there use an each which she do how their if will up other about out "
+    "many then them these so some her would make like him into time has "
+    "look two more write go see no way could my than been call who its now "
+    "find long down day did get come made may part"
+).split()
+
+
+def words_col(text: Column) -> Column:
+    """Non-empty whitespace-separated tokens (Python ``str.split()``
+    semantics)."""
+    return F.filter(F.split(text, "[ \\t\\n\\r]+"), lambda w: w != "")
+
+
+def n_chars(text: Column) -> Column:
+    return F.length(text)
+
+
+def n_words(words: Column) -> Column:
+    return F.size(words)
+
+
+def alnum_ratio(text: Column) -> Column:
+    """Fraction of [A-Za-z0-9] characters; 0.0 for empty text."""
+    n = F.length(text)
+    alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", ""))
+    return F.when(n > 0, alnum.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_density(words: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of lowercased tokens that are stopwords; 0.0 for no words.
+
+    Exact token membership via a higher-order filter — no regex word
+    boundaries (Java/Python ``\\b`` diverge on unicode; set membership
+    doesn't)."""
+    sw = stopwords or EN_STOPWORDS
+    hits = F.size(F.filter(words, lambda w: F.lower(w).isin(sw)))
+    n = F.size(words)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def bigram_repetition(words: Column) -> Column:
+    """1 − distinct/total over word 2-grams; 0.0 when fewer than 2 words.
+
+    Boilerplate with repeated phrases scores high. Built entirely from
+    higher-order array functions (transform/slice/array_distinct) so the
+    whole signal stays in Tungsten."""
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws("\x1f", a, b),
+        ),
+    )
+    total = F.size(bigrams)
+    distinct = F.size(F.array_distinct(bigrams))
+    return F.when(
+        n >= 2, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column, words: Column) -> Column:
+    """Total alpha-ish chars per word ≈ n_chars/n_words; 0.0 for no words."""
+    n = F.size(words)
+    total = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w), lambda acc: acc
+    )
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def line_dedup_ratio(text: Column) -> Column:
+    """1 − distinct/total over non-empty lines (boilerplate nav menus etc.);
+    0.0 when fewer than 2 lines."""
+    lines = F.filter(F.split(text, "\\n"), lambda l: F.trim(l) != "")
+    total = F.size(lines)
+    distinct = F.size(F.array_distinct(lines))
+    return F.when(
+        total >= 2, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Cheap token count: alphanumeric runs + each non-space symbol counts
+    as one token (a BPE-ish upper bound, useful for training-data budgeting).
+    """
+    return F.size(
+        F.filter(
+            F.split(text, "((?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9]))"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 over whitespace-normalized,
+    lowercased text — the exact-dedup key. JVM-side, no Python."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), "[ \\t\\n\\r]+", " "))
+    return F.xxhash64(normalized)
+
+
+def all_signals(text: Column) -> dict[str, Column]:
+    """The full signal map keyed by canonical signal name. ``words`` is
+    computed once and shared (Catalyst CSEs the subexpression; at worst it
+    is recomputed in codegen — never shuffled)."""
+    w = words_col(text)
+    return {
+        "n_chars": n_chars(text),
+        "n_words": n_words(w),
+        "alnum_ratio": alnum_ratio(text),
+        "stopword_density": stopword_density(w),
+        "bigram_repetition": bigram_repetition(w),
+        "mean_word_length": mean_word_length(text, w),
+        "line_dedup_ratio": line_dedup_ratio(text),
+        "doc_fingerprint": doc_fingerprint(text),
+    }

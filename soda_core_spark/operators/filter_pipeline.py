@@ -1,0 +1,207 @@
+"""The partition-parallel keep/drop quality-filter pipeline.
+
+One full scan over the input does everything row-level:
+
+    signals (built-in F.*, codegen)                 functions/text.py
+    + langid struct (one vectorized pandas UDF)     functions/langid.py
+    + log_ppl (one iterator pandas UDF)             functions/perplexity.py
+    + fail_<rule> flags (F.expr per rule)           operators/filter_rules.py
+    + keep = AND(NOT fail_i)  (NULL-safe)           operators/compiler.py
+    + text_scrubbed (one iterator pandas UDF)       functions/scrub.py
+    → observe(global metrics)  — zero-cost aggregates attached to the write
+    → write annotated output partitioned by keep    (kept corpus = keep=true/)
+
+Lineage is then aggregated FROM the written output with column pruning —
+the second job reads only (host, keep, fail flags), a few % of the bytes;
+this is the scale-correct alternative to persisting a 100 TB intermediate.
+
+Scale design notes (SURVEY §7):
+* the whole row-level stage is shuffle-free — it pipelines scan → codegen
+  exprs → Arrow UDFs → write within each task,
+* ``html`` is never referenced, so Catalyst prunes it at the parquet/Iceberg
+  scan (check ``.explain`` ReadSchema),
+* ``salt=True`` inserts ``repartition(n, xxhash64(url))`` for inputs whose
+  files are host-clustered (Common-Crawl dumps often are) — uniform keys,
+  no hot partitions; lineage groupBy(host) skew is absorbed by partial
+  aggregation (map-side combine),
+* resumability: process bucket-by-bucket via sources/checkpoint.py.
+
+soda-core never materializes row-level outcomes (its failed-rows machinery
+only counts/streams them, failed_rows_check.py:314-372); the keep/drop
+output is the quality-filter extension the north rule mandates.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+from soda_core_spark.functions.langid import langid_udf
+from soda_core_spark.functions.perplexity import perplexity_udf
+from soda_core_spark.functions.scrub import scrub_udf
+from soda_core_spark.functions.text import all_signals
+from soda_core_spark.operators.compiler import keep_predicate
+from soda_core_spark.operators.filter_rules import DEFAULT_WEBTEXT_RULES, FilterRule
+
+HOST_RE = "^https?://([^/]+)"
+
+#: columns the lineage job reads back — keep this list small; it bounds the
+#: second job's I/O via parquet column pruning
+LINEAGE_KEY = "host"
+
+
+def host_col(url: str = "url") -> Column:
+    return F.regexp_extract(F.col(url), HOST_RE, 1)
+
+
+@dataclass
+class PipelineRunResult:
+    metrics: dict[str, Any]
+    output_path: Optional[str] = None
+    lineage_path: Optional[str] = None
+    n_input: int = 0
+    n_kept: int = 0
+    wall_seconds: float = 0.0
+    per_rule_fail: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def docs_per_second(self) -> float:
+        return self.n_input / self.wall_seconds if self.wall_seconds > 0 else 0.0
+
+
+class QualityFilterPipeline:
+    def __init__(
+        self,
+        rules: tuple[FilterRule, ...] = DEFAULT_WEBTEXT_RULES,
+        scrub: bool = True,
+        langid: bool = True,
+        perplexity: bool = True,
+        text_column: str = "text",
+    ):
+        self.rules = rules
+        self.scrub = scrub
+        self.langid = langid
+        self.perplexity = perplexity
+        self.text_column = text_column
+
+    # -- row-level plan ------------------------------------------------------
+
+    def annotate(self, df: DataFrame) -> DataFrame:
+        """Attach signals, model scores, per-rule fail flags, keep, and
+        text_scrubbed. Pure plan construction — no action."""
+        text = F.col(self.text_column)
+        out = df
+        # signals: one withColumns call → one Project node
+        out = out.withColumns(all_signals(text))
+        if self.langid:
+            # struct column added once, fields projected after — guarantees
+            # a single UDF evaluation per row
+            out = out.withColumn("_langid", langid_udf(text))
+            out = out.withColumns(
+                {
+                    "langid_pred": F.col("_langid.langid_pred"),
+                    "langid_conf": F.col("_langid.langid_conf"),
+                }
+            ).drop("_langid")
+        if self.perplexity:
+            out = out.withColumn("log_ppl", perplexity_udf(text))
+        fail_flags = {f"fail_{r.name}": F.expr(r.condition) for r in self.rules}
+        out = out.withColumns(fail_flags)
+        out = out.withColumn(
+            "keep", keep_predicate([F.col(f"fail_{r.name}") for r in self.rules])
+        )
+        if self.scrub:
+            out = out.withColumn("text_scrubbed", scrub_udf(text))
+        out = out.withColumn(LINEAGE_KEY, host_col())
+        return out
+
+    # -- metrics -------------------------------------------------------------
+
+    def _observation_exprs(self) -> list:
+        exprs = [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.avg("n_words").alias("avg_words"),
+        ]
+        for r in self.rules:
+            exprs.append(
+                F.sum(F.col(f"fail_{r.name}").cast("long")).alias(f"fail_{r.name}")
+            )
+        if self.perplexity:
+            exprs.append(F.avg("log_ppl").alias("avg_log_ppl"))
+        if self.langid:
+            exprs.append(F.avg("langid_conf").alias("avg_langid_conf"))
+        return exprs
+
+    # -- full run -------------------------------------------------------------
+
+    def run(
+        self,
+        df: DataFrame,
+        output_path: Optional[str] = None,
+        lineage_path: Optional[str] = None,
+        salt: bool = False,
+        salt_partitions: Optional[int] = None,
+    ) -> PipelineRunResult:
+        """Execute: annotate → observe → write(partitionBy keep) → lineage.
+
+        Without ``output_path`` the metrics are computed via a count-style
+        action on the annotated frame (bench mode)."""
+        spark = df.sparkSession
+        t0 = time.monotonic()
+        if salt:
+            n = salt_partitions or int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            # uniform re-key: breaks host-clustered input files; xxhash64 of
+            # the unique url has no hot keys by construction
+            df = df.repartition(n, F.xxhash64("url"))
+        annotated = self.annotate(df)
+        obs = Observation("quality_filter")
+        observed = annotated.observe(obs, *self._observation_exprs())
+
+        if output_path is not None:
+            (
+                observed.write.mode("overwrite")
+                .partitionBy("keep")
+                .parquet(output_path)
+            )
+        else:
+            # bench mode: a cheap action that still evaluates every row
+            observed.select(F.lit(1)).write.mode("overwrite").format("noop").save()
+
+        metrics = dict(obs.get)
+        wall = time.monotonic() - t0
+
+        lineage = None
+        if output_path is not None and lineage_path is not None:
+            # read back ONLY the tiny lineage columns (column pruning);
+            # partial aggregation absorbs host skew
+            back = spark.read.parquet(output_path)
+            # partitionBy writes `keep` as a string partition value; restore
+            # the boolean before aggregating
+            back = back.withColumn("keep", F.col("keep").cast("boolean"))
+            flag_cols = [f"fail_{r.name}" for r in self.rules]
+            aggs = [
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            ] + [F.sum(F.col(c).cast("long")).alias(c) for c in flag_cols]
+            lineage = back.groupBy(LINEAGE_KEY).agg(*aggs)
+            lineage.write.mode("overwrite").parquet(lineage_path)
+
+        return PipelineRunResult(
+            metrics=metrics,
+            output_path=output_path,
+            lineage_path=lineage_path,
+            n_input=int(metrics.get("n_docs") or 0),
+            n_kept=int(metrics.get("n_kept") or 0),
+            wall_seconds=wall,
+            per_rule_fail={
+                r.name: int(metrics.get(f"fail_{r.name}") or 0) for r in self.rules
+            },
+        )

@@ -1,0 +1,95 @@
+"""Declarative quality-filter rules — the shared keep/drop contract.
+
+Each rule is (name, SQL fail-condition over signal columns). This table is
+THE contract: the Spark pipeline compiles each condition with ``F.expr``
+(operators/filter_pipeline.py) and the plain-pandas oracle re-evaluates the
+same semantics with independent code (sources/webtext_oracle.py). Keep/drop
+F1 ≥ 0.99 between the two is the acceptance criterion (BASELINE.json).
+
+These are soda-style ``failed_rows`` conditions (reference
+failed_rows_check.py:47-259: a boolean SQL expression where TRUE == the
+row failed) — ``to_contract()`` converts the rule set into a real contract
+for the check engine, so scan-level metrics (fail counts/percent per rule)
+come from the same machinery as any other soda check.
+
+Thresholds are frozen after empirical calibration on the deterministic
+generator (see tests/test_webtext_parity.py); they sit away from the data's
+float boundaries so JVM-vs-Python double arithmetic cannot flip a decision.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from soda_core_spark.plans.model import Contract, contract_from_dict
+
+
+@dataclass(frozen=True)
+class FilterRule:
+    name: str
+    condition: str  # SQL boolean over input+signal columns; TRUE == drop
+    description: str = ""
+
+
+#: signals computed by built-in F.* expressions (functions/text.py)
+HEURISTIC_RULES: tuple[FilterRule, ...] = (
+    FilterRule("min_chars", "n_chars < 200", "too short (Gopher-style min length)"),
+    FilterRule("max_chars", "n_chars > 20000", "absurdly long"),
+    FilterRule("min_words", "n_words < 40", "too few words"),
+    FilterRule("alnum_ratio", "alnum_ratio < 0.55", "symbol-heavy junk"),
+    FilterRule(
+        "stopword_density",
+        "lang = 'en' AND stopword_density < 0.08",
+        "English doc without English function words",
+    ),
+    FilterRule("repetition", "bigram_repetition > 0.30", "boilerplate repetition"),
+    FilterRule(
+        "mean_word_length",
+        "mean_word_length < 2.0 OR mean_word_length > 14.0",
+        "word-length profile outside natural language",
+    ),
+)
+
+#: rules over model scores (pandas-UDF columns)
+MODEL_RULES: tuple[FilterRule, ...] = (
+    FilterRule(
+        "langid_disagree",
+        "langid_pred <> lang AND langid_conf >= 0.15",
+        "confident language-ID disagreement with declared lang",
+    ),
+    FilterRule(
+        "perplexity",
+        "lang = 'en' AND log_ppl > 4.0",
+        "English doc with high n-gram perplexity",
+    ),
+)
+
+DEFAULT_WEBTEXT_RULES: tuple[FilterRule, ...] = HEURISTIC_RULES + MODEL_RULES
+
+
+def to_contract(
+    rules: tuple[FilterRule, ...] = DEFAULT_WEBTEXT_RULES,
+    dataset: str = "web_pages",
+    max_fail_percent: float = 100.0,
+) -> Contract:
+    """Express the rule set as a soda-style contract: one ``failed_rows``
+    check per rule (percent metric), so the scan-metrics table mirrors the
+    reference's check-result schema for every rule."""
+    return contract_from_dict(
+        {
+            "dataset": dataset,
+            "checks": [
+                {
+                    "failed_rows": {
+                        "condition": r.condition,
+                        "metric": "percent",
+                        "must_be_less_than_or_equal": max_fail_percent,
+                        "qualifier": r.name,
+                        "name": f"rule_{r.name}",
+                    }
+                }
+                for r in rules
+            ]
+            + [{"row_count": {"must_be_greater_than": 0}}],
+        }
+    )

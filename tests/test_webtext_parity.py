@@ -1,0 +1,127 @@
+"""Acceptance tests (BASELINE.json): the Spark quality-filter pipeline must
+reproduce the reference oracle's keep/drop decisions (F1 ≥ 0.99) and produce
+byte-identical scrubbed text per url."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+from soda_core_spark.operators.filter_rules import DEFAULT_WEBTEXT_RULES
+from soda_core_spark.sources.webtext_gen import generate_web_pages
+from soda_core_spark.sources.webtext_oracle import keep_drop_f1, label_frame
+
+N_DOCS = 1500
+
+WEB_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def web_pages_pdf():
+    return generate_web_pages(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def web_pages_df(spark, web_pages_pdf):
+    pdf = web_pages_pdf.copy()
+    pdf["url"] = pdf["url"].astype(object)
+    pdf["text"] = pdf["text"].astype(object)
+    pdf["lang"] = pdf["lang"].astype(object)
+    return spark.createDataFrame(pdf, schema=WEB_PAGES_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def spark_labels(web_pages_df):
+    pipeline = QualityFilterPipeline()
+    annotated = pipeline.annotate(web_pages_df)
+    cols = (
+        ["url", "keep", "text_scrubbed", "langid_pred", "langid_conf", "log_ppl"]
+        + [f"fail_{r.name}" for r in DEFAULT_WEBTEXT_RULES]
+        + ["n_chars", "n_words", "alnum_ratio", "stopword_density",
+           "bigram_repetition", "mean_word_length"]
+    )
+    return annotated.select(cols).toPandas().set_index("url").sort_index()
+
+
+@pytest.fixture(scope="module")
+def oracle_labels(web_pages_pdf):
+    return label_frame(web_pages_pdf).set_index("url").sort_index()
+
+
+def test_schema_is_authoritative(web_pages_df):
+    assert [f.name for f in web_pages_df.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+
+
+def test_keep_drop_f1(spark_labels, oracle_labels):
+    f1 = keep_drop_f1(
+        oracle_labels["keep"].astype(bool), spark_labels["keep"].astype(bool)
+    )
+    assert f1 >= 0.99, f"keep/drop F1 {f1} below threshold"
+    # with mirrored arithmetic the decisions should in fact be identical
+    mismatches = (spark_labels["keep"].astype(bool) != oracle_labels["keep"]).sum()
+    assert mismatches == 0, f"{mismatches} keep/drop mismatches"
+
+
+def test_per_rule_flag_parity(spark_labels, oracle_labels):
+    for r in DEFAULT_WEBTEXT_RULES:
+        col = f"fail_{r.name}"
+        s = spark_labels[col].fillna(False).astype(bool)
+        o = oracle_labels[col].astype(bool)
+        diff = (s != o).sum()
+        assert diff == 0, f"rule {r.name}: {diff} flag mismatches"
+
+
+def test_scrubbed_text_byte_identical(spark_labels, oracle_labels):
+    s = spark_labels["text_scrubbed"]
+    o = oracle_labels["text_scrubbed"]
+    mismatch = (s != o).sum()
+    assert mismatch == 0, f"{mismatch} scrubbed docs differ"
+    # scrubbing actually happened: PII docs contain sentinels
+    assert s.str.contains("<EMAIL>|<SSN>|<PHONE>|<IP>|<CARD>|<TOX>").any()
+
+
+def test_signal_value_parity(spark_labels, oracle_labels):
+    """Raw doubles must agree exactly (same IEEE ops, same order)."""
+    for col in ["n_chars", "n_words", "alnum_ratio", "stopword_density",
+                "bigram_repetition", "mean_word_length", "log_ppl",
+                "langid_conf"]:
+        s = spark_labels[col].astype(float)
+        o = oracle_labels[col].astype(float)
+        pd.testing.assert_series_equal(s, o, check_names=False, check_exact=True)
+
+
+def test_langid_pred_parity(spark_labels, oracle_labels):
+    assert (spark_labels["langid_pred"] != oracle_labels["langid_pred"]).sum() == 0
+
+
+def test_keep_rate_sane(spark_labels):
+    rate = spark_labels["keep"].mean()
+    assert 0.5 < rate < 0.9, f"keep rate {rate} outside sane band"
+
+
+def test_pipeline_run_with_observe(tmp_path, web_pages_df):
+    pipeline = QualityFilterPipeline()
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    result = pipeline.run(web_pages_df, output_path=out, lineage_path=lineage)
+    assert result.n_input == N_DOCS
+    assert 0 < result.n_kept < N_DOCS
+    assert result.per_rule_fail["min_chars"] > 0
+    # kept corpus is the keep=true partition directory — the documented
+    # consumption path (partition pruning, no filter evaluation)
+    spark = web_pages_df.sparkSession
+    kept = spark.read.parquet(out + "/keep=true")
+    assert kept.count() == result.n_kept
+    lin = spark.read.parquet(lineage)
+    assert lin.count() > 1  # one row per host
+    assert lin.agg({"n_docs": "sum"}).first()[0] == N_DOCS
