@@ -84,6 +84,44 @@ def _train_unseen() -> dict[str, float]:
 _MODEL, _BACKOFF = _train()
 _UNSEEN_IN_CTX = _train_unseen()
 
+# --- vectorized table form of the same model (the Spark execution path) ----
+#
+# log P(c3|c1c2) = log((tri_count + k) / (bi_count + k*V)) holds uniformly:
+# unseen trigram in seen context → tri=0; unseen context → tri=bi=0, which
+# equals the uniform backoff. So the whole model is one dense float64 table
+# of size V^3 indexed by c1*V^2 + c2*V + c3, and scoring a document is one
+# numpy gather + mean. Values match the dict model to float rounding
+# (np.log vs math.log, pairwise-vs-sequential mean); decision thresholds
+# sit ≥0.4 away from the data so parity of keep/drop is unaffected.
+
+_V = len(_ALPHABET)
+
+
+def _build_table() -> "np.ndarray":
+    body = " ".join(_normalize(_SEED_CORPUS).split())
+    tri = np.zeros(_V * _V * _V, dtype=np.float64)
+    bi = np.zeros(_V * _V, dtype=np.float64)
+    lut = _char_lut()
+    ix = lut[np.frombuffer(body.encode("ascii"), dtype=np.uint8)]
+    if len(ix) >= 3:
+        bi_idx = ix[:-1] * _V + ix[1:]
+        np.add.at(bi, bi_idx[:-1], 1.0)
+        tri_idx = ix[:-2] * _V * _V + ix[1:-1] * _V + ix[2:]
+        np.add.at(tri, tri_idx, 1.0)
+    return np.log((tri + _K) / (np.repeat(bi, _V) + _K * _V))
+
+
+def _char_lut() -> "np.ndarray":
+    lut = np.full(128, -1, dtype=np.int64)
+    for i, c in enumerate(_ALPHABET):
+        lut[ord(c)] = i
+    return lut
+
+
+_TABLE = _build_table()
+_CHAR_LUT = _char_lut()
+_NOT_ALPHA = r"[^a-z ]"
+
 
 def doc_log_perplexity(text: str) -> float:
     """Mean −log P per trigram; 20.0 (a high sentinel) for texts too short
@@ -105,12 +143,19 @@ def doc_log_perplexity(text: str) -> float:
 
 
 def score_batch(texts: pd.Series) -> pd.Series:
-    """Score an Arrow batch. The trigram walk is a tight dict-lookup loop
-    per document — the same per-document cost profile as
-    ``kenlm.Model.score`` called per row inside a pandas UDF, which is the
-    accepted production pattern (the constraint bans per-row *Spark* UDFs,
-    i.e. row-at-a-time serialization, not loops inside an Arrow batch)."""
-    return texts.map(doc_log_perplexity).astype(np.float64)
+    """Score an Arrow batch via the dense table: normalization is
+    vectorized pandas string ops over the whole batch; per document the
+    trigram walk is ONE numpy gather + mean (no Python loop over chars)."""
+    s = texts.fillna("").str.lower().str.replace(_NOT_ALPHA, " ", regex=True)
+    s = s.str.split().str.join(" ")
+    out = np.full(len(s), 20.0, dtype=np.float64)
+    table, lut, v2, v = _TABLE, _CHAR_LUT, _V * _V, _V
+    for i, body in enumerate(s.to_numpy(dtype=object)):
+        if len(body) < 3:
+            continue
+        ix = lut[np.frombuffer(body.encode("ascii"), dtype=np.uint8)]
+        out[i] = -table[ix[:-2] * v2 + ix[1:-1] * v + ix[2:]].mean()
+    return pd.Series(out, index=texts.index)
 
 
 @pandas_udf(T.DoubleType())

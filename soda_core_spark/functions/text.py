@@ -131,9 +131,13 @@ def doc_fingerprint(text: Column) -> Column:
 
 
 def all_signals(text: Column) -> dict[str, Column]:
-    """The full signal map keyed by canonical signal name. ``words`` is
-    computed once and shared (Catalyst CSEs the subexpression; at worst it
-    is recomputed in codegen — never shuffled)."""
+    """The full signal map as self-contained Column expressions (each
+    signal re-derives ``words``). Prefer :func:`with_signals` on a
+    DataFrame — it materializes the token array once per row, which is
+    ~2× faster (higher-order functions run interpreted, so Catalyst does
+    NOT common-subexpression-eliminate the repeated splits; a separate
+    Project with a multi-referenced non-cheap alias survives
+    CollapseProject and is evaluated once)."""
     w = words_col(text)
     return {
         "n_chars": n_chars(text),
@@ -145,3 +149,52 @@ def all_signals(text: Column) -> dict[str, Column]:
         "line_dedup_ratio": line_dedup_ratio(text),
         "doc_fingerprint": doc_fingerprint(text),
     }
+
+
+def bigrams_col(words: Column) -> Column:
+    """Word 2-gram array (NULL when fewer than 2 words)."""
+    n = F.size(words)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws("\x1f", a, b),
+        ),
+    )
+
+
+def with_signals(df, text_col: str = "text"):
+    """Attach all signal columns to ``df``, materializing the expensive
+    intermediate arrays (words, bigrams) once per row in their own
+    projections. Verified against the direct expressions in
+    tests/test_text_signals.py; plan shape checked in the 50k profile
+    (one ``split`` per row, one ``zip_with`` per row)."""
+    text = F.col(text_col)
+    w = F.col("__words")
+    bg = F.col("__bigrams")
+    out = df.withColumn("__words", words_col(text))
+    out = out.withColumn("__bigrams", bigrams_col(w))
+    n = F.size(w)
+    nbg = F.size(bg)
+    signals = {
+        "n_chars": n_chars(text),
+        "n_words": n,
+        "alnum_ratio": alnum_ratio(text),
+        "stopword_density": F.when(
+            n > 0,
+            F.size(F.filter(w, lambda t: F.lower(t).isin(EN_STOPWORDS))).cast(
+                "double"
+            )
+            / n.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        "bigram_repetition": F.when(
+            bg.isNotNull(),
+            F.lit(1.0)
+            - F.size(F.array_distinct(bg)).cast("double") / nbg.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        "mean_word_length": mean_word_length(text, w),
+        "line_dedup_ratio": line_dedup_ratio(text),
+        "doc_fingerprint": doc_fingerprint(text),
+    }
+    return out.withColumns(signals).drop("__words", "__bigrams")

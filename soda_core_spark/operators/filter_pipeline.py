@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from soda_core_spark.functions.langid import langid_udf
 from soda_core_spark.functions.perplexity import perplexity_udf
 from soda_core_spark.functions.scrub import scrub_udf
-from soda_core_spark.functions.text import all_signals
+from soda_core_spark.functions.text import with_signals
 from soda_core_spark.operators.compiler import keep_predicate
 from soda_core_spark.operators.filter_rules import DEFAULT_WEBTEXT_RULES, FilterRule
 
@@ -82,11 +82,17 @@ class QualityFilterPipeline:
         perplexity: bool = True,
         text_column: str = "text",
     ):
-        self.rules = rules
         self.scrub = scrub
         self.langid = langid
         self.perplexity = perplexity
         self.text_column = text_column
+        # rules referencing a disabled scorer's columns are dropped
+        self.rules = tuple(
+            r
+            for r in rules
+            if (langid or "langid_" not in r.condition)
+            and (perplexity or "log_ppl" not in r.condition)
+        )
 
     # -- row-level plan ------------------------------------------------------
 
@@ -94,9 +100,8 @@ class QualityFilterPipeline:
         """Attach signals, model scores, per-rule fail flags, keep, and
         text_scrubbed. Pure plan construction — no action."""
         text = F.col(self.text_column)
-        out = df
-        # signals: one withColumns call → one Project node
-        out = out.withColumns(all_signals(text))
+        # signals: expensive arrays (words/bigrams) materialized once per row
+        out = with_signals(df, self.text_column)
         if self.langid:
             # struct column added once, fields projected after — guarantees
             # a single UDF evaluation per row
@@ -172,8 +177,10 @@ class QualityFilterPipeline:
                 .parquet(output_path)
             )
         else:
-            # bench mode: a cheap action that still evaluates every row
-            observed.select(F.lit(1)).write.mode("overwrite").format("noop").save()
+            # bench mode: noop sink consumes FULL rows — nothing gets
+            # pruned (a select(lit(1)) here would let Catalyst skip the
+            # UDFs entirely and fake the numbers)
+            observed.write.mode("overwrite").format("noop").save()
 
         metrics = dict(obs.get)
         wall = time.monotonic() - t0

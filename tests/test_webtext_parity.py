@@ -91,13 +91,15 @@ def test_scrubbed_text_byte_identical(spark_labels, oracle_labels):
 
 
 def test_signal_value_parity(spark_labels, oracle_labels):
-    """Raw doubles must agree exactly (same IEEE ops, same order)."""
+    """Heuristic doubles agree exactly (same IEEE ops, same order);
+    log_ppl to 1e-9 (numpy-table path vs dict-model oracle — np.log /
+    pairwise-mean rounding), far inside the ≥0.4 decision margin."""
     for col in ["n_chars", "n_words", "alnum_ratio", "stopword_density",
-                "bigram_repetition", "mean_word_length", "log_ppl",
-                "langid_conf"]:
+                "bigram_repetition", "mean_word_length", "langid_conf"]:
         s = spark_labels[col].astype(float)
         o = oracle_labels[col].astype(float)
         pd.testing.assert_series_equal(s, o, check_names=False, check_exact=True)
+    assert (spark_labels["log_ppl"] - oracle_labels["log_ppl"]).abs().max() < 1e-9
 
 
 def test_langid_pred_parity(spark_labels, oracle_labels):
