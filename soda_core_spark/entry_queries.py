@@ -1,0 +1,578 @@
+"""Query registry backing ``__spark_entry__.py`` — one entry per operator
+family from SURVEY §2, each with a DuckDB-oracle SQL twin where the
+semantics are SQL-expressible.
+
+Conventions enforced for the driver's order-insensitive value-hash compare:
+* every computed column aliased identically in Spark and SQL,
+* Spark int32 outputs cast to long (DuckDB len()/row_number() are BIGINT),
+* DuckDB SUM over integers cast ::BIGINT (it returns INT128 by default),
+* double aggregates rounded to 4-6 decimals on BOTH sides (summation-order
+  float drift would otherwise break exact hashes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from soda_core_spark.functions.text import EN_STOPWORDS
+from soda_core_spark.operators.dedup import (
+    minhash_near_duplicates,
+    normalized_text,
+    simhash64,
+)
+from soda_core_spark.operators.similarity import brute_force_topk
+
+# registry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {}
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational / aggregation operators (SURVEY §2.1-2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    """TPC-H Q1 shape: scan→filter→groupBy→multi-agg (projection/filter/
+    group-by/aggregates, SURVEY §2.1-2.2). Filter+pruning pushed to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q2_fused_metrics",
+    """
+    SELECT count(*) AS row_count,
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing_qty,
+           sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)::BIGINT AS invalid_discount,
+           count(DISTINCT l_orderkey) AS distinct_orders,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    """,
+)
+def q2(spark, sf_dir):
+    """The soda fused-aggregation shape: ALL metrics in one df.agg — one
+    scan, one job (reference AggregationQuery batching, SURVEY §4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "missing_qty"
+        ),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("invalid_discount"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+@register(
+    "q3_segment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q3(spark, sf_dir):
+    """3-way equi-join + group (JOIN operator §2.1). customer is small →
+    broadcast hint; lineitem⋈orders shuffles on orderkey (AQE re-plans)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q4_semi_join_customers",
+    """
+    SELECT n.n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def q4(spark, sf_dir):
+    """EXISTS → left_semi join (reference IN_SELECT/EXISTS §2.1)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q5_anti_join_reference",
+    """
+    SELECT count(*) AS invalid_reference_count
+    FROM supplier s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM nation n
+      WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey < 3
+    )
+    """,
+)
+def q5(spark, sf_dir):
+    """Reference-data validity as broadcast left-anti join (reference
+    LEFT JOIN + IS NULL, invalidity_check.py:287-338)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") < 3)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("invalid_reference_count"))
+    )
+
+
+@register(
+    "q6_duplicate_arithmetic",
+    """
+    SELECT count(*) AS rows_tested,
+           count(DISTINCT o_custkey) AS distinct_custkeys,
+           (count(*) - count(DISTINCT o_custkey)) AS duplicate_count
+    FROM orders
+    """,
+)
+def q6(spark, sf_dir):
+    """soda duplicate arithmetic: dup = rows − missing − distinct
+    (duplicate_check.py:122-131; no NULL custkeys in this data)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("rows_tested"),
+        F.countDistinct("o_custkey").alias("distinct_custkeys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_custkey")).alias("duplicate_count"),
+    )
+
+
+@register(
+    "q7_window_topk",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def q7(spark, sf_dir):
+    """Window function (reference WINDOW_FUNCTION §2.2): top-3 orders by
+    totalprice per priority. Deterministic tiebreak on orderkey."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "q8_freshness_max",
+    """
+    SELECT o_orderstatus, max(o_orderdate) AS max_ts, count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q8(spark, sf_dir):
+    """Freshness source metric: MAX(timestamp) (freshness_check.py:267-273)
+    per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max("o_orderdate").alias("max_ts"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q9_failed_rows",
+    """
+    SELECT count(*) AS rows_tested,
+           sum(CASE WHEN l_tax > l_discount AND l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT AS failed_rows,
+           round(100.0 * sum(CASE WHEN l_tax > l_discount AND l_quantity > 45 THEN 1 ELSE 0 END) / count(*), 6) AS failed_percent
+    FROM lineitem
+    """,
+)
+def q9(spark, sf_dir):
+    """failed_rows expression check (failed_rows_check.py:241-256):
+    conditional count + derived percent in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (F.col("l_tax") > F.col("l_discount")) & (F.col("l_quantity") > 45)
+    return li.agg(
+        F.count(F.lit(1)).alias("rows_tested"),
+        F.sum(F.when(cond, 1).otherwise(0)).alias("failed_rows"),
+        F.round(
+            100.0 * F.sum(F.when(cond, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("failed_percent"),
+    )
+
+
+@register(
+    "q10_sessionization",
+    """
+    SELECT user_id, count(*) AS n_events,
+           sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+               THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+    FROM (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ) GROUP BY user_id
+    """,
+)
+def q10(spark, sf_dir):
+    """Event sessionization: lag window + 30-min gap rule — the streaming
+    table analyzed in batch (stateful-op analogue)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_session").alias("n_sessions"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / quality over documents
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = "list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+_SW_LIST_SQL = "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@register(
+    "q11_doc_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_WORDS_SQL}) AS n_words,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)
+                 ELSE 0.0 END, 6) AS alnum_ratio
+    FROM documents
+    """,
+)
+def q11(spark, sf_dir):
+    """Token counting + symbol ratio (text-analysis operators) — built-in
+    functions only, mirrored in ANSI-ish SQL."""
+    from soda_core_spark.functions.text import alnum_ratio, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(words_col(t)).cast("long").alias("n_words"),
+        F.round(alnum_ratio(t), 6).alias("alnum_ratio"),
+    )
+
+
+@register(
+    "q12_doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q12(spark, sf_dir):
+    """Exact-dedup fingerprint (document fingerprinting operator):
+    md5 over whitespace-normalized lowercased text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fp"))
+
+
+@register(
+    "q13_dedup_classes",
+    """
+    SELECT fp, count(*) AS n_copies, min(doc_id) AS min_id
+    FROM (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS fp
+      FROM documents
+    ) GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def q13(spark, sf_dir):
+    """Exact dedup classes (hash-groupBy dedup operator)."""
+    from soda_core_spark.operators.dedup import duplicate_classes
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_classes(d).select(
+        "fp", F.col("n_copies"), F.col("min_id")
+    )
+
+
+@register(
+    "q14_stopword_density",
+    f"""
+    SELECT doc_id,
+           round(CASE WHEN len({_WORDS_SQL}) > 0
+                 THEN len(list_filter({_WORDS_SQL},
+                          x -> list_contains({_SW_LIST_SQL}, lower(x))))::DOUBLE
+                      / len({_WORDS_SQL})
+                 ELSE 0.0 END, 6) AS stopword_density
+    FROM documents
+    """,
+)
+def q14(spark, sf_dir):
+    """Stopword density (language/quality scoring) — higher-order filter
+    vs DuckDB list lambda."""
+    from soda_core_spark.functions.text import stopword_density, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_density(words_col(F.col("text"))), 6).alias(
+            "stopword_density"
+        ),
+    )
+
+
+@register(
+    "q15_bigram_repetition",
+    f"""
+    SELECT doc_id,
+           round(CASE WHEN len(w) >= 2 THEN
+             1.0 - len(list_distinct(list_transform(range(1, len(w)),
+                       i -> w[i] || chr(31) || w[i+1])))::DOUBLE
+                   / (len(w) - 1)
+           ELSE 0.0 END, 6) AS bigram_repetition
+    FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+    """,
+)
+def q15(spark, sf_dir):
+    """Repetition signal (boilerplate detection)."""
+    from soda_core_spark.functions.text import bigram_repetition, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(bigram_repetition(words_col(F.col("text"))), 6).alias(
+            "bigram_repetition"
+        ),
+    )
+
+
+@register(
+    "q16_quality_flags",
+    f"""
+    SELECT doc_id,
+           (length(text) < 150) AS fail_min_chars,
+           (len({_WORDS_SQL}) < 20) AS fail_min_words,
+           (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+             / length(text) < 0.55) AS fail_alnum,
+           NOT (length(text) < 150 OR len({_WORDS_SQL}) < 20
+                OR length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                   / length(text) < 0.55) AS keep
+    FROM documents
+    """,
+)
+def q16(spark, sf_dir):
+    """The keep/drop compiler on SQL-expressible rules: per-row fail flags
+    + keep (the quality_filter core, oracle-checked end to end)."""
+    from soda_core_spark.functions.text import alnum_ratio, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    f1 = (F.length(t) < 150).alias("fail_min_chars")
+    f2 = (F.size(words_col(t)) < 20).alias("fail_min_words")
+    f3 = (alnum_ratio(t) < 0.55).alias("fail_alnum")
+    return d.select(
+        "doc_id", f1, f2, f3,
+        (~((F.length(t) < 150) | (F.size(words_col(t)) < 20) | (alnum_ratio(t) < 0.55))).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_topk_cosine",
+    """
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos_sim,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                      c.vec_id
+           ) AS rank
+    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
+    WHERE c.vec_id <> q.vec_id
+    QUALIFY rank <= 3
+    """,
+)
+def q17(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    res = brute_force_topk(e, e.where(F.col("vec_id") < 3), k=3)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+@register("q18_minhash_near_dups", None)
+def q18(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over documents (xxhash64 signatures have
+    no DuckDB twin → rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
+
+
+@register("q19_simhash", None)
+def q19(spark, sf_dir):
+    """SimHash fingerprints (built-in bit arithmetic; no DuckDB xxhash64)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+@register("q20_langid_scores", None)
+def q20(spark, sf_dir):
+    """Vectorized language-ID pandas UDF over documents + agreement with
+    the declared lang column (model scoring → rows-only)."""
+    from soda_core_spark.functions.langid import langid_udf
+
+    d = _t(spark, sf_dir, "documents")
+    out = d.withColumn("_lid", langid_udf(F.col("text")))
+    return out.select(
+        "doc_id",
+        F.col("_lid.langid_pred").alias("langid_pred"),
+        F.round(F.col("_lid.langid_conf"), 6).alias("langid_conf"),
+        (F.col("_lid.langid_pred") == F.col("lang")).alias("agrees"),
+    )
+
+
+@register("q21_scrub", None)
+def q21(spark, sf_dir):
+    """PII/toxicity scrub over documents (Python-re pandas UDF)."""
+    from soda_core_spark.functions.scrub import pii_count_udf, scrub_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        scrub_udf(F.col("text")).alias("text_scrubbed"),
+        pii_count_udf(F.col("text")).alias("pii_hits"),
+    )
+
+
+@register("q22_perplexity", None)
+def q22(spark, sf_dir):
+    """Char-trigram perplexity scoring (vectorized pandas UDF)."""
+    from soda_core_spark.functions.perplexity import perplexity_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(perplexity_udf(F.col("text")), 6).alias("log_ppl")
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality/lineage summary over documents: heuristic keep
+    flags + dedup + aggregate metrics in one grouped scan — the engine's
+    signature shape (quality filter + lineage rollup)."""
+    from soda_core_spark.functions.text import alnum_ratio, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    keep = ~(
+        (F.length(t) < 150)
+        | (F.size(words_col(t)) < 20)
+        | (alnum_ratio(t) < 0.55)
+    )
+    return (
+        d.withColumn("keep", keep)
+        .withColumn("fp", F.md5(normalized_text(t)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.round(F.avg(F.length(t)), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* brute-force cosine top-k: exact baseline — broadcast the (small) query
+  set, JVM-side dot products via ``aggregate``/``zip_with``, per-query
+  top-k with a window over partial results,
+* LSH-bucketed (random hyperplane / SRP) variant: the scale path — each
+  vector hashes to a ``n_planes``-bit bucket; candidates share a bucket,
+  so the join is an equi-join on bucket id instead of a cross join.
+
+The reference has no vector operations at all (soda-core is metrics-only);
+these are the training-pipeline extension operators. Built-ins only — the
+dot product is ``F.aggregate(F.zip_with(a, b, *), 0d, +)``, no UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a.cast("array<double>"), b.cast("array<double>")) / (
+        l2_norm(a) * l2_norm(b)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` is broadcast (it must be small — the corpus is the big
+    side and streams through one partition-local pass; no corpus shuffle).
+    Result: (query_id, neighbor_id, cos_sim, rank), excluding self-pairs.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — dependency-free,
+    stable across workers; shipped as literals into the plan)."""
+    state = seed * 6364136223846793005 + 1442695040888963407
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1) via Box-Muller-free triangular-ish transform
+            u = (state >> 11) / float(1 << 53)
+            row.append(math.sqrt(-2.0 * math.log(max(u, 1e-12))) * math.cos(
+                2.0 * math.pi * ((state >> 1) % (1 << 30)) / float(1 << 30)
+            ))
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: bit b = sign(vec · plane_b).
+    Pure column arithmetic; ``planes`` become literal arrays in the plan."""
+    bits = []
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot(vec.cast("array<double>"), p) >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for c in bits[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors in the query's SRP
+    bucket; exact cosine re-rank within candidates. At 16 planes the
+    bucket count (65k) divides a 10^9-vector corpus into ~15k-vector
+    buckets — the join shuffles on bucket id, never cross-joins. Recall
+    tunes with ``n_planes`` (fewer planes → bigger buckets → higher
+    recall, more compute)."""
+    planes = _random_planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+    ).withColumn("bucket", srp_bucket(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("bucket", srp_bucket(F.col("__qv"), planes))
+    scored = c.join(F.broadcast(q), on="bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

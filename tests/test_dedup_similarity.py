@@ -1,0 +1,138 @@
+"""Dedup, similarity-search, and multimodal operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from soda_core_spark.operators.dedup import (
+    duplicate_classes,
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from soda_core_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs across the "
+        "wide open field near the old farm house by the river bend today"
+    )
+    near = base.replace("today", "tonight")  # 1-word change → high jaccard
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, "  THE quick   brown fox jumps over the lazy dog and runs across the wide open field near the old farm house by the river bend today "),  # normalized dup of 1
+        (4, near),  # near dup of 1
+        (5, "completely different text about databases and query optimization in distributed systems with columnar storage engines"),
+        (6, "another unrelated document mentioning mountains rivers forests and the weather in the north country during winter"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {1, 4, 5, 6}  # 2 and 3 collapse into 1
+
+
+def test_duplicate_classes(docs):
+    classes = duplicate_classes(docs).collect()
+    assert len(classes) == 1
+    assert classes[0].n_copies == 3
+    assert classes[0].min_id == 1
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact dups + the near dup must be found; unrelated docs must not pair
+    assert (1, 2) in found
+    assert (1, 4) in found or (2, 4) in found or (3, 4) in found
+    for a, b in found:
+        assert b not in (5, 6) or a not in (5, 6)
+    for r in pairs:
+        assert r.jaccard >= 0.6
+
+
+def test_ngram_jaccard_exact_blocking(docs):
+    # block on word-count bucket so near-dups meet
+    words = F.size(F.split(F.lower(F.col("text")), "\\s+"))
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, join_key=(words / F.lit(5)).cast("int")
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+
+
+def test_simhash_near_for_near_dups(docs):
+    rows = docs.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    sh = {r.doc_id: r.sh for r in rows}
+    assert sh[1] == sh[2]  # identical text → identical simhash
+    ham_near = bin(sh[1] ^ sh[4]).count("1")
+    ham_far = bin(sh[1] ^ sh[5]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 12
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(0)
+    dim = 16
+    base = rng.normal(size=(8, dim))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):  # 4 noisy copies per cluster
+            v = b + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_finds_cluster(vectors):
+    queries = vectors.where(F.col("vec_id") == 0)
+    res = brute_force_topk(vectors, queries, k=3).collect()
+    assert len(res) == 3
+    neighbors = {r.neighbor_id for r in res}
+    assert neighbors == {1, 2, 3}  # same cluster (vec_ids 0-3)
+    assert all(r.cos_sim > 0.9 for r in res)
+
+
+def test_lsh_topk_recall(vectors):
+    queries = vectors.where(F.col("vec_id").isin([0, 4, 8]))
+    exact = brute_force_topk(vectors, queries, k=3)
+    approx = lsh_topk(vectors, queries, dim=16, k=3, n_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    from soda_core_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        make_media_table,
+        FEATURE_DIM,
+    )
+
+    media = make_media_table(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.feature) == FEATURE_DIM
+        assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-3  # unit vector
+        assert r.n_bytes > 0
+    # determinism
+    rows2 = extract_features(media).collect()
+    assert {r.media_id: r.content_hash for r in rows} == {
+        r.media_id: r.content_hash for r in rows2
+    }
+    frames = frame_sample_plan(media, every_ms=5000)
+    vids = media.where("kind = 'video'").count()
+    assert frames.count() >= vids  # ≥1 sampled frame per video
+    assert frames.select("media_id").distinct().count() == vids
