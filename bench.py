@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "docs_per_second": ...}
+
+The quality-filter pipeline runs over a deterministic synthetic web_pages
+table whose size scales with sf (sf0.1 → 200k docs), generated once and
+cached under /tmp (generation excluded from timing). Other headline
+queries run on the driver-provided TPC-H-ish parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    n_docs = max(20_000, int(2_000_000 * sf_num))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pyspark.sql import SparkSession
+
+    from soda_core_spark.entry_queries import REGISTRY
+    from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+    from soda_core_spark.sources.webtext_gen import write_web_pages_parquet
+
+    web_path = write_web_pages_parquet(
+        f"/tmp/soda_webtext_bench/n{n_docs}", n_docs, rows_per_file=50_000
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("soda_core_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # headline 1: the quality-filter pipeline (keep/drop + scrub + metrics)
+    web = spark.read.parquet(web_path)
+    pipeline = QualityFilterPipeline()
+    pipeline.run(web.limit(1000))  # warm up JVM + python workers
+    t0 = time.monotonic()
+    res = pipeline.run(web)
+    timings["quality_filter_pipeline"] = round(time.monotonic() - t0, 3)
+    docs_per_second = round(res.n_input / timings["quality_filter_pipeline"], 1)
+
+    # headline 2..n: operator queries on the sf tables
+    bench_queries = [
+        "q1_pricing_summary",
+        "q2_fused_metrics",
+        "q3_segment_revenue",
+        "q6_duplicate_arithmetic",
+        "q7_window_topk",
+        "q10_sessionization",
+        "q11_doc_stats",
+        "q13_dedup_classes",
+        "q16_quality_flags",
+        "q17_topk_cosine",
+        "q18_minhash_near_dups",
+    ]
+    for name in bench_queries:
+        fn, _sql = REGISTRY[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+                "docs_per_second": docs_per_second,
+                "pipeline_docs": res.n_input,
+                "pipeline_kept": res.n_kept,
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

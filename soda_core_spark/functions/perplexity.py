@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -159,10 +158,12 @@ def score_batch(texts: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.DoubleType())
-def perplexity_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    # iterator form: model stays warm across batches in one python worker
-    for batch in it:
-        yield score_batch(batch)
+def perplexity_udf(texts: pd.Series) -> pd.Series:
+    # plain scalar form (not iterator): the model is a module-level table
+    # loaded once per worker at import anyway, and scalar pandas UDFs of
+    # the same eval type FUSE into one ArrowEvalPython node with the other
+    # scorers — one Arrow round-trip for langid+ppl+scrub instead of three
+    return score_batch(texts)
 
 
 def log_perplexity(text: Column) -> Column:

@@ -17,7 +17,6 @@ quality-filter extension mandated by the north rule.
 from __future__ import annotations
 
 import re
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import Column
@@ -81,10 +80,10 @@ def scrub_batch(texts: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.StringType())
-def scrub_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    # iterator form: compiled patterns stay warm per python worker
-    for batch in it:
-        yield scrub_batch(batch)
+def scrub_udf(texts: pd.Series) -> pd.Series:
+    # scalar form so it fuses into the same ArrowEvalPython node as the
+    # other scorers (patterns are module-level, warm per worker regardless)
+    return scrub_batch(texts)
 
 
 def scrubbed(text: Column) -> Column:
@@ -100,6 +99,5 @@ def pii_hit_count(texts: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.LongType())
-def pii_count_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    for batch in it:
-        yield pii_hit_count(batch)
+def pii_count_udf(texts: pd.Series) -> pd.Series:
+    return pii_hit_count(texts)

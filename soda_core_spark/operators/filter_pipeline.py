@@ -81,7 +81,13 @@ class QualityFilterPipeline:
         langid: bool = True,
         perplexity: bool = True,
         text_column: str = "text",
+        drop_columns: tuple[str, ...] = ("html",),
     ):
+        # raw html is dead weight for the filter (never referenced by any
+        # rule) — excluded from the annotated output so the scan prunes it
+        # entirely (SURVEY §4: column pruning is the point of the binary
+        # column). Pass drop_columns=() to keep it.
+        self.drop_columns = drop_columns
         self.scrub = scrub
         self.langid = langid
         self.perplexity = perplexity
@@ -100,27 +106,33 @@ class QualityFilterPipeline:
         """Attach signals, model scores, per-rule fail flags, keep, and
         text_scrubbed. Pure plan construction — no action."""
         text = F.col(self.text_column)
+        df = df.drop(*[c for c in self.drop_columns if c in df.columns])
         # signals: expensive arrays (words/bigrams) materialized once per row
         out = with_signals(df, self.text_column)
+        # all scorer UDFs in ONE projection level and one eval type → the
+        # ExtractPythonUDFs rule fuses them into a single ArrowEvalPython
+        # node (one Arrow round-trip per batch for langid+ppl+scrub)
+        udf_cols = {}
         if self.langid:
-            # struct column added once, fields projected after — guarantees
-            # a single UDF evaluation per row
-            out = out.withColumn("_langid", langid_udf(text))
+            udf_cols["_langid"] = langid_udf(text)
+        if self.perplexity:
+            udf_cols["log_ppl"] = perplexity_udf(text)
+        if self.scrub:
+            udf_cols["text_scrubbed"] = scrub_udf(text)
+        if udf_cols:
+            out = out.withColumns(udf_cols)
+        if self.langid:
             out = out.withColumns(
                 {
                     "langid_pred": F.col("_langid.langid_pred"),
                     "langid_conf": F.col("_langid.langid_conf"),
                 }
             ).drop("_langid")
-        if self.perplexity:
-            out = out.withColumn("log_ppl", perplexity_udf(text))
         fail_flags = {f"fail_{r.name}": F.expr(r.condition) for r in self.rules}
         out = out.withColumns(fail_flags)
         out = out.withColumn(
             "keep", keep_predicate([F.col(f"fail_{r.name}") for r in self.rules])
         )
-        if self.scrub:
-            out = out.withColumn("text_scrubbed", scrub_udf(text))
         out = out.withColumn(LINEAGE_KEY, host_col())
         return out
 
