@@ -1,0 +1,170 @@
+"""Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the same job runs at two
+parallelism levels in fresh JVMs — local[8] (N) and local[32] (4N) — on
+identical input; efficiency = (T_8 / T_32) / 4.
+
+Usage: python scripts/scaling_bench.py [n_docs]
+Writes results into BENCH/BASELINE.md and prints a JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+RUNNER = r"""
+import glob, json, sys, time
+from pyspark.sql import SparkSession
+
+cpus, path, runs = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+shard, n_shards = (int(sys.argv[4]), int(sys.argv[5])) if len(sys.argv) > 5 else (0, 1)
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, ".")
+from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+
+files = sorted(glob.glob(path + "/part-*.parquet"))
+web = spark.read.parquet(*files[shard::n_shards])
+pipe = QualityFilterPipeline()
+# warm-up touches EVERY partition so all python workers fork + import
+# before timing starts (limit(n) would only start a few)
+pipe.run(web.sample(0.02, seed=1))
+best = None
+n = 0
+for _ in range(runs):
+    t0 = time.monotonic()
+    r = pipe.run(web)
+    dt = time.monotonic() - t0
+    n = r.n_input
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cpus": cpus, "seconds": round(best, 2),
+                  "docs": n, "docs_per_second": round(n / best, 1)}))
+"""
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _parse(out: subprocess.CompletedProcess) -> dict:
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_level(cpus: int, path: str, runs: int = 2) -> dict:
+    # taskset pins the WHOLE process tree (JVM + pyspark daemon workers)
+    # to exactly `cpus` cores — otherwise local[8]'s python UDF workers
+    # spill onto the idle 24 cores and the N-level result is inflated.
+    # An "executor" in the simulated cluster = 1 core incl. its python
+    # worker share, matching how a real cluster allocates containers.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", RUNNER,
+           str(cpus), path, str(runs)]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    return _parse(out)
+
+
+def run_multi_executor(n_exec: int, cores_each: int, path: str, runs: int = 2) -> dict:
+    """N independent executor JVMs, each pinned to its own core block,
+    each processing a distinct shard of the input files concurrently —
+    the closest sandbox analogue of `spark-submit` on an N-executor
+    cluster (separate heaps, separate GC, separate python workers).
+    Wall time = the slowest executor."""
+    procs = []
+    for e in range(n_exec):
+        lo, hi = e * cores_each, (e + 1) * cores_each - 1
+        cmd = ["taskset", "-c", f"{lo}-{hi}", sys.executable, "-c", RUNNER,
+               str(cores_each), path, str(runs), str(e), str(n_exec)]
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, cwd=REPO,
+        ))
+    results, wall = [], 0.0
+    for p in procs:
+        stdout, _ = p.communicate()
+        line = [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        results.append(r)
+        wall = max(wall, r["seconds"])
+    docs = sum(r["docs"] for r in results)
+    return {"executors": n_exec, "cores_each": cores_each,
+            "seconds": round(wall, 2), "docs": docs,
+            "docs_per_second": round(docs / wall, 1)}
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    sys.path.insert(0, ".")
+    from soda_core_spark.sources.webtext_gen import write_web_pages_parquet
+
+    path = write_web_pages_parquet(
+        f"/tmp/soda_webtext_bench/n{n_docs}", n_docs, rows_per_file=50_000
+    )
+    lo = run_level(8, path, runs=3)
+    hi = run_level(32, path, runs=3)
+    efficiency = (lo["seconds"] / hi["seconds"]) / 4.0
+
+    ex1 = run_multi_executor(1, 8, path, runs=3)
+    ex4 = run_multi_executor(4, 8, path, runs=3)
+    eff_exec = (ex1["seconds"] / ex4["seconds"]) / 4.0
+
+    result = {
+        "n_docs": n_docs,
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency_8_to_32": round(efficiency, 3),
+        "exec1x8": ex1,
+        "exec4x8": ex4,
+        "scaling_efficiency_1_to_4_executors": round(eff_exec, 3),
+    }
+    print(json.dumps(result))
+
+    md = f"""## Scaling efficiency (N vs 4N, same job, identical input)
+
+North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
+executors. No real cluster exists in this sandbox, so two simulations run
+on the 32-core host (see BASELINE.md):
+
+1. **single JVM, 8 vs 32 task slots** (`local[8]` vs `local[32]`),
+2. **1 vs 4 independent executor JVMs, 8 cores each** — separate heaps,
+   separate GC, separate python workers, each processing a distinct shard
+   of the input files concurrently; the closest analogue of
+   `spark-submit` with N vs 4N executors.
+
+Each process tree is pinned to exactly its core budget with ``taskset``
+(JVM + python UDF workers share the budget, as a cluster container
+would). Job: the full quality-filter pipeline (signals + langid +
+perplexity + scrub + keep/drop + observe metrics) over {n_docs:,}
+synthetic web_pages docs, noop sink (pure compute). Best of 3 timed runs
+after an all-partition warm-up, per level.
+
+| configuration | wall (s) | docs/s |
+|---|---|---|
+| local[8]  (N slots)   | {lo['seconds']} | {lo['docs_per_second']:,} |
+| local[32] (4N slots)  | {hi['seconds']} | {hi['docs_per_second']:,} |
+| 1 executor × 8 cores  | {ex1['seconds']} | {ex1['docs_per_second']:,} |
+| 4 executors × 8 cores | {ex4['seconds']} | {ex4['docs_per_second']:,} |
+
+* single-JVM slot scaling efficiency = (T_8 / T_32) / 4 = **{efficiency:.3f}**
+* executor scaling efficiency (1→4 JVMs) = **{eff_exec:.3f}**
+
+The executor-level number is the one comparable to the north rule's
+cluster criterion; the single-JVM number additionally pays shared-heap GC
+and one memory subsystem for all 32 threads, which a real 4N-executor
+cluster does not.
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(md)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -222,15 +222,22 @@ def generate_web_pages(
 
 
 def write_web_pages_parquet(
-    path: str, n_rows: int, seed: int = SEED, rows_per_file: int = 100_000
+    path: str,
+    n_rows: int,
+    seed: int = SEED,
+    rows_per_file: int = 100_000,
+    row_group_size: int = 4096,
 ) -> str:
-    """Write the table as a multi-file parquet dataset (so Spark gets
-    parallel input splits even before repartitioning). Idempotent on
+    """Write the table as a multi-file parquet dataset with SMALL row
+    groups. Spark's input splits must align to row-group boundaries —
+    one giant row group per file caps parallelism at the file count no
+    matter how many cores exist (this exact mistake made local[8] ==
+    local[32]). ~4k-row groups give every core real work. Idempotent on
     (path, n_rows, seed) via a marker file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    marker = os.path.join(path, f"_GENERATED_{n_rows}_{seed}")
+    marker = os.path.join(path, f"_GENERATED_{n_rows}_{seed}_rg{row_group_size}")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
@@ -244,7 +251,11 @@ def write_web_pages_parquet(
         # regardless of rows_per_file-vs-total split
         pdf = generate_web_pages(cnt, seed=seed * 1_000_003 + part, start_index=start)
         table = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
+        pq.write_table(
+            table,
+            os.path.join(path, f"part-{part:05d}.parquet"),
+            row_group_size=row_group_size,
+        )
         part += 1
     with open(marker, "w") as fh:
         fh.write("ok")

@@ -1,0 +1,125 @@
+"""Structured Streaming front-end for the quality-filter pipeline.
+
+The reference's "streaming" module is only a diagnostics fan-out registry
+(streaming_orchestrator.py:12-75 — no dataflow); real stream processing is
+an extension this engine adds. The same ``QualityFilterPipeline.annotate``
+plan runs unchanged on a streaming DataFrame (it is pure row-level
+projection + pandas UDFs — no state), so batch/stream share one code path:
+
+* ``start_filter_stream``: readStream → annotate → partitioned parquet
+  sink with checkpointing; ``availableNow`` trigger = incremental batch
+  (catch-up) mode, the idiomatic replacement for hand-rolled file polling,
+* ``host_window_metrics``: watermarked tumbling-window per-host pass/fail
+  counts — late events beyond the watermark are dropped deterministically,
+* ``start_metrics_stream``: foreachBatch hook that runs the soda-style
+  contract verification on every micro-batch and appends check results to
+  a metrics table (the streaming analogue of the reference's
+  scan-results upload).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+
+WEB_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def read_web_pages_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: T.StructType = WEB_PAGES_SCHEMA,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def start_filter_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    pipeline: Optional[QualityFilterPipeline] = None,
+    available_now: bool = True,
+):
+    """Stream web pages through the filter into a keep-partitioned parquet
+    sink. Exactly-once via the sink checkpoint; restarts resume from the
+    last committed file offset (the streaming twin of
+    sources/checkpoint.py)."""
+    pipeline = pipeline or QualityFilterPipeline()
+    stream = read_web_pages_stream(spark, input_path)
+    annotated = pipeline.annotate(stream)
+    writer = (
+        annotated.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("keep")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def host_window_metrics(
+    annotated: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window lineage: per (window, host) doc/keep
+    counts. Streaming-safe aggregation — state bounded by the watermark."""
+    return (
+        annotated.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_docs",
+            "n_kept",
+        )
+    )
+
+
+def start_metrics_stream(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    on_batch: Callable[[DataFrame, int], None],
+    pipeline: Optional[QualityFilterPipeline] = None,
+    available_now: bool = True,
+):
+    """foreachBatch hook: every micro-batch is a normal DataFrame, so the
+    batch check engine (verify_contract) runs on it unchanged — per-batch
+    scan results appended to a metrics table by ``on_batch``."""
+    pipeline = pipeline or QualityFilterPipeline()
+    stream = read_web_pages_stream(spark, input_path)
+    annotated = pipeline.annotate(stream)
+    writer = (
+        annotated.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,85 @@
+"""Structured Streaming: the same annotate plan on a stream, with
+checkpointed exactly-once sink and windowed watermarked metrics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+from soda_core_spark.sources.webtext_gen import write_web_pages_parquet
+from soda_core_spark.streaming.quality_stream import (
+    host_window_metrics,
+    read_web_pages_stream,
+    start_filter_stream,
+    start_metrics_stream,
+)
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def input_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("stream_in")
+    return write_web_pages_parquet(str(p), N, seed=11, rows_per_file=200)
+
+
+def test_filter_stream_matches_batch(spark, input_path, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_filter_stream(spark, input_path, out, ckpt)
+    q.awaitTermination(120)
+
+    streamed = spark.read.option("basePath", out).parquet(out)
+    assert streamed.count() == N
+    batch = QualityFilterPipeline().annotate(spark.read.parquet(input_path))
+    b_kept = batch.where("keep").count()
+    s_kept = streamed.where(F.col("keep").cast("boolean")).count()
+    assert s_kept == b_kept
+
+    # restart with same checkpoint: no new data → no duplicates
+    q2 = start_filter_stream(spark, input_path, out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.option("basePath", out).parquet(out).count() == N
+
+
+def test_host_window_metrics_stream(spark, input_path, tmp_path):
+    pipeline = QualityFilterPipeline(scrub=False, langid=False, perplexity=False)
+    stream = read_web_pages_stream(spark, input_path)
+    metrics = host_window_metrics(pipeline.annotate(stream), window="1 day")
+    out = str(tmp_path / "metrics")
+    q = (
+        metrics.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # watermark append-mode only emits CLOSED windows; with availableNow on
+    # a finite input the final windows may stay open, so check shape not totals
+    assert set(got.columns) == {
+        "window_start", "window_end", "host", "n_docs", "n_kept",
+    }
+
+
+def test_foreach_batch_contract_metrics(spark, input_path, tmp_path):
+    from soda_core_spark import verify_contract
+    from soda_core_spark.operators.filter_rules import to_contract
+
+    results = []
+
+    def on_batch(batch_df, batch_id):
+        res = verify_contract(
+            batch_df.sparkSession, to_contract(), batch_df
+        )
+        results.append((batch_id, res.status, len(res.check_results)))
+
+    q = start_metrics_stream(
+        spark, input_path, str(tmp_path / "ckpt3"), on_batch
+    )
+    q.awaitTermination(120)
+    assert len(results) >= 1
+    for _bid, status, n_checks in results:
+        assert status == "passed"
+        assert n_checks == 10  # 9 rules + row_count
