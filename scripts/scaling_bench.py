@@ -21,12 +21,13 @@ from pyspark.sql import SparkSession
 
 cpus, path, runs = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
 shard, n_shards = (int(sys.argv[4]), int(sys.argv[5])) if len(sys.argv) > 5 else (0, 1)
+mem = sys.argv[6] if len(sys.argv) > 6 else "48g"
 spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-         .config("spark.driver.memory", "48g")
+         .config("spark.driver.memory", mem)
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 sys.path.insert(0, ".")
@@ -77,11 +78,15 @@ def run_multi_executor(n_exec: int, cores_each: int, path: str, runs: int = 2) -
     the closest sandbox analogue of `spark-submit` on an N-executor
     cluster (separate heaps, separate GC, separate python workers).
     Wall time = the slowest executor."""
+    # total heap across executors must fit the host (125 GiB here) — a
+    # real cluster gives each executor its own machine's memory, the
+    # sandbox must split one machine's
+    mem = f"{max(8, 96 // n_exec)}g"
     procs = []
     for e in range(n_exec):
         lo, hi = e * cores_each, (e + 1) * cores_each - 1
         cmd = ["taskset", "-c", f"{lo}-{hi}", sys.executable, "-c", RUNNER,
-               str(cores_each), path, str(runs), str(e), str(n_exec)]
+               str(cores_each), path, str(runs), str(e), str(n_exec), mem]
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             text=True, cwd=REPO,
@@ -115,10 +120,15 @@ def main() -> int:
     ex4 = run_multi_executor(4, 8, path, runs=3)
     eff_exec = (ex1["seconds"] / ex4["seconds"]) / 4.0
 
+    lo2 = run_level(2, path, runs=2)
+    eff_low = (lo2["seconds"] / lo["seconds"]) / 4.0
+
     result = {
         "n_docs": n_docs,
+        "local2": lo2,
         "local8": lo,
         "local32": hi,
+        "scaling_efficiency_2_to_8": round(eff_low, 3),
         "scaling_efficiency_8_to_32": round(efficiency, 3),
         "exec1x8": ex1,
         "exec4x8": ex4,

@@ -305,6 +305,150 @@ def q10(spark, sf_dir):
     )
 
 
+@register(
+    "q23_pagination",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+def q23(spark, sf_dir):
+    """ORDER BY + LIMIT/OFFSET pagination (reference sql_ast.py:744-775,
+    887-908 — the failed-rows streaming pagination shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(10)
+        .limit(20)
+    )
+
+
+@register(
+    "q24_scalar_expressions",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size > 25 THEN 'large'
+                WHEN p_size > 10 THEN 'medium' ELSE 'small' END AS size_class,
+           coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other,
+           lower(p_type) AS type_lower,
+           length(p_name) AS name_len,
+           (p_name LIKE '%green%') AS has_green,
+           floor(p_retailprice)::BIGINT AS price_int,
+           concat_ws('|', p_brand, cast(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    """,
+)
+def q24(spark, sf_dir):
+    """Scalar expression surface (reference §2.2): CASE/COALESCE/NULLIF,
+    CAST, LIKE, string functions — all whole-stage-codegen built-ins."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_size") > 25, "large")
+        .when(F.col("p_size") > 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#11")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.col("p_name").like("%green%").alias("has_green"),
+        # floor, not cast: double→int cast truncates toward zero in Spark
+        # but ROUNDS in DuckDB — floor is unambiguous in both
+        F.floor("p_retailprice").cast("long").alias("price_int"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+    )
+
+
+@register(
+    "q25_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q25(spark, sf_dir):
+    """Percentiles (reference PERCENTILE_WITHIN_GROUP sql_ast.py:429-442):
+    exact interpolated percentile; approx_percentile is the scale path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+@register(
+    "q26_time_arithmetic",
+    """
+    SELECT event_type,
+           min(date_trunc('day', ts)) AS first_day,
+           max(ts + INTERVAL 2 HOUR) AS max_ts_plus_2h,
+           floor((epoch(max(ts)) - epoch(min(ts))) / 60)::BIGINT AS span_minutes
+    FROM events GROUP BY event_type
+    """,
+)
+def q26(spark, sf_dir):
+    """Date/time operators (reference TIME_DELTA/ADD_INTERVAL/trunc-day,
+    sql_dialect.py:1181-1202, 1608-1612): trunc, interval add, epoch
+    deltas floored to a unit — the freshness arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day"),
+        F.max(F.expr("ts + INTERVAL 2 HOUR")).alias("max_ts_plus_2h"),
+        F.floor(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 60
+        ).alias("span_minutes"),
+    )
+
+
+@register(
+    "q27_set_ops",
+    """
+    SELECT status, n FROM (
+      SELECT 'high' AS status, count(*) AS n FROM orders WHERE o_totalprice > 200000
+      UNION ALL
+      SELECT 'open' AS status, count(*) AS n FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'urgent' AS status, count(*) AS n FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q27(spark, sf_dir):
+    """Set operators (reference UNION/UNION_ALL sql_ast.py:985-1003)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def branch(status, cond):
+        return o.where(cond).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(status).alias("status"), "n"
+        )
+
+    return (
+        branch("high", F.col("o_totalprice") > 200000)
+        .unionAll(branch("open", F.col("o_orderstatus") == "O"))
+        .unionAll(branch("urgent", F.col("o_orderpriority") == "1-URGENT"))
+    )
+
+
+@register("q28_sampling", None)
+def q28(spark, sf_dir):
+    """Sampling (reference FROM.SAMPLE sql_ast.py:113-124): seeded
+    df.sample — deterministic within Spark but engine-specific RNG, so
+    rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("sampled_rows"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / quality over documents
 # ---------------------------------------------------------------------------
