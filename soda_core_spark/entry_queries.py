@@ -437,6 +437,37 @@ def q27(spark, sf_dir):
     )
 
 
+@register(
+    "q29_dispersion",
+    """
+    SELECT l_linestatus,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_discount), 8) AS var_discount
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q29(spark, sf_dir):
+    """Dispersion aggregates (reference STDDEV_SAMP/VAR_SAMP
+    sql_ast.py:543-554)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_discount"),
+    )
+
+
+@register("q30_approx_distinct", None)
+def q30(spark, sf_dir):
+    """approx_count_distinct — the scalable variant of the duplicate
+    check's exact COUNT DISTINCT (SURVEY §2.2: not in the reference,
+    needed at 10^12 rows). HLL sketches are engine-specific → rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
 @register("q28_sampling", None)
 def q28(spark, sf_dir):
     """Sampling (reference FROM.SAMPLE sql_ast.py:113-124): seeded

@@ -132,38 +132,38 @@ def minhash_near_duplicates(
     """Candidate near-dup pairs (id_a < id_b) with exact shingle-Jaccard
     verification.
 
-    Scale path: signature+bands are per-row expressions (no shuffle);
-    ``explode(band_keys)`` then self-equi-join on the band key — the only
-    shuffle is on band keys. A giant duplicate cluster makes a hot band
-    key; AQE skew-join splits it (enable spark.sql.adaptive.skewJoin).
-    The exact-Jaccard verify runs only on candidates."""
+    Scale path, stage by stage:
+    1. signatures + band keys are per-row column expressions — no shuffle;
+    2. the band self-join runs over bare ``(id, band)`` pairs (16 bytes a
+       row) — NOT over the shingle arrays, which would be duplicated
+       ``bands``× through the shuffle;
+    3. candidate (id_a, id_b) pairs are deduped, then shingle arrays are
+       re-attached by two id-joins, so each doc's shingles cross the wire
+       once per side;
+    4. exact Jaccard verifies candidates only.
+    A giant duplicate cluster makes a hot band key; AQE skew-join splits
+    it (spark.sql.adaptive.skewJoin)."""
     rows = num_hashes // bands
     sh = shingles_col(F.col(text_col), shingle_n)
-    base = df.select(
-        F.col(id_col).alias("id"), sh.alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    banded = base.select(
-        "id", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    banded = base.withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes)
+    ).select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    enriched = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        pairs.withColumn("jaccard", inter / union)
+        enriched.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -1,0 +1,88 @@
+"""Table sources: one reader facade over the formats the engine supports.
+
+The reference reaches tables through per-warehouse DB-API adapters
+(SURVEY §2.4); here a table is whatever Spark can scan — managed/Iceberg
+catalog tables, parquet/ORC/CSV/JSON paths — behind one ``load_table``.
+Format handlers are registered in ``READERS``; Iceberg needs the runtime
+jars on the cluster (absent in this sandbox → clear error, not a crash).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _read_parquet(spark, path, schema=None, **opts):
+    r = spark.read.options(**opts)
+    return r.schema(schema).parquet(path) if schema else r.parquet(path)
+
+
+def _read_csv(spark, path, schema=None, **opts):
+    opts.setdefault("header", "true")
+    r = spark.read.options(**opts)
+    # schema mandatory at scale: inference scans the data twice
+    return r.schema(schema).csv(path) if schema else r.option(
+        "inferSchema", "true"
+    ).csv(path)
+
+
+def _read_json(spark, path, schema=None, **opts):
+    r = spark.read.options(**opts)
+    return r.schema(schema).json(path) if schema else r.json(path)
+
+
+def _read_orc(spark, path, schema=None, **opts):
+    r = spark.read.options(**opts)
+    return r.schema(schema).orc(path) if schema else r.orc(path)
+
+
+def _read_iceberg(spark, identifier, schema=None, **opts):
+    try:
+        return spark.read.options(**opts).format("iceberg").load(identifier)
+    except Exception as e:  # pragma: no cover - no iceberg jars in sandbox
+        raise RuntimeError(
+            "Iceberg read failed — the iceberg-spark-runtime jar must be on "
+            "the cluster classpath (spark.jars.packages "
+            "org.apache.iceberg:iceberg-spark-runtime-*)"
+        ) from e
+
+
+def _read_table(spark, identifier, schema=None, **opts):
+    return spark.table(identifier)
+
+
+READERS: dict[str, Callable[..., DataFrame]] = {
+    "parquet": _read_parquet,
+    "csv": _read_csv,
+    "json": _read_json,
+    "orc": _read_orc,
+    "iceberg": _read_iceberg,
+    "table": _read_table,
+}
+
+
+def load_table(
+    spark: SparkSession,
+    location: str,
+    fmt: str = "parquet",
+    schema: Optional[T.StructType] = None,
+    **options,
+) -> DataFrame:
+    if fmt not in READERS:
+        raise ValueError(f"unknown format {fmt!r}; supported: {sorted(READERS)}")
+    return READERS[fmt](spark, location, schema=schema, **options)
+
+
+def list_tables(spark: SparkSession, database: Optional[str] = None) -> list[str]:
+    """Catalog introspection (reference SHOW TABLES path,
+    sparkdf_data_source.py:300-406)."""
+    return [t.name for t in spark.catalog.listTables(database)]
+
+
+def table_schema(spark: SparkSession, identifier: str) -> T.StructType:
+    """DESCRIBE equivalent (reference sparkdf_data_source.py:456-467) —
+    the schema check's 'actual' side."""
+    return spark.table(identifier).schema
