@@ -467,10 +467,26 @@ def contract_from_dict(d: dict) -> Contract:
     )
 
 
-def contract_from_yaml(text: str, variables: Optional[dict[str, str]] = None) -> Contract:
+def contract_from_yaml(
+    text: str,
+    variables: Optional[dict[str, str]] = None,
+    data_timestamp: Optional[Any] = None,
+) -> Contract:
     import yaml
 
     merged_vars = dict(variables or {})
+    # built-in variables NOW / DATA_TIMESTAMP (reference contract_yaml.py:
+    # 88-245); injectable for determinism, else stamped at parse time UTC
+    if "${NOW}" in text or "${DATA_TIMESTAMP}" in text:
+        from datetime import datetime, timezone
+
+        now = (
+            data_timestamp.isoformat()
+            if data_timestamp is not None
+            else datetime.now(timezone.utc).isoformat()
+        )
+        merged_vars.setdefault("NOW", now)
+        merged_vars.setdefault("DATA_TIMESTAMP", now)
     # first parse to pick up declared variables, then resolve ${...} and re-parse
     raw = yaml.safe_load(text)
     if isinstance(raw, dict) and raw.get("variables"):

@@ -1,0 +1,37 @@
+"""CLI entrypoint end-to-end (argparse -> session -> pipeline -> JSON)."""
+
+import json
+import subprocess
+import sys
+
+from soda_core_spark.sources.webtext_gen import write_web_pages_parquet
+
+
+def test_cli_run(tmp_path):
+    inp = write_web_pages_parquet(str(tmp_path / "in"), 400, seed=9)
+    out = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli",
+         "--input", inp, "--output", str(tmp_path / "out"),
+         "--lineage", str(tmp_path / "lineage"), "--local-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["n_docs"] == 400
+    assert 0 < summary["n_kept"] < 400
+
+
+def test_cli_resumable(tmp_path):
+    inp = write_web_pages_parquet(str(tmp_path / "in"), 400, seed=9)
+    args = [sys.executable, "-m", "soda_core_spark.cli",
+            "--input", inp, "--output", str(tmp_path / "out"),
+            "--state", str(tmp_path / "state"), "--buckets", "3",
+            "--local-cpus", "4"]
+    out = subprocess.run(args, capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary == {"buckets": 3, "n_docs": 400, "n_kept": summary["n_kept"]}
+    # second invocation: everything already done, instant resume
+    out2 = subprocess.run(args, capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    summary2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary2 == summary

@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions — the scale-correctness contracts:
+column pruning reaches the scan, small sides broadcast, the fused
+aggregation is one job, the pipeline row-stage has no shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+from soda_core_spark.sources.webtext_gen import write_web_pages_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def web_df(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("plan_web")
+    path = write_web_pages_parquet(str(p), 300, seed=5)
+    return spark.read.parquet(path)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_html_pruned_from_scan(web_df):
+    """The binary html column must never be read: ReadSchema at the
+    parquet scan excludes it (SURVEY §4 column pruning)."""
+    plan = _plan(QualityFilterPipeline().annotate(web_df))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    assert "html" not in scan_lines[0]
+
+
+def test_pipeline_row_stage_has_no_shuffle(web_df):
+    plan = _plan(QualityFilterPipeline().annotate(web_df))
+    assert "Exchange" not in plan  # scan → project → arrow → project only
+
+
+def test_single_arrow_eval_node(web_df):
+    plan = _plan(QualityFilterPipeline().annotate(web_df))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert "l_extendedprice" not in scan_lines[0]
+
+
+def test_reference_check_broadcasts(spark):
+    """The invalid-reference anti join must broadcast the reference list
+    (invalidity_check semantics, Spark-first join strategy)."""
+    from soda_core_spark import verify_contract
+    from soda_core_spark.plans.model import contract_from_dict
+
+    big = spark.read.parquet(f"{SF}/customer.parquet")
+    ref = spark.createDataFrame([(i,) for i in range(25)], ["nk"])
+    contract = contract_from_dict(
+        {"dataset": "c", "columns": [{"name": "c_nationkey", "checks": [
+            {"invalid": {"valid_reference_data": {"dataset": "ref", "column": "nk"},
+                         "must_be": 0}}]}]}
+    )
+    # capture the anti-join plan through the side query by explaining the
+    # equivalent join the check builds
+    joined = big.join(
+        F.broadcast(ref.select(F.col("nk").alias("__ref_value"))),
+        on=big["c_nationkey"] == F.col("__ref_value"),
+        how="left_anti",
+    )
+    assert "BroadcastNestedLoopJoin" in _plan(joined) or "BroadcastHashJoin" in _plan(joined)
+    res = verify_contract(spark, contract, big, datasets={"ref": ref})
+    assert res.check_results[0].outcome.value == "passed"
+
+
+def test_fused_aggregation_is_one_job(spark):
+    """All agg metrics of a multi-check contract execute as ONE collect
+    (reference needs N roundtrips; SURVEY §4 aggregation fusion)."""
+    from soda_core_spark import verify_contract
+    from soda_core_spark.plans.model import contract_from_dict
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    contract = contract_from_dict(
+        {"dataset": "li", "checks": ["row_count"],
+         "columns": [
+             {"name": "l_quantity", "checks": [
+                 "missing",
+                 {"invalid": {"valid_min": 0, "valid_max": 60}},
+                 {"aggregate": {"function": "avg", "must_be_greater_than": 0}},
+             ]},
+             {"name": "l_orderkey", "checks": ["duplicate"]},
+         ]}
+    )
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    calls = []
+    orig = CDF.collect
+
+    def counting_collect(self):
+        calls.append(1)
+        return orig(self)
+
+    CDF.collect = counting_collect
+    try:
+        res = verify_contract(spark, contract, li)
+    finally:
+        CDF.collect = orig
+    assert all(r.outcome.value in ("passed", "failed") for r in res.check_results)
+    # 6 checks, ~10 metrics — exactly ONE fused collect
+    assert len(calls) == 1, f"expected 1 collect, saw {len(calls)}"

@@ -127,3 +127,29 @@ def test_pipeline_run_with_observe(tmp_path, web_pages_df):
     lin = spark.read.parquet(lineage)
     assert lin.count() > 1  # one row per host
     assert lin.agg({"n_docs": "sum"}).first()[0] == N_DOCS
+
+
+def test_example_contract_verifies(spark, web_pages_df):
+    """contracts/web_pages.yml runs against the annotated pipeline output
+    (schema + quality + drop-rate checks in one scan)."""
+    from datetime import datetime, timezone
+
+    from soda_core_spark import CheckOutcome, verify_contract
+    from soda_core_spark.plans.model import contract_from_yaml
+
+    with open("/root/repo/contracts/web_pages.yml") as fh:
+        contract = contract_from_yaml(fh.read())
+    annotated = QualityFilterPipeline().annotate(web_pages_df)
+    result = verify_contract(
+        spark, contract, annotated,
+        data_timestamp=datetime(2026, 7, 15, tzinfo=timezone.utc),
+    )
+    by_name = {r.name: r for r in result.check_results}
+    assert by_name["drop_rate"].outcome == CheckOutcome.PASSED
+    assert by_name["row_count"].outcome == CheckOutcome.PASSED
+    # schema check fails: annotated output adds signal columns and the
+    # pipeline drops html — exactly what the diff should report
+    schema_r = by_name["schema"]
+    assert schema_r.outcome == CheckOutcome.FAILED
+    assert "html" in schema_r.diagnostics["missingColumns"]
+    assert "keep" in schema_r.diagnostics["extraColumns"]
