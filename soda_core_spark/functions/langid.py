@@ -70,21 +70,33 @@ LANGID_SCHEMA = T.StructType(
 )
 
 
+#: token → language bitmask (bit i = membership in LANGS[i]'s set) — turns
+#: per-language set probes into ONE dict map over the exploded tokens
+_TOKEN_MASK: dict[str, int] = {}
+for _i, _lang in enumerate(LANGS):
+    for _w in LANG_WORDS[_lang]:
+        _TOKEN_MASK[_w] = _TOKEN_MASK.get(_w, 0) | (1 << _i)
+
+
 def score_batch(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized batch scoring: one explode + one isin per language over
-    the whole Arrow batch; no Python loop over rows."""
+    """Vectorized batch scoring: one explode, one dict-map to language
+    bitmasks, one grouped sum over all languages at once. Counts are
+    exact integers — identical to per-language set membership."""
+    import numpy as np
+
     s = texts.fillna("")
     tokens = s.str.lower().str.split()
     exploded = tokens.explode()
     valid = exploded.notna()
-    n_tokens = valid.groupby(level=0).sum()
-    scores = pd.DataFrame(index=s.index)
-    for lang in LANGS:
-        hits = exploded.isin(LANG_WORDS[lang]) & valid
-        scores[lang] = hits.groupby(level=0).sum()
-    scores = scores.reindex(s.index, fill_value=0)
-    n = n_tokens.reindex(s.index).fillna(0)
-    frac = scores.div(n.where(n > 0, 1.0), axis=0)
+    masks = exploded.map(_TOKEN_MASK).fillna(0).astype(np.int64)
+    per_lang = pd.DataFrame(
+        {lang: (masks.values >> i) & 1 for i, lang in enumerate(LANGS)},
+        index=exploded.index,
+    )
+    per_lang["__n"] = valid.astype(np.int64)
+    agg = per_lang.groupby(level=0).sum().reindex(s.index, fill_value=0)
+    n = agg.pop("__n")
+    frac = agg.div(n.where(n > 0, 1.0), axis=0)
     pred = frac.idxmax(axis=1)
     conf = frac.max(axis=1)
     pred = pred.where(conf > 0.0, "und")  # no hits anywhere → undetermined
