@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the pure-Python layers —
+a testing layer the reference doesn't have (SURVEY §5: no property
+testing upstream)."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from soda_core_spark.functions.scrub import SCRUB_RULES, scrub_text
+from soda_core_spark.plans.model import Threshold
+from soda_core_spark.sources.webtext_oracle import _langid, _signals
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=32)
+
+
+class TestThresholdProperties:
+    @given(a=finite, b=finite, v=finite)
+    def test_between_is_inclusive_conjunction(self, a, b, v):
+        lo, hi = min(a, b), max(a, b)
+        t = Threshold(must_be_between=(lo, hi))
+        assert t.passes(v) == (lo <= v <= hi)
+
+    @given(a=finite, b=finite, v=finite)
+    def test_not_between_is_complement_of_open_interval(self, a, b, v):
+        lo, hi = min(a, b), max(a, b)
+        t = Threshold(must_be_not_between=(lo, hi))
+        assert t.passes(v) == (not (lo < v < hi))
+
+    @given(v=finite)
+    def test_no_threshold_passes_everything(self, v):
+        assert Threshold().passes(v)
+        assert not Threshold().is_configured()
+
+    @given(x=finite, v=finite)
+    def test_gt_lt_partition(self, x, v):
+        """For any pivot x, exactly one of >x, <x, ==x passes."""
+        outcomes = [
+            Threshold(must_be_greater_than=x).passes(v),
+            Threshold(must_be_less_than=x).passes(v),
+            Threshold(must_be=x).passes(v),
+        ]
+        assert sum(outcomes) == 1
+
+
+_TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,@-+()\n\t!#",
+    max_size=400,
+)
+_EMAIL_RE = re.compile(SCRUB_RULES[0][1])
+_SSN_RE = re.compile(SCRUB_RULES[1][1])
+
+
+class TestScrubProperties:
+    @given(t=_TEXT)
+    @settings(max_examples=300)
+    def test_no_email_survives(self, t):
+        out = scrub_text(t)
+        assert _EMAIL_RE.search(out) is None
+
+    @given(t=_TEXT)
+    @settings(max_examples=300)
+    def test_replacements_only_shrink_digit_runs(self, t):
+        """Scrub tokens contain no digits/@, so scrubbing can never
+        introduce new PII material."""
+        out = scrub_text(t)
+        assert out.count("@") <= t.count("@")
+        assert sum(c.isdigit() for c in out) <= sum(c.isdigit() for c in t)
+
+    @given(local=st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=10),
+           domain=st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=10))
+    def test_every_generated_email_is_caught(self, local, domain):
+        t = f"write to {local}@{domain}.org today"
+        assert f"{local}@{domain}.org" not in scrub_text(t)
+
+
+class TestSignalProperties:
+    @given(t=_TEXT)
+    @settings(max_examples=300)
+    def test_signal_invariants(self, t):
+        s = _signals(t)
+        assert s["n_chars"] == len(t)
+        assert 0 <= s["n_words"] <= max(1, s["n_chars"])
+        assert 0.0 <= s["alnum_ratio"] <= 1.0
+        assert 0.0 <= s["stopword_density"] <= 1.0
+        assert 0.0 <= s["bigram_repetition"] < 1.0 or s["n_words"] < 2
+        assert s["mean_word_length"] >= 0.0
+
+    @given(t=_TEXT)
+    @settings(max_examples=200)
+    def test_langid_conf_bounds(self, t):
+        pred, conf = _langid(t)
+        assert 0.0 <= conf <= 1.0
+        assert (pred == "und") == (conf <= 0.0)
