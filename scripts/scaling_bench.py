@@ -157,12 +157,14 @@ after an all-partition warm-up, per level.
 
 | configuration | wall (s) | docs/s |
 |---|---|---|
-| local[8]  (N slots)   | {lo['seconds']} | {lo['docs_per_second']:,} |
-| local[32] (4N slots)  | {hi['seconds']} | {hi['docs_per_second']:,} |
+| local[2]  (N, uncontended) | {lo2['seconds']} | {lo2['docs_per_second']:,} |
+| local[8]  (4N of local[2]) | {lo['seconds']} | {lo['docs_per_second']:,} |
+| local[32] (4N of local[8]) | {hi['seconds']} | {hi['docs_per_second']:,} |
 | 1 executor × 8 cores  | {ex1['seconds']} | {ex1['docs_per_second']:,} |
 | 4 executors × 8 cores | {ex4['seconds']} | {ex4['docs_per_second']:,} |
 
-* single-JVM slot scaling efficiency = (T_8 / T_32) / 4 = **{efficiency:.3f}**
+* uncontended N→4N efficiency (local[2]→local[8]) = **{eff_low:.3f}**
+* single-JVM slot scaling efficiency (8→32) = **{efficiency:.3f}**
 * executor scaling efficiency (1→4 JVMs) = **{eff_exec:.3f}**
 
 The executor-level number is the one comparable to the north rule's
