@@ -325,30 +325,39 @@ def plan_duplicate(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     dm = dataset_rows_metric()
     metrics = [rm, dm]
 
+    def _distinct_agg(key_col: Column) -> Column:
+        # approx=True: HLL sketch instead of exact distinct — at 10^12
+        # rows exact COUNT DISTINCT shuffles every distinct value; the
+        # sketch is constant-size per partition (rsd 1%)
+        if check.approx:
+            return F.approx_count_distinct(key_col, rsd=0.01)
+        return F.countDistinct(key_col)
+
+    approx_tag = "~" if check.approx else ""
     if check.columns:  # multi-column
         cols = list(check.columns)
-        dkey = f"distinct_multi|{','.join(cols)}|{_fkey(check)}"
+        dkey = f"distinct_multi{approx_tag}|{','.join(cols)}|{_fkey(check)}"
 
         def build_distinct() -> Column:
             key_col = combined_key(cols)
             f = check_filter_col(check)
             if f is not None:
                 key_col = F.when(f, key_col)
-            return F.countDistinct(key_col)
+            return _distinct_agg(key_col)
 
         distinct_m = AggMetric(dkey, f"distinct_count({','.join(cols)})", build_distinct, True)
         metrics.append(distinct_m)
         mm = None
     else:
         col = check.column
-        dkey = f"distinct|{col}|{check.missing!r}|{_fkey(check)}"
+        dkey = f"distinct{approx_tag}|{col}|{check.missing!r}|{_fkey(check)}"
 
         def build_distinct() -> Column:
             cond = ~is_missing_col(col, check.missing)
             f = check_filter_col(check)
             if f is not None:
                 cond = f & cond
-            return F.countDistinct(F.when(cond, F.col(col)))
+            return _distinct_agg(F.when(cond, F.col(col)))
 
         distinct_m = AggMetric(dkey, f"distinct_count({col})", build_distinct, True)
         mm = missing_metric(check)

@@ -273,6 +273,10 @@ class CheckSpec:
     unit: str = "minute"  # second|minute|hour|day
     # failed_rows expression check (failed_rows_check.py:47-259)
     condition: Optional[str] = None  # SQL boolean: TRUE == row failed
+    # duplicate check: approx=True swaps exact COUNT DISTINCT for an HLL
+    # sketch (approx_count_distinct) — the 10^12-row scale path the
+    # reference lacks (SURVEY §2.2); exact remains the default for parity
+    approx: bool = False
     # schema check
     allow_extra_columns: bool = False
     allow_other_column_order: bool = True
@@ -410,6 +414,7 @@ def _parse_check(
         else body.get("condition"),
         allow_extra_columns=bool(body.get("allow_extra_columns", False)),
         allow_other_column_order=bool(body.get("allow_other_column_order", True)),
+        approx=bool(body.get("approx", False)),
     )
     if type_name == "freshness" and spec.column is None:
         raise ContractParseError("freshness check requires a column")
