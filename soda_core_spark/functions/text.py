@@ -191,8 +191,12 @@ def with_signals(df, text_col: str = "text"):
 
     Values are bit-identical to the naive split-token definitions
     (parity-tested against the plain-Python oracle in
-    tests/test_webtext_parity.py)."""
-    text = F.col(text_col)
+    tests/test_webtext_parity.py).
+
+    NULL text is treated as empty (matching the oracle's ``text or ''``):
+    otherwise every signal is NULL, no rule can fire, and a null document
+    sails through the filter."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     w = F.col("__words")
     out = df.withColumn("__words", words_col(text))
     n = F.size(w)

@@ -153,3 +153,23 @@ def test_example_contract_verifies(spark, web_pages_df):
     assert schema_r.outcome == CheckOutcome.FAILED
     assert "html" in schema_r.diagnostics["missingColumns"]
     assert "keep" in schema_r.diagnostics["extraColumns"]
+
+
+def test_null_text_is_dropped_like_oracle(spark):
+    """NULL text must not sail through the filter (signals coalesce to
+    empty, matching the oracle's `text or ''`)."""
+    from datetime import datetime, timezone
+
+    from soda_core_spark.sources.webtext_oracle import label_document
+
+    rows = [
+        ("https://h0.example.com/x", datetime(2026, 6, 1, tzinfo=timezone.utc),
+         bytearray(b"\x00"), None, "en"),
+    ]
+    df = spark.createDataFrame(rows, WEB_PAGES_SCHEMA)
+    ann = QualityFilterPipeline().annotate(df).select(
+        "keep", "n_chars", "text_scrubbed").first()
+    oracle = label_document(None, "en")
+    assert bool(ann.keep) == oracle["keep"] == False  # noqa: E712
+    assert ann.n_chars == 0
+    assert (ann.text_scrubbed is None) == (oracle["text_scrubbed"] is None)
