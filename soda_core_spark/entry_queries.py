@@ -664,6 +664,51 @@ def q17(spark, sf_dir):
     )
 
 
+@register(
+    "q31_embedding_near_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
+def q31(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline at test
+    scale; SRP-bucketed variant is the scale path — similarity.py).
+    Threshold 0.35 ≈ the p99.9 of this synthetic table's cosine
+    distribution (max 0.513 — random vectors have no true dups), so the
+    oracle-checked result is small but non-empty."""
+    from soda_core_spark.operators.similarity import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(e, dim=0, threshold=0.35, n_planes=0)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+@register(
+    "q32_token_counts",
+    """
+    SELECT doc_id,
+           (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+            + length(regexp_replace(text,
+                '[A-Za-z0-9 \\t\\n\\r]', '', 'g'))) AS n_tokens
+    FROM documents
+    """,
+)
+def q32(spark, sf_dir):
+    """BPE-ish token count (alnum runs + symbol chars) — training-data
+    budgeting over the documents table."""
+    from soda_core_spark.functions.text import token_count_bpe_ish
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_bpe_ish(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # ---------------------------------------------------------------------------

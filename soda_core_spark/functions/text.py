@@ -123,15 +123,13 @@ def line_dedup_ratio(text: Column) -> Column:
 
 
 def token_count_bpe_ish(text: Column) -> Column:
-    """Cheap token count: alphanumeric runs + each non-space symbol counts
-    as one token (a BPE-ish upper bound, useful for training-data budgeting).
-    """
-    return F.size(
-        F.filter(
-            F.split(text, "((?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9]))"),
-            lambda t: F.trim(t) != "",
-        )
-    )
+    """Cheap token count: alphanumeric runs + each non-whitespace symbol
+    counts as one token (a BPE-ish upper bound for training-data
+    budgeting). One regexp_count + one translate pass, expressible
+    identically in any SQL engine (no lookarounds)."""
+    alnum_runs = F.regexp_count(text, F.lit("[A-Za-z0-9]+"))
+    symbols = F.length(F.translate(text, _ALNUM_CHARS + " \t\n\r", ""))
+    return alnum_runs + symbols
 
 
 def doc_fingerprint(text: Column) -> Column:

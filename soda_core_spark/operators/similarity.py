@@ -109,6 +109,42 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    ``n_planes=0`` is the exact all-pairs baseline (only for small/test
+    corpora — O(n²)). With ``n_planes>0`` candidates come from SRP
+    buckets: the join shuffles on bucket id and only intra-bucket pairs
+    are scored — the scale path (recall < 1, tunable via n_planes)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_planes > 0:
+        planes = _random_planes(dim, n_planes, seed)
+        base = base.withColumn("bucket", srp_bucket(F.col("v"), planes))
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+    else:
+        join_cond = F.col("a.id") < F.col("b.id")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
