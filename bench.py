@@ -49,7 +49,14 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        # AlwaysPreTouch: fault the heap in at startup, not mid-benchmark
+        # (lazy page faults + THP defrag showed up as 2-5x run variance);
+        # ParallelGC: throughput collector for a batch workload
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -60,14 +67,16 @@ def main() -> int:
     # headline 1: the quality-filter pipeline (keep/drop + scrub + metrics)
     web = spark.read.parquet(web_path)
     pipeline = QualityFilterPipeline()
-    # warm-up must touch every partition: it forks all N python UDF
-    # workers once (32 simultaneous pandas imports cost ~20s the first
-    # time) — limit(n) would start only a few AND kills workers via
-    # early-abort. Then best-of-2 timed runs (standard warm measurement).
-    pipeline.run(web.sample(0.05, seed=1))
+    # Warm-up: ONE FULL run. It forks all N python UDF workers (32
+    # simultaneous pandas imports cost ~20s the first time) AND drives
+    # the JVM to steady state — the interpreted higher-order-function
+    # expressions and generated codegen classes take a full pass to get
+    # C2-compiled (measured: first full run 3-10x slower than warm).
+    # A sampled warm-up is not enough. Then best-of-3 timed runs.
+    pipeline.run(web)
     best = None
     res = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         res = pipeline.run(web)
         dt = time.monotonic() - t0
@@ -91,10 +100,16 @@ def main() -> int:
     ]
     for name in bench_queries:
         fn, _sql = REGISTRY[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # warm-up pass (plan + JIT), then best-of-2 — steady state is the
+        # number comparable across rounds; cold-start is JVM noise
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best_q = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.monotonic() - t0
+            best_q = dt if best_q is None or dt < best_q else best_q
+        timings[name] = round(best_q, 3)
 
     total = round(sum(timings.values()), 3)
     print(

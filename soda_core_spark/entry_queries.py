@@ -771,6 +771,114 @@ def q22(spark, sf_dir):
     )
 
 
+# DuckDB twin of operators.dedup.shingles_col(text, 3): lowercased
+# whitespace-split words; >=3 words -> distinct word trigrams, else the
+# whole (joined) word list as a single shingle. Empty docs are excluded
+# upstream in both engines.
+_SHINGLES_CTE = """
+    base AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[ \\t\\n\\r]+'),
+                         x -> x <> '') AS w
+      FROM documents
+      WHERE length(trim(coalesce(text, ''))) > 0
+    ),
+    sh AS (
+      SELECT id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE [array_to_string(w, ' ')] END AS shl
+      FROM base
+    )
+"""
+
+
+@register(
+    "q33_ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, len(shl)::BIGINT AS n_sh FROM sh),
+    ex AS (SELECT id, unnest(shl) AS s FROM sh),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           round(n_shared::DOUBLE / (na.n_sh + nb.n_sh - n_shared), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON inter.id_a = na.id
+    JOIN sizes nb ON inter.id_b = nb.id
+    WHERE n_shared::DOUBLE / (na.n_sh + nb.n_sh - n_shared) >= 0.2
+    """,
+)
+def q33(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard near-dup pairs via inverted-index
+    self-join — the oracle-able exact twin of q18's MinHash+LSH."""
+    from soda_core_spark.operators.dedup import ngram_jaccard_all_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_all_pairs(d, n=3, threshold=0.2)
+
+
+@register(
+    "q34_decontamination",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT unnest(shl) AS s FROM sh WHERE id % 50 = 0),
+    train AS (SELECT * FROM sh WHERE id % 50 <> 0),
+    sizes AS (SELECT id, len(shl)::BIGINT AS n_sh FROM train),
+    hits AS (
+      SELECT t.id, count(*)::BIGINT AS n_overlap
+      FROM (SELECT id, unnest(shl) AS s FROM train) t
+      WHERE t.s IN (SELECT s FROM bench)
+      GROUP BY t.id
+    )
+    SELECT sizes.id AS doc_id, n_sh,
+           coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+           round(coalesce(n_overlap, 0)::DOUBLE / n_sh, 6) AS overlap,
+           coalesce(n_overlap, 0)::DOUBLE / n_sh >= 0.8 AS contaminated
+    FROM sizes LEFT JOIN hits ON sizes.id = hits.id
+    """,
+)
+def q34(spark, sf_dir):
+    """Benchmark decontamination: flag training docs whose shingle set
+    overlaps an eval set (docs with doc_id % 50 == 0) at >= 0.8."""
+    from soda_core_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=3, overlap_threshold=0.8)
+
+
+@register(
+    "q35_hash_sample",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR), 1, 1)
+          IN ('0', '1')
+    """,
+)
+def q35(spark, sf_dir):
+    """Deterministic engine-portable sampling: md5 of a stable row key,
+    keep first hex digit in {0,1} (exact 1/8 expected rate). Unlike
+    df.sample (q28, engine-specific RNG) this is reproducible across
+    engines, restarts, and repartitioning — the right primitive for
+    resumable corpus subsampling at scale (pure filter: pushes past the
+    scan with no shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return li.where(F.substring(F.md5(key), 1, 1).isin("0", "1")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality/lineage summary over documents: heuristic keep
     flags + dedup + aggregate metrics in one grouped scan — the engine's

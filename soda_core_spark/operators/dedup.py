@@ -93,9 +93,14 @@ def _salted_hash(i: int):
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for hash i, min over xxhash64(i, shingle).
-    Pure column expressions — each hash family member is the same xxhash64
-    salted by a literal, evaluated JVM-side over the shingle array."""
+    """MinHash signature as a single column expression: for hash i, min
+    over xxhash64(i, shingle). NOTE: higher-order functions run
+    interpreted with no common-subexpression elimination, so referencing
+    this column multiple times re-evaluates the whole shingle pipeline —
+    for the hot path use the explode→groupBy aggregation form inside
+    :func:`minhash_near_duplicates` (same values, each shingle hashed
+    once). This expression form remains for single-reference use
+    (e.g. attaching a signature column during a write)."""
     return F.array(
         *[
             F.array_min(F.transform(shingles, _salted_hash(i)))
@@ -146,11 +151,36 @@ def minhash_near_duplicates(
     rows = num_hashes // bands
     sh = shingles_col(F.col(text_col), shingle_n)
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-    banded = base.withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes)
-    ).select(
-        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")
+    # Signatures via explode → hash → groupBy(id) min-aggregates rather
+    # than nested array expressions: higher-order functions run
+    # interpreted with NO common-subexpression elimination, so the
+    # expression form re-evaluates the shingle construction per hash
+    # family member (measured 8s for 5k docs; this form: <1s). The
+    # groupBy adds one shuffle, but partial aggregation collapses each
+    # partition to one row per id before the wire — at corpus scale the
+    # shuffle carries n_docs × num_hashes longs, not the shingles.
+    exploded = base.select("id", F.explode("sh").alias("s"))
+    sig_cols = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy("id").agg(*sig_cols)
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                ),
+            )
+            for b in range(bands)
+        ]
     )
+    banded = sig.select("id", F.explode(band_keys).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
@@ -228,3 +258,111 @@ def simhash64(text: Column) -> Column:
     for c in bit_cols[1:]:
         out = out.bitwiseOR(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs n-gram Jaccard (inverted-index join) + decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_all_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted-index self-join on
+    shingles. No blocking key is needed: a pair has Jaccard > 0 iff it
+    shares at least one shingle, so joining the exploded (id, shingle)
+    relation to itself enumerates exactly the nonzero pairs — never the
+    quadratic all-pairs space. Two shuffles (explode-join on shingle,
+    groupBy pair); sizes are broadcast-joined back.
+
+    ``max_doc_freq``: at corpus scale, shingles occurring in more than
+    this many documents are dropped before the self-join (standard
+    posting-list cap — a shingle in f docs creates f² join rows, so stop
+    words/boilerplate shingles dominate cost while contributing almost
+    nothing to high-Jaccard pairs). None = exact (oracle parity).
+
+    Reference parity: soda-core only counts duplicates
+    (duplicate_check.py:58-343); pairwise similarity is the
+    training-pipeline extension.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.where(F.length(F.trim(t)) > 0).select(
+        F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
+    )
+    sizes = base.select("id", F.size("shl").cast("long").alias("n_sh"))
+    ex = base.select("id", F.explode("shl").alias("s"))
+    if max_doc_freq is not None:
+        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+        ex = (
+            ex.join(freq, "s")
+            .where(F.col("df_") <= max_doc_freq)
+            .drop("df_")
+        )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(jac >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    overlap_threshold: float = 0.8,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct n-gram shingles that occur anywhere in the benchmark
+    (eval) corpus; documents at/above ``overlap_threshold`` are flagged
+    for removal so eval data never leaks into training data.
+
+    The benchmark shingle set is small (eval suites are), so it is
+    broadcast and the per-document hit count is a broadcast left-semi
+    join + groupBy — the training corpus is never shuffled on a wide key.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    bench_sh = (
+        benchmark_df.where(F.length(F.trim(t)) > 0)
+        .select(F.explode(shingles_col(t, n)).alias("s"))
+        .distinct()
+    )
+    base = df.where(F.length(F.trim(t)) > 0).select(
+        F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
+    )
+    sizes = base.select("id", F.size("shl").cast("long").alias("n_sh"))
+    hits = (
+        base.select("id", F.explode("shl").alias("s"))
+        .join(F.broadcast(bench_sh), "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    overlap = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_sh")
+    return sizes.join(hits, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.col("n_sh"),
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+        F.round(overlap, 6).alias("overlap"),
+        (overlap >= overlap_threshold).alias("contaminated"),
+    )
