@@ -49,6 +49,15 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Split inputs finer than the default 128m: the generated webtext
+        # files pack ~13 row groups each, and 52 row groups into 32 splits
+        # gives some tasks 2 row groups and some 1 — a 2x task-size skew
+        # whose stragglers dominate a 32-core wave. ~4m splits = 1 row
+        # group per task, 2+ waves per core, even finish (measured 2.5-3x
+        # on the pipeline at sf0.1). Same principle at cluster scale:
+        # keep several task waves per core so one slow split never gates
+        # the stage.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
         # AlwaysPreTouch: fault the heap in at startup, not mid-benchmark
         # (lazy page faults + THP defrag showed up as 2-5x run variance);
@@ -67,16 +76,18 @@ def main() -> int:
     # headline 1: the quality-filter pipeline (keep/drop + scrub + metrics)
     web = spark.read.parquet(web_path)
     pipeline = QualityFilterPipeline()
-    # Warm-up: ONE FULL run. It forks all N python UDF workers (32
-    # simultaneous pandas imports cost ~20s the first time) AND drives
-    # the JVM to steady state — the interpreted higher-order-function
-    # expressions and generated codegen classes take a full pass to get
-    # C2-compiled (measured: first full run 3-10x slower than warm).
-    # A sampled warm-up is not enough. Then best-of-3 timed runs.
+    # Warm-up: TWO FULL runs. They fork all N python UDF workers (32
+    # simultaneous pandas imports cost ~20s the first time) AND drive
+    # the JVM toward steady state — the interpreted higher-order-function
+    # expressions and generated codegen classes take several full passes
+    # to get C2-compiled (measured: first full run 3-10x slower than
+    # warm, and convergence continues for ~5 passes). A sampled warm-up
+    # is not enough. Then best-of-4 timed runs.
+    pipeline.run(web)
     pipeline.run(web)
     best = None
     res = None
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.monotonic()
         res = pipeline.run(web)
         dt = time.monotonic() - t0

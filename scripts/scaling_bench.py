@@ -27,7 +27,15 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # ~4m splits = 1 row group per task (generated files use 4096-row
+         # groups): several even task waves per core; the default 128m
+         # packs row groups unevenly and stragglers gate each wave
+         .config("spark.sql.files.maxPartitionBytes", "4m")
          .config("spark.driver.memory", mem)
+         # pre-touch heap (variance from lazy faults + THP defrag) and use
+         # the throughput collector
+         .config("spark.driver.extraJavaOptions",
+                 "-XX:+AlwaysPreTouch -XX:+UseParallelGC")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 sys.path.insert(0, ".")
@@ -36,9 +44,10 @@ from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
 files = sorted(glob.glob(path + "/part-*.parquet"))
 web = spark.read.parquet(*files[shard::n_shards])
 pipe = QualityFilterPipeline()
-# warm-up touches EVERY partition so all python workers fork + import
-# before timing starts (limit(n) would only start a few)
-pipe.run(web.sample(0.02, seed=1))
+# warm-up: a 20% pass — touches every partition (forks + imports all
+# python workers) and executes enough rows that the JVM reaches JIT
+# steady state before timing (a 2% pass measurably did not)
+pipe.run(web.sample(0.2, seed=1))
 best = None
 n = 0
 for _ in range(runs):

@@ -879,6 +879,29 @@ def q35(spark, sf_dir):
     )
 
 
+@register(
+    "q36_host_cap_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def q36(spark, sf_dir):
+    """Per-host corpus balancing: deterministic cap of 10 docs per source
+    (md5-ordered, engine-portable — the same survivors everywhere)."""
+    from soda_core_spark.operators.dedup import per_group_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return per_group_cap(d, group_col="source", id_col="doc_id", cap=10).select(
+        "doc_id", "source"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality/lineage summary over documents: heuristic keep
     flags + dedup + aggregate metrics in one grouped scan — the engine's

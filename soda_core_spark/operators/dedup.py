@@ -366,3 +366,96 @@ def decontaminate(
         F.round(overlap, 6).alias("overlap"),
         (overlap >= overlap_threshold).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level repeated-line (boilerplate) removal
+# ---------------------------------------------------------------------------
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_freq: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate removal: delete every line whose normalized
+    form (trimmed, lowercased) occurs more than ``max_freq`` times across
+    the WHOLE corpus — navigation bars, cookie banners, and footers repeat
+    across pages; real prose does not. Empty lines are never counted or
+    removed (they are document structure, not content).
+
+    Shape for scale:
+    1. ``posexplode`` lines (position kept for faithful reassembly),
+    2. the over-frequent "hot" line set is a groupBy + HAVING — in real
+       corpora it is tiny relative to the corpus (boilerplate is by
+       definition a small set of distinct strings), so AQE typically
+       broadcasts it for the flagging join,
+    3. reassembly is one shuffle on the document id; ``collect_list``
+       of (pos, line) structs is sorted per doc — grouping carries only
+       the document's own lines, never corpus state.
+
+    Returns (id, text_cleaned, n_lines, n_removed); the input text column
+    is replaced, other columns are not carried (join back on id if
+    needed — cheaper than shuffling wide rows through the groupBy).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(t, "\n", -1)).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.lower(F.col("line"))))
+    hot = (
+        lines.where(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") > max_freq)
+        .select("key")
+        .withColumn("is_hot", F.lit(True))
+    )
+    flagged = lines.join(hot, "key", "left").withColumn(
+        "is_hot", F.coalesce(F.col("is_hot"), F.lit(False))
+    )
+    # collect_list skips NULLs, so hot lines vanish from the rebuilt text
+    kept_struct = F.when(
+        ~F.col("is_hot"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+        ).alias("text_cleaned"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_hot").cast("long")).alias("n_removed"),
+    ).withColumnRenamed("id", id_col)
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """Corpus balancing: keep at most ``cap`` documents per group (host,
+    domain, source), chosen deterministically by md5 of the id — so the
+    SAME documents survive regardless of partitioning, restarts, or
+    engine (md5 is portable; a random() sample is not). The web-scale
+    standard for stopping a handful of giant hosts from dominating a
+    training mix.
+
+    Window row_number shuffles on the group key, so a pathologically hot
+    host makes a hot partition; at 10^12-document scale, pre-filter such
+    groups with an approximate per-group hash threshold (keep rows where
+    md5 < t chosen from a count sketch) before the exact window — the
+    window then ranks only ~cap candidates per group.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

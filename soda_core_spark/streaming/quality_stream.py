@@ -101,6 +101,55 @@ def host_window_metrics(
     )
 
 
+def host_running_totals(annotated: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-host cumulative doc/keep totals and keep-rate maintained across
+    micro-batches — the kind of running corpus accounting the batch
+    engine cannot express (state outlives any one batch).
+
+    Scale/semantics notes:
+    * state per key is three scalars (bounded, no row retention); the
+      state store shuffles by host — skewed hosts cost one hot task per
+      batch, upstream salting does NOT apply here because the state key
+      must be the real host,
+    * the update function is vectorized per Arrow batch (pandas ``sum``
+      over the group's rows — no per-row Python),
+    * emits one updated row per host per batch (update output mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "host string, n_docs bigint, n_kept bigint, keep_rate double"
+    state_schema = "n_docs bigint, n_kept bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n_docs, n_kept = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_kept += int(pdf["keep"].fillna(False).astype(bool).sum())
+        state.update((n_docs, n_kept))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_docs": [n_docs],
+                "n_kept": [n_kept],
+                "keep_rate": [n_kept / n_docs if n_docs else 0.0],
+            }
+        )
+
+    return (
+        annotated.select("host", "keep")
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def start_metrics_stream(
     spark: SparkSession,
     input_path: str,

@@ -136,3 +136,71 @@ def test_multimodal_plumbing(spark):
     vids = media.where("kind = 'video'").count()
     assert frames.count() >= vids  # ≥1 sampled frame per video
     assert frames.select("media_id").distinct().count() == vids
+
+
+def test_remove_repeated_lines(spark):
+    from soda_core_spark.operators.dedup import remove_repeated_lines
+
+    boiler = "Accept cookies to continue"
+    footer = "copyright 2026 example inc"
+    rows = [
+        (1, f"{boiler}\nReal unique prose one\n\n{footer}"),
+        (2, f"{boiler}\nEntirely different content two\n{footer}"),
+        (3, f"  {boiler.upper()}  \nThird page body text\n{footer}"),
+        (4, "standalone document with no boilerplate at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in remove_repeated_lines(df, max_freq=2).collect()
+    }
+
+    # plain-Python oracle: normalized line frequency across the corpus
+    from collections import Counter
+
+    texts = {i: (t or "") for i, t in rows}
+    freq = Counter(
+        k
+        for t in texts.values()
+        for k in (ln.strip().lower() for ln in t.split("\n"))
+        if k
+    )
+    for i, t in texts.items():
+        lines = t.split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if not (ln.strip().lower() and freq[ln.strip().lower()] > 2)
+        ]
+        assert got[i]["text_cleaned"] == "\n".join(kept), i
+        assert got[i]["n_lines"] == len(lines), i
+        assert got[i]["n_removed"] == len(lines) - len(kept), i
+
+    # boilerplate (3 occurrences incl. case/whitespace variants) removed,
+    # footer (3x) removed, prose and empty lines kept
+    assert "Accept cookies" not in got[1]["text_cleaned"]
+    assert got[1]["text_cleaned"] == "Real unique prose one\n"
+    assert got[4]["text_cleaned"] == rows[3][1]
+    assert got[5]["text_cleaned"] == ""
+
+
+def test_per_group_cap(spark):
+    from soda_core_spark.operators.dedup import per_group_cap
+
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    capped = per_group_cap(df, cap=5)
+    counts = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # determinism: same survivors on a different partitioning
+    again = per_group_cap(df.repartition(7), cap=5)
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # small groups pass through whole
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "source"])
+    assert per_group_cap(tiny, cap=5).count() == 2

@@ -83,3 +83,45 @@ def test_foreach_batch_contract_metrics(spark, input_path, tmp_path):
     for _bid, status, n_checks in results:
         assert status == "passed"
         assert n_checks == 10  # 9 rules + row_count
+
+
+def test_host_running_totals_stateful(spark, input_path, tmp_path):
+    from soda_core_spark.streaming.quality_stream import host_running_totals
+
+    pipeline = QualityFilterPipeline(scrub=False, langid=False, perplexity=False)
+    stream = read_web_pages_stream(spark, input_path)
+    totals = host_running_totals(pipeline.annotate(stream))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("host_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # one availableNow pass may emit several micro-batches; the LAST row
+    # per host carries the final running totals
+    got = {
+        r["host"]: r
+        for r in spark.sql(
+            "SELECT * FROM host_totals"
+        ).orderBy("n_docs").collect()
+    }
+    batch = pipeline.annotate(spark.read.parquet(input_path))
+    want = {
+        r["host"]: r
+        for r in batch.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for host, w in want.items():
+        g = got[host]
+        assert g["n_docs"] == w["n_docs"], host
+        assert g["n_kept"] == w["n_kept"], host
+        assert abs(g["keep_rate"] - w["n_kept"] / w["n_docs"]) < 1e-12
