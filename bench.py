@@ -108,6 +108,9 @@ def main() -> int:
         "q16_quality_flags",
         "q17_topk_cosine",
         "q18_minhash_near_dups",
+        "q33_ngram_jaccard_pairs",
+        "q34_decontamination",
+        "q36_host_cap_sample",
     ]
     for name in bench_queries:
         fn, _sql = REGISTRY[name]
