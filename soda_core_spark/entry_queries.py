@@ -747,16 +747,51 @@ def q20(spark, sf_dir):
     )
 
 
-@register("q21_scrub", None)
+def _q21_sql() -> str:
+    # The oracle applies the SAME ordered rule chain with DuckDB's RE2 —
+    # verified byte-identical to Python `re` on these patterns (simple
+    # alternations/quantifiers; no backtracking-order divergence).
+    # Deterministic PII is prepended per row so every rule FIRES in the
+    # compared output (the sf documents contain none naturally — without
+    # the injection the oracle would be vacuous).
+    from soda_core_spark.functions.scrub import ALL_RULES
+
+    inject = (
+        "'mail u' || doc_id::VARCHAR || '@example.com ssn 123-45-6789 "
+        "tel +1 (555) 123-4567 frakking ' || coalesce(text, '')"
+    )
+    scrub_expr = "text2"
+    hit_terms = []
+    for _name, pat, repl in ALL_RULES:
+        p = pat.replace("'", "''")
+        scrub_expr = f"regexp_replace({scrub_expr}, '{p}', '{repl}', 'g')"
+        hit_terms.append(f"len(regexp_extract_all(text2, '{p}'))")
+    hits = " + ".join(hit_terms)
+    return f"""
+    WITH t AS (SELECT doc_id, {inject} AS text2 FROM documents)
+    SELECT doc_id, {scrub_expr} AS text_scrubbed, ({hits})::BIGINT AS pii_hits
+    FROM t
+    """
+
+
+@register("q21_scrub", _q21_sql())
 def q21(spark, sf_dir):
-    """PII/toxicity scrub over documents (Python-re pandas UDF)."""
+    """PII/toxicity scrub (Python-re pandas UDF) with deterministic PII
+    injected per row so the cross-engine oracle exercises every rule on
+    every document — byte-identical output is the north-rule criterion."""
     from soda_core_spark.functions.scrub import pii_count_udf, scrub_udf
 
     d = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.lit("mail u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ssn 123-45-6789 tel +1 (555) 123-4567 frakking "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
     return d.select(
         "doc_id",
-        scrub_udf(F.col("text")).alias("text_scrubbed"),
-        pii_count_udf(F.col("text")).alias("pii_hits"),
+        scrub_udf(text2).alias("text_scrubbed"),
+        pii_count_udf(text2).alias("pii_hits"),
     )
 
 
