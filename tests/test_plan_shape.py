@@ -110,3 +110,46 @@ def test_fused_aggregation_is_one_job(spark):
     assert all(r.outcome.value in ("passed", "failed") for r in res.check_results)
     # 6 checks, ~10 metrics — exactly ONE fused collect
     assert len(calls) == 1, f"expected 1 collect, saw {len(calls)}"
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — the training corpus is
+    never shuffled on the shingle key."""
+    from soda_core_spark.entry_queries import REGISTRY
+
+    plan = _plan(REGISTRY["q34_decontamination"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_minhash_signatures_partial_aggregate(spark):
+    """MinHash signature aggregation must map-side combine (partial_min)
+    so the shuffle carries one row per doc, not one per shingle."""
+    from soda_core_spark.entry_queries import REGISTRY
+
+    plan = _plan(REGISTRY["q18_minhash_near_dups"][0](spark, SF))
+    assert "partial_min" in plan, plan
+
+
+def test_hash_sample_is_pure_filter(spark):
+    """Deterministic md5 sampling is a scan+filter — no shuffle, no agg."""
+    from soda_core_spark.entry_queries import REGISTRY
+
+    plan = _plan(REGISTRY["q35_hash_sample"][0](spark, SF))
+    assert "Exchange" not in plan, plan
+    # "*(n)" prefixes mark WholeStageCodegen spans in the plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_pipeline_signal_stage_codegen(web_df):
+    """The non-UDF row work must run inside whole-stage codegen spans."""
+    plan = _plan(QualityFilterPipeline().annotate(web_df))
+    assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_topk_cosine_broadcasts_queries(spark):
+    """Brute-force ANN broadcasts the (small) query set against the
+    (large) corpus side."""
+    from soda_core_spark.entry_queries import REGISTRY
+
+    plan = _plan(REGISTRY["q17_topk_cosine"][0](spark, SF))
+    assert "Broadcast" in plan, plan
