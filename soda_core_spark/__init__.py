@@ -32,4 +32,7 @@ from soda_core_spark.plans.results import (  # noqa: F401
     ContractVerificationResult,
     Measurement,
 )
-from soda_core_spark.operators.engine import verify_contract  # noqa: F401
+from soda_core_spark.operators.engine import (  # noqa: F401
+    verify_contract,
+    verify_contracts,
+)

@@ -233,3 +233,40 @@ def verify_contract(
         check_results=results,
         measurements=measurements,
     )
+
+
+def verify_contracts(
+    spark: SparkSession,
+    contracts: list[Contract],
+    datasets: Optional[dict[str, DataFrame]] = None,
+    data_timestamp: Optional[datetime] = None,
+    check_selectors: Optional[list[str]] = None,
+) -> "SessionResult":
+    """Session entry point: verify N contracts against shared datasets
+    with per-contract isolation — one contract crashing (missing table,
+    unparseable filter) records an error and the remaining contracts
+    still verify, mirroring the reference's per-file isolation
+    (check_collections/session.py:45-180, per-collection try/except).
+
+    Contracts run sequentially on the driver; each contract's metrics are
+    still one fused Spark job, so the session is N jobs for N contracts —
+    Spark parallelizes within each job, which is where the data is.
+    """
+    from soda_core_spark.plans.results import SessionResult
+
+    results: list[ContractVerificationResult] = []
+    errors: dict[str, str] = {}
+    for contract in contracts:
+        try:
+            results.append(
+                verify_contract(
+                    spark,
+                    contract,
+                    datasets=datasets,
+                    data_timestamp=data_timestamp,
+                    check_selectors=check_selectors,
+                )
+            )
+        except Exception as e:
+            errors[contract.dataset] = f"{type(e).__name__}: {e}"
+    return SessionResult(results=results, errors=errors)

@@ -45,7 +45,11 @@ from soda_core_spark.functions.perplexity import perplexity_udf
 from soda_core_spark.functions.scrub import scrub_udf
 from soda_core_spark.functions.text import with_signals
 from soda_core_spark.operators.compiler import keep_predicate
-from soda_core_spark.operators.filter_rules import DEFAULT_WEBTEXT_RULES, FilterRule
+from soda_core_spark.operators.filter_rules import (
+    DEFAULT_WEBTEXT_RULES,
+    FilterRule,
+    InvalidFilterRuleError,
+)
 
 HOST_RE = "^https?://([^/]+)"
 
@@ -128,7 +132,17 @@ class QualityFilterPipeline:
                     "langid_conf": F.col("_langid.langid_conf"),
                 }
             ).drop("_langid")
-        fail_flags = {f"fail_{r.name}": F.expr(r.condition) for r in self.rules}
+        fail_flags = {}
+        for r in self.rules:
+            try:
+                cond = F.expr(r.condition)
+                out.select(cond)  # eager analysis against the real schema
+            except Exception as e:
+                raise InvalidFilterRuleError(
+                    f"rule '{r.name}': condition {r.condition!r} is invalid "
+                    f"against columns {out.columns}: {e}"
+                ) from None
+            fail_flags[f"fail_{r.name}"] = cond
         out = out.withColumns(fail_flags)
         out = out.withColumn(
             "keep", keep_predicate([F.col(f"fail_{r.name}") for r in self.rules])

@@ -31,6 +31,13 @@ class FilterRule:
     description: str = ""
 
 
+class InvalidFilterRuleError(ValueError):
+    """A rule's condition does not parse or references unknown columns.
+    Raised at plan time with the offending rule named — a bad rule must
+    fail loudly before any document is processed, never silently drop or
+    pass documents (north-rule NOT_EVALUATED discipline)."""
+
+
 #: signals computed by built-in F.* expressions (functions/text.py)
 HEURISTIC_RULES: tuple[FilterRule, ...] = (
     FilterRule("min_chars", "n_chars < 200", "too short (Gopher-style min length)"),

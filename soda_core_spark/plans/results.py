@@ -124,3 +124,34 @@ def check_identity(
     errors in the reference (base.py:1263-1282); the engine enforces the
     same invariant."""
     return consistent_hash(dataset, check_type, column, qualifier, extra)
+
+
+@dataclass
+class SessionResult:
+    """Result of verifying N contracts in one session (reference:
+    ContractVerificationSession, contract_verification_impl.py:181-294 —
+    per-contract isolation, session-level rollup)."""
+
+    results: list["ContractVerificationResult"]
+    errors: dict[str, str]  # dataset → error for contracts that crashed
+
+    @property
+    def status(self) -> str:
+        if self.errors:
+            return "error"
+        if any(r.status == "failed" for r in self.results):
+            return "failed"
+        if any(r.status == "warned" for r in self.results):
+            return "warned"
+        return "passed"
+
+    def is_passed(self) -> bool:
+        return self.status == "passed"
+
+    def summary(self) -> str:
+        lines = [f"session status={self.status}"]
+        for r in self.results:
+            lines.extend("  " + ln for ln in r.summary().splitlines())
+        for ds, err in self.errors.items():
+            lines.append(f"  dataset={ds} ERROR {err}")
+        return "\n".join(lines)

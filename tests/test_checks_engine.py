@@ -460,3 +460,34 @@ def test_single_fused_aggregation(spark, missing_df):
     assert len(keys) == len(set(keys))
     # shared unfiltered rows metric deduped across all 4 checks
     assert sum(1 for k in keys if k == "rows|") == 1
+
+
+def test_session_verifies_multiple_contracts_with_isolation(spark):
+    """N contracts, one broken: the session records its error and the
+    healthy contracts still verify (reference per-file isolation,
+    session.py:45-180)."""
+    from soda_core_spark import verify_contracts
+    from soda_core_spark.plans.model import contract_from_dict
+
+    a = spark.createDataFrame([(1, "x"), (2, None)], ["id", "v"])
+    b = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    contracts = [
+        contract_from_dict(
+            {"dataset": "ds_a",
+             "columns": [{"name": "v", "checks": [{"missing": {"must_be": 1}}]}]}
+        ),
+        contract_from_dict({"dataset": "ds_b", "checks": ["row_count"]}),
+        contract_from_dict({"dataset": "ds_missing", "checks": ["row_count"]}),
+    ]
+    session = verify_contracts(
+        spark, contracts, datasets={"ds_a": a, "ds_b": b}
+    )
+    assert session.status == "error"
+    assert list(session.errors) == ["ds_missing"]
+    assert [r.status for r in session.results] == ["passed", "passed"]
+    assert "ds_missing" in session.summary()
+
+    healthy = verify_contracts(
+        spark, contracts[:2], datasets={"ds_a": a, "ds_b": b}
+    )
+    assert healthy.is_passed()

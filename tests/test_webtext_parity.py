@@ -173,3 +173,25 @@ def test_null_text_is_dropped_like_oracle(spark):
     assert bool(ann.keep) == oracle["keep"] == False  # noqa: E712
     assert ann.n_chars == 0
     assert (ann.text_scrubbed is None) == (oracle["text_scrubbed"] is None)
+
+
+def test_invalid_rule_fails_loudly(spark):
+    """A rule with a typo'd column must raise a named error at plan time —
+    never a silent pass-through of unfiltered documents."""
+    import pytest
+
+    from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+    from soda_core_spark.operators.filter_rules import (
+        FilterRule,
+        InvalidFilterRuleError,
+    )
+
+    df = spark.createDataFrame(
+        [("http://a/1", "hello world")], ["url", "text"]
+    )
+    pipe = QualityFilterPipeline(
+        rules=(FilterRule("oops", "n_wordz < 3", "typo"),),
+        scrub=False, langid=False, perplexity=False,
+    )
+    with pytest.raises(InvalidFilterRuleError, match="oops"):
+        pipe.annotate(df)
