@@ -152,12 +152,21 @@ class QualityFilterPipeline:
 
     # -- metrics -------------------------------------------------------------
 
+    #: quantiles recorded per score column (north rule: the check-metrics
+    #: table carries score DISTRIBUTIONS, not just counts/averages)
+    QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+    def _quantile_expr(self, col: str):
+        qs = F.array(*[F.lit(q) for q in self.QUANTILES])
+        return F.percentile_approx(col, qs, 10_000).alias(f"{col}_q")
+
     def _observation_exprs(self) -> list:
         exprs = [
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
             F.avg("n_chars").alias("avg_chars"),
             F.avg("n_words").alias("avg_words"),
+            self._quantile_expr("n_chars"),
         ]
         for r in self.rules:
             exprs.append(
@@ -165,9 +174,23 @@ class QualityFilterPipeline:
             )
         if self.perplexity:
             exprs.append(F.avg("log_ppl").alias("avg_log_ppl"))
+            exprs.append(self._quantile_expr("log_ppl"))
         if self.langid:
             exprs.append(F.avg("langid_conf").alias("avg_langid_conf"))
+            exprs.append(self._quantile_expr("langid_conf"))
         return exprs
+
+    def _flatten_metrics(self, metrics: dict[str, Any]) -> dict[str, Any]:
+        """Quantile arrays → scalar keys (col_p25, col_p50, ...) so the
+        metrics sink stays a flat (name, value) table."""
+        out: dict[str, Any] = {}
+        for k, v in metrics.items():
+            if k.endswith("_q") and isinstance(v, (list, tuple)):
+                for q, x in zip(self.QUANTILES, v):
+                    out[f"{k[:-2]}_p{int(q * 100)}"] = x
+            else:
+                out[k] = v
+        return out
 
     # -- full run -------------------------------------------------------------
 
@@ -208,7 +231,7 @@ class QualityFilterPipeline:
             # UDFs entirely and fake the numbers)
             observed.write.mode("overwrite").format("noop").save()
 
-        metrics = dict(obs.get)
+        metrics = self._flatten_metrics(dict(obs.get))
         wall = time.monotonic() - t0
 
         lineage = None

@@ -195,3 +195,14 @@ def test_invalid_rule_fails_loudly(spark):
     )
     with pytest.raises(InvalidFilterRuleError, match="oops"):
         pipe.annotate(df)
+
+
+def test_pipeline_metrics_include_score_distributions(web_pages_df):
+    """The metrics record per-score quantiles (north rule: score
+    distributions in the check-metrics table)."""
+    run = QualityFilterPipeline().run(web_pages_df)
+    for col in ("n_chars", "log_ppl", "langid_conf"):
+        for p in (25, 50, 75, 95):
+            assert f"{col}_p{p}" in run.metrics, run.metrics.keys()
+    assert run.metrics["n_chars_p25"] <= run.metrics["n_chars_p95"]
+    assert run.metrics["log_ppl_p25"] <= run.metrics["log_ppl_p95"]
