@@ -36,3 +36,4 @@ from soda_core_spark.operators.engine import (  # noqa: F401
     verify_contract,
     verify_contracts,
 )
+from soda_core_spark.plans.results import SessionResult  # noqa: F401

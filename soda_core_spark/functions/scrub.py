@@ -58,7 +58,15 @@ ALL_RULES: tuple[tuple[str, str, str], ...] = SCRUB_RULES + (
     ("toxicity", _TOX_PATTERN, _TOX_REPLACEMENT),
 )
 
-_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in ALL_RULES]
+# re.ASCII pins \b/\d/\w to ASCII semantics — deliberately: (a) PII
+# shapes (SSNs, phones, cards, IPs) are ASCII by construction, and
+# (b) DuckDB/RE2 (the cross-engine oracle) is ASCII-only for these
+# classes, so without the flag Python finds boundaries RE2 doesn't on
+# any non-ASCII document (e.g. 'é123-45-6789': Unicode \b sees no
+# boundary after 'é'; ASCII \b does) and byte-parity breaks.
+_COMPILED = [
+    (name, re.compile(pat, re.ASCII), repl) for name, pat, repl in ALL_RULES
+]
 
 
 def scrub_text(text: str | None) -> str | None:
@@ -76,7 +84,8 @@ def scrub_text(text: str | None) -> str | None:
 #: optimization: replaced rows get the identical sequential scrub, so
 #: byte-parity with the sequential oracle is preserved by construction.
 _CAN_MATCH = re.compile(
-    r"[0-9@]|(?i:\b(?:" + "|".join(re.escape(w) for w in TOXICITY_LEXICON) + r")\b)"
+    r"[0-9@]|(?i:\b(?:" + "|".join(re.escape(w) for w in TOXICITY_LEXICON) + r")\b)",
+    re.ASCII,
 )
 
 

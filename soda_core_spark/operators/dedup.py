@@ -165,22 +165,13 @@ def minhash_near_duplicates(
         for i in range(num_hashes)
     ]
     sig = exploded.groupBy("id").agg(*sig_cols)
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * rows + r}").cast("string")
-                        for r in range(rows)
-                    ],
-                ),
-            )
-            for b in range(bands)
-        ]
+    # one band-key derivation for both code paths: lsh_band_keys over the
+    # materialized m_i columns (Catalyst simplifies element_at(array(...),
+    # literal) to the single column — no re-evaluation)
+    sig_array = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    banded = sig.select(
+        "id", F.explode(lsh_band_keys(sig_array, bands, rows)).alias("band")
     )
-    banded = sig.select("id", F.explode(band_keys).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
@@ -403,7 +394,13 @@ def remove_repeated_lines(
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(t, "\n", -1)).alias("pos", "line"),
-    ).withColumn("key", F.trim(F.lower(F.col("line"))))
+    ).withColumn(
+        # btrim over the ASCII whitespace set, NOT F.trim (spaces only):
+        # CRLF corpora leave a trailing \r on every split line and the
+        # same banner would never match across LF and CRLF documents
+        "key",
+        F.btrim(F.lower(F.col("line")), F.lit(" \t\r\x0b\x0c")),
+    )
     hot = (
         lines.where(F.col("key") != "")
         .groupBy("key")

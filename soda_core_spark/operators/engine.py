@@ -255,7 +255,7 @@ def verify_contracts(
     from soda_core_spark.plans.results import SessionResult
 
     results: list[ContractVerificationResult] = []
-    errors: dict[str, str] = {}
+    errors: list[tuple[str, str]] = []
     for contract in contracts:
         try:
             results.append(
@@ -268,5 +268,5 @@ def verify_contracts(
                 )
             )
         except Exception as e:
-            errors[contract.dataset] = f"{type(e).__name__}: {e}"
+            errors.append((contract.dataset, f"{type(e).__name__}: {e}"))
     return SessionResult(results=results, errors=errors)

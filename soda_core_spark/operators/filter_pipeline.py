@@ -185,8 +185,14 @@ class QualityFilterPipeline:
         metrics sink stays a flat (name, value) table."""
         out: dict[str, Any] = {}
         for k, v in metrics.items():
-            if k.endswith("_q") and isinstance(v, (list, tuple)):
-                for q, x in zip(self.QUANTILES, v):
+            if k.endswith("_q"):
+                # empty input → percentile_approx yields NULL, not []:
+                # still emit every pXX key (as None) so consumers never
+                # see the internal array key or a missing quantile key
+                vals = v if isinstance(v, (list, tuple)) else [None] * len(
+                    self.QUANTILES
+                )
+                for q, x in zip(self.QUANTILES, vals):
                     out[f"{k[:-2]}_p{int(q * 100)}"] = x
             else:
                 out[k] = v

@@ -132,8 +132,11 @@ class SessionResult:
     ContractVerificationSession, contract_verification_impl.py:181-294 —
     per-contract isolation, session-level rollup)."""
 
+    # (dataset, error) per crashed contract — a list, not a dict keyed by
+    # dataset: two contracts against the same dataset can both crash and
+    # both errors must survive
     results: list["ContractVerificationResult"]
-    errors: dict[str, str]  # dataset → error for contracts that crashed
+    errors: list[tuple[str, str]]
 
     @property
     def status(self) -> str:
@@ -152,6 +155,6 @@ class SessionResult:
         lines = [f"session status={self.status}"]
         for r in self.results:
             lines.extend("  " + ln for ln in r.summary().splitlines())
-        for ds, err in self.errors.items():
+        for ds, err in self.errors:
             lines.append(f"  dataset={ds} ERROR {err}")
         return "\n".join(lines)

@@ -483,7 +483,7 @@ def test_session_verifies_multiple_contracts_with_isolation(spark):
         spark, contracts, datasets={"ds_a": a, "ds_b": b}
     )
     assert session.status == "error"
-    assert list(session.errors) == ["ds_missing"]
+    assert [ds for ds, _err in session.errors] == ["ds_missing"]
     assert [r.status for r in session.results] == ["passed", "passed"]
     assert "ds_missing" in session.summary()
 

@@ -145,7 +145,7 @@ def test_remove_repeated_lines(spark):
     footer = "copyright 2026 example inc"
     rows = [
         (1, f"{boiler}\nReal unique prose one\n\n{footer}"),
-        (2, f"{boiler}\nEntirely different content two\n{footer}"),
+        (2, f"{boiler}\r\nEntirely different content two\r\n{footer}"),  # CRLF
         (3, f"  {boiler.upper()}  \nThird page body text\n{footer}"),
         (4, "standalone document with no boilerplate at all"),
         (5, None),
@@ -159,20 +159,20 @@ def test_remove_repeated_lines(spark):
     # plain-Python oracle: normalized line frequency across the corpus
     from collections import Counter
 
+    # key = lowercased line trimmed of ASCII whitespace (incl. the \r a
+    # CRLF document leaves after splitting on \n) — same set as the impl
+    ws = " \t\r\x0b\x0c"
+
+    def key(ln):
+        return ln.lower().strip(ws)
+
     texts = {i: (t or "") for i, t in rows}
     freq = Counter(
-        k
-        for t in texts.values()
-        for k in (ln.strip().lower() for ln in t.split("\n"))
-        if k
+        k for t in texts.values() for k in (key(ln) for ln in t.split("\n")) if k
     )
     for i, t in texts.items():
         lines = t.split("\n")
-        kept = [
-            ln
-            for ln in lines
-            if not (ln.strip().lower() and freq[ln.strip().lower()] > 2)
-        ]
+        kept = [ln for ln in lines if not (key(ln) and freq[key(ln)] > 2)]
         assert got[i]["text_cleaned"] == "\n".join(kept), i
         assert got[i]["n_lines"] == len(lines), i
         assert got[i]["n_removed"] == len(lines) - len(kept), i

@@ -206,3 +206,38 @@ def test_pipeline_metrics_include_score_distributions(web_pages_df):
             assert f"{col}_p{p}" in run.metrics, run.metrics.keys()
     assert run.metrics["n_chars_p25"] <= run.metrics["n_chars_p95"]
     assert run.metrics["log_ppl_p25"] <= run.metrics["log_ppl_p95"]
+
+
+def test_scrub_python_re_matches_duckdb_re2_on_unicode():
+    """The scrub chain is compiled with re.ASCII so Python and DuckDB/RE2
+    agree byte-for-byte even on non-ASCII text (Unicode \\b/\\d in Python
+    would find boundaries RE2 doesn't — 'é123-45-6789' must scrub the
+    same way in both engines)."""
+    import duckdb
+
+    from soda_core_spark.functions.scrub import ALL_RULES, _COMPILED, scrub_text
+
+    samples = [
+        "é123-45-6789 and ٣٤٥-٤٥-٦٧٨٩ digits",
+        "naïve user: café@exämple.com vs cafe@example.com",
+        "überfrakking frakking Gorram's smegging",
+        "中文123-45-6789中文 +1 (555) 123-4567é",
+        "ASCII baseline 999-99-9999 me@ex.co 10.0.0.1 4111 1111 1111 1111",
+        "",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(samples)))
+    expr = "text"
+    hit_terms = []
+    for _name, pat, repl in ALL_RULES:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+        hit_terms.append(f"len(regexp_extract_all(text, '{p}'))")
+    rows = con.execute(
+        f"SELECT i, {expr}, {'+'.join(hit_terms)} FROM t ORDER BY i"
+    ).fetchall()
+    for i, duck_text, duck_hits in rows:
+        assert scrub_text(samples[i]) == duck_text, samples[i]
+        py_hits = sum(len(rx.findall(samples[i])) for _, rx, _ in _COMPILED)
+        assert py_hits == duck_hits, samples[i]
