@@ -70,6 +70,18 @@ def duplicate_classes(
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before per-row-heavy
+    shingle construction: a small input (one parquet file) otherwise
+    serializes the whole pre-shuffle stage on one task. Round-robin, no
+    key — cheap relative to the HOF work it parallelizes; skipped when the
+    input is already wide (the 100 TB case)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram array (default 3-shingles), lowercased."""
     words = F.filter(
@@ -150,7 +162,7 @@ def minhash_near_duplicates(
     it (spark.sql.adaptive.skewJoin)."""
     rows = num_hashes // bands
     sh = shingles_col(F.col(text_col), shingle_n)
-    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    base = _spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
     # Signatures via explode → hash → groupBy(id) min-aggregates rather
     # than nested array expressions: higher-order functions run
     # interpreted with NO common-subexpression elimination, so the
@@ -282,7 +294,7 @@ def ngram_jaccard_all_pairs(
     training-pipeline extension.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.where(F.length(F.trim(t)) > 0).select(
+    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
         F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
     )
     sizes = base.select("id", F.size("shl").cast("long").alias("n_sh"))
@@ -339,7 +351,7 @@ def decontaminate(
         .select(F.explode(shingles_col(t, n)).alias("s"))
         .distinct()
     )
-    base = df.where(F.length(F.trim(t)) > 0).select(
+    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
         F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
     )
     sizes = base.select("id", F.size("shl").cast("long").alias("n_sh"))
