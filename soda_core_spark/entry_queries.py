@@ -937,6 +937,19 @@ def q36(spark, sf_dir):
     )
 
 
+@register("q37_ivf_topk", None)
+def q37(spark, sf_dir):
+    """IVF-flat ANN: deterministic spherical k-means coarse quantizer +
+    nprobe-cell search with exact cosine re-rank (the scale path beside
+    q17's brute force; quantizer training is driver-side → rows-only)."""
+    from soda_core_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    cents = kmeans_centroids(emb, n_centroids=16, n_iters=2)
+    return ivf_topk(emb, queries, cents, k=5, nprobe=4)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality/lineage summary over documents: heuristic keep
     flags + dedup + aggregate metrics in one grouped scan — the engine's

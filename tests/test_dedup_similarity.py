@@ -204,3 +204,34 @@ def test_per_group_cap(spark):
     # small groups pass through whole
     tiny = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "source"])
     assert per_group_cap(tiny, cap=5).count() == 2
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from soda_core_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = kmeans_centroids(emb, n_centroids=8, n_iters=2)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # probing every cell makes it exact
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=8).collect()
+    }
+    assert full == exact
+    # determinism: same centroids twice
+    assert cents == kmeans_centroids(emb, n_centroids=8, n_iters=2)
