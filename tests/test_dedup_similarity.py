@@ -235,3 +235,79 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert full == exact
     # determinism: same centroids twice
     assert cents == kmeans_centroids(emb, n_centroids=8, n_iters=2)
+
+
+def _py_shingles(text, n=3):
+    words = [w for w in (text or "").lower().split() if w]
+    if len(words) >= n:
+        return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    return {" ".join(words)}
+
+
+def test_jaccard_all_pairs_matches_python_oracle_random(spark):
+    """Randomized corpus (seeded): every (pair, jaccard) from the
+    inverted-index operator equals the brute-force Python computation."""
+    import itertools
+    import random
+
+    from soda_core_spark.operators.dedup import ngram_jaccard_all_pairs
+
+    rng = random.Random(123)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n_words = rng.randint(0, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_words))))
+    docs.append((97, None))
+    docs.append((98, "   "))
+    docs.append((99, "one two"))  # <3 words → whole-text shingle
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["jaccard"])
+        for r in ngram_jaccard_all_pairs(df, threshold=0.05).collect()
+    }
+
+    shingled = {
+        i: _py_shingles(t)
+        for i, t in docs
+        if t is not None and t.strip()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(shingled), 2):
+        inter = len(shingled[a] & shingled[b])
+        if inter == 0:
+            continue
+        jac = inter / len(shingled[a] | shingled[b])
+        if jac >= 0.05:
+            want[(a, b)] = (inter, round(jac, 6))
+    assert got == want
+
+
+def test_decontaminate_matches_python_oracle_random(spark):
+    import random
+
+    from soda_core_spark.operators.dedup import decontaminate
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(20)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    bench_rows = [(100 + i, mk(rng.randint(3, 15))) for i in range(5)]
+    train_rows = [(i, mk(rng.randint(0, 20))) for i in range(30)]
+
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_sh"], r["n_overlap"], r["overlap"], r["contaminated"])
+        for r in decontaminate(train, bench, overlap_threshold=0.5).collect()
+    }
+
+    bench_sh = set().union(*(_py_shingles(t) for _, t in bench_rows))
+    want = {}
+    for i, t in train_rows:
+        if not t.strip():
+            continue
+        sh = _py_shingles(t)
+        ov = len(sh & bench_sh)
+        want[i] = (len(sh), ov, round(ov / len(sh), 6), ov / len(sh) >= 0.5)
+    assert got == want
