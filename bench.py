@@ -87,7 +87,7 @@ def main() -> int:
     pipeline.run(web)
     best = None
     res = None
-    for _ in range(4):
+    for _ in range(5):
         t0 = time.monotonic()
         res = pipeline.run(web)
         dt = time.monotonic() - t0
