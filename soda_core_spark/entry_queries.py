@@ -456,27 +456,58 @@ def q29(spark, sf_dir):
     )
 
 
-@register("q30_approx_distinct", None)
+@register(
+    "q30_approx_distinct",
+    """
+    SELECT count(DISTINCT l_orderkey) AS exact_orders,
+           true AS approx_within_tol
+    FROM lineitem
+    """,
+)
 def q30(spark, sf_dir):
     """approx_count_distinct — the scalable variant of the duplicate
     check's exact COUNT DISTINCT (SURVEY §2.2: not in the reference,
-    needed at 10^12 rows). HLL sketches are engine-specific → rows-only."""
+    needed at 10^12 rows). The HLL sketch value is engine-specific, so the
+    oracled contract is the deterministic part: the exact count plus the
+    sketch's accuracy guarantee (|approx−exact|/exact ≤ 5σ at rsd=0.01 —
+    Spark computes it genuinely; the oracle asserts it holds)."""
     li = _t(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_orderkey", rsd=0.01)
+    exact = F.countDistinct("l_orderkey")
     return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+        exact.alias("exact_orders"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= 0.05
+        ).alias("approx_within_tol"),
     )
 
 
-@register("q28_sampling", None)
+def _q28_sql() -> str:
+    from soda_core_spark.operators.sampling import hash_sample_sql_predicate
+
+    pred = hash_sample_sql_predicate("o_orderkey::VARCHAR", 2)
+    return f"""
+    SELECT count(*) AS sampled_rows,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders WHERE {pred}
+    """
+
+
+@register("q28_sampling", _q28_sql())
 def q28(spark, sf_dir):
-    """Sampling (reference FROM.SAMPLE sql_ast.py:113-124): seeded
-    df.sample — deterministic within Spark but engine-specific RNG, so
-    rows-only check."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).agg(
+    """Sampling (reference FROM.SAMPLE sql_ast.py:113-124), done the
+    engine-portable way: a deterministic md5-bucket filter at rate 2/16
+    (soda_core_spark.operators.sampling.hash_sample). ``df.sample`` stays
+    in the library for Spark-only use; the registry entry is the portable
+    primitive so the cross-engine oracle is exact, not statistical."""
+    from soda_core_spark.operators.sampling import hash_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return hash_sample(o, F.col("o_orderkey").cast("string"), 2).agg(
         F.count(F.lit(1)).alias("sampled_rows"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
     )
 
 
@@ -731,10 +762,61 @@ def q19(spark, sf_dir):
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
-@register("q20_langid_scores", None)
+def _q20_sql() -> str:
+    # The langid "model" is per-language function-word sets; score(lang) =
+    # |tokens ∩ set| / |tokens|, pred = argmax (first language in sorted
+    # order on ties — pandas idxmax semantics), conf = max, 'und' when no
+    # token hits any set. All exact integer counts and one IEEE double
+    # division per language, so the DuckDB twin is value-identical.
+    from soda_core_spark.functions.langid import LANGS, LANG_WORDS
+
+    toks = (
+        "list_filter(regexp_split_to_array(lower(coalesce(text, '')),"
+        " '\\s+'), x -> x <> '')"
+    )
+    counts = ",\n           ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ",".join(f"'{w}'" for w in sorted(LANG_WORDS[lang]))
+        + f"], x)))::BIGINT AS c_{lang}"
+        for lang in LANGS
+    )
+    fracs = ",\n           ".join(
+        f"CASE WHEN n > 0 THEN c_{lang}::DOUBLE / n ELSE 0.0 END AS f_{lang}"
+        for lang in LANGS
+    )
+    conf = "greatest(" + ", ".join(f"f_{lang}" for lang in LANGS) + ")"
+    pred = "CASE WHEN conf <= 0.0 THEN 'und' " + " ".join(
+        f"WHEN f_{lang} = conf THEN '{lang}'" for lang in LANGS
+    ) + " END"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang, {toks} AS toks FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, lang, len(toks)::BIGINT AS n,
+           {counts}
+      FROM w
+    ),
+    fr AS (
+      SELECT doc_id, lang, n,
+           {fracs}
+      FROM sc
+    ),
+    agg AS (SELECT doc_id, lang, {conf} AS conf, * EXCLUDE (doc_id, lang, n) FROM fr)
+    SELECT doc_id,
+           {pred} AS langid_pred,
+           round(conf, 6) AS langid_conf,
+           ({pred} = lang) AS agrees
+    FROM agg
+    """
+
+
+@register("q20_langid_scores", _q20_sql())
 def q20(spark, sf_dir):
     """Vectorized language-ID pandas UDF over documents + agreement with
-    the declared lang column (model scoring → rows-only)."""
+    the declared lang column. The model (function-word sets) is shared as
+    data with the DuckDB oracle, which re-derives scores/argmax in SQL —
+    exact integer counts, so the cross-engine compare is exact."""
     from soda_core_spark.functions.langid import langid_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -795,9 +877,62 @@ def q21(spark, sf_dir):
     )
 
 
-@register("q22_perplexity", None)
+def _q22_sql() -> str:
+    # The perplexity model is a char-trigram LM with add-k smoothing
+    # trained on a frozen seed corpus. The oracle RE-TRAINS the same model
+    # in SQL from the same (shared-as-data) normalized seed string:
+    # lp(t3) = ln((tri_count + k) / (bi_count + k·V)), score = −mean(lp)
+    # over a document's trigrams, 20.0 sentinel for <3-char docs. Counts
+    # are exact integers; ln/avg agree with np.log/np.mean to ~1e-14 ≪
+    # the round(6) grain.
+    from soda_core_spark.functions.perplexity import (
+        _ALPHABET,
+        _K,
+        _normalize,
+        _SEED_CORPUS,
+    )
+
+    seed_body = " ".join(_normalize(_SEED_CORPUS).split())
+    assert "'" not in seed_body
+    kv = _K * len(_ALPHABET)
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),"
+        " '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    return f"""
+    WITH seed(body) AS (SELECT '{seed_body}'),
+    st AS (
+      SELECT unnest(list_transform(range(1, length(body) - 1),
+                                   i -> substr(body, i, 3))) AS t
+      FROM seed
+    ),
+    tri AS (SELECT t, count(*)::DOUBLE AS c FROM st GROUP BY t),
+    bi AS (SELECT substr(t, 1, 2) AS b, count(*)::DOUBLE AS c
+           FROM st GROUP BY substr(t, 1, 2)),
+    norm AS (SELECT doc_id, {norm} AS body FROM documents),
+    dt AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(body) - 1),
+                                           i -> substr(body, i, 3))) AS t
+      FROM norm WHERE length(body) >= 3
+    ),
+    scored AS (
+      SELECT dt.doc_id,
+             ln((coalesce(tri.c, 0) + {_K}) / (coalesce(bi.c, 0) + {kv})) AS lp
+      FROM dt
+      LEFT JOIN tri ON dt.t = tri.t
+      LEFT JOIN bi ON substr(dt.t, 1, 2) = bi.b
+    )
+    SELECT doc_id, round(-avg(lp), 6) AS log_ppl FROM scored GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 20.0 AS log_ppl FROM norm WHERE length(body) < 3
+    """
+
+
+@register("q22_perplexity", _q22_sql())
 def q22(spark, sf_dir):
-    """Char-trigram perplexity scoring (vectorized pandas UDF)."""
+    """Char-trigram perplexity scoring (vectorized pandas UDF); the DuckDB
+    oracle re-trains the identical model from the shared seed corpus and
+    re-scores every document in SQL."""
     from soda_core_spark.functions.perplexity import perplexity_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -905,11 +1040,13 @@ def q35(spark, sf_dir):
     engines, restarts, and repartitioning — the right primitive for
     resumable corpus subsampling at scale (pure filter: pushes past the
     scan with no shuffle)."""
+    from soda_core_spark.operators.sampling import hash_sample
+
     li = _t(spark, sf_dir, "lineitem")
     key = F.concat_ws(
         "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
     )
-    return li.where(F.substring(F.md5(key), 1, 1).isin("0", "1")).select(
+    return hash_sample(li, key, 2).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
@@ -937,17 +1074,41 @@ def q36(spark, sf_dir):
     )
 
 
-@register("q37_ivf_topk", None)
+@register(
+    "q37_ivf_topk",
+    """
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos_sim,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                      c.vec_id
+           ) AS rank
+    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q
+    WHERE c.vec_id <> q.vec_id
+    QUALIFY rank <= 5
+    """,
+)
 def q37(spark, sf_dir):
     """IVF-flat ANN: deterministic spherical k-means coarse quantizer +
     nprobe-cell search with exact cosine re-rank (the scale path beside
-    q17's brute force; quantizer training is driver-side → rows-only)."""
+    q17's brute force). Registered at nprobe = n_centroids (full probe),
+    where IVF is provably exact — so the whole machinery (quantizer
+    training, cell assignment, probe-cell join, re-rank) runs under a real
+    brute-force oracle; the recall/pruning behaviour at nprobe < K is
+    covered by tests/test_dedup_similarity.py."""
     from soda_core_spark.operators.similarity import ivf_topk, kmeans_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     cents = kmeans_centroids(emb, n_centroids=16, n_iters=2)
-    return ivf_topk(emb, queries, cents, k=5, nprobe=4)
+    res = ivf_topk(emb, queries, cents, k=5, nprobe=16)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
