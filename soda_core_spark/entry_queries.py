@@ -745,21 +745,143 @@ def q32(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("q18_minhash_near_dups", None)
+# DuckDB twin of operators.dedup.shingles_col(text, 3): lowercased
+# whitespace-split words; >=3 words -> distinct word trigrams, else the
+# whole (joined) word list as a single shingle. Empty docs are excluded
+# upstream in both engines.
+_SHINGLES_CTE = """
+    base AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[ \\t\\n\\r]+'),
+                         x -> x <> '') AS w
+      FROM documents
+      WHERE length(trim(coalesce(text, ''))) > 0
+    ),
+    sh AS (
+      SELECT id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE [array_to_string(w, ' ')] END AS shl
+      FROM base
+    )
+"""
+
+
+# DuckDB twin of operators.dedup.portable_token_hash: first 15 hex digits
+# of md5 parsed base-16 into a 60-bit BIGINT.
+_P_HASH_SQL = (
+    "list_reduce(list_transform(range(1, 16),"
+    " i -> (strpos('0123456789abcdef', substr(md5({v}), i, 1)) - 1)::BIGINT),"
+    " (a, b) -> a * 16 + b)"
+)
+
+# Full SimHash pipeline in SQL over the portable token hash: explode
+# tokens, majority-vote each of the 60 bits, reassemble; token-less docs
+# get 0 via the left join.
+_SIMHASH_CTE = f"""
+    w AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                      '[ \\t\\n\\r]+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_P_HASH_SQL.format(v='w')} AS h FROM w),
+    v AS (
+      SELECT doc_id, bb.b AS b,
+             sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ),
+    s AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+      FROM v GROUP BY doc_id
+    ),
+    sims AS (
+      SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    )
+"""
+
+
+@register(
+    "q18_minhash_near_dups",
+    f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT id, unnest(shl) AS s FROM sh),
+    sig AS (
+      SELECT id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+      FROM ex CROSS JOIN (SELECT unnest(range(16)) AS i) r
+      GROUP BY id, i
+    ),
+    band AS (
+      SELECT id, md5((i // 4)::VARCHAR || ',' || string_agg(m, ',' ORDER BY i)) AS bk
+      FROM sig GROUP BY id, (i // 4)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM band a JOIN band b ON a.bk = b.bk AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(sa.shl, sb.shl))::DOUBLE
+             / len(list_distinct(sa.shl || sb.shl)) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.id = c.id_a
+    JOIN sh sb ON sb.id = c.id_b
+    WHERE len(list_intersect(sa.shl, sb.shl))::DOUBLE
+            / len(list_distinct(sa.shl || sb.shl)) >= 0.5
+    """,
+)
 def q18(spark, sf_dir):
-    """MinHash+LSH near-dup pairs over documents (xxhash64 signatures have
-    no DuckDB twin → rows-only check)."""
+    """MinHash+LSH near-dup pairs over documents, portable-hash mode: md5
+    signatures and band keys are reproduced verbatim by the DuckDB oracle
+    (signature → banding → candidate join → exact-Jaccard verify). The
+    xxhash64 hot path stays the library default (dedup.py)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        d, num_hashes=16, bands=4, jaccard_threshold=0.5
+        d, num_hashes=16, bands=4, jaccard_threshold=0.5, portable_hash=True
     )
 
 
-@register("q19_simhash", None)
+@register(
+    "q19_simhash",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sims",
+)
 def q19(spark, sf_dir):
-    """SimHash fingerprints (built-in bit arithmetic; no DuckDB xxhash64)."""
+    """SimHash fingerprints (60-bit portable token hash): the DuckDB
+    oracle re-runs the explode → per-bit majority vote → reassemble
+    pipeline bit-for-bit. xxhash64/64-bit stays the library default."""
+    from soda_core_spark.operators.dedup import simhash_df
+
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return simhash_df(d, bits=60, portable_hash=True)
+
+
+@register(
+    "q38_simhash_near_dups",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q38(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming ≤ 3, found via pigeonhole
+    block equi-joins (exact within the ball — dedup.py). The oracle is a
+    genuinely independent algorithm: brute-force all-pairs bit_count over
+    the same portable fingerprints, so it verifies both the fingerprint
+    AND the completeness of the block-join candidate generation."""
+    from soda_core_spark.operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        d, max_hamming=3, bits=60, portable_hash=True
+    )
 
 
 def _q20_sql() -> str:
@@ -941,28 +1063,6 @@ def q22(spark, sf_dir):
     )
 
 
-# DuckDB twin of operators.dedup.shingles_col(text, 3): lowercased
-# whitespace-split words; >=3 words -> distinct word trigrams, else the
-# whole (joined) word list as a single shingle. Empty docs are excluded
-# upstream in both engines.
-_SHINGLES_CTE = """
-    base AS (
-      SELECT doc_id AS id,
-             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
-                                               '[ \\t\\n\\r]+'),
-                         x -> x <> '') AS w
-      FROM documents
-      WHERE length(trim(coalesce(text, ''))) > 0
-    ),
-    sh AS (
-      SELECT id,
-             CASE WHEN len(w) >= 3 THEN
-               list_distinct(list_transform(generate_series(1, len(w) - 2),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-             ELSE [array_to_string(w, ' ')] END AS shl
-      FROM base
-    )
-"""
 
 
 @register(

@@ -8,10 +8,15 @@ around Spark's shuffle model:
 * MinHash+LSH: signatures are pure column expressions (xxhash64 over
   shingles — JVM-side, no UDF); banding turns near-dup search into an
   equi-join on band keys (shuffle on small keys, never all-pairs),
-* SimHash: 64-bit fingerprint via bitwise majority over token hashes,
-  computed with higher-order functions; near-dups bucket by rotated
-  prefixes,
+* SimHash: fingerprint via bitwise majority over token hashes; near-dup
+  search via pigeonhole block equi-joins (exact within a Hamming ball —
+  :func:`simhash_near_duplicates`),
 * verification: exact Jaccard over shingle sets for candidate pairs only.
+
+Hash portability: the hot path hashes with ``xxhash64`` (JVM-intrinsic);
+``portable_hash=True`` / :func:`portable_token_hash` switch to an
+md5-derived 60-bit hash that any engine with md5 can reproduce — used by
+the registry queries so the DuckDB oracle is byte-exact.
 
 soda-core's duplicate machinery is count-only (duplicate_check.py:58-343);
 these operators materialize the dedup decision per row, which is the
@@ -137,6 +142,17 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def portable_token_hash(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex digits of md5, parsed
+    base-16. Reproducible in any engine with md5 (DuckDB twin:
+    ``list_reduce`` over hex digits); ~3× the cost of xxhash64, so the hot
+    path keeps xxhash64 and this backs oracle-parity runs."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+PORTABLE_HASH_BITS = 60
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -145,6 +161,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with exact shingle-Jaccard
     verification.
@@ -159,10 +176,20 @@ def minhash_near_duplicates(
        once per side;
     4. exact Jaccard verifies candidates only.
     A giant duplicate cluster makes a hot band key; AQE skew-join splits
-    it (spark.sql.adaptive.skewJoin)."""
+    it (spark.sql.adaptive.skewJoin).
+
+    ``portable_hash=True`` swaps xxhash64 for lexicographic mins over md5
+    strings (signature m_i = min over shingles of md5("i|shingle"); band
+    key = md5("b,m..")) — identical results in any engine with md5, so
+    the whole LSH pipeline is DuckDB-oracle-checkable. Empty/whitespace
+    documents are excluded in both modes (they have no shingles; pairing
+    them is meaningless)."""
     rows = num_hashes // bands
-    sh = shingles_col(F.col(text_col), shingle_n)
-    base = _spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sh = shingles_col(t, shingle_n)
+    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
+        F.col(id_col).alias("id"), sh.alias("sh")
+    )
     # Signatures via explode → hash → groupBy(id) min-aggregates rather
     # than nested array expressions: higher-order functions run
     # interpreted with NO common-subexpression elimination, so the
@@ -172,18 +199,36 @@ def minhash_near_duplicates(
     # partition to one row per id before the wire — at corpus scale the
     # shuffle carries n_docs × num_hashes longs, not the shingles.
     exploded = base.select("id", F.explode("sh").alias("s"))
-    sig_cols = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
+    if portable_hash:
+        sig_cols = [
+            F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s")))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+        band_keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[F.col(f"m{b * rows + r}") for r in range(rows)],
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        sig_cols = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+        # one band-key derivation for both code paths: lsh_band_keys over
+        # the materialized m_i columns (Catalyst simplifies
+        # element_at(array(...), literal) to the single column — no
+        # re-evaluation)
+        sig_array = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+        band_keys = lsh_band_keys(sig_array, bands, rows)
     sig = exploded.groupBy("id").agg(*sig_cols)
-    # one band-key derivation for both code paths: lsh_band_keys over the
-    # materialized m_i columns (Catalyst simplifies element_at(array(...),
-    # literal) to the single column — no re-evaluation)
-    sig_array = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
-    banded = sig.select(
-        "id", F.explode(lsh_band_keys(sig_array, bands, rows)).alias("band")
-    )
+    banded = sig.select("id", F.explode(band_keys).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
@@ -235,11 +280,131 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """SimHash fingerprints as (id_col, simhash): per bit, majority vote
+    of token-hash bits (+1/−1), sign → bit. Duplicate tokens vote once per
+    occurrence (standard frequency weighting).
+
+    This is the scale form: explode tokens → hash each token ONCE → one
+    groupBy with ``bits`` conditional sums (full map-side partial
+    aggregation, so the shuffle carries one row of ``bits`` ints per doc).
+    The expression form (:func:`simhash64`) re-evaluates the token
+    pipeline per bit (higher-order functions have no common-subexpression
+    elimination) — keep it for single-column attach only.
+
+    ``portable_hash=True`` uses the md5-derived 60-bit token hash so the
+    fingerprint is reproducible in DuckDB (``bits`` is capped at
+    PORTABLE_HASH_BITS). Token-less documents get simhash 0 (all votes
+    zero), same as :func:`simhash64`."""
+    if portable_hash:
+        bits = min(bits, PORTABLE_HASH_BITS)
+        th = portable_token_hash
+    else:
+        th = F.xxhash64
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(t), "[ \\t\\n\\r]+"), lambda w: w != "")
+    ex = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+        .select("id", th(F.col("w")).alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sims = agg.select("id", sim.alias("simhash"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(sims, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """All pairs within a Hamming ball of the SimHash fingerprint —
+    EXACT within the ball, via the pigeonhole block trick: split the
+    fingerprint into ``max_hamming + 1`` contiguous blocks; any pair at
+    distance ≤ max_hamming differs in at most max_hamming blocks, so it
+    matches exactly on at least one block. Candidates come from
+    ``max_hamming + 1`` equi-joins on (block index, block value) — one
+    exploded self-join, never all-pairs — then ``bit_count(a XOR b)``
+    verifies the distance. Returns (id_a, id_b, hamming).
+
+    Giant clusters of identical pages make a hot block key; AQE skew-join
+    splits it. Fingerprints ride through the join (8 bytes) so no
+    re-join against the corpus is needed for verification."""
+    if portable_hash:
+        bits = min(bits, PORTABLE_HASH_BITS)
+    sims = simhash_df(df, id_col, text_col, bits, portable_hash)
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    blocks = []
+    for b in range(nblocks):
+        start = b * width
+        w = bits - start if b == nblocks - 1 else width
+        val = F.shiftright(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << w) - 1).cast("long")
+        )
+        blocks.append(F.struct(F.lit(b).alias("b"), val.alias("v")))
+    banded = sims.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(F.array(*blocks)).alias("blk"),
+    ).select("id", "simhash", F.col("blk.b").alias("b"), F.col("blk.v").alias("v"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over word tokens, entirely with built-in functions:
     per bit, majority vote of token-hash bits (+1/−1), sign → bit. The
     per-bit fold is ``aggregate`` over the token-hash array — interpreted
-    but JVM-side; for the hot path prefer minhash (cheaper per row)."""
+    but JVM-side AND re-evaluated per bit (no CSE in higher-order
+    functions); for anything beyond attaching one column, use
+    :func:`simhash_df` (explode→groupBy — each token hashed once)."""
     words = F.filter(F.split(F.lower(text), "[ \\t\\n\\r]+"), lambda w: w != "")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
 
