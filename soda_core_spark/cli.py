@@ -1,22 +1,37 @@
-"""spark-submit entrypoint for the quality-filter pipeline.
+"""Command-line interface.
 
-    spark-submit --py-files soda_core_spark.zip -m ... \
-        cli.py --input /path/webpages --output /path/out \
-               --lineage /path/lineage --state /path/state --buckets 64
+Two surfaces:
 
-or locally:
+* ``python -m soda_core_spark.cli contract verify -c contract.yml
+  [-ds dataset=path.parquet ...]`` — contract verification, mirroring the
+  reference's primary entry point (soda-core cli/cli.py:120-307, handler
+  cli/handlers/contract.py) with the same exit-code contract
+  (cli/exit_codes.py): 0 all passed, 1 check failures, 2 warnings only,
+  3 execution/parse errors.
+* the original flat form (``--input ... --output ...``) — the
+  spark-submit quality-filter pipeline entry point:
 
-    python -m soda_core_spark.cli --input ... --output ...
-
-Mirrors the reference's CLI verify flow (soda-core cli/cli.py:120-307) in
-spirit: parse args → build session → run → exit code from result status.
+      spark-submit --py-files soda_core_spark.zip cli.py \\
+          --input /path/webpages --output /path/out \\
+          --lineage /path/lineage --state /path/state --buckets 64
 """
 
 from __future__ import annotations
 
 import argparse
+import enum
 import json
 import sys
+
+
+class ExitCode(enum.IntEnum):
+    """Reference cli/exit_codes.py (Cloud-specific code 4 has no Spark
+    analogue — there is no Soda Cloud here)."""
+
+    OK = 0
+    CHECK_FAILURES = 1
+    CHECK_WARNINGS = 2
+    LOG_ERRORS = 3
 
 
 def build_session(app_name: str = "soda_core_spark", cpus: str | None = None):
@@ -40,7 +55,141 @@ def build_session(app_name: str = "soda_core_spark", cpus: str | None = None):
     return spark
 
 
-def main(argv: list[str] | None = None) -> int:
+# ---------------------------------------------------------------------------
+# contract verify
+# ---------------------------------------------------------------------------
+
+
+def _parse_variables(pairs: list[str] | None) -> dict[str, str] | None:
+    """--set KEY=VALUE list → dict; None on malformed input (reference
+    cli.py:306-320 prints the error and exits LOG_ERRORS)."""
+    out: dict[str, str] = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            print(
+                f"Variable {pair} is incorrectly formatted. "
+                "Please use the format KEY=VALUE",
+                file=sys.stderr,
+            )
+            return None
+        k, v = pair.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
+def contract_verify_main(args: argparse.Namespace) -> int:
+    from soda_core_spark.operators.engine import verify_contracts
+    from soda_core_spark.plans.model import ContractParseError, contract_from_yaml_file
+    from soda_core_spark.plans.results import CheckOutcome
+    from soda_core_spark.plans.selectors import CheckSelector, CheckSelectorParseError
+
+    if not args.contract:
+        print("at least one -c/--contract file is required", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+
+    variables = _parse_variables(args.set)
+    if variables is None:
+        return ExitCode.LOG_ERRORS
+
+    try:
+        selectors = CheckSelector.parse_all(args.check_filter)
+    except CheckSelectorParseError as e:
+        print(str(e), file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+
+    data_timestamp = None
+    if args.data_timestamp:
+        from datetime import datetime
+
+        try:
+            data_timestamp = datetime.fromisoformat(args.data_timestamp)
+        except ValueError as e:
+            print(f"invalid --data-timestamp: {e}", file=sys.stderr)
+            return ExitCode.LOG_ERRORS
+
+    try:
+        contracts = [
+            contract_from_yaml_file(p, variables=variables, data_timestamp=data_timestamp)
+            for p in args.contract
+        ]
+    except (OSError, ContractParseError) as e:
+        print(f"cannot load contract: {e}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+
+    spark = build_session(cpus=args.local_cpus)
+    datasets = {}
+    for spec in args.dataset or []:
+        if "=" not in spec:
+            print(
+                f"dataset binding {spec!r} must be NAME=PARQUET_PATH",
+                file=sys.stderr,
+            )
+            return ExitCode.LOG_ERRORS
+        name, path = spec.split("=", 1)
+        try:
+            datasets[name.strip()] = spark.read.parquet(path.strip())
+        except Exception as e:
+            print(f"cannot read dataset {name.strip()!r}: {e}", file=sys.stderr)
+            return ExitCode.LOG_ERRORS
+
+    session = verify_contracts(
+        spark,
+        contracts,
+        datasets=datasets,
+        data_timestamp=data_timestamp,
+        check_selectors=selectors,
+    )
+    print(session.summary())
+
+    if session.errors:
+        return ExitCode.LOG_ERRORS
+    outcomes = {
+        r.outcome for res in session.results for r in res.check_results
+    }
+    # a NOT_EVALUATED check means an engine/SQL error occurred — the
+    # reference surfaces those as log errors → exit 3
+    if CheckOutcome.NOT_EVALUATED in outcomes:
+        return ExitCode.LOG_ERRORS
+    if CheckOutcome.FAILED in outcomes:
+        return ExitCode.CHECK_FAILURES
+    if CheckOutcome.WARNED in outcomes:
+        return ExitCode.CHECK_WARNINGS
+    return ExitCode.OK
+
+
+def _contract_main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="soda_core_spark.cli contract")
+    sub = p.add_subparsers(dest="command", required=True)
+    v = sub.add_parser("verify", help="Verify one or more contracts")
+    v.add_argument("-c", "--contract", action="append", help="Contract YAML file path")
+    v.add_argument(
+        "-ds",
+        "--dataset",
+        action="append",
+        help="Bind a dataset name to a parquet path: NAME=PATH "
+        "(unbound contract datasets resolve via spark.table)",
+    )
+    v.add_argument("--set", action="append", help="Contract variable: KEY=VALUE")
+    v.add_argument(
+        "-cf",
+        "--check-filter",
+        action="append",
+        help="Run only matching checks: field=glob "
+        "(type/name/column/path/qualifier/attributes.<key>; "
+        "AND across fields, OR within a field)",
+    )
+    v.add_argument("--data-timestamp", default=None, help="ISO timestamp for freshness/NOW")
+    v.add_argument("--local-cpus", default=None, help="run local[N] instead of cluster master")
+    args = p.parse_args(argv)
+    return contract_verify_main(args)
+
+
+# ---------------------------------------------------------------------------
+# quality-filter pipeline (legacy flat form)
+# ---------------------------------------------------------------------------
+
+
+def _filter_main(argv: list[str] | None) -> int:
     p = argparse.ArgumentParser(description="webtext quality-filter pipeline")
     p.add_argument("--input", required=True, help="input web_pages table path")
     p.add_argument("--output", required=True, help="annotated output path")
@@ -87,6 +236,13 @@ def main(argv: list[str] | None = None) -> int:
         }
     print(json.dumps(summary))
     return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv[:1] == ["contract"]:
+        return _contract_main(argv[1:])
+    return _filter_main(argv)
 
 
 if __name__ == "__main__":

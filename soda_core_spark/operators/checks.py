@@ -20,6 +20,7 @@ over native Spark plans:
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any, Callable, Optional
@@ -512,15 +513,33 @@ def plan_metric(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     raise ValueError("metric check requires 'expression' or 'query'")
 
 
+#: past this many extracted keys, warn and stop collecting to the driver
+#: (reference STREAMING_COUNT_WARNING_THRESHOLD, failed_rows_check.py:314)
+KEYS_QUERY_WARNING_THRESHOLD = 10_000
+
+
 def plan_failed_rows(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
-    """failed_rows_check.py:47-372 — expression form counts rows where the
-    boolean condition holds (∧ check filter, :247-256); query form counts a
-    user SQL's result (CTE-wrapped COUNT in the reference :322-329 — in
-    Spark simply ``spark.sql(q).count()``, always pushed)."""
+    """failed_rows_check.py:47-391 — four forms:
+
+    * ``condition``: counts rows where the boolean holds (∧ check filter,
+      :247-256), inside the fused agg;
+    * ``query``: counts a user SQL's rows (CTE-wrapped COUNT in the
+      reference :322-329 — in Spark simply ``spark.sql(q).count()``,
+      always pushed; no streaming fallback needed);
+    * ``keys_query``: same count, but the failing KEYS are also captured
+      (first column, capped at KEYS_QUERY_WARNING_THRESHOLD — the
+      reference streams them into diagnostics fk_/fr_ tables, :85-90;
+      here they land in the check diagnostics);
+    * ``rows_tested_query``: custom denominator — first cell of the first
+      row replaces COUNT(*) as checkRowsTested / the percent denominator
+      (:109-128; may legitimately return NULL → count-metric checks still
+      evaluate, percent ones go NOT_EVALUATED)."""
     rm = rows_metric(check)
     dm = dataset_rows_metric()
     metrics = [rm, dm]
     side: list[SideQuery] = []
+
+    keys_holder: dict[str, Any] = {}
 
     if check.condition:
         key = f"failed_rows|{check.condition}|{_fkey(check)}"
@@ -542,25 +561,61 @@ def plan_failed_rows(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
 
         side.append(SideQuery(key, "failed_rows_query", run))
         value_key = key
+    elif check.keys_query:
+        key = f"failed_rows_keys_query|{check.keys_query}"
+
+        def run_keys(ctx: CheckContext) -> int:
+            qdf = ctx.spark.sql(check.keys_query)
+            # one job: cap+1 keys tell us the count is over the cap without
+            # collecting the tail; the exact count is its own cheap job
+            # (count aggregates dataset-side, never ships rows)
+            head = qdf.select(qdf.columns[0]).limit(
+                KEYS_QUERY_WARNING_THRESHOLD + 1
+            ).collect()
+            n = qdf.count() if len(head) > KEYS_QUERY_WARNING_THRESHOLD else len(head)
+            keys_holder["keys"] = [r[0] for r in head[:KEYS_QUERY_WARNING_THRESHOLD]]
+            keys_holder["truncated"] = n > KEYS_QUERY_WARNING_THRESHOLD
+            return n
+
+        side.append(SideQuery(key, "failed_rows_keys_query", run_keys))
+        value_key = key
     else:
-        raise ValueError("failed_rows check requires 'condition' or 'query'")
+        raise ValueError(
+            "failed_rows check requires 'condition', 'query' or 'keys_query'"
+        )
+
+    rows_tested_key: Optional[str] = None
+    if check.rows_tested_query:
+        # deliberately NOT rows_metric: the reference warns that reusing the
+        # row-count metric identity would clobber dataset_rows_tested
+        # (failed_rows_check.py:111-114)
+        rows_tested_key = f"rows_tested_query|{check.rows_tested_query}"
+
+        def run_rows_tested(ctx: CheckContext) -> Any:
+            row = ctx.spark.sql(check.rows_tested_query).first()
+            return None if row is None else row[0]
+
+        side.append(SideQuery(rows_tested_key, "rows_tested_query", run_rows_tested))
 
     def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
         count = values.get(value_key)
-        rows = values.get(rm.key)
+        rows = (
+            values.get(rows_tested_key)
+            if rows_tested_key is not None
+            else values.get(rm.key)
+        )
         pct = _percent(count, rows)
         value = pct if check.metric == "percent" else count
-        return _base_result(
-            ctx,
-            check,
-            value,
-            {
-                "failedRowsCount": count,
-                "failedRowsPercent": pct,
-                "datasetRowsTested": values.get(dm.key),
-                "checkRowsTested": rows,
-            },
-        )
+        diagnostics = {
+            "failedRowsCount": count,
+            "failedRowsPercent": pct,
+            "datasetRowsTested": values.get(dm.key),
+            "checkRowsTested": rows,
+        }
+        if "keys" in keys_holder:
+            diagnostics["failedKeys"] = keys_holder["keys"]
+            diagnostics["failedKeysTruncated"] = keys_holder["truncated"]
+        return _base_result(ctx, check, value, diagnostics)
 
     return CheckPlan(check, metrics=metrics, side_queries=side, evaluate=evaluate)
 
@@ -582,6 +637,73 @@ def _canonical(name: str) -> str:
         if name in cls:
             return sorted(cls)[0]
     return name
+
+
+_TYPE_PARAMS_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_ ]*?)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?\s*$"
+)
+
+_CHAR_FAMILY = {"text", "varchar", "char", "string"}
+_NUMERIC_FAMILY = {"numeric", "decimal"}
+
+
+def _declared_type_params(spec) -> tuple[Optional[str], Optional[int], Optional[int], Optional[int]]:
+    """(base_name, char_len, precision, scale) from a ColumnSpec: inline
+    ``decimal(10,2)`` / ``varchar(20)`` parameters in ``data_type`` are
+    parsed into the slot their type family uses; the explicit
+    ``character_maximum_length`` / ``numeric_precision`` / ``numeric_scale``
+    fields (reference contract YAML surface) take precedence."""
+    base = spec.data_type
+    char_len = prec = scale = None
+    if base is not None:
+        m = _TYPE_PARAMS_RE.match(base)
+        if m:
+            base = m.group(1)
+            p1 = int(m.group(2)) if m.group(2) is not None else None
+            p2 = int(m.group(3)) if m.group(3) is not None else None
+            fam = _canonical(base)
+            if fam in _CHAR_FAMILY:
+                char_len = p1
+            else:
+                prec, scale = p1, p2
+    if spec.character_maximum_length is not None:
+        char_len = spec.character_maximum_length
+    if spec.numeric_precision is not None:
+        prec = spec.numeric_precision
+    if spec.numeric_scale is not None:
+        scale = spec.numeric_scale
+    return base, char_len, prec, scale
+
+
+def _actual_type_params(dt: T.DataType) -> tuple[Optional[int], Optional[int], Optional[int]]:
+    """(char_len, precision, scale) of a Spark type. Plain StringType has
+    no length — a declared varchar(20) against it mismatches, same as the
+    reference comparing an expected length to a NULL actual length."""
+    if isinstance(dt, T.DecimalType):
+        return None, dt.precision, dt.scale
+    if isinstance(dt, (T.VarcharType, T.CharType)):
+        return dt.length, None, None
+    return None, None, None
+
+
+def _declared_type_matches(spec, dt: T.DataType) -> bool:
+    """Name-synonym + parameter-wise compare, mirroring the reference's
+    ``is_same_data_type_for_schema_check`` (sql_dialect.py:198-212): each
+    declared integer parameter must equal the actual one; undeclared
+    parameters are not compared."""
+    base, exp_len, exp_prec, exp_scale = _declared_type_params(spec)
+    if base is None:
+        return True
+    if _canonical(base) != _canonical(spark_type_canonical(dt)):
+        return False
+    act_len, act_prec, act_scale = _actual_type_params(dt)
+    if isinstance(exp_len, int) and exp_len != act_len:
+        return False
+    if isinstance(exp_prec, int) and exp_prec != act_prec:
+        return False
+    if isinstance(exp_scale, int) and exp_scale != act_scale:
+        return False
+    return True
 
 
 _SPARK_TO_CANONICAL = {
@@ -612,11 +734,9 @@ def plan_schema(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     StructType for free."""
 
     def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
-        declared = [
-            (c.name, c.data_type) for c in ctx.contract.columns
-        ]
+        declared = [(c.name, c) for c in ctx.contract.columns]
         actual_fields = ctx.df.schema.fields
-        actual = {f.name: spark_type_canonical(f.dataType) for f in actual_fields}
+        actual = {f.name: f.dataType for f in actual_fields}
         actual_order = [f.name for f in actual_fields]
 
         missing_cols = [n for n, _ in declared if n not in actual]
@@ -626,10 +746,13 @@ def plan_schema(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
             else [n for n in actual_order if n not in declared_names]
         )
         type_mismatches = {}
-        for n, dt in declared:
-            if dt is not None and n in actual:
-                if _canonical(dt) != _canonical(actual[n]):
-                    type_mismatches[n] = {"expected": dt, "actual": actual[n]}
+        for n, spec in declared:
+            if spec.data_type is not None and n in actual:
+                if not _declared_type_matches(spec, actual[n]):
+                    type_mismatches[n] = {
+                        "expected": spec.data_type,
+                        "actual": actual[n].simpleString(),
+                    }
         order_mismatch = False
         if not check.allow_other_column_order:
             declared_seq = [n for n, _ in declared if n in actual]

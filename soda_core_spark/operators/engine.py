@@ -18,9 +18,8 @@ threshold evaluation. Here:
 
 from __future__ import annotations
 
-import fnmatch
 from datetime import datetime
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,6 +32,7 @@ from soda_core_spark.operators.checks import (
 )
 from soda_core_spark.operators.compiler import apply_scan_filter
 from soda_core_spark.plans.model import CheckSpec, Contract
+from soda_core_spark.plans.selectors import CheckSelector
 from soda_core_spark.plans.results import (
     CheckOutcome,
     CheckResult,
@@ -47,38 +47,13 @@ class DuplicateCheckIdentityError(Exception):
     reference too (base.py:1263-1282)."""
 
 
-def _matches_selector(check: CheckSpec, selectors: list[str]) -> bool:
-    """``field=glob`` selectors: same-field OR, cross-field AND
-    (reference check_selector.py:13-186). Bare globs match the check name."""
-    if not selectors:
-        return True
-    by_field: dict[str, list[str]] = {}
-    for s in selectors:
-        if "=" in s:
-            f, pat = s.split("=", 1)
-        else:
-            f, pat = "name", s
-        by_field.setdefault(f, []).append(pat)
-    fields = {
-        "type": check.type,
-        "name": check.default_name(),
-        "column": check.column or "",
-        "qualifier": check.qualifier or "",
-    }
-    for f, pats in by_field.items():
-        val = fields.get(f, "")
-        if not any(fnmatch.fnmatch(val, p) for p in pats):
-            return False
-    return True
-
-
 def verify_contract(
     spark: SparkSession,
     contract: Contract,
     df: Optional[DataFrame] = None,
     datasets: Optional[dict[str, DataFrame]] = None,
     data_timestamp: Optional[datetime] = None,
-    check_selectors: Optional[list[str]] = None,
+    check_selectors: Optional[list[Union[str, CheckSelector]]] = None,
 ) -> ContractVerificationResult:
     """Run all checks of ``contract`` against ``df`` in (at most) one fused
     aggregation job plus one job per side query.
@@ -95,6 +70,19 @@ def verify_contract(
     datasets.setdefault(contract.dataset, df)
 
     filtered = apply_scan_filter(df, contract.filter)
+    if contract.sample.is_configured():
+        # dataset-level sampling, applied under the contract filter and
+        # ahead of ALL metrics (reference attaches SAMPLE to the filtered
+        # CTE, check_collections/base.py:595-605). percentage → df.sample
+        # (Bernoulli, seeded — Spark's TABLESAMPLE compiles to the same
+        # Sample node); absolute_limit → limit.
+        if contract.sample.percent is not None:
+            filtered = filtered.sample(
+                fraction=contract.sample.percent / 100.0, seed=contract.sample.seed
+            )
+        else:
+            filtered = filtered.limit(contract.sample.limit)
+    selectors = CheckSelector.parse_all(check_selectors)
     ctx = CheckContext(
         spark=spark,
         contract=contract,
@@ -122,7 +110,7 @@ def verify_contract(
                 "add a distinct 'qualifier'"
             )
         seen_identities.add(ident)
-        if not _matches_selector(check, check_selectors or []):
+        if not CheckSelector.all_match(selectors, check, contract):
             plans.append((check, None, "excluded"))
             continue
         try:

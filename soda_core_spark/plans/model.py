@@ -273,6 +273,13 @@ class CheckSpec:
     unit: str = "minute"  # second|minute|hour|day
     # failed_rows expression check (failed_rows_check.py:47-259)
     condition: Optional[str] = None  # SQL boolean: TRUE == row failed
+    # failed_rows custom denominator / key-extraction forms
+    # (failed_rows_check.py:81-128, 314-391)
+    rows_tested_query: Optional[str] = None  # first cell = rows-tested denominator
+    keys_query: Optional[str] = None  # rows = failing keys (counted; keys sunk as diagnostics)
+    # free-form check attributes, matchable by selectors
+    # (check_selector.py:122-129; contract_yaml attributes passthrough)
+    attributes: dict = field(default_factory=dict)
     # duplicate check: approx=True swaps exact COUNT DISTINCT for an HLL
     # sketch (approx_count_distinct) — the 10^12-row scale path the
     # reference lacks (SURVEY §2.2); exact remains the default for parity
@@ -302,6 +309,39 @@ class ColumnSpec:
     checks: list[CheckSpec] = field(default_factory=list)
 
 
+@dataclass(frozen=True)
+class SampleConfig:
+    """Dataset-level row sampling applied to the filtered dataset before
+    ALL metrics (reference check_collections/base.py:595-605 attaches
+    SAMPLE to the filtered CTE; sampler types metadata_types.py:136-140:
+    absolute_limit | percentage)."""
+
+    percent: Optional[float] = None  # percentage sampler
+    limit: Optional[int] = None  # absolute_limit sampler
+    seed: int = 42  # pinned for within-engine reproducibility
+
+    def is_configured(self) -> bool:
+        return self.percent is not None or self.limit is not None
+
+    @staticmethod
+    def from_dict(d: Optional[dict]) -> "SampleConfig":
+        if not d:
+            return SampleConfig()
+        if d.get("percent") is not None and d.get("limit") is not None:
+            raise ContractParseError("sample: give either 'percent' or 'limit', not both")
+        pct = d.get("percent")
+        if pct is not None and not (0 < float(pct) <= 100):
+            raise ContractParseError(f"sample.percent must be in (0, 100], got {pct}")
+        lim = d.get("limit")
+        if lim is not None and int(lim) <= 0:
+            raise ContractParseError(f"sample.limit must be positive, got {lim}")
+        return SampleConfig(
+            percent=float(pct) if pct is not None else None,
+            limit=int(lim) if lim is not None else None,
+            seed=int(d.get("seed", 42)),
+        )
+
+
 @dataclass
 class Contract:
     dataset: str
@@ -309,6 +349,10 @@ class Contract:
     columns: list[ColumnSpec] = field(default_factory=list)
     checks: list[CheckSpec] = field(default_factory=list)
     variables: dict[str, str] = field(default_factory=dict)
+    sample: SampleConfig = field(default_factory=SampleConfig)
+    # where this contract was loaded from (None for inline contracts);
+    # matched by 'path' check selectors (check_selector.py:115-117)
+    source_path: Optional[str] = None
 
     def all_checks(self) -> list[CheckSpec]:
         """Checks in contract order: dataset-level first, then per column
@@ -412,10 +456,17 @@ def _parse_check(
         condition=body.get("condition") or body.get("expression")
         if type_name == "failed_rows"
         else body.get("condition"),
+        rows_tested_query=body.get("rows_tested_query"),
+        keys_query=body.get("keys_query"),
+        attributes=dict(body.get("attributes") or {}),
         allow_extra_columns=bool(body.get("allow_extra_columns", False)),
         allow_other_column_order=bool(body.get("allow_other_column_order", True)),
         approx=bool(body.get("approx", False)),
     )
+    if type_name == "failed_rows" and spec.query and spec.keys_query:
+        raise ContractParseError(
+            "failed_rows check takes 'query' or 'keys_query', not both"
+        )
     if type_name == "freshness" and spec.column is None:
         raise ContractParseError("freshness check requires a column")
     if type_name == "aggregate" and not spec.function:
@@ -469,6 +520,8 @@ def contract_from_dict(d: dict) -> Contract:
         columns=columns,
         checks=_parse_checks_list(d.get("checks")),
         variables=variables,
+        sample=SampleConfig.from_dict(d.get("sample")),
+        source_path=d.get("source_path"),
     )
 
 
@@ -505,3 +558,18 @@ def contract_from_yaml(
     raw.setdefault("variables", {})
     raw["variables"] = {**merged_vars, **(raw["variables"] or {})}
     return contract_from_dict(raw)
+
+
+def contract_from_yaml_file(
+    path: str,
+    variables: Optional[dict[str, str]] = None,
+    data_timestamp: Optional[Any] = None,
+) -> Contract:
+    """Load a contract from a YAML file, recording ``source_path`` so
+    ``path=`` check selectors can match it (reference resolves checks'
+    relative_path from the contract file, check_selector.py:115-117)."""
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    contract = contract_from_yaml(text, variables, data_timestamp)
+    contract.source_path = path
+    return contract

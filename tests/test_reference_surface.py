@@ -1,0 +1,402 @@
+"""Round-2 reference-surface parity: CLI contract verify, failed_rows
+rows_tested_query/keys_query, selectors with path/attributes, schema type
+parameters, contract-level sampling.
+
+Reference semantics under test:
+* cli/cli.py:120-307 + cli/exit_codes.py — verify command + exit codes
+* failed_rows_check.py:81-128, 314-391 — custom denominator + key form
+* check_selector.py:13-186 — field grouping, wildcards, attribute lists
+* sql_dialect.py:195-226 — parameter-wise type compare
+* check_collections/base.py:595-605 — SAMPLE on the filtered CTE
+"""
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_core_spark.operators.engine import verify_contract
+from soda_core_spark.plans.model import (
+    ContractParseError,
+    contract_from_yaml,
+)
+from soda_core_spark.plans.results import CheckOutcome
+from soda_core_spark.plans.selectors import (
+    CheckSelector,
+    CheckSelectorParseError,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(100)],
+        "id bigint, name string, score double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# failed_rows: rows_tested_query + keys_query
+# ---------------------------------------------------------------------------
+
+
+def test_failed_rows_rows_tested_query_denominator(spark, people):
+    people.createOrReplaceTempView("people_frt")
+    # denominator 50 (not COUNT(*)=100): failed=10 → 20 percent
+    c = contract_from_yaml(
+        """
+dataset: people_frt
+checks:
+  - failed_rows:
+      condition: "id < 10"
+      metric: percent
+      rows_tested_query: "SELECT 50"
+      must_be_less_than: 25
+"""
+    )
+    res = verify_contract(spark, c, people)
+    r = res.check_results[0]
+    assert r.outcome == CheckOutcome.PASSED
+    assert r.metric_value == pytest.approx(20.0)
+    assert r.diagnostics["checkRowsTested"] == 50
+    # dataset_rows_tested stays the real row count — the custom metric
+    # must not clobber it (failed_rows_check.py:111-114)
+    assert r.diagnostics["datasetRowsTested"] == 100
+
+
+def test_failed_rows_keys_query(spark, people):
+    people.createOrReplaceTempView("people_kq")
+    c = contract_from_yaml(
+        """
+dataset: people_kq
+checks:
+  - failed_rows:
+      keys_query: "SELECT id FROM people_kq WHERE id >= 97"
+      must_be: 0
+"""
+    )
+    res = verify_contract(spark, c, people)
+    r = res.check_results[0]
+    assert r.outcome == CheckOutcome.FAILED
+    assert r.metric_value == 3
+    assert sorted(r.diagnostics["failedKeys"]) == [97, 98, 99]
+    assert r.diagnostics["failedKeysTruncated"] is False
+
+
+def test_failed_rows_query_and_keys_query_conflict():
+    with pytest.raises(ContractParseError):
+        contract_from_yaml(
+            """
+dataset: x
+checks:
+  - failed_rows:
+      query: "SELECT 1"
+      keys_query: "SELECT 1"
+"""
+        )
+
+
+# ---------------------------------------------------------------------------
+# selectors: attributes / path / list matching
+# ---------------------------------------------------------------------------
+
+
+SELECTOR_CONTRACT = """
+dataset: people_sel
+checks:
+  - row_count:
+      attributes:
+        team: ingest
+        tags: [pii, core]
+  - metric:
+      expression: "avg(score)"
+      must_be_greater_than: -1
+      attributes:
+        team: quality
+"""
+
+
+def _outcomes(spark, df, selectors):
+    c = contract_from_yaml(SELECTOR_CONTRACT)
+    c.source_path = "contracts/people.yml"
+    res = verify_contract(spark, c, df, check_selectors=selectors)
+    return {r.check_type: r.outcome for r in res.check_results}
+
+
+def test_selector_attribute_scalar(spark, people):
+    people.createOrReplaceTempView("people_sel")
+    out = _outcomes(spark, people, ["attributes.team=ingest"])
+    assert out["row_count"] == CheckOutcome.PASSED
+    assert out["metric"] == CheckOutcome.EXCLUDED
+
+
+def test_selector_attribute_list_member_and_exact(spark, people):
+    # member match with wildcard
+    out = _outcomes(spark, people, ["attributes.tags=pi*"])
+    assert out["row_count"] == CheckOutcome.PASSED
+    assert out["metric"] == CheckOutcome.EXCLUDED
+    # exact set match
+    out = _outcomes(spark, people, ["attributes.tags=[core, pii]"])
+    assert out["row_count"] == CheckOutcome.PASSED
+    # wrong set → excluded
+    out = _outcomes(spark, people, ["attributes.tags=[core]"])
+    assert out["row_count"] == CheckOutcome.EXCLUDED
+
+
+def test_selector_path_and_cross_field_and(spark, people):
+    out = _outcomes(spark, people, ["path=contracts/*.yml", "type=metric"])
+    assert out["metric"] == CheckOutcome.PASSED
+    assert out["row_count"] == CheckOutcome.EXCLUDED
+    # path that matches nothing → all excluded
+    out = _outcomes(spark, people, ["path=other/*.yml"])
+    assert set(out.values()) == {CheckOutcome.EXCLUDED}
+
+
+def test_selector_same_field_or(spark, people):
+    out = _outcomes(spark, people, ["type=row_count", "type=metric"])
+    assert out["row_count"] == CheckOutcome.PASSED
+    assert out["metric"] == CheckOutcome.PASSED
+
+
+def test_selector_parse_errors():
+    with pytest.raises(CheckSelectorParseError):
+        CheckSelector.parse("bogus_field=x")
+    with pytest.raises(CheckSelectorParseError):
+        CheckSelector.parse("=x")
+    with pytest.raises(CheckSelectorParseError):
+        CheckSelector.parse('attributes.tags=[a,"b]')  # unterminated quote
+
+
+# ---------------------------------------------------------------------------
+# schema type parameters
+# ---------------------------------------------------------------------------
+
+
+def _schema_result(spark, df, data_type, **col_kw):
+    from soda_core_spark.plans.model import CheckSpec, ColumnSpec, Contract
+
+    c = Contract(
+        dataset="t",
+        columns=[ColumnSpec(name="d", data_type=data_type, **col_kw)],
+        checks=[CheckSpec(type="schema", allow_extra_columns=True)],
+    )
+    return verify_contract(spark, c, df).check_results[0]
+
+
+@pytest.fixture(scope="module")
+def decimal_df(spark):
+    return spark.range(3).select(F.col("id").cast("decimal(10,2)").alias("d"))
+
+
+def test_schema_type_params_match(spark, decimal_df):
+    r = _schema_result(spark, decimal_df, "decimal(10,2)")
+    assert r.outcome == CheckOutcome.PASSED
+
+
+def test_schema_type_params_mismatch(spark, decimal_df):
+    r = _schema_result(spark, decimal_df, "decimal(38,0)")
+    assert r.outcome == CheckOutcome.FAILED
+    assert r.diagnostics["typeMismatches"]["d"] == {
+        "expected": "decimal(38,0)",
+        "actual": "decimal(10,2)",
+    }
+
+
+def test_schema_type_params_explicit_fields(spark, decimal_df):
+    # explicit numeric_precision/scale fields (reference YAML surface)
+    r = _schema_result(
+        spark, decimal_df, "decimal", numeric_precision=10, numeric_scale=2
+    )
+    assert r.outcome == CheckOutcome.PASSED
+    r = _schema_result(
+        spark, decimal_df, "decimal", numeric_precision=12, numeric_scale=2
+    )
+    assert r.outcome == CheckOutcome.FAILED
+
+
+def test_schema_unparameterized_declaration_still_passes(spark, decimal_df):
+    # no declared parameters → name-synonym compare only (numeric≡decimal)
+    r = _schema_result(spark, decimal_df, "numeric")
+    assert r.outcome == CheckOutcome.PASSED
+
+
+def test_schema_varchar_length_against_plain_string_fails(spark, people):
+    # Spark StringType has no length — a declared varchar(20) mismatches,
+    # like the reference comparing an int expectation to a NULL actual
+    from soda_core_spark.plans.model import CheckSpec, ColumnSpec, Contract
+
+    c = Contract(
+        dataset="t",
+        columns=[ColumnSpec(name="name", data_type="varchar(20)")],
+        checks=[CheckSpec(type="schema", allow_extra_columns=True)],
+    )
+    r = verify_contract(spark, c, people).check_results[0]
+    assert r.outcome == CheckOutcome.FAILED
+    # plain varchar (no length) passes against string
+    c2 = Contract(
+        dataset="t",
+        columns=[ColumnSpec(name="name", data_type="varchar")],
+        checks=[CheckSpec(type="schema", allow_extra_columns=True)],
+    )
+    assert (
+        verify_contract(spark, c2, people).check_results[0].outcome
+        == CheckOutcome.PASSED
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract-level sampling
+# ---------------------------------------------------------------------------
+
+
+def test_contract_sample_limit(spark, people):
+    c = contract_from_yaml(
+        """
+dataset: people_sample
+sample:
+  limit: 30
+checks:
+  - row_count:
+      must_be: 30
+"""
+    )
+    res = verify_contract(spark, c, people)
+    assert res.check_results[0].outcome == CheckOutcome.PASSED
+
+
+def test_contract_sample_percent(spark, people):
+    c = contract_from_yaml(
+        """
+dataset: people_sample
+sample:
+  percent: 50
+  seed: 7
+checks:
+  - row_count:
+      must_be_between: [20, 80]
+"""
+    )
+    res = verify_contract(spark, c, people)
+    r = res.check_results[0]
+    assert r.outcome == CheckOutcome.PASSED
+    # rows_tested reflects the sample, not the full table
+    assert r.diagnostics["datasetRowsTested"] < 100
+
+
+def test_contract_sample_validation():
+    with pytest.raises(ContractParseError):
+        contract_from_yaml("dataset: x\nsample:\n  percent: 200\n")
+    with pytest.raises(ContractParseError):
+        contract_from_yaml("dataset: x\nsample:\n  percent: 10\n  limit: 5\n")
+
+
+def test_contract_sample_plan_shows_sample_node(spark, people):
+    from soda_core_spark.plans.model import contract_from_yaml as cfy
+
+    c = cfy("dataset: x\nsample:\n  percent: 10\n")
+    from soda_core_spark.operators.compiler import apply_scan_filter
+
+    filtered = apply_scan_filter(people, c.filter).sample(
+        fraction=c.sample.percent / 100.0, seed=c.sample.seed
+    )
+    assert "Sample" in filtered._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# CLI contract verify (subprocess e2e)
+# ---------------------------------------------------------------------------
+
+
+def _run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "contract", "verify", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def people_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "people.parquet")
+    spark.createDataFrame(
+        [(i, f"u{i}") for i in range(50)], "id bigint, name string"
+    ).write.parquet(path)
+    return path
+
+
+def _write_contract(tmp_path_factory, body):
+    p = tmp_path_factory.mktemp("contracts") / "c.yml"
+    p.write_text(body)
+    return str(p)
+
+
+def test_cli_verify_pass_fail_warn_error(tmp_path_factory, people_parquet):
+    # exit 0: passes
+    ok = _write_contract(
+        tmp_path_factory, "dataset: people\nchecks:\n  - row_count:\n      must_be: 50\n"
+    )
+    r = _run_cli("-c", ok, "-ds", f"people={people_parquet}", "--local-cpus", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "status=passed" in r.stdout
+
+    # exit 1: check failure
+    bad = _write_contract(
+        tmp_path_factory, "dataset: people\nchecks:\n  - row_count:\n      must_be: 1\n"
+    )
+    r = _run_cli("-c", bad, "-ds", f"people={people_parquet}", "--local-cpus", "2")
+    assert r.returncode == 1
+    assert "status=failed" in r.stdout
+
+    # exit 2: warning only
+    warn = _write_contract(
+        tmp_path_factory,
+        "dataset: people\nchecks:\n  - row_count:\n      must_be: 1\n      level: warn\n",
+    )
+    r = _run_cli("-c", warn, "-ds", f"people={people_parquet}", "--local-cpus", "2")
+    assert r.returncode == 2
+
+    # exit 3: engine error (bad SQL expression → NOT_EVALUATED)
+    err = _write_contract(
+        tmp_path_factory,
+        "dataset: people\nchecks:\n  - metric:\n      expression: \"bogus + 1\"\n      must_be: 0\n",
+    )
+    r = _run_cli("-c", err, "-ds", f"people={people_parquet}", "--local-cpus", "2")
+    assert r.returncode == 3
+
+
+def test_cli_verify_bad_args(tmp_path_factory, people_parquet):
+    # missing contract file
+    r = _run_cli("-c", "/nonexistent.yml", "-ds", f"people={people_parquet}")
+    assert r.returncode == 3
+    # malformed --set
+    ok = _write_contract(tmp_path_factory, "dataset: people\nchecks:\n  - row_count\n")
+    r = _run_cli("-c", ok, "-ds", f"people={people_parquet}", "--set", "novalue")
+    assert r.returncode == 3
+    # bad selector field
+    r = _run_cli("-c", ok, "-ds", f"people={people_parquet}", "-cf", "nope=1")
+    assert r.returncode == 3
+
+
+def test_cli_verify_variables_and_selector(tmp_path_factory, people_parquet):
+    c = _write_contract(
+        tmp_path_factory,
+        "dataset: people\n"
+        "checks:\n"
+        "  - row_count:\n"
+        "      must_be: ${EXPECTED}\n"
+        "  - metric:\n"
+        "      expression: \"count(distinct name)\"\n"
+        "      must_be: 50\n",
+    )
+    r = _run_cli(
+        "-c", c,
+        "-ds", f"people={people_parquet}",
+        "--set", "EXPECTED=50",
+        "-cf", "type=row_count",
+        "--local-cpus", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "EXCLUDED" in r.stdout  # the metric check was selected out
