@@ -82,7 +82,7 @@ def main() -> int:
     # expressions and generated codegen classes take several full passes
     # to get C2-compiled (measured: first full run 3-10x slower than
     # warm, and convergence continues for ~5 passes). A sampled warm-up
-    # is not enough. Then best-of-4 timed runs.
+    # is not enough. Then best-of-5 timed runs.
     pipeline.run(web)
     pipeline.run(web)
     best = None

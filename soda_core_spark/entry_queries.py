@@ -1090,7 +1090,9 @@ def q33(spark, sf_dir):
     from soda_core_spark.operators.dedup import ngram_jaccard_all_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_all_pairs(d, n=3, threshold=0.2)
+    # max_doc_freq=None: exact mode for oracle parity (the finite
+    # default cap is the corpus-scale safety)
+    return ngram_jaccard_all_pairs(d, n=3, threshold=0.2, max_doc_freq=None)
 
 
 @register(
@@ -1169,7 +1171,11 @@ def q36(spark, sf_dir):
     from soda_core_spark.operators.dedup import per_group_cap
 
     d = _t(spark, sf_dir, "documents")
-    return per_group_cap(d, group_col="source", id_col="doc_id", cap=10).select(
+    # skew_guard exercises the two-stage exact top-k under the oracle —
+    # survivors are provably identical to the plain window
+    return per_group_cap(
+        d, group_col="source", id_col="doc_id", cap=10, skew_guard=True
+    ).select(
         "doc_id", "source"
     )
 

@@ -439,7 +439,7 @@ def ngram_jaccard_all_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted-index self-join on
     shingles. No blocking key is needed: a pair has Jaccard > 0 iff it
@@ -448,11 +448,17 @@ def ngram_jaccard_all_pairs(
     quadratic all-pairs space. Two shuffles (explode-join on shingle,
     groupBy pair); sizes are broadcast-joined back.
 
-    ``max_doc_freq``: at corpus scale, shingles occurring in more than
-    this many documents are dropped before the self-join (standard
-    posting-list cap — a shingle in f docs creates f² join rows, so stop
-    words/boilerplate shingles dominate cost while contributing almost
-    nothing to high-Jaccard pairs). None = exact (oracle parity).
+    ``max_doc_freq``: shingles occurring in more than this many documents
+    are dropped before the self-join (standard posting-list cap — a
+    shingle in f docs creates f² join rows, so stop-word/boilerplate
+    shingles dominate cost while contributing almost nothing to
+    high-Jaccard pairs). The cap is ON by default (1000: ≤1M join rows
+    per capped shingle) because a single boilerplate shingle across 10^8
+    pages is a 10^16-row join — pass ``max_doc_freq=None`` EXPLICITLY for
+    exact/oracle-parity runs on bounded corpora. Capping lowers the
+    computed intersection (and so Jaccard) of pairs sharing capped
+    shingles; pairs whose common shingles all fall below the cap are
+    unaffected.
 
     Reference parity: soda-core only counts duplicates
     (duplicate_check.py:58-343); pairwise similarity is the
@@ -610,6 +616,7 @@ def per_group_cap(
     group_col: str = "source",
     id_col: str = "doc_id",
     cap: int = 10,
+    skew_guard: bool = False,
 ) -> DataFrame:
     """Corpus balancing: keep at most ``cap`` documents per group (host,
     domain, source), chosen deterministically by md5 of the id — so the
@@ -618,18 +625,32 @@ def per_group_cap(
     standard for stopping a handful of giant hosts from dominating a
     training mix.
 
-    Window row_number shuffles on the group key, so a pathologically hot
-    host makes a hot partition; at 10^12-document scale, pre-filter such
-    groups with an approximate per-group hash threshold (keep rows where
-    md5 < t chosen from a count sketch) before the exact window — the
-    window then ranks only ~cap candidates per group.
+    The plain form is one window over the group key — fine when no group
+    dominates, but a pathologically hot host (50 % of a 10^12-doc corpus)
+    lands on ONE reducer. ``skew_guard=True`` switches to exact two-stage
+    top-k: stage 1 ranks within (group, input-partition) — a balanced
+    shuffle, the hot group spread over every input partition — keeping at
+    most ``cap`` rows per (group, partition); stage 2 ranks the survivors
+    (≤ cap × n_partitions rows per group, data-independent) with the
+    exact window. The global top-cap of per-partition top-caps IS the
+    global top-cap, so the survivors are IDENTICAL to the plain form —
+    no sketch, no probabilistic margin.
     """
     from pyspark.sql import Window
 
     order = F.md5(F.col(id_col).cast("string"))
+    work = df
+    if skew_guard:
+        w1 = Window.partitionBy(group_col, "__pid").orderBy(order, F.col(id_col))
+        work = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__rn1", F.row_number().over(w1))
+            .where(F.col("__rn1") <= cap)
+            .drop("__pid", "__rn1")
+        )
     w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        work.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )

@@ -15,6 +15,7 @@ dot product is ``F.aggregate(F.zip_with(a, b, *), 0d, +)``, no UDF.
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -197,20 +198,38 @@ def kmeans_centroids(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: Optional[int] = 100_000,
 ) -> list[list[float]]:
     """Deterministic spherical k-means (Lloyd) for the IVF coarse
     quantizer, returned as plain driver-side lists (they are broadcast as
     literals into the assignment expression).
 
+    The trainer operates on a deterministic md5-threshold SAMPLE of at
+    most ~``max_train_rows`` vectors (standard IVF practice: the
+    quantizer needs thousands of vectors, not 10^12 — one count job picks
+    the keep fraction, then init and every Lloyd iteration scan only the
+    sample); the FULL corpus is later assigned with the fitted centroids
+    by :func:`ivf_topk`. ``max_train_rows=None`` trains on everything.
+
     Initialization is md5-ordered row selection — same centroids
-    regardless of partitioning. Each iteration: assign (argmax cosine,
-    pure column expressions) → per-cluster element-wise mean via
-    posexplode + groupBy(cluster, dim) — a shuffle of n·dim scalar rows
-    with full map-side partial aggregation. Train on a SAMPLE at corpus
-    scale (the quantizer needs thousands of vectors, not 10^12; standard
-    IVF practice), then assign the full corpus with the fitted centroids.
+    regardless of partitioning; if the (sampled) input has fewer rows
+    than ``n_centroids`` the centroid count clamps to the row count.
+    Each iteration: assign (argmax cosine, pure column expressions) →
+    per-cluster element-wise mean via posexplode + groupBy(cluster, dim)
+    — a shuffle of n·dim scalar rows with full map-side partial
+    aggregation.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if max_train_rows is not None:
+        n = base.count()
+        if n > max_train_rows:
+            # deterministic hash sample: keep rows whose 60-bit md5 prefix
+            # falls under the keep fraction — portable, partition-stable
+            frac = max_train_rows / n
+            h = F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+            ).cast("double")
+            base = base.where(h < frac * float(1 << 60))
     init = (
         base.orderBy(F.md5(F.col("id").cast("string")))
         .limit(n_centroids)
@@ -218,6 +237,9 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r["v"]] for r in init]
+    n_centroids = len(centroids)  # clamp: input may have fewer rows
+    if not centroids:
+        raise ValueError("kmeans_centroids: input has no rows")
     for _ in range(n_iters):
         assign = _argmax_centroid(F.col("v"), centroids)
         means = (

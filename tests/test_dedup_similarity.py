@@ -206,6 +206,101 @@ def test_per_group_cap(spark):
     assert per_group_cap(tiny, cap=5).count() == 2
 
 
+def test_per_group_cap_skew_guard_exact_parity(spark):
+    """The two-stage skew-guarded form returns IDENTICAL survivors to the
+    plain window, including on heavily skewed data (one host = 50 % of
+    docs) and across repartitionings."""
+    from soda_core_spark.operators.dedup import per_group_cap
+
+    rows = [(i, "hot.example.com" if i % 2 == 0 else f"h{i % 37}") for i in range(800)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    plain = sorted(r["doc_id"] for r in per_group_cap(df, cap=7).collect())
+    guarded = sorted(
+        r["doc_id"] for r in per_group_cap(df, cap=7, skew_guard=True).collect()
+    )
+    assert plain == guarded
+    reparted = sorted(
+        r["doc_id"]
+        for r in per_group_cap(df.repartition(13), cap=7, skew_guard=True).collect()
+    )
+    assert plain == reparted
+
+
+def test_per_group_cap_skew_guard_plan_prefilters_window(spark):
+    """Plan shape: the guarded form ranks within (group, partition) first,
+    so the final group-window's input is pre-capped — two Window nodes,
+    with a Filter between them."""
+    from soda_core_spark.operators.dedup import per_group_cap
+
+    df = spark.createDataFrame([(i, f"g{i%3}") for i in range(30)], ["doc_id", "source"])
+    plan = (
+        per_group_cap(df, cap=5, skew_guard=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Window [") == 2
+    # Spark's rank-limit pushdown adds WindowGroupLimit below each window
+    # — map-side pre-filtering on top of the explicit two-stage guard
+    assert plan.count("WindowGroupLimit") == 2
+    assert "SPARK_PARTITION_ID" in plan
+
+
+def test_kmeans_sampled_training_and_clamp(spark):
+    from soda_core_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    total = emb.count()
+    # sampled trainer: still returns the full centroid count, deterministic
+    cents = kmeans_centroids(emb, n_centroids=8, n_iters=2, max_train_rows=total // 4)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assert cents == kmeans_centroids(
+        emb, n_centroids=8, n_iters=2, max_train_rows=total // 4
+    )
+    # full-probe IVF stays exact regardless of which sample trained the
+    # quantizer (cells partition the corpus)
+    from soda_core_spark.operators.similarity import brute_force_topk
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cents, k=3, nprobe=8).collect()
+    }
+    assert full == exact
+    # fewer rows than centroids → clamp, not IndexError (ADVICE r1)
+    tiny = emb.limit(3)
+    assert len(kmeans_centroids(tiny, n_centroids=8, n_iters=1)) == 3
+
+
+def test_ngram_posting_cap_agrees_below_cap(spark):
+    """Pairs whose shared shingles are all below the posting cap get the
+    same jaccard with and without the cap; a boilerplate shingle shared
+    by every doc is dropped by the cap (pair disappears or weakens)."""
+    from soda_core_spark.operators.dedup import ngram_jaccard_all_pairs
+
+    boiler = "accept all cookies"
+    docs = [(i, f"{boiler} unique{i} text{i} body{i}") for i in range(20)]
+    docs += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_all_pairs(df, threshold=0.01, max_doc_freq=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_all_pairs(df, threshold=0.01, max_doc_freq=10).collect()
+    }
+    # the 100-101 pair shares only sub-cap shingles → identical jaccard
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # boilerplate-only pairs exist uncapped but vanish under the cap
+    boiler_pairs = [k for k in uncapped if k[0] < 20 and k[1] < 20]
+    assert boiler_pairs and all(k not in capped for k in boiler_pairs)
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     from soda_core_spark.operators.similarity import (
         brute_force_topk,
@@ -238,7 +333,12 @@ def test_ivf_topk_recall_vs_exact(spark):
 
 
 def _py_shingles(text, n=3):
-    words = [w for w in (text or "").lower().split() if w]
+    import re as _re
+
+    # split on the SAME whitespace class as shingles_col / the DuckDB CTE
+    # ([ \t\n\r]+) — str.split() would also split on \x0b/\f/NBSP and the
+    # oracle would silently diverge on such corpora
+    words = [w for w in _re.split(r"[ \t\n\r]+", (text or "").lower()) if w]
     if len(words) >= n:
         return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
     return {" ".join(words)}
@@ -258,6 +358,7 @@ def test_jaccard_all_pairs_matches_python_oracle_random(spark):
     for i in range(40):
         n_words = rng.randint(0, 25)
         docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_words))))
+    docs.append((96, "w0\x0bw1 w2 w3 w4"))  # \x0b is NOT a separator
     docs.append((97, None))
     docs.append((98, "   "))
     docs.append((99, "one two"))  # <3 words → whole-text shingle
