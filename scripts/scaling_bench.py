@@ -121,26 +121,67 @@ def run_multi_executor(n_exec: int, cores_each: int, path: str, runs: int = 2) -
 
 
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    # Levels can run in ONE process (`scaling_bench.py 200000`) or one at
+    # a time (`--only local8 --state /tmp/sb.json`, then `--assemble`) so
+    # each invocation stays short and the machine is verifiably quiet for
+    # every level — timing levels while anything else runs (even a
+    # lower-priority background shell) distorts the ratio.
+    args = [a for a in sys.argv[1:]]
+    state_path = None
+    only = None
+    assemble = False
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--state":
+            state_path = args[i + 1]; i += 2
+        elif args[i] == "--only":
+            only = args[i + 1]; i += 2
+        elif args[i] == "--assemble":
+            assemble = True; i += 1
+        else:
+            pos.append(args[i]); i += 1
+    n_docs = int(pos[0]) if pos else 200_000
     sys.path.insert(0, ".")
     from soda_core_spark.sources.webtext_gen import write_web_pages_parquet
 
     path = write_web_pages_parquet(
         f"/tmp/soda_webtext_bench/n{n_docs}", n_docs, rows_per_file=50_000
     )
+
+    state = {}
+    if state_path and os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+
     # EQUAL timed-run counts per level (r1 ADVICE: min-of-N with unequal
     # N biases toward the level with more passes). JIT warm-up is handled
     # by the identical untimed warm-up passes inside RUNNER; the reported
     # figure is the median of 3 timed passes for every level.
-    lo = run_level(8, path, runs=3)
-    hi = run_level(32, path, runs=3)
+    LEVELS = {
+        "local2": lambda: run_level(2, path, runs=3),
+        "local8": lambda: run_level(8, path, runs=3),
+        "local32": lambda: run_level(32, path, runs=3),
+        "ex1": lambda: run_multi_executor(1, 8, path, runs=3),
+        "ex4": lambda: run_multi_executor(4, 8, path, runs=3),
+    }
+    if only is not None:
+        state[only] = LEVELS[only]()
+        if state_path:
+            with open(state_path, "w") as fh:
+                json.dump(state, fh)
+        print(json.dumps({only: state[only]}))
+        if not assemble:
+            return 0
+
+    if not assemble and only is None:
+        for name, fn in LEVELS.items():
+            state[name] = fn()
+
+    lo2, lo, hi = state["local2"], state["local8"], state["local32"]
+    ex1, ex4 = state["ex1"], state["ex4"]
     efficiency = (lo["seconds"] / hi["seconds"]) / 4.0
-
-    ex1 = run_multi_executor(1, 8, path, runs=3)
-    ex4 = run_multi_executor(4, 8, path, runs=3)
     eff_exec = (ex1["seconds"] / ex4["seconds"]) / 4.0
-
-    lo2 = run_level(2, path, runs=3)
     eff_low = (lo2["seconds"] / lo["seconds"]) / 4.0
 
     result = {
