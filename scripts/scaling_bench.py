@@ -94,10 +94,12 @@ def run_multi_executor(n_exec: int, cores_each: int, path: str, runs: int = 2) -
     the closest sandbox analogue of `spark-submit` on an N-executor
     cluster (separate heaps, separate GC, separate python workers).
     Wall time = the slowest executor."""
-    # total heap across executors must fit the host (125 GiB here) — a
-    # real cluster gives each executor its own machine's memory, the
-    # sandbox must split one machine's
-    mem = f"{max(8, 96 // n_exec)}g"
+    # SAME heap per executor at every executor count: a real cluster
+    # scales out with identical container specs, so giving the 1-executor
+    # level 4x the heap of each 4-executor JVM (as r1 did: 96g vs 24g)
+    # hands the N level a GC advantage no cluster has. 20g x 4 fits the
+    # 125 GiB host with room for page cache.
+    mem = "20g"
     procs = []
     for e in range(n_exec):
         lo, hi = e * cores_each, (e + 1) * cores_each - 1

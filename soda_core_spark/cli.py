@@ -116,7 +116,19 @@ def contract_verify_main(args: argparse.Namespace) -> int:
         print(f"cannot load contract: {e}", file=sys.stderr)
         return ExitCode.LOG_ERRORS
 
-    spark = build_session(cpus=args.local_cpus)
+    try:
+        from soda_core_spark.sources.session import get_session
+
+        spark = get_session(
+            use_active=args.use_active_session,
+            remote=args.remote,
+            token=args.token,
+            cluster_id=args.cluster_id,
+            local_cpus=args.local_cpus,
+        )
+    except Exception as e:
+        print(f"cannot build Spark session: {e}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
     datasets = {}
     for spec in args.dataset or []:
         if "=" not in spec:
@@ -180,6 +192,19 @@ def _contract_main(argv: list[str]) -> int:
     )
     v.add_argument("--data-timestamp", default=None, help="ISO timestamp for freshness/NOW")
     v.add_argument("--local-cpus", default=None, help="run local[N] instead of cluster master")
+    v.add_argument(
+        "--remote",
+        default=None,
+        help="Spark Connect target: full sc:// URI, or bare host combined "
+        "with --token/--cluster-id (reference sparkdf remote session mode)",
+    )
+    v.add_argument("--token", default=None, help="bearer token for --remote")
+    v.add_argument("--cluster-id", default=None, help="cluster id for --remote")
+    v.add_argument(
+        "--use-active-session",
+        action="store_true",
+        help="reuse the thread-local active SparkSession instead of building one",
+    )
     args = p.parse_args(argv)
     return contract_verify_main(args)
 

@@ -1217,6 +1217,101 @@ def q37(spark, sf_dir):
     )
 
 
+@register(
+    "q39_duplicated_ngrams",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[ \\t\\n\\r]+'),
+                         x -> x <> '') AS wds
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(wds) >= 8 THEN
+               list_transform(range(1, len(wds) - 6),
+                              i -> array_to_string(wds[i:i+7], ' '))
+             ELSE []::VARCHAR[] END AS grams
+      FROM w
+    ),
+    ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    dupg AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM ex)
+      GROUP BY gram HAVING count(*) >= 2
+    ),
+    dc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+      FROM ex WHERE gram IN (SELECT gram FROM dupg)
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           len(grams)::BIGINT AS n_windows,
+           coalesce(dc.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           round(CASE WHEN len(grams) > 0
+                 THEN coalesce(dc.n_dup_windows, 0)::DOUBLE / len(grams)
+                 ELSE 0.0 END, 6) AS dup_fraction
+    FROM g LEFT JOIN dc ON g.doc_id = dc.doc_id
+    """,
+)
+def q39(spark, sf_dir):
+    """Repeated-substring duplication signal (suffix-array-style, Lee et
+    al. 2021, Spark-shaped): fraction of each doc's 8-token windows whose
+    n-gram occurs in ≥2 distinct documents."""
+    from soda_core_spark.operators.dedup import duplicated_ngram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_ngram_stats(d, n=8, min_docs=2)
+
+
+def _q40_sql() -> str:
+    # the classifier is linear-over-signals + sigmoid; weights are shared
+    # data, features reuse the already-oracled q11/q14/q15 formulations
+    from soda_core_spark.functions.classifier import INTERCEPT, WEIGHTS
+
+    feats = {
+        "log_chars": "least(ln(1.0 + length(coalesce(text, ''))), ln(20001.0))",
+        "stopword_density": f"""CASE WHEN len({_WORDS_SQL}) > 0
+                 THEN len(list_filter({_WORDS_SQL},
+                          x -> list_contains({_SW_LIST_SQL}, lower(x))))::DOUBLE
+                      / len({_WORDS_SQL})
+                 ELSE 0.0 END""",
+        "alnum_ratio": """CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)
+                 ELSE 0.0 END""",
+        "bigram_repetition": f"""CASE WHEN len({_WORDS_SQL}) >= 2 THEN
+             1.0 - len(list_distinct(list_transform(range(1, len({_WORDS_SQL})),
+                       i -> ({_WORDS_SQL})[i] || chr(31) || ({_WORDS_SQL})[i+1])))::DOUBLE
+                   / (len({_WORDS_SQL}) - 1)
+           ELSE 0.0 END""",
+    }
+    z = f"({INTERCEPT} " + " ".join(
+        f"+ ({w}) * ({feats[name]})" for name, w in WEIGHTS.items()
+    ) + ")"
+    return f"""
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-{z})), 6) AS quality_score,
+           (1.0 / (1.0 + exp(-{z})) >= 0.5) AS keep
+    FROM documents
+    """
+
+
+@register("q40_quality_classifier", _q40_sql())
+def q40(spark, sf_dir):
+    """Logistic quality classifier over the heuristic signals — model
+    weights shared as data with the SQL oracle, inference pure codegen
+    arithmetic (functions/classifier.py)."""
+    from soda_core_spark.functions.classifier import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    score = quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality/lineage summary over documents: heuristic keep
     flags + dedup + aggregate metrics in one grouped scan — the engine's

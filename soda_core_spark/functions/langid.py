@@ -116,3 +116,79 @@ def with_langid(text: Column) -> dict[str, Column]:
         "langid_pred": struct.getField("langid_pred"),
         "langid_conf": struct.getField("langid_conf"),
     }
+
+
+def langid_jvm_cols(text: Column) -> dict[str, Column]:
+    """The SAME model as :func:`score_batch`, evaluated entirely JVM-side:
+    per language, hits = size(filter(lowered-tokens, token IN word-set))
+    — an InSet hash probe per token, no Python objects, no Arrow transfer.
+    Counts are the same exact integers as the pandas path, fractions the
+    same IEEE divisions, argmax the same first-max-in-sorted-lang-order —
+    so predictions and confidences are bit-identical and keep/drop parity
+    is unaffected (asserted in tests/test_webtext_parity.py).
+
+    This is the hot path for the heuristic stand-in model (the pipeline's
+    default). A REAL fastText binary cannot be a column expression — the
+    pandas UDF (:func:`langid_udf`) is the production pattern for that,
+    kept tested behind ``QualityFilterPipeline(langid="pandas")``.
+
+    The lowered token array is materialized once per row via a
+    multi-referenced alias only when the caller does so; as a bare
+    expression each language's filter re-lowers (HOFs have no CSE) —
+    pass a pre-lowered array column for the hot path."""
+    words = F.filter(F.split(F.lower(F.coalesce(text, F.lit(""))), "[ \\t\\n\\r]+"),
+                     lambda w: w != "")
+    return langid_jvm_from_words(words)
+
+
+def attach_langid_jvm(df, text_col: str = "text"):
+    """Attach ``langid_pred``/``langid_conf`` via the JVM model, staged so
+    every expensive piece is evaluated exactly once per row: the lowered
+    token array and the six per-language fractions are materialized as
+    multi-referenced projection aliases (they survive CollapseProject),
+    then conf = greatest over the fraction COLUMNS and pred compares the
+    columns — without the staging, greatest+argmax would re-run each
+    token-set filter 2-3× (higher-order functions have no CSE)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    wl = F.filter(F.split(F.lower(text), "[ \\t\\n\\r]+"), lambda w: w != "")
+    df = df.withColumn("__wl", wl)
+    n = F.size(F.col("__wl"))
+    fcols = {}
+    for lang in LANGS:
+        hits = F.size(F.filter(F.col("__wl"), _member_fn(LANG_WORDS[lang])))
+        fcols[f"__lid_{lang}"] = F.when(
+            n > 0, hits.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+    df = df.withColumns(fcols)
+    df = df.withColumn(
+        "langid_conf", F.greatest(*[F.col(f"__lid_{lang}") for lang in LANGS])
+    )
+    pred = F.when(F.col("langid_conf") <= 0.0, F.lit("und"))
+    for lang in LANGS:  # first max in sorted-lang order == pandas idxmax
+        pred = pred.when(
+            F.col(f"__lid_{lang}") == F.col("langid_conf"), F.lit(lang)
+        )
+    return df.withColumn("langid_pred", pred).drop("__wl", *fcols)
+
+
+def _member_fn(word_set: frozenset[str]):
+    # single-param closure, NOT a default-arg lambda — pyspark treats a
+    # two-param lambda as the (element, index) form (see dedup._salted_hash)
+    words_list = sorted(word_set)
+    return lambda t: t.isin(words_list)
+
+
+def langid_jvm_from_words(lowered_words: Column) -> dict[str, Column]:
+    """JVM langid over an already-lowercased token array column."""
+    n = F.size(lowered_words)
+    fracs = {}
+    for lang in LANGS:
+        hits = F.size(F.filter(lowered_words, _member_fn(LANG_WORDS[lang])))
+        fracs[lang] = F.when(
+            n > 0, hits.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+    conf = F.greatest(*fracs.values()) if len(fracs) > 1 else next(iter(fracs.values()))
+    pred = F.when(conf <= 0.0, F.lit("und"))
+    for lang in LANGS:  # first max in sorted-lang order == pandas idxmax
+        pred = pred.when(fracs[lang] == conf, F.lit(lang))
+    return {"langid_pred": pred, "langid_conf": conf}

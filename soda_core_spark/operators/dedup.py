@@ -542,6 +542,68 @@ def decontaminate(
     )
 
 
+def duplicated_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document repeated-substring signal (the Spark-shaped analogue
+    of suffix-array substring dedup, Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better"): slide an ``n``-token
+    window over every document; a window position is *duplicated* when
+    its n-gram occurs in at least ``min_docs`` distinct documents.
+    Returns (id, n_windows, n_dup_windows, dup_fraction) — the standard
+    drop/trim signal for cross-document boilerplate and mirrored content.
+
+    Scale shape: token windows are linear in corpus token count
+    (posexplode — no quadratic blowup); the duplicated-gram set is
+    one distinct + one groupBy over (gram) with full partial aggregation;
+    flagging is an equi-join on the gram. A boilerplate gram shared by
+    millions of docs is ONE row in the dup-gram set (the join fans out
+    only to its actual occurrences, which must be touched anyway).
+    Windows are non-distinct per doc — a document repeating its own
+    n-gram twice counts both positions (suffix-array semantics), but
+    self-repeats only count as duplicated when the gram clears
+    ``min_docs`` distinct documents.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(t), "[ \\t\\n\\r]+"), lambda w: w != "")
+    k = F.size(words)
+    # all n-gram windows, positions kept implicit (we only need counts)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _spread(df).select(F.col(id_col).alias("id"), grams.alias("g"))
+    ex = base.select("id", F.explode("g").alias("gram"))
+    dup_grams = (
+        ex.select("id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("gram")
+    )
+    flagged = ex.join(dup_grams, "gram", "left_semi")
+    dup_counts = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_windows")
+    )
+    totals = base.select("id", F.size("g").cast("long").alias("n_windows"))
+    nd = F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long"))
+    frac = F.when(F.col("n_windows") > 0, nd / F.col("n_windows")).otherwise(0.0)
+    return totals.join(dup_counts, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_windows",
+        nd.alias("n_dup_windows"),
+        F.round(frac, 6).alias("dup_fraction"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level repeated-line (boilerplate) removal
 # ---------------------------------------------------------------------------

@@ -82,7 +82,7 @@ class QualityFilterPipeline:
         self,
         rules: tuple[FilterRule, ...] = DEFAULT_WEBTEXT_RULES,
         scrub: bool = True,
-        langid: bool = True,
+        langid: bool | str = True,
         perplexity: bool = True,
         text_column: str = "text",
         drop_columns: tuple[str, ...] = ("html",),
@@ -93,6 +93,12 @@ class QualityFilterPipeline:
         # column). Pass drop_columns=() to keep it.
         self.drop_columns = drop_columns
         self.scrub = scrub
+        # langid: "jvm" (default — the function-word model as pure InSet
+        # probes over the token array, bit-identical scores, no Arrow
+        # traffic) | "pandas" (the vectorized-UDF shape a real fastText
+        # binary requires) | False
+        if langid is True:
+            langid = "jvm"
         self.langid = langid
         self.perplexity = perplexity
         self.text_column = text_column
@@ -115,9 +121,10 @@ class QualityFilterPipeline:
         out = with_signals(df, self.text_column)
         # all scorer UDFs in ONE projection level and one eval type → the
         # ExtractPythonUDFs rule fuses them into a single ArrowEvalPython
-        # node (one Arrow round-trip per batch for langid+ppl+scrub)
+        # node (one Arrow round-trip per batch; shared input columns cross
+        # once). JVM langid runs outside the Arrow node entirely.
         udf_cols = {}
-        if self.langid:
+        if self.langid == "pandas":
             udf_cols["_langid"] = langid_udf(text)
         if self.perplexity:
             udf_cols["log_ppl"] = perplexity_udf(text)
@@ -125,13 +132,17 @@ class QualityFilterPipeline:
             udf_cols["text_scrubbed"] = scrub_udf(text)
         if udf_cols:
             out = out.withColumns(udf_cols)
-        if self.langid:
+        if self.langid == "pandas":
             out = out.withColumns(
                 {
                     "langid_pred": F.col("_langid.langid_pred"),
                     "langid_conf": F.col("_langid.langid_conf"),
                 }
             ).drop("_langid")
+        elif self.langid:
+            from soda_core_spark.functions.langid import attach_langid_jvm
+
+            out = attach_langid_jvm(out, self.text_column)
         fail_flags = {}
         for r in self.rules:
             try:

@@ -150,6 +150,64 @@ def host_running_totals(annotated: DataFrame) -> DataFrame:
     )
 
 
+def host_running_totals_tws(annotated: DataFrame) -> DataFrame:
+    """Spark 4 form of :func:`host_running_totals`:
+    ``transformWithStateInPandas`` with a ``StatefulProcessor`` — the
+    successor API to ``applyInPandasWithState`` (typed state handles,
+    timers, TTL, and the RocksDB state store with changelog
+    checkpointing, which is what bounds state-restore time at 10^8 hosts).
+    Same semantics: per-host cumulative doc/keep totals across
+    micro-batches, one updated row per host per batch.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider`` on the session (transformWithState is
+    RocksDB-only); keep :func:`host_running_totals` for sessions on the
+    default HDFS-backed store."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "host string, n_docs bigint, n_kept bigint, keep_rate double"
+
+    class HostTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_docs bigint, n_kept bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get() if self._totals.exists() else (0, 0)
+            n_docs, n_kept = prev
+            for pdf in rows:
+                n_docs += len(pdf)
+                n_kept += int(pdf["keep"].fillna(False).astype(bool).sum())
+            self._totals.update((n_docs, n_kept))
+            yield pd.DataFrame(
+                {
+                    "host": [key[0]],
+                    "n_docs": [n_docs],
+                    "n_kept": [n_kept],
+                    "keep_rate": [n_kept / n_docs if n_docs else 0.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        annotated.select("host", "keep")
+        .groupBy("host")
+        .transformWithStateInPandas(
+            HostTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def start_metrics_stream(
     spark: SparkSession,
     input_path: str,
