@@ -153,6 +153,25 @@ def contract_verify_main(args: argparse.Namespace) -> int:
     )
     print(session.summary())
 
+    if args.metrics_out:
+        # diagnostics-warehouse analogue (reference -dw flag, cli.py:236-243):
+        # append every contract's check results (+ measurements) to parquet
+        # metrics tables
+        from soda_core_spark.sources.sinks import write_scan_results
+
+        try:
+            for res in session.results:
+                write_scan_results(
+                    spark,
+                    res,
+                    check_results_path=f"{args.metrics_out}/check_metrics",
+                    measurements_path=f"{args.metrics_out}/measurements",
+                    scan_ts=data_timestamp,
+                )
+        except Exception as e:
+            print(f"cannot write metrics tables: {e}", file=sys.stderr)
+            return ExitCode.LOG_ERRORS
+
     if session.errors:
         return ExitCode.LOG_ERRORS
     outcomes = {
@@ -204,6 +223,13 @@ def _contract_main(argv: list[str]) -> int:
         "--use-active-session",
         action="store_true",
         help="reuse the thread-local active SparkSession instead of building one",
+    )
+    v.add_argument(
+        "-dw",
+        "--metrics-out",
+        default=None,
+        help="append check results + measurements to parquet metrics tables "
+        "under this directory (diagnostics-warehouse analogue)",
     )
     args = p.parse_args(argv)
     return contract_verify_main(args)

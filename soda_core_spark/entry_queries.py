@@ -1312,6 +1312,45 @@ def q40(spark, sf_dir):
     )
 
 
+@register(
+    "q41_chunking",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '[ \\t\\n\\r]+'),
+                         x -> x <> '') AS wds
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, wds, len(wds) AS k,
+             CASE WHEN len(wds) <= 0 THEN 0
+                  WHEN len(wds) <= 64 THEN 1
+                  ELSE 1 + (len(wds) - 64 + 47) // 48 END AS n_chunks
+      FROM w
+    ),
+    ex AS (
+      SELECT doc_id, wds, k,
+             unnest(range(n_chunks)) AS chunk_idx
+      FROM n WHERE n_chunks > 0
+    )
+    SELECT doc_id,
+           chunk_idx::BIGINT AS chunk_idx,
+           least(64, k - chunk_idx * 48)::BIGINT AS n_tokens,
+           array_to_string(wds[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def q41(spark, sf_dir):
+    """Context-window chunking: 64-token windows advancing by 48 (16-token
+    overlap) — the pre-tokenization splitting step of an LLM pipeline,
+    pure column algebra (operators/chunking.py)."""
+    from soda_core_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=64, stride=48)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality/lineage summary over documents: heuristic keep
     flags + dedup + aggregate metrics in one grouped scan — the engine's

@@ -1,0 +1,57 @@
+"""Document chunking for context-window training: split each document
+into overlapping token windows (chunk_size tokens, advancing by stride).
+
+The standard pre-tokenization step of an LLM data pipeline — long pages
+become multiple training sequences, short pages one. Pure column algebra:
+tokenize once, compute the start-position sequence arithmetically, explode
+(one row per chunk), slice+join per chunk. Linear in corpus token count;
+no shuffle at all (explode is per-row), so it composes with the filter
+pipeline's shuffle-free row stage.
+
+soda-core has no notion of chunking; this is a training-pipeline extension
+(north rule: operations a large-scale training-data pipeline needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """(id, chunk_idx, n_tokens, chunk_text) — word-token windows.
+
+    ``stride`` < ``chunk_size`` gives overlapping windows (the overlap is
+    ``chunk_size - stride``); the final window covers the document tail
+    and may be shorter. Token-less documents yield no chunks. Chunk
+    count: 1 if k ≤ chunk_size else 1 + ceil((k − chunk_size)/stride) —
+    all integer arithmetic, reproducible in any engine.
+    """
+    if not 0 < stride <= chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, "[ \\t\\n\\r]+"), lambda w: w != "")
+    base = df.select(F.col(id_col).alias("id"), words.alias("__w"))
+    k = F.size(F.col("__w"))
+    n_chunks = F.when(k <= 0, F.lit(0)).when(k <= chunk_size, F.lit(1)).otherwise(
+        (F.lit(1) + F.floor((k - F.lit(chunk_size) + F.lit(stride) - 1) / F.lit(stride)))
+        .cast("int")
+    )
+    starts = F.when(
+        n_chunks > 0,
+        F.sequence(F.lit(0), (n_chunks - 1) * F.lit(stride), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = base.select("id", "__w", F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk_words = F.slice(F.col("__w"), F.col("start") + 1, chunk_size)
+    return ex.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk_words).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk_words).alias("chunk_text"),
+    )

@@ -41,6 +41,21 @@ def test_single_arrow_eval_node(web_df):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_jvm_langid_outside_arrow_node(web_df):
+    """Default pipeline: language-ID runs as codegen/InSet expressions —
+    the single Arrow node carries only perplexity+scrub (2 UDFs), and the
+    six per-language fraction columns are materialized once (no
+    re-evaluated token filters in the final projection)."""
+    plan = _plan(QualityFilterPipeline().annotate(web_df))
+    arrow_lines = [l for l in plan.splitlines() if "ArrowEvalPython" in l]
+    assert len(arrow_lines) == 1
+    assert "langid" not in arrow_lines[0]
+    # pandas mode keeps langid inside the Arrow node
+    plan_p = _plan(QualityFilterPipeline(langid="pandas").annotate(web_df))
+    arrow_p = [l for l in plan_p.splitlines() if "ArrowEvalPython" in l]
+    assert len(arrow_p) == 1 and "langid" in arrow_p[0]
+
+
 def test_filter_pushdown_to_parquet(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     df = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")

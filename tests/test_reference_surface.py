@@ -380,6 +380,28 @@ def test_cli_verify_bad_args(tmp_path_factory, people_parquet):
     assert r.returncode == 3
 
 
+def test_cli_verify_metrics_out(tmp_path_factory, people_parquet, spark):
+    c = _write_contract(
+        tmp_path_factory, "dataset: people\nchecks:\n  - row_count:\n      must_be: 50\n"
+    )
+    out_dir = str(tmp_path_factory.mktemp("dw"))
+    r = _run_cli(
+        "-c", c,
+        "-ds", f"people={people_parquet}",
+        "-dw", out_dir,
+        "--data-timestamp", "2026-08-16T00:00:00+00:00",
+        "--local-cpus", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    cm = spark.read.parquet(f"{out_dir}/check_metrics")
+    rows = cm.collect()
+    assert len(rows) == 1
+    assert rows[0]["check_type"] == "row_count"
+    assert rows[0]["outcome"] == "passed"
+    mm = spark.read.parquet(f"{out_dir}/measurements")
+    assert mm.count() >= 1
+
+
 def test_cli_verify_variables_and_selector(tmp_path_factory, people_parquet):
     c = _write_contract(
         tmp_path_factory,
