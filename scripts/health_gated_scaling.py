@@ -1,0 +1,84 @@
+"""Run the scaling bench levels only while the host is healthy.
+
+This sandbox VM intermittently degrades at the hypervisor level: fresh
+anonymous pages fault in at <0.1 GB/s (normal: >1 GB/s) while cached CPU
+and pre-touched bandwidth stay full speed — which silently inflates any
+allocation-heavy Spark timing by 1.5-2x. Timing levels in that state
+produces garbage ratios, so each level waits for a healthy probe first
+and re-probes before the next level. Probe values are recorded next to
+the results for transparency.
+
+Usage: python scripts/health_gated_scaling.py [n_docs] [state_path]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HEALTHY_GBPS = 0.5
+PROBE_TRIES = 3
+
+
+def fresh_page_gbps() -> float:
+    import numpy as np
+
+    best = 0.0
+    for _ in range(PROBE_TRIES):
+        b = np.empty(32_000_000, dtype=np.float64)
+        t0 = time.monotonic()
+        b[::512] = 1.0
+        dt = time.monotonic() - t0
+        best = max(best, b.nbytes / dt / 1e9)
+        del b
+    return best
+
+
+def wait_healthy(max_wait_s: float = 7200.0) -> float:
+    t0 = time.monotonic()
+    while True:
+        g = fresh_page_gbps()
+        if g >= HEALTHY_GBPS:
+            return g
+        if time.monotonic() - t0 > max_wait_s:
+            print(f"WARN: still unhealthy after {max_wait_s}s (probe {g:.2f} GB/s); "
+                  "proceeding anyway", flush=True)
+            return g
+        print(f"host unhealthy (fresh-page {g:.2f} GB/s < {HEALTHY_GBPS}); "
+              "sleeping 300s", flush=True)
+        time.sleep(300)
+
+
+def main() -> int:
+    n_docs = sys.argv[1] if len(sys.argv) > 1 else "1600000"
+    state = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sb_gated.json"
+    probes = {}
+    for level in ("local8", "local32", "ex1", "ex4", "local2"):
+        probes[level] = round(wait_healthy(), 2)
+        print(f"running {level} (probe {probes[level]} GB/s)", flush=True)
+        r = subprocess.run(
+            [sys.executable, "scripts/scaling_bench.py", n_docs,
+             "--only", level, "--state", state],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        print(line[-1] if line else r.stderr[-500:], flush=True)
+    probes["assemble"] = round(fresh_page_gbps(), 2)
+    r = subprocess.run(
+        [sys.executable, "scripts/scaling_bench.py", n_docs,
+         "--state", state, "--assemble"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    print(r.stdout.strip().splitlines()[-1] if r.stdout.strip() else r.stderr[-500:],
+          flush=True)
+    with open(state.replace(".json", "_probes.json"), "w") as fh:
+        json.dump(probes, fh)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -140,14 +140,31 @@ def verify_contract(
     measurements: list[Measurement] = []
     built: list[AggMetric] = []
     built_cols = []
+    candidates: list[tuple[AggMetric, Any]] = []
     for m in agg_metrics.values():
         try:
-            col = m.build()
-            filtered.select(col.alias("__soda_validate"))  # force analysis
-            built.append(m)
-            built_cols.append(col)
+            candidates.append((m, m.build()))
         except Exception:
             measurements.append(Measurement(m.key, None, m.name))
+    # analysis cost: ONE batched analyze when every expression is valid
+    # (the overwhelmingly common case — O(1) driver roundtrips however
+    # many metrics a contract has); only a failing batch falls back to
+    # per-metric analysis to isolate the bad expression(s)
+    if candidates:
+        try:
+            filtered.select(
+                *[c.alias(f"__soda_validate_{i}") for i, (_m, c) in enumerate(candidates)]
+            )
+            built = [m for m, _c in candidates]
+            built_cols = [c for _m, c in candidates]
+        except Exception:
+            for m, col in candidates:
+                try:
+                    filtered.select(col.alias("__soda_validate"))
+                    built.append(m)
+                    built_cols.append(col)
+                except Exception:
+                    measurements.append(Measurement(m.key, None, m.name))
     if built:
         exprs = [c.alias(f"m_{i}") for i, c in enumerate(built_cols)]
         try:
