@@ -70,6 +70,23 @@ print(json.dumps({"cpus": cpus, "seconds": round(med, 2),
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# glibc arena reuse for the python UDF workers: pandas/numpy batch buffers
+# exceed the default mmap threshold, so every Arrow batch mmap/munmaps
+# fresh pages — gratuitous page-fault traffic (pathological on hosts with
+# slow fault servicing, and measurable anywhere allocation-heavy). Raising
+# the threshold keeps big buffers on the retained heap, reused across
+# batches. Inherited by the JVM's forked python workers.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(256 * 1024 * 1024),
+    "MALLOC_TRIM_THRESHOLD_": str(256 * 1024 * 1024),
+}
+
+
+def _env() -> dict:
+    e = dict(os.environ)
+    e.update(_MALLOC_ENV)
+    return e
+
 
 def _parse(out: subprocess.CompletedProcess) -> dict:
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -84,7 +101,7 @@ def run_level(cpus: int, path: str, runs: int = 2) -> dict:
     # worker share, matching how a real cluster allocates containers.
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", RUNNER,
            str(cpus), path, str(runs)]
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=_env())
     return _parse(out)
 
 
@@ -107,7 +124,7 @@ def run_multi_executor(n_exec: int, cores_each: int, path: str, runs: int = 2) -
                str(cores_each), path, str(runs), str(e), str(n_exec), mem]
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            text=True, cwd=REPO,
+            text=True, cwd=REPO, env=_env(),
         ))
     results, wall = [], 0.0
     for p in procs:
