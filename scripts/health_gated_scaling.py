@@ -57,6 +57,7 @@ def main() -> int:
     n_docs = sys.argv[1] if len(sys.argv) > 1 else "1600000"
     state = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sb_gated.json"
     probes = {}
+    failures: list[str] = []
     for level in ("local8", "local32", "ex1", "ex4", "local2"):
         probes[level] = round(wait_healthy(), 2)
         print(f"running {level} (probe {probes[level]} GB/s)", flush=True)
@@ -67,6 +68,8 @@ def main() -> int:
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")]
         print(line[-1] if line else r.stderr[-500:], flush=True)
+        if r.returncode != 0 or not line:
+            failures.append(level)
     probes["assemble"] = round(fresh_page_gbps(), 2)
     r = subprocess.run(
         [sys.executable, "scripts/scaling_bench.py", n_docs,
@@ -77,6 +80,9 @@ def main() -> int:
           flush=True)
     with open(state.replace(".json", "_probes.json"), "w") as fh:
         json.dump(probes, fh)
+    if failures or r.returncode != 0:
+        print(f"FAILED levels: {failures}; assemble rc={r.returncode}", flush=True)
+        return 1
     return 0
 
 

@@ -197,6 +197,11 @@ def main() -> int:
         for name, fn in LEVELS.items():
             state[name] = fn()
 
+    missing = [k for k in ("local2", "local8", "local32", "ex1", "ex4")
+               if k not in state]
+    if missing:
+        print(json.dumps({"error": "missing levels", "missing": missing}))
+        return 1
     lo2, lo, hi = state["local2"], state["local8"], state["local32"]
     ex1, ex4 = state["ex1"], state["ex4"]
     efficiency = (lo["seconds"] / hi["seconds"]) / 4.0

@@ -79,7 +79,7 @@ def _parse_variables(pairs: list[str] | None) -> dict[str, str] | None:
 
 def contract_verify_main(args: argparse.Namespace) -> int:
     from soda_core_spark.operators.engine import verify_contracts
-    from soda_core_spark.plans.model import ContractParseError, contract_from_yaml_file
+    from soda_core_spark.plans.model import contract_from_yaml_file
     from soda_core_spark.plans.results import CheckOutcome
     from soda_core_spark.plans.selectors import CheckSelector, CheckSelectorParseError
 
@@ -112,8 +112,11 @@ def contract_verify_main(args: argparse.Namespace) -> int:
             contract_from_yaml_file(p, variables=variables, data_timestamp=data_timestamp)
             for p in args.contract
         ]
-    except (OSError, ContractParseError) as e:
-        print(f"cannot load contract: {e}", file=sys.stderr)
+    except Exception as e:
+        # OSError / ContractParseError / yaml.YAMLError / malformed
+        # sample: blocks — ANY load failure is a parse-stage error and
+        # must honour the exit-code contract (3), never a traceback
+        print(f"cannot load contract: {type(e).__name__}: {e}", file=sys.stderr)
         return ExitCode.LOG_ERRORS
 
     try:

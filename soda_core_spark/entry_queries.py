@@ -894,7 +894,7 @@ def _q20_sql() -> str:
 
     toks = (
         "list_filter(regexp_split_to_array(lower(coalesce(text, '')),"
-        " '\\s+'), x -> x <> '')"
+        " '[ \\t\\n\\r]+'), x -> x <> '')"
     )
     counts = ",\n           ".join(
         "len(list_filter(toks, x -> list_contains(["

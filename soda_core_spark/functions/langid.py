@@ -81,13 +81,19 @@ for _i, _lang in enumerate(LANGS):
 def score_batch(texts: pd.Series) -> pd.DataFrame:
     """Vectorized batch scoring: one explode, one dict-map to language
     bitmasks, one grouped sum over all languages at once. Counts are
-    exact integers — identical to per-language set membership."""
+    exact integers — identical to per-language set membership.
+
+    Tokenization is the repo-wide contract (functions/text.py): split on
+    ASCII whitespace runs ``[ \\t\\n\\r]+``, drop empties — NOT
+    ``str.split()``, whose unicode-whitespace set (NBSP, \\x0c, …) would
+    silently diverge from the JVM path (:func:`attach_langid_jvm`) and
+    the DuckDB oracle on real HTML-derived text."""
     import numpy as np
 
     s = texts.fillna("")
-    tokens = s.str.lower().str.split()
+    tokens = s.str.lower().str.split(r"[ \t\n\r]+", regex=True)
     exploded = tokens.explode()
-    valid = exploded.notna()
+    valid = exploded.notna() & (exploded != "")
     masks = exploded.map(_TOKEN_MASK).fillna(0).astype(np.int64)
     per_lang = pd.DataFrame(
         {lang: (masks.values >> i) & 1 for i, lang in enumerate(LANGS)},

@@ -562,7 +562,11 @@ def plan_failed_rows(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
         side.append(SideQuery(key, "failed_rows_query", run))
         value_key = key
     elif check.keys_query:
-        key = f"failed_rows_keys_query|{check.keys_query}"
+        # unlike other metrics, this side query carries per-check STATE
+        # (the captured keys land in this plan's closure) — keying it by
+        # check identity opts it out of cross-check metric dedup, else a
+        # second check sharing the same SQL would silently get no keys
+        key = f"failed_rows_keys_query|{check.keys_query}|{_identity(ctx, check)}"
 
         def run_keys(ctx: CheckContext) -> int:
             qdf = ctx.spark.sql(check.keys_query)

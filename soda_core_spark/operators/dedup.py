@@ -365,9 +365,10 @@ def simhash_near_duplicates(
     for b in range(nblocks):
         start = b * width
         w = bits - start if b == nblocks - 1 else width
-        val = F.shiftright(F.col("simhash"), start).bitwiseAND(
-            F.lit((1 << w) - 1).cast("long")
-        )
+        # w == 64 (max_hamming=0 at 64 bits): (1<<64)-1 overflows LongType;
+        # all-ones as a signed long is -1
+        mask = F.lit(-1 if w == 64 else (1 << w) - 1).cast("long")
+        val = F.shiftright(F.col("simhash"), start).bitwiseAND(mask)
         blocks.append(F.struct(F.lit(b).alias("b"), val.alias("v")))
     banded = sims.select(
         F.col(id_col).alias("id"),

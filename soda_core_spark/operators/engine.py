@@ -70,18 +70,23 @@ def verify_contract(
     datasets.setdefault(contract.dataset, df)
 
     filtered = apply_scan_filter(df, contract.filter)
+    sample_cache = None
     if contract.sample.is_configured():
         # dataset-level sampling, applied under the contract filter and
         # ahead of ALL metrics (reference attaches SAMPLE to the filtered
         # CTE, check_collections/base.py:595-605). percentage → df.sample
-        # (Bernoulli, seeded — Spark's TABLESAMPLE compiles to the same
-        # Sample node); absolute_limit → limit.
+        # (Bernoulli, seeded; deterministic given the partition layout, so
+        # the fused agg and the side queries see the same rows); an
+        # un-ordered limit is NOT stable across jobs (each job takes
+        # whichever partitions answer first), so the limited frame is
+        # cached — bounded by `limit` rows by construction — to pin one
+        # subset for the whole verification.
         if contract.sample.percent is not None:
             filtered = filtered.sample(
                 fraction=contract.sample.percent / 100.0, seed=contract.sample.seed
             )
         else:
-            filtered = filtered.limit(contract.sample.limit)
+            sample_cache = filtered = filtered.limit(contract.sample.limit).cache()
     selectors = CheckSelector.parse_all(check_selectors)
     ctx = CheckContext(
         spark=spark,
@@ -233,6 +238,8 @@ def verify_contract(
                 )
             )
 
+    if sample_cache is not None:
+        sample_cache.unpersist()
     return ContractVerificationResult(
         dataset=contract.dataset,
         check_results=results,

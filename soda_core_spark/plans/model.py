@@ -463,10 +463,13 @@ def _parse_check(
         allow_other_column_order=bool(body.get("allow_other_column_order", True)),
         approx=bool(body.get("approx", False)),
     )
-    if type_name == "failed_rows" and spec.query and spec.keys_query:
-        raise ContractParseError(
-            "failed_rows check takes 'query' or 'keys_query', not both"
-        )
+    if type_name == "failed_rows":
+        forms = [f for f in (spec.condition, spec.query, spec.keys_query) if f]
+        if len(forms) > 1:
+            raise ContractParseError(
+                "failed_rows check takes exactly one of 'condition'/"
+                "'expression', 'query', or 'keys_query'"
+            )
     if type_name == "freshness" and spec.column is None:
         raise ContractParseError("freshness check requires a column")
     if type_name == "aggregate" and not spec.function:

@@ -30,8 +30,10 @@ def build_remote_uri(
     by pyspark's ChannelBuilder); ``x-databricks-cluster-id`` rides as
     gRPC metadata. Keep the result in a local variable — it embeds the
     secret, never log it (reference :249-256)."""
-    host = host.removeprefix("sc://")
-    parts = [f"sc://{host}:{port}/"]
+    host = host.removeprefix("sc://").rstrip("/")
+    if ":" not in host:  # don't double a port the host already carries
+        host = f"{host}:{port}"
+    parts = [f"sc://{host}/"]
     if use_ssl:
         parts.append(";use_ssl=true")
     if token:
@@ -68,11 +70,12 @@ def get_session(
             )
         return session
     if remote is not None:
-        uri = (
-            remote
-            if ";" in remote or token is None
-            else build_remote_uri(remote, token=token, cluster_id=cluster_id)
-        )
+        if ";" in remote:
+            uri = remote  # full Spark Connect URI, pass through untouched
+        elif token is None and cluster_id is None and remote.startswith("sc://"):
+            uri = remote  # bare sc://host[:port] — already a valid target
+        else:
+            uri = build_remote_uri(remote, token=token, cluster_id=cluster_id)
         session = SparkSession.builder.remote(uri).getOrCreate()
         session.sql("SET TIME ZONE 'UTC'")
         return session

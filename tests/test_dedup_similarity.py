@@ -412,3 +412,40 @@ def test_decontaminate_matches_python_oracle_random(spark):
         ov = len(sh & bench_sh)
         want[i] = (len(sh), ov, round(ov / len(sh), 6), ov / len(sh) >= 0.5)
     assert got == want
+
+
+def test_simhash_near_duplicates_hamming_zero_64bit(spark):
+    """max_hamming=0 at the full 64-bit width (exact-fingerprint dup mode)
+    must not overflow the single all-bits block mask."""
+    from soda_core_spark.operators.dedup import simhash_near_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "something else here")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_duplicates(df, max_hamming=0).collect()}
+    assert got == {(1, 2): 0}
+
+
+def test_langid_tokenizer_contract_odd_whitespace(spark):
+    """NBSP / form feed are NOT separators under the repo's ASCII-ws
+    tokenization contract — pandas, JVM, and argmax must all agree."""
+    import pandas as pd
+
+    from soda_core_spark.functions.langid import attach_langid_jvm, score_batch
+
+    texts = [
+        "the\u00a0of and to in a is that it was",   # NBSP glues two tokens
+        "the\x0cof and to in a is that it was",      # form feed glues
+        "the of and to in a is that it was",         # plain: all stopwords
+    ]
+    pdf = score_batch(pd.Series(texts))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    jvm = {r["i"]: (r["langid_pred"], r["langid_conf"])
+           for r in attach_langid_jvm(df).select("i", "langid_pred", "langid_conf").collect()}
+    for i in range(3):
+        assert jvm[i] == (pdf["langid_pred"][i], pdf["langid_conf"][i]), i
+    # the glued token is a miss in both engines: 8 hits / 9 tokens
+    assert jvm[0][1] == pytest.approx(8 / 9)
+    assert jvm[2] == ("en", 1.0)

@@ -422,3 +422,91 @@ def test_cli_verify_variables_and_selector(tmp_path_factory, people_parquet):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "EXCLUDED" in r.stdout  # the metric check was selected out
+
+
+# ---------------------------------------------------------------------------
+# round-2 self-review regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_failed_rows_condition_and_keys_query_conflict():
+    with pytest.raises(ContractParseError):
+        contract_from_yaml(
+            """
+dataset: x
+checks:
+  - failed_rows:
+      condition: "id < 0"
+      keys_query: "SELECT 1"
+"""
+        )
+
+
+def test_shared_keys_query_both_checks_get_keys(spark, people):
+    """Two checks with the SAME keys_query must each capture failedKeys —
+    the side query opts out of metric dedup because it carries per-check
+    closure state."""
+    people.createOrReplaceTempView("people_kq2")
+    c = contract_from_yaml(
+        """
+dataset: people_kq2
+checks:
+  - failed_rows:
+      keys_query: "SELECT id FROM people_kq2 WHERE id >= 98"
+      qualifier: a
+      must_be: 0
+  - failed_rows:
+      keys_query: "SELECT id FROM people_kq2 WHERE id >= 98"
+      qualifier: b
+      level: warn
+      must_be: 0
+"""
+    )
+    res = verify_contract(spark, c, people)
+    for r in res.check_results:
+        assert sorted(r.diagnostics["failedKeys"]) == [98, 99], r.name
+    assert {r.outcome for r in res.check_results} == {
+        CheckOutcome.FAILED,
+        CheckOutcome.WARNED,
+    }
+
+
+def test_cli_verify_bad_yaml_and_bad_sample_exit_3(tmp_path_factory, people_parquet):
+    bad_yaml = _write_contract(tmp_path_factory, "dataset: [unclosed\n  - x:\n")
+    r = _run_cli("-c", bad_yaml, "-ds", f"people={people_parquet}")
+    assert r.returncode == 3, (r.returncode, r.stderr[-500:])
+    bad_sample = _write_contract(
+        tmp_path_factory, "dataset: people\nsample: 10\nchecks:\n  - row_count\n"
+    )
+    r = _run_cli("-c", bad_sample, "-ds", f"people={people_parquet}")
+    assert r.returncode == 3, (r.returncode, r.stderr[-500:])
+
+
+def test_sample_limit_stable_across_jobs(spark, people):
+    """sample.limit + a side query (reference check): both jobs must see
+    the SAME subset (the limited frame is pinned for the verification)."""
+    ref = spark.createDataFrame([(i,) for i in range(100)], ["rid"])
+    c = contract_from_yaml(
+        """
+dataset: people_sl
+sample:
+  limit: 30
+checks:
+  - row_count:
+      must_be: 30
+columns:
+  - name: id
+    checks:
+      - invalid:
+          valid_reference_data:
+            dataset: refs
+            column: rid
+"""
+    )
+    res = verify_contract(spark, c, people, datasets={"refs": ref})
+    by_type = {r.check_type: r for r in res.check_results}
+    assert by_type["row_count"].outcome == CheckOutcome.PASSED
+    # every id 0..99 exists in refs → 0 invalid regardless of subset, and
+    # rows tested by the reference check equals the sampled row count
+    assert by_type["invalid"].metric_value == 0
+    assert by_type["invalid"].diagnostics["checkRowsTested"] == 30

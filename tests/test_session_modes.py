@@ -63,3 +63,10 @@ def test_remote_uri_passthrough_vs_built():
     full = "sc://h:443/;use_ssl=true;token=t"
     assert ";" in full  # passthrough branch condition in get_session
     assert build_remote_uri("h", token="t") == "sc://h:443/;use_ssl=true;token=t"
+
+
+def test_build_remote_uri_host_with_port_not_doubled():
+    assert build_remote_uri("h:15002", use_ssl=False) == "sc://h:15002/"
+    assert build_remote_uri("sc://h:15002/", token="t") == (
+        "sc://h:15002/;use_ssl=true;token=t"
+    )
