@@ -93,3 +93,96 @@ class TestSignalProperties:
         pred, conf = _langid(t)
         assert 0.0 <= conf <= 1.0
         assert (pred == "und") == (conf <= 0.0)
+
+
+class TestChunkingProperties:
+    """Pure-Python model of operators/chunking.py arithmetic — the Spark
+    operator is cross-checked against DuckDB in test_oracle_parity (q41);
+    these pin the chunk-count/coverage algebra over the whole input space."""
+
+    @staticmethod
+    def _starts(k: int, chunk: int, stride: int) -> list[int]:
+        if k <= 0:
+            return []
+        if k <= chunk:
+            return [0]
+        n = 1 + -(-(k - chunk) // stride)  # 1 + ceil((k-chunk)/stride)
+        return [i * stride for i in range(n)]
+
+    @given(
+        k=st.integers(min_value=0, max_value=5000),
+        chunk=st.integers(min_value=1, max_value=600),
+        data=st.data(),
+    )
+    def test_windows_cover_every_token_and_respect_bounds(self, k, chunk, data):
+        stride = data.draw(st.integers(min_value=1, max_value=chunk))
+        starts = self._starts(k, chunk, stride)
+        if k == 0:
+            assert starts == []
+            return
+        covered = set()
+        for s in starts:
+            assert 0 <= s < k  # every window starts inside the doc
+            covered.update(range(s, min(s + chunk, k)))
+        assert covered == set(range(k))  # full coverage, no token dropped
+        # consecutive windows overlap by exactly chunk - stride (except
+        # possibly the tail, which may overlap more)
+        for a, b in zip(starts, starts[1:]):
+            assert b - a == stride
+
+    @given(
+        k=st.integers(min_value=1, max_value=5000),
+        chunk=st.integers(min_value=1, max_value=600),
+    )
+    def test_stride_equals_chunk_is_exact_partition(self, k, chunk):
+        starts = self._starts(k, chunk, chunk)
+        lens = [min(s + chunk, k) - s for s in starts]
+        assert sum(lens) == k  # disjoint cover
+
+
+class TestSelectorProperties:
+    @given(
+        field=st.sampled_from(["type", "name", "column", "path", "qualifier"]),
+        value=st.text(
+            alphabet=string.ascii_letters + string.digits + "_-./*?",
+            min_size=1,
+            max_size=30,
+        ),
+    )
+    def test_parse_roundtrip(self, field, value):
+        from soda_core_spark.plans.selectors import CheckSelector
+
+        s = CheckSelector.parse(f"{field}={value}")
+        assert (s.field, s.value) == (field, value)
+
+    @given(
+        items=st.lists(
+            st.text(
+                alphabet=string.ascii_letters + string.digits + "_- ",
+                min_size=1,
+                max_size=10,
+            ).map(str.strip).filter(bool),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def test_list_value_roundtrip(self, items):
+        from soda_core_spark.plans.selectors import _parse_list_value
+
+        rendered = "[" + ",".join(items) + "]"
+        assert _parse_list_value(rendered) == items
+
+    @given(
+        value=st.text(
+            alphabet=string.ascii_letters + string.digits + "[]()+.^$",
+            max_size=30,
+        )
+    )
+    def test_literal_bracket_never_globs(self, value):
+        """'[' must be literal in selector values — a value equal to the
+        check value always matches itself, whatever regex/glob chars it
+        contains (only * and ? are magic)."""
+        from soda_core_spark.plans.selectors import _values_match
+
+        if "*" not in value and "?" not in value:
+            assert _values_match(value, value)
