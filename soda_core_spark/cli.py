@@ -191,9 +191,38 @@ def contract_verify_main(args: argparse.Namespace) -> int:
     return ExitCode.OK
 
 
+def contract_test_main(args: argparse.Namespace) -> int:
+    """Parse-only contract validation (reference `soda contract test`,
+    cli.py:380-392 / handlers/contract.py:128-137): exit 0 when every
+    file parses, 3 on the first parse error. No Spark session is built —
+    syntax checking must be instant and offline."""
+    from soda_core_spark.plans.model import contract_from_yaml_file
+
+    if not args.contract:
+        print("at least one -c/--contract file is required", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    variables = _parse_variables(args.set)
+    if variables is None:
+        return ExitCode.LOG_ERRORS
+    for path in args.contract:
+        try:
+            contract_from_yaml_file(path, variables=variables)
+        except Exception as e:
+            print(f"{path} is INVALID: {type(e).__name__}: {e}", file=sys.stderr)
+            return ExitCode.LOG_ERRORS
+        print(f"{path} is valid")
+    return ExitCode.OK
+
+
 def _contract_main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="soda_core_spark.cli contract")
     sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("test", help="Test contract syntax without executing it")
+    t.add_argument("-c", "--contract", action="append", help="Contract YAML file path")
+    t.add_argument("--set", action="append", help="Contract variable: KEY=VALUE")
+    t.set_defaults(_handler=contract_test_main)
+
     v = sub.add_parser("verify", help="Verify one or more contracts")
     v.add_argument("-c", "--contract", action="append", help="Contract YAML file path")
     v.add_argument(
@@ -234,8 +263,9 @@ def _contract_main(argv: list[str]) -> int:
         help="append check results + measurements to parquet metrics tables "
         "under this directory (diagnostics-warehouse analogue)",
     )
+    v.set_defaults(_handler=contract_verify_main)
     args = p.parse_args(argv)
-    return contract_verify_main(args)
+    return args._handler(args)
 
 
 # ---------------------------------------------------------------------------

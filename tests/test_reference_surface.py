@@ -510,3 +510,25 @@ columns:
     # rows tested by the reference check equals the sampled row count
     assert by_type["invalid"].metric_value == 0
     assert by_type["invalid"].diagnostics["checkRowsTested"] == 30
+
+
+def test_cli_contract_test_parse_only(tmp_path_factory):
+    ok = _write_contract(
+        tmp_path_factory, "dataset: people\nchecks:\n  - row_count\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "contract", "test", "-c", ok],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "is valid" in r.stdout
+
+    bad = _write_contract(
+        tmp_path_factory, "dataset: people\nchecks:\n  - bogus_check_type\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "contract", "test", "-c", bad],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 3
+    assert "INVALID" in r.stderr
