@@ -2,11 +2,18 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, ``mapInPandas`` batch shape, partition
-behaviour) is real and tested; the *decode* step is stubbed behind
-``DECODERS`` because the media libraries (PIL/ffmpeg/torchaudio) are not
-in this container — each stub is a deterministic fake that consumes real
-bytes and emits schema-correct features, so swapping in a real decoder
-changes one function, not the pipeline.
+behaviour) is real and tested, and so is DECODE for the library-free
+formats:
+
+* **P6 PPM images** — binary RGB, parsed header + ``np.frombuffer``
+  (no PIL needed); features = 4×4 mean-pooled grayscale (16-dim),
+* **WAV PCM audio** — stdlib ``wave`` + numpy; features = 16-band RMS
+  energy profile over the clip,
+* **codec formats** (JPEG/PNG/MP4/...) — genuinely need external codecs
+  (PIL/ffmpeg) absent from this container, so they fall back to a
+  deterministic content-hash feature and are the ONE remaining gated
+  path (swap ``_decode_codec_fallback`` for a real decoder; the batch
+  plumbing is identical).
 
 Pattern: iterator-of-batches ``mapInPandas`` so a real decoder/model loads
 once per python worker (same lifecycle as functions/perplexity.py).
@@ -15,7 +22,9 @@ once per python worker (same lifecycle as functions/perplexity.py).
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+import wave
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -41,6 +50,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_hash", T.StringType()),
+        T.StructField("decoder", T.StringType()),  # ppm | wav | hash-fallback
         T.StructField("feature", T.ArrayType(T.FloatType())),  # fixed dim 16
     ]
 )
@@ -48,23 +58,118 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def _fake_decode_features(payload: bytes) -> np.ndarray:
-    """STUB — deterministic stand-in for a real decode→embed step.
-    Derives a 16-dim unit vector from the byte content (sha256 chunks).
-    Replace with e.g. PIL.Image.open + a vision encoder; the batch
-    plumbing around it stays identical."""
+# ---------------------------------------------------------------------------
+# Real decoders (library-free formats)
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary P6 PPM into an (H, W, 3) uint8 array — pure
+    header parse + ``np.frombuffer``, no imaging library. Raises
+    ValueError on anything that is not a well-formed 8-bit P6."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace separated, with
+    # optional '#' comment lines; a single whitespace byte ends the header
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    i += 1  # the single whitespace after maxval
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return pixels.reshape(h, w, 3)
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """4×4 mean-pooled grayscale, L2-normalized → FEATURE_DIM floats.
+    Pooling by integer-truncated bucket index handles any H×W (including
+    smaller than 4×4: empty buckets take the global mean)."""
+    gray = img.astype(np.float32).mean(axis=2)
+    h, w = gray.shape
+    ry = np.minimum((np.arange(h) * 4) // max(h, 1), 3)
+    rx = np.minimum((np.arange(w) * 4) // max(w, 1), 3)
+    pooled = np.zeros((4, 4), dtype=np.float64)
+    counts = np.zeros((4, 4), dtype=np.int64)
+    np.add.at(pooled, (ry[:, None].repeat(w, 1), rx[None, :].repeat(h, 0)), gray)
+    np.add.at(counts, (ry[:, None].repeat(w, 1), rx[None, :].repeat(h, 0)), 1)
+    mean = gray.mean() if gray.size else 0.0
+    out = np.where(counts > 0, pooled / np.maximum(counts, 1), mean)
+    v = out.reshape(FEATURE_DIM).astype(np.float32)
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAV PCM via the stdlib ``wave`` module → (mono float32
+    samples in [-1, 1], sample_rate). 8/16/32-bit PCM supported."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+        raw = wf.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported sample width {width}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    if width == 1:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (8 * width - 1))
+    if channels > 1:
+        x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def audio_features(samples: np.ndarray) -> np.ndarray:
+    """16-band RMS energy profile over the clip, L2-normalized."""
+    if samples.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    bands = np.array_split(samples.astype(np.float64), FEATURE_DIM)
+    v = np.array(
+        [np.sqrt(np.mean(b * b)) if b.size else 0.0 for b in bands],
+        dtype=np.float32,
+    )
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def _decode_codec_fallback(payload: bytes) -> np.ndarray:
+    """Codec formats (JPEG/MP4/...) need external decoders not present in
+    this container — deterministic content-hash feature keeps the schema
+    and the pipeline runnable; swap in PIL/ffmpeg here in production."""
     h = hashlib.sha256(payload).digest()
     v = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
-    v = v / np.linalg.norm(v)
-    return v
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode — not available in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not present in this environment; "
-        "use _fake_decode_features for plumbing tests"
-    )
+def decode_features(payload: Optional[bytes], mime: Optional[str]) -> tuple[str, np.ndarray]:
+    """(decoder_used, feature) for one payload. Dispatch is by content +
+    mime: real decode for PPM/WAV, hash fallback for codec formats."""
+    p = payload or b""
+    try:
+        if p.startswith(b"P6"):
+            return "ppm", image_features(decode_ppm(p))
+        if p.startswith(b"RIFF") and (mime or "").startswith("audio"):
+            samples, _rate = decode_wav(p)
+            return "wav", audio_features(samples)
+    except Exception:
+        pass  # malformed media → fallback, never a crashed task
+    return "hash-fallback", _decode_codec_fallback(p)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -74,9 +179,8 @@ def extract_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # a real decoder/model would be loaded HERE, once per worker
         for pdf in batches:
-            feats = [
-                _fake_decode_features(p if p is not None else b"")
-                for p in pdf["payload"]
+            decoded = [
+                decode_features(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame(
                 {
@@ -88,7 +192,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "content_hash": pdf["payload"].map(
                         lambda p: hashlib.sha256(p or b"").hexdigest()
                     ),
-                    "feature": [f.tolist() for f in feats],
+                    "decoder": [d for d, _f in decoded],
+                    "feature": [f.tolist() for _d, f in decoded],
                 }
             )
 
@@ -99,7 +204,8 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explodes one row per sampled timestamp
     using the typed metadata (duration_ms), without decoding — the decode
     of each frame happens downstream in extract_features once a real
-    decoder exists. Shows the schema/partitioning shape of the operator."""
+    video decoder exists. Shows the schema/partitioning shape of the
+    operator."""
     return df.where(F.col("kind") == "video").select(
         "media_id",
         "payload",
@@ -113,23 +219,64 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic media synthesis (REAL formats for image/audio)
+# ---------------------------------------------------------------------------
+
+
+def make_ppm(width: int, height: int, seed: int) -> bytes:
+    """A real binary P6 PPM with deterministic gradient+noise content."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:height, 0:width]
+    img = np.stack(
+        [
+            (x * 255 // max(width - 1, 1)),
+            (y * 255 // max(height - 1, 1)),
+            rng.integers(0, 256, size=(height, width)),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + img.tobytes()
+
+
+def make_wav(duration_ms: int, seed: int, rate: int = 8000) -> bytes:
+    """A real 16-bit mono PCM WAV: sine + noise, deterministic."""
+    rng = np.random.default_rng(seed)
+    n = max(1, rate * duration_ms // 1000)
+    t = np.arange(n, dtype=np.float64) / rate
+    freq = 100.0 + (seed % 800)
+    x = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(n)
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table: REAL PPM images and WAV audio clips;
+    video payloads are random bytes (an mp4 container cannot be
+    synthesized meaningfully without a codec — the one gated path)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(int(rng.integers(64, 512)))
-        rows.append(
-            (
-                f"m{i:05d}",
-                kind,
-                payload,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                int(rng.integers(16, 1920)) if kind != "audio" else None,
-                int(rng.integers(16, 1080)) if kind != "audio" else None,
-                int(rng.integers(1000, 60000)) if kind != "image" else None,
-            )
-        )
+        if kind == "image":
+            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            payload, mime = make_ppm(w, h, seed + i), "image/x-portable-pixmap"
+            dur = None
+        elif kind == "audio":
+            dur = int(rng.integers(50, 2000))
+            payload, mime = make_wav(dur, seed + i), "audio/wav"
+            w = h = None
+        else:
+            payload, mime = rng.bytes(int(rng.integers(64, 512))), "video/mp4"
+            w, h = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
+            dur = int(rng.integers(1000, 60000))
+        rows.append((f"m{i:05d}", kind, payload, mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
