@@ -150,6 +150,22 @@ def host_running_totals(annotated: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    key: str = "url",
+    watermark_col: str = "warc_ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each ``key``
+    (re-crawled / replayed pages dropped), with state bounded by the
+    watermark — ``dropDuplicatesWithinWatermark`` expires a key's state
+    once the watermark passes its event time + delay, so unbounded-corpus
+    streams don't accumulate unbounded dedup state (plain
+    ``dropDuplicates`` on a stream would). The streaming twin of
+    operators/dedup.exact_dedup for the ingestion front-end."""
+    return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark([key])
+
+
 def host_running_totals_tws(annotated: DataFrame) -> DataFrame:
     """Spark 4 form of :func:`host_running_totals`:
     ``transformWithStateInPandas`` with a ``StatefulProcessor`` — the

@@ -125,3 +125,41 @@ def test_host_running_totals_stateful(spark, input_path, tmp_path):
         assert g["n_docs"] == w["n_docs"], host
         assert g["n_kept"] == w["n_kept"], host
         assert abs(g["keep_rate"] - w["n_kept"] / w["n_docs"]) < 1e-12
+
+
+def test_dedup_stream_drops_duplicate_urls(spark, tmp_path):
+    """Duplicated urls in the stream collapse to the first occurrence;
+    state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+
+    from soda_core_spark.streaming.quality_stream import (
+        dedup_stream,
+        read_web_pages_stream,
+    )
+
+    base = dt.datetime(2026, 8, 1, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        url = f"https://h{i % 10}.example.com/p{i % 20}"  # each url twice
+        rows.append(
+            (url, base + dt.timedelta(minutes=i), b"", f"text {i % 20}", "en")
+        )
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(inp)
+
+    stream = read_web_pages_stream(spark, inp)
+    q = (
+        dedup_stream(stream, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url, count(*) AS n FROM dedup_out GROUP BY url").collect()
+    assert len(got) == 20  # 20 distinct urls
+    assert all(r["n"] == 1 for r in got)
