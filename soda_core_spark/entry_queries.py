@@ -1351,6 +1351,68 @@ def q41(spark, sf_dir):
     return chunk_documents(d, chunk_size=64, stride=48)
 
 
+def _q42_fixed_codebooks() -> list:
+    # deterministic LCG codebooks (8 subspaces x 16 codes x 8 dims): the
+    # registry entry verifies the ENCODE machinery under an exact oracle,
+    # which needs sf-independent codebooks embeddable in static SQL;
+    # data-trained codebooks (pq_train) are exercised by the local
+    # recall/reconstruction tests instead
+    from soda_core_spark.operators.similarity import _random_planes
+
+    flat = _random_planes(8, 8 * 16, seed=7)  # 128 rows of 8 dims
+    return [[flat[s * 16 + c] for c in range(16)] for s in range(8)]
+
+
+def _q42_sql() -> str:
+    cbs = _q42_fixed_codebooks()
+    rows = []
+    for s, cb in enumerate(cbs):
+        for c, cent in enumerate(cb):
+            vals = ", ".join(repr(float(x)) for x in cent)
+            rows.append(f"({s}, {c}, [{vals}]::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH cb(s, code, d) AS (VALUES
+      {values}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dist AS (
+      SELECT e.vec_id, cb.s, cb.code,
+             list_sum(list_transform(range(1, 9),
+               i -> (v[cb.s * 8 + i] - d[i]) * (v[cb.s * 8 + i] - d[i]))) AS dd
+      FROM e CROSS JOIN cb
+    ),
+    pick AS (
+      SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) AS rn
+      FROM dist
+    )
+    SELECT vec_id, s::BIGINT AS s, code::BIGINT AS code
+    FROM pick WHERE rn = 1
+    """
+
+
+@register("q42_pq_encode", _q42_sql())
+def q42(spark, sf_dir):
+    """Product-quantization encoding (Jégou et al. 2011): each 64-dim
+    embedding compresses to 8 one-byte codes via per-subspace nearest
+    centroid — the representation that lets a 10^12-vector ANN index live
+    in memory. Pure column expressions; the DuckDB oracle re-derives
+    every argmin from the shared codebook literals."""
+    from soda_core_spark.operators.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, _q42_fixed_codebooks())
+    # one scalar row per (vector, subspace): array columns don't sort in
+    # the driver's order-insensitive frame compare
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    ).select(
+        "vec_id", F.col("s").cast("long").alias("s"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality/lineage summary over documents: heuristic keep
     flags + dedup + aggregate metrics in one grouped scan — the engine's

@@ -188,6 +188,175 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: Optional[int] = 100_000,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks (the PQ quantizer, Jégou et al.
+    2011): the vector splits into ``n_subspaces`` contiguous blocks; each
+    block gets its own ``n_codes``-centroid codebook, so a vector stores
+    as ``n_subspaces`` small ints (e.g. 8 bytes for 64-dim float32 — a
+    32× compression) and a 10^12-vector index fits where raw vectors
+    cannot. Deterministic like :func:`kmeans_centroids`: md5-threshold
+    sample, md5-ordered init, Lloyd means via posexplode+groupBy.
+    Returns ``codebooks[s][c] = centroid vector of code c in subspace s``
+    (plain lists — they ship as literals into encode/search plans)."""
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if max_train_rows is not None:
+        n = base.count()
+        if n > max_train_rows:
+            frac = max_train_rows / n
+            h = F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+            ).cast("double")
+            base = base.where(h < frac * float(1 << 60))
+    init = (
+        base.orderBy(F.md5(F.col("id").cast("string")))
+        .limit(n_codes)
+        .select("v")
+        .collect()
+    )
+    if not init:
+        raise ValueError("pq_train: input has no rows")
+    codebooks = [
+        [[float(x) for x in r["v"][s * sub : (s + 1) * sub]] for r in init]
+        for s in range(n_subspaces)
+    ]
+    for _ in range(n_iters):
+        # one pass assigns ALL subspaces (codes array), one posexplode
+        # computes all (subspace, code, dim) means together
+        codes = _pq_assign_codes(F.col("v"), codebooks, sub)
+        means = (
+            base.withColumn("c", codes)
+            .select(F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"), "c")
+            .withColumn("s", (F.col("pos") / sub).cast("int"))
+            .withColumn("code", F.element_at(F.col("c"), F.col("s") + 1))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault((r["s"], r["code"]), {})[r["pos"] % sub] = r["m"]
+        codebooks = [
+            [
+                [by_key[(s, c)][p] for p in sorted(by_key[(s, c)])]
+                if (s, c) in by_key
+                else codebooks[s][c]  # empty code keeps its centroid
+                for c in range(len(codebooks[s]))
+            ]
+            for s in range(n_subspaces)
+        ]
+    return codebooks
+
+
+def _sub_l2(vec: Column, s: int, sub: int, centroid: list[float]) -> Column:
+    """Squared L2 distance between subvector s of ``vec`` and a centroid
+    literal — sequential left-to-right sum (reproducible cross-engine)."""
+    block = F.slice(vec.cast("array<double>"), s * sub + 1, sub)
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(block, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _pq_assign_codes(
+    vec: Column, codebooks: list[list[list[float]]], sub: int
+) -> Column:
+    """codes[s] = argmin_c ||vec_s − codebook[s][c]||², ties to the LOWER
+    code (struct array_min compares (dist, code) lexicographically)."""
+    per_sub = []
+    for s, cb in enumerate(codebooks):
+        scored = F.array(
+            *[
+                F.struct(
+                    _sub_l2(vec, s, sub, c).alias("d"), F.lit(i).alias("i")
+                )
+                for i, c in enumerate(cb)
+            ]
+        )
+        per_sub.append(F.array_min(scored)["i"])
+    return F.array(*per_sub)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — the compressed corpus representation. Pure column
+    expressions; at scale this is the one full-vector pass after which
+    the raw embeddings never need to be scanned again for search."""
+    sub = len(codebooks[0][0])
+    return df.select(
+        F.col(id_col).alias(id_col),
+        _pq_assign_codes(F.col(vec_col), codebooks, sub).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): the query stays a
+    full vector, each corpus vector is its decoded centroid chain, so
+    distance ≈ Σ_s ||q_s − codebook[s][code_s]||². The corpus side only
+    carries the tiny code arrays through the broadcast-join — raw
+    embeddings are never touched at search time. (Production refinement:
+    precompute the n_subspaces×n_codes distance table per query and
+    broadcast it; same result, table-lookup cost. The expression form
+    here recomputes per pair — identical values, simpler plan.)
+    Returns (query_id, neighbor_id, approx_dist, rank)."""
+    sub = len(codebooks[0][0])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus_codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    dist = None
+    for s, cb in enumerate(codebooks):
+        # distance to the decoded centroid, selected by this row's code
+        choice = None
+        for i, cent in enumerate(cb):
+            d = _sub_l2(F.col("__qv"), s, sub, cent)
+            choice = (
+                F.when(F.element_at(F.col("codes"), s + 1) == i, d)
+                if choice is None
+                else choice.when(F.element_at(F.col("codes"), s + 1) == i, d)
+            )
+        dist = choice if dist is None else dist + choice
+    scored = joined.select(
+        "query_id", "neighbor_id", dist.alias("approx_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse k-means quantizer + probed cell search
 # ---------------------------------------------------------------------------
 

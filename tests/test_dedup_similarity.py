@@ -507,3 +507,76 @@ def test_multimodal_real_decoders(spark):
 
     d, f = decode_features(b"P6 truncated-garbage", "image/x-portable-pixmap")
     assert d == "hash-fallback" and len(f) == 16
+
+
+def test_pq_train_encode_topk(spark):
+    """Product quantization: trained codebooks beat fixed-random ones on
+    reconstruction; ADC top-k recalls most exact neighbors; everything
+    deterministic."""
+    import numpy as np
+
+    from soda_core_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+        _random_planes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = 64
+    cbs = pq_train(emb, dim=dim, n_subspaces=8, n_codes=16, n_iters=2)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    # determinism
+    assert cbs == pq_train(emb, dim=dim, n_subspaces=8, n_codes=16, n_iters=2)
+
+    codes = pq_encode(emb, cbs)
+    rows = codes.collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+    # reconstruction error: trained codebooks < deterministic random ones
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    flat = _random_planes(8, 8 * 16, seed=7)
+    rand_cbs = [[flat[s * 16 + c] for c in range(16)] for s in range(8)]
+
+    def mse(codebooks, enc_rows):
+        tot = 0.0
+        for r in enc_rows:
+            v = vecs[r["vec_id"]]
+            rec = np.concatenate([
+                np.array(codebooks[s][c]) for s, c in enumerate(r["codes"])
+            ])
+            tot += float(np.mean((v - rec) ** 2))
+        return tot / len(enc_rows)
+
+    rand_rows = pq_encode(emb, rand_cbs).collect()
+    assert mse(cbs, rows) < mse(rand_cbs, rand_rows) * 0.9
+
+    # (ADC recall is asserted on clustered vectors below — the sf
+    # embeddings are near-random, where a 32-bit code cannot and should
+    # not resolve orderings among near-equidistant points)
+
+
+def test_pq_topk_recall_on_clustered_vectors(spark, vectors):
+    from soda_core_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    cbs = pq_train(vectors, dim=16, n_subspaces=4, n_codes=16, n_iters=3)
+    codes = pq_encode(vectors, cbs)
+    queries = vectors.where(F.col("vec_id").isin([0, 4, 8, 12]))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vectors, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(codes, queries, cbs, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.75, f"PQ ADC recall {recall} too low on clustered data"
