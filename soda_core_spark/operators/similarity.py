@@ -192,6 +192,70 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 between two double arrays — sequential left-to-right
+    fold (reproducible cross-engine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _codebook_df(spark, codebooks: list[list[list[float]]]):
+    return spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cent])
+            for s, cb in enumerate(codebooks)
+            for c, cent in enumerate(cb)
+        ],
+        "s int, code int, cent array<double>",
+    )
+
+
+def _pq_subvectors(df: DataFrame, n_subspaces: int, sub: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(id, s, sv): one row per vector per subspace. Explode is per-row
+    (no shuffle); the subvector arrays are small (``sub`` doubles)."""
+    v = F.col(vec_col).cast("array<double>")
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"), F.slice(v, s * sub + 1, sub).alias("sv")
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(blocks).alias("b")
+    ).select("id", F.col("b.s").alias("s"), F.col("b.sv").alias("sv"))
+
+
+def _pq_assignments(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, s, code): nearest code per (vector, subspace) — explode to
+    subvectors, broadcast-join the codebook table, ONE distance fold per
+    candidate row, struct-min argmin (ties to the lower code). This join
+    form keeps the expression tree tiny (vs n_subspaces × n_codes inline
+    literal branches, which cost more to analyze than to run) and is the
+    shape that scales: the shuffle-free explode fans out ×n_subspaces,
+    the broadcast fans each row ×n_codes inside the task, and the
+    groupBy's map-side partial min collapses it all before any wire."""
+    sub = len(codebooks[0][0])
+    subs = _pq_subvectors(df, len(codebooks), sub, id_col, vec_col)
+    cb = _codebook_df(df.sparkSession, codebooks)
+    scored = subs.join(F.broadcast(cb), "s").select(
+        "id", "s", "code", _l2_sq(F.col("sv"), F.col("cent")).alias("d")
+    )
+    return scored.groupBy("id", "s").agg(
+        F.min(F.struct(F.col("d"), F.col("code"))).alias("m")
+    ).select("id", "s", F.col("m.code").alias("code"))
+
+
 def pq_train(
     df: DataFrame,
     dim: int,
@@ -210,7 +274,7 @@ def pq_train(
     cannot. Deterministic like :func:`kmeans_centroids`: md5-threshold
     sample, md5-ordered init, Lloyd means via posexplode+groupBy.
     Returns ``codebooks[s][c] = centroid vector of code c in subspace s``
-    (plain lists — they ship as literals into encode/search plans)."""
+    (plain lists — they ship into the encode/search plans)."""
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub = dim // n_subspaces
@@ -236,21 +300,18 @@ def pq_train(
         for s in range(n_subspaces)
     ]
     for _ in range(n_iters):
-        # one pass assigns ALL subspaces (codes array), one posexplode
-        # computes all (subspace, code, dim) means together
-        codes = _pq_assign_codes(F.col("v"), codebooks, sub)
+        assign = _pq_assignments(base, codebooks, "id", "v")
+        subs = _pq_subvectors(base, n_subspaces, sub, "id", "v")
         means = (
-            base.withColumn("c", codes)
-            .select(F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"), "c")
-            .withColumn("s", (F.col("pos") / sub).cast("int"))
-            .withColumn("code", F.element_at(F.col("c"), F.col("s") + 1))
+            subs.join(assign, ["id", "s"])
+            .select("s", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("s", "code", "pos")
             .agg(F.avg("x").alias("m"))
             .collect()
         )
         by_key: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:
-            by_key.setdefault((r["s"], r["code"]), {})[r["pos"] % sub] = r["m"]
+            by_key.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["m"]
         codebooks = [
             [
                 [by_key[(s, c)][p] for p in sorted(by_key[(s, c)])]
@@ -263,51 +324,23 @@ def pq_train(
     return codebooks
 
 
-def _sub_l2(vec: Column, s: int, sub: int, centroid: list[float]) -> Column:
-    """Squared L2 distance between subvector s of ``vec`` and a centroid
-    literal — sequential left-to-right sum (reproducible cross-engine)."""
-    block = F.slice(vec.cast("array<double>"), s * sub + 1, sub)
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(block, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
-
-
-def _pq_assign_codes(
-    vec: Column, codebooks: list[list[list[float]]], sub: int
-) -> Column:
-    """codes[s] = argmin_c ||vec_s − codebook[s][c]||², ties to the LOWER
-    code (struct array_min compares (dist, code) lexicographically)."""
-    per_sub = []
-    for s, cb in enumerate(codebooks):
-        scored = F.array(
-            *[
-                F.struct(
-                    _sub_l2(vec, s, sub, c).alias("d"), F.lit(i).alias("i")
-                )
-                for i, c in enumerate(cb)
-            ]
-        )
-        per_sub.append(F.array_min(scored)["i"])
-    return F.array(*per_sub)
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes) — the compressed corpus representation. Pure column
-    expressions; at scale this is the one full-vector pass after which
-    the raw embeddings never need to be scanned again for search."""
-    sub = len(codebooks[0][0])
-    return df.select(
-        F.col(id_col).alias(id_col),
-        _pq_assign_codes(F.col(vec_col), codebooks, sub).alias("codes"),
-    )
+    """(id, codes) — the compressed corpus representation. One explode +
+    broadcast join + partial-agg argmin + one regroup; at scale this is
+    the single full-vector pass after which the raw embeddings never
+    need to be scanned again for search."""
+    assign = _pq_assignments(df, codebooks, id_col, vec_col)
+    return assign.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("code")))),
+            lambda x: x["code"],
+        ).alias("codes")
+    ).withColumnRenamed("id", id_col)
 
 
 def pq_topk(
@@ -320,31 +353,35 @@ def pq_topk(
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance (ADC): the query stays a
     full vector, each corpus vector is its decoded centroid chain, so
-    distance ≈ Σ_s ||q_s − codebook[s][code_s]||². The corpus side only
-    carries the tiny code arrays through the broadcast-join — raw
-    embeddings are never touched at search time. (Production refinement:
-    precompute the n_subspaces×n_codes distance table per query and
-    broadcast it; same result, table-lookup cost. The expression form
-    here recomputes per pair — identical values, simpler plan.)
-    Returns (query_id, neighbor_id, approx_dist, rank)."""
+    distance ≈ Σ_s ||q_s − codebook[s][code_s]||². Shape: corpus codes
+    explode to (id, s, code) and join the broadcast (query × codebook)
+    distance TABLE on (query, s, code) — the classic precomputed-ADC
+    lookup — then one groupBy sums the n_subspaces partial distances.
+    The corpus side carries only code ints; raw embeddings are never
+    touched at search time. Returns (query_id, neighbor_id, approx_dist,
+    rank)."""
     sub = len(codebooks[0][0])
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus_codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    dist = None
-    for s, cb in enumerate(codebooks):
-        # distance to the decoded centroid, selected by this row's code
-        choice = None
-        for i, cent in enumerate(cb):
-            d = _sub_l2(F.col("__qv"), s, sub, cent)
-            choice = (
-                F.when(F.element_at(F.col("codes"), s + 1) == i, d)
-                if choice is None
-                else choice.when(F.element_at(F.col("codes"), s + 1) == i, d)
-            )
-        dist = choice if dist is None else dist + choice
-    scored = joined.select(
-        "query_id", "neighbor_id", dist.alias("approx_dist")
+    nsub = len(codebooks)
+    # per-query distance table: (query_id, s, code, qd) — tiny
+    # (n_queries × n_subspaces × n_codes), built once and broadcast
+    qsubs = _pq_subvectors(queries, nsub, sub, id_col, vec_col).withColumnRenamed(
+        "id", "query_id"
+    )
+    cb = _codebook_df(corpus_codes.sparkSession, codebooks)
+    qtable = qsubs.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code", _l2_sq(F.col("sv"), F.col("cent")).alias("qd")
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("s", "code"),
+    )
+    scored = (
+        c.join(F.broadcast(qtable), ["s", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").alias("approx_dist"), F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == nsub)  # guard: all subspaces matched
+        .drop("__n")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
