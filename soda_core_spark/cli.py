@@ -177,12 +177,16 @@ def contract_verify_main(args: argparse.Namespace) -> int:
 
     if session.errors:
         return ExitCode.LOG_ERRORS
-    outcomes = {
-        r.outcome for res in session.results for r in res.check_results
-    }
-    # a NOT_EVALUATED check means an engine/SQL error occurred — the
-    # reference surfaces those as log errors → exit 3
-    if CheckOutcome.NOT_EVALUATED in outcomes:
+    all_results = [r for res in session.results for r in res.check_results]
+    outcomes = {r.outcome for r in all_results}
+    # a NOT_EVALUATED check normally means an engine/SQL error occurred —
+    # the reference surfaces those as log errors → exit 3. A check whose
+    # metric is *legitimately* unavailable (NULL rows_tested denominator,
+    # valid per reference failed_rows_check.py:133-140) is NOT an error.
+    if any(
+        r.outcome == CheckOutcome.NOT_EVALUATED and not r.metric_unavailable
+        for r in all_results
+    ):
         return ExitCode.LOG_ERRORS
     if CheckOutcome.FAILED in outcomes:
         return ExitCode.CHECK_FAILURES

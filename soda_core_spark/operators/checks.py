@@ -517,6 +517,33 @@ def plan_metric(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
 #: (reference STREAMING_COUNT_WARNING_THRESHOLD, failed_rows_check.py:314)
 KEYS_QUERY_WARNING_THRESHOLD = 10_000
 
+#: key prefix under which the engine records side-query execution errors in
+#: the values dict (value = error string); evaluators use it to distinguish
+#: a failed query from a query that legitimately returned NULL
+SIDE_QUERY_ERROR_PREFIX = "__soda_error__:"
+
+
+def _reject_raw_sql_under_sampling(check: CheckSpec, ctx: CheckContext) -> None:
+    """Contract-level ``sample:`` applies to the filtered frame the fused
+    aggregation reads — but a check's raw user SQL (query / keys_query /
+    rows_tested_query) runs against the *catalog tables*, which this
+    engine cannot rewrite to sample the same rows (the reference parses
+    and wraps the SQL, sql_utils.py:40-71 / failed_rows_check.py:95-130).
+    Mixing an unsampled numerator with a sampled denominator silently
+    corrupts failedRowsPercent, so the combination is rejected at planning
+    time: the check lands NOT_EVALUATED with this message and the rest of
+    the scan proceeds."""
+    if ctx.contract.sample.is_configured() and (
+        check.query or check.keys_query or check.rows_tested_query
+    ):
+        raise ValueError(
+            "contract-level 'sample:' cannot be applied to this check's raw "
+            "SQL (query/keys_query/rows_tested_query run on the unsampled "
+            "catalog tables, while fused metrics see the sampled frame — "
+            "the resulting counts would mix inconsistent row sets). Either "
+            "drop 'sample:' or express the check as a 'condition:'."
+        )
+
 
 def plan_failed_rows(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     """failed_rows_check.py:47-391 — four forms:
@@ -533,7 +560,9 @@ def plan_failed_rows(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     * ``rows_tested_query``: custom denominator — first cell of the first
       row replaces COUNT(*) as checkRowsTested / the percent denominator
       (:109-128; may legitimately return NULL → count-metric checks still
-      evaluate, percent ones go NOT_EVALUATED)."""
+      evaluate, percent ones go NOT_EVALUATED with
+      ``metric_unavailable=True``, which is NOT an error exit)."""
+    _reject_raw_sql_under_sampling(check, ctx)
     rm = rows_metric(check)
     dm = dataset_rows_metric()
     metrics = [rm, dm]
@@ -619,7 +648,19 @@ def plan_failed_rows(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
         if "keys" in keys_holder:
             diagnostics["failedKeys"] = keys_holder["keys"]
             diagnostics["failedKeysTruncated"] = keys_holder["truncated"]
-        return _base_result(ctx, check, value, diagnostics)
+        result = _base_result(ctx, check, value, diagnostics)
+        if (
+            value is None
+            and count is not None
+            and rows is None
+            and rows_tested_key is not None
+            and SIDE_QUERY_ERROR_PREFIX + rows_tested_key not in values
+        ):
+            # the rows_tested_query ran fine and returned NULL — the
+            # reference treats that as a valid "denominator unavailable"
+            # state (failed_rows_check.py:133-140), not an engine error
+            result.metric_unavailable = True
+        return result
 
     return CheckPlan(check, metrics=metrics, side_queries=side, evaluate=evaluate)
 

@@ -80,11 +80,23 @@ def _spread(df: DataFrame) -> DataFrame:
     shingle construction: a small input (one parquet file) otherwise
     serializes the whole pre-shuffle stage on one task. Round-robin, no
     key — cheap relative to the HOF work it parallelizes; skipped when the
-    input is already wide (the 100 TB case)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    input is already wide (the 100 TB case).
+
+    Spark Connect safe: ``.rdd`` / ``sparkContext`` don't exist on Connect
+    DataFrames, so on that path partition width is approximated by the
+    input-file count (a lower bound — ``maxPartitionBytes`` only splits
+    files further) against the SQL shuffle width."""
+    spark = df.sparkSession
+    try:
+        par = spark.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            n = len(df.inputFiles())
+        except Exception:
+            n = 0  # non-file source under Connect: spread defensively
+    return df.repartition(par) if n < par else df
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
@@ -434,13 +446,23 @@ def simhash64(text: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+class _DefaultCap(int):
+    """Sentinel for the implicit posting-list cap: behaves as the int cap
+    but marks that the caller did not choose it, so the cap is announced
+    (once) instead of silently lowering Jaccard values."""
+
+
+_DEFAULT_MAX_DOC_FREQ = _DefaultCap(1000)
+_default_cap_warned = False
+
+
 def ngram_jaccard_all_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = 1000,
+    max_doc_freq: int | None = _DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted-index self-join on
     shingles. No blocking key is needed: a pair has Jaccard > 0 iff it
@@ -465,6 +487,21 @@ def ngram_jaccard_all_pairs(
     (duplicate_check.py:58-343); pairwise similarity is the
     training-pipeline extension.
     """
+    if isinstance(max_doc_freq, _DefaultCap):
+        global _default_cap_warned
+        if not _default_cap_warned:
+            _default_cap_warned = True
+            import warnings
+
+            warnings.warn(
+                "ngram_jaccard_all_pairs: shingles occurring in more than "
+                f"{int(max_doc_freq)} documents are dropped by default "
+                "(scale guard against the f² self-join blowup), which "
+                "lowers Jaccard for pairs sharing hot shingles. Pass "
+                "max_doc_freq=None for exact results, or an int to choose "
+                "the cap explicitly.",
+                stacklevel=2,
+            )
     t = F.coalesce(F.col(text_col), F.lit(""))
     base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
         F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
@@ -679,7 +716,7 @@ def per_group_cap(
     group_col: str = "source",
     id_col: str = "doc_id",
     cap: int = 10,
-    skew_guard: bool = False,
+    skew_guard: bool = True,
 ) -> DataFrame:
     """Corpus balancing: keep at most ``cap`` documents per group (host,
     domain, source), chosen deterministically by md5 of the id — so the
@@ -690,7 +727,9 @@ def per_group_cap(
 
     The plain form is one window over the group key — fine when no group
     dominates, but a pathologically hot host (50 % of a 10^12-doc corpus)
-    lands on ONE reducer. ``skew_guard=True`` switches to exact two-stage
+    lands on ONE reducer. ``skew_guard=True`` (the DEFAULT — the plain
+    window is the opt-out, not the other way round) switches to exact
+    two-stage
     top-k: stage 1 ranks within (group, input-partition) — a balanced
     shuffle, the hot group spread over every input partition — keeping at
     most ``cap`` rows per (group, partition); stage 2 ranks the survivors

@@ -28,6 +28,7 @@ from soda_core_spark.operators.checks import (
     CheckContext,
     CheckPlan,
     CHECK_PLANNERS,
+    SIDE_QUERY_ERROR_PREFIX,
     SideQuery,
 )
 from soda_core_spark.operators.compiler import apply_scan_filter
@@ -76,7 +77,10 @@ def verify_contract(
         # ahead of ALL metrics (reference attaches SAMPLE to the filtered
         # CTE, check_collections/base.py:595-605). percentage → df.sample
         # (Bernoulli, seeded; deterministic given the partition layout, so
-        # the fused agg and the side queries see the same rows); an
+        # the fused agg and the ctx.filtered-based side queries — e.g. the
+        # reference-data anti-join — see the same rows; raw-SQL side
+        # queries CANNOT be made consistent and are rejected at planning
+        # time, see _reject_raw_sql_under_sampling); an
         # un-ordered limit is NOT stable across jobs (each job takes
         # whichever partitions answer first), so the limited frame is
         # cached — bounded by `limit` rows by construction — to pin one
@@ -87,6 +91,27 @@ def verify_contract(
             )
         else:
             sample_cache = filtered = filtered.limit(contract.sample.limit).cache()
+    try:
+        return _verify_contract_body(
+            spark, contract, df, filtered, datasets, data_timestamp, check_selectors
+        )
+    finally:
+        # unpersist on EVERY exit path — a raised DuplicateCheckIdentityError
+        # (or any planning exception) must not leak the cached sample frame
+        # for the session lifetime
+        if sample_cache is not None:
+            sample_cache.unpersist()
+
+
+def _verify_contract_body(
+    spark: SparkSession,
+    contract: Contract,
+    df: DataFrame,
+    filtered: DataFrame,
+    datasets: dict[str, DataFrame],
+    data_timestamp: Optional[datetime],
+    check_selectors: Optional[list[Union[str, CheckSelector]]],
+) -> ContractVerificationResult:
     selectors = CheckSelector.parse_all(check_selectors)
     ctx = CheckContext(
         spark=spark,
@@ -191,8 +216,12 @@ def verify_contract(
     for sq in side_queries.values():
         try:
             v = sq.run(ctx)
-        except Exception:
+        except Exception as e:
             v = None  # dependent checks → NOT_EVALUATED
+            # error marker lets evaluators tell "query errored" apart from
+            # "query legitimately returned NULL" (reference treats a NULL
+            # rows_tested denominator as valid, failed_rows_check.py:133-140)
+            values[SIDE_QUERY_ERROR_PREFIX + sq.key] = f"{type(e).__name__}: {e}"
         values[sq.key] = v
         measurements.append(Measurement(sq.key, v, sq.name))
 
@@ -238,8 +267,6 @@ def verify_contract(
                 )
             )
 
-    if sample_cache is not None:
-        sample_cache.unpersist()
     return ContractVerificationResult(
         dataset=contract.dataset,
         check_results=results,

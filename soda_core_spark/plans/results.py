@@ -61,6 +61,13 @@ class CheckResult:
     level: str = "fail"
     diagnostics: dict[str, Any] = field(default_factory=dict)
     message: Optional[str] = None
+    #: True when outcome is NOT_EVALUATED because the metric is
+    #: *legitimately* unavailable (e.g. a NULL ``rows_tested_query``
+    #: denominator, which the reference treats as valid —
+    #: failed_rows_check.py:133-140) rather than because an engine/SQL
+    #: error occurred. CLI exit-code mapping keys off this: only
+    #: error-NOT_EVALUATED maps to LOG_ERRORS.
+    metric_unavailable: bool = False
 
     def to_row(self) -> dict[str, Any]:
         """Flat dict for the check-metrics sink (Iceberg/parquet table)."""
@@ -77,6 +84,7 @@ class CheckResult:
             "level": self.level,
             "diagnostics": {k: str(v) for k, v in self.diagnostics.items()},
             "message": self.message,
+            "metric_unavailable": self.metric_unavailable,
         }
 
 

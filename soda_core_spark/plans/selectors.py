@@ -95,7 +95,7 @@ class CheckSelector:
         if self.field == "column":
             return check.column
         if self.field in ("path", "relative_path"):
-            return contract.source_path
+            return _path_variants(contract.source_path)
         if self.field == "qualifier":
             return check.qualifier
         if self.field.startswith(ATTRIBUTES_PREFIX):
@@ -121,6 +121,25 @@ class CheckSelector:
             any(s.matches(check, contract) for s in group)
             for group in groups.values()
         )
+
+
+def _path_variants(source_path: Optional[str]) -> Optional[list[str]]:
+    """Candidate forms of a contract's source path for ``path=`` matching.
+
+    The reference matches the check's *relative* path
+    (check_selector.py:115-117); a glob written for relative paths
+    (``path=contracts/*.yml``) must therefore also match when the CLI was
+    invoked with an absolute path — so both the as-given, the
+    cwd-relative, and the absolute form participate in the OR-match."""
+    if source_path is None:
+        return None
+    import os
+
+    variants = [source_path]
+    for form in (os.path.relpath(source_path), os.path.abspath(source_path)):
+        if form not in variants:
+            variants.append(form)
+    return variants
 
 
 def _parse_list_value(value: str) -> Optional[list[str]]:

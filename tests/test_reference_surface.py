@@ -532,3 +532,141 @@ def test_cli_contract_test_parse_only(tmp_path_factory):
     )
     assert r.returncode == 3
     assert "INVALID" in r.stderr
+
+
+# ---------------------------------------------------------------------------
+# round 3: sampling × raw-SQL side queries, legit-unavailable metrics,
+# path-selector normalization
+# ---------------------------------------------------------------------------
+
+
+def test_sample_plus_raw_sql_side_query_rejected(spark, people):
+    """contract sample: + failed_rows raw SQL would mix an unsampled
+    numerator with a sampled denominator (r2 ADVICE) — rejected at
+    planning time → NOT_EVALUATED with a clear message, scan continues."""
+    people.createOrReplaceTempView("people_sq")
+    c = contract_from_yaml(
+        """
+dataset: people_sq
+sample:
+  percent: 30
+checks:
+  - row_count:
+      must_be_greater_than: 0
+  - failed_rows:
+      query: "SELECT * FROM people_sq WHERE id < 10"
+      must_be: 0
+"""
+    )
+    res = verify_contract(spark, c, people)
+    by_type = {r.check_type: r for r in res.check_results}
+    # the rest of the scan proceeds on the sampled frame
+    assert by_type["row_count"].outcome == CheckOutcome.PASSED
+    fr = by_type["failed_rows"]
+    assert fr.outcome == CheckOutcome.NOT_EVALUATED
+    assert "sample" in (fr.message or "")
+    assert fr.metric_unavailable is False  # this IS an error state
+
+
+def test_sample_plus_rows_tested_query_rejected(spark, people):
+    people.createOrReplaceTempView("people_sq2")
+    c = contract_from_yaml(
+        """
+dataset: people_sq2
+sample:
+  limit: 20
+checks:
+  - failed_rows:
+      condition: "id < 10"
+      metric: percent
+      rows_tested_query: "SELECT 50"
+      must_be_less_than: 25
+"""
+    )
+    res = verify_contract(spark, c, people)
+    r = res.check_results[0]
+    assert r.outcome == CheckOutcome.NOT_EVALUATED
+    assert "sample" in (r.message or "")
+
+
+def test_rows_tested_null_is_unavailable_not_error(spark, people):
+    """A legitimately-NULL rows_tested denominator leaves the percent
+    check NOT_EVALUATED with metric_unavailable=True (reference treats
+    NULL rows-tested as valid, failed_rows_check.py:133-140)."""
+    people.createOrReplaceTempView("people_null_rt")
+    c = contract_from_yaml(
+        """
+dataset: people_null_rt
+checks:
+  - failed_rows:
+      condition: "id < 10"
+      metric: percent
+      rows_tested_query: "SELECT CAST(NULL AS BIGINT)"
+      must_be_less_than: 25
+"""
+    )
+    res = verify_contract(spark, c, people)
+    r = res.check_results[0]
+    assert r.outcome == CheckOutcome.NOT_EVALUATED
+    assert r.metric_unavailable is True
+    # the numerator was still measured and lands in diagnostics
+    assert r.diagnostics["failedRowsCount"] == 10
+    assert r.diagnostics["checkRowsTested"] is None
+
+
+def test_rows_tested_query_error_is_error(spark, people):
+    """A rows_tested_query that FAILS (bad SQL) is an engine error —
+    metric_unavailable stays False so the CLI maps it to exit 3."""
+    people.createOrReplaceTempView("people_err_rt")
+    c = contract_from_yaml(
+        """
+dataset: people_err_rt
+checks:
+  - failed_rows:
+      condition: "id < 10"
+      metric: percent
+      rows_tested_query: "SELECT FROM bogus syntax !!"
+      must_be_less_than: 25
+"""
+    )
+    res = verify_contract(spark, c, people)
+    r = res.check_results[0]
+    assert r.outcome == CheckOutcome.NOT_EVALUATED
+    assert r.metric_unavailable is False
+
+
+def test_cli_unavailable_metric_is_not_exit_3(tmp_path_factory, people_parquet):
+    c = _write_contract(
+        tmp_path_factory,
+        "dataset: people\n"
+        "checks:\n"
+        "  - row_count:\n"
+        "      must_be: 50\n"
+        "  - failed_rows:\n"
+        "      condition: \"id < 10\"\n"
+        "      metric: percent\n"
+        "      rows_tested_query: \"SELECT CAST(NULL AS BIGINT)\"\n"
+        "      must_be_less_than: 25\n",
+    )
+    r = _run_cli("-c", c, "-ds", f"people={people_parquet}", "--local-cpus", "2")
+    assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
+
+
+def test_path_selector_matches_absolute_source_path(spark, people):
+    """Globs written for relative paths must match when the contract was
+    loaded via an absolute path (reference matches relative_path,
+    check_selector.py:115-117)."""
+    people.createOrReplaceTempView("people_pathsel")
+    c = contract_from_yaml(
+        "dataset: people_pathsel\nchecks:\n  - row_count:\n      must_be_greater_than: 0\n"
+    )
+    c.source_path = "/root/repo/contracts/webtext.yml"  # absolute, as the CLI passes it
+    res = verify_contract(
+        spark, c, people, check_selectors=["path=contracts/*.yml"]
+    )
+    assert res.check_results[0].outcome == CheckOutcome.PASSED
+    # and a non-matching relative glob still excludes
+    res = verify_contract(
+        spark, c, people, check_selectors=["path=other/*.yml"]
+    )
+    assert res.check_results[0].outcome == CheckOutcome.EXCLUDED
