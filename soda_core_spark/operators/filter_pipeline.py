@@ -7,7 +7,10 @@ One full scan over the input does everything row-level:
     + log_ppl (one iterator pandas UDF)             functions/perplexity.py
     + fail_<rule> flags (F.expr per rule)           operators/filter_rules.py
     + keep = AND(NOT fail_i)  (NULL-safe)           operators/compiler.py
-    + text_scrubbed (one iterator pandas UDF)       functions/scrub.py
+    + text_scrubbed for KEPT rows (delta pandas     functions/scrub.py
+      UDF: only CHANGED rows' bytes cross Arrow;
+      coalesce(delta, text) reconstructs, keep
+      masks the output — dropped rows are NULL)
     → observe(global metrics)  — zero-cost aggregates attached to the write
     → write annotated output partitioned by keep    (kept corpus = keep=true/)
 
@@ -42,7 +45,7 @@ from pyspark.sql import functions as F
 
 from soda_core_spark.functions.langid import langid_udf
 from soda_core_spark.functions.perplexity import perplexity_udf
-from soda_core_spark.functions.scrub import scrub_udf
+from soda_core_spark.functions.scrub import scrub_delta_udf
 from soda_core_spark.functions.text import with_signals
 from soda_core_spark.operators.compiler import keep_predicate
 from soda_core_spark.operators.filter_rules import (
@@ -92,6 +95,14 @@ class QualityFilterPipeline:
         # entirely (SURVEY §4: column pruning is the point of the binary
         # column). Pass drop_columns=() to keep it.
         self.drop_columns = drop_columns
+        # scrub: "kept" (default — scrub ONLY rows the filter keeps;
+        # dropped rows get NULL text_scrubbed. keep/drop never depends on
+        # text_scrubbed, so parity on kept docs is unchanged, and at
+        # 100 TB the regex work on the ~30 % dropped rows is pure waste)
+        # | "all" (scrub every row — for consumers of the annotated
+        # dropped partition) | False
+        if scrub is True:
+            scrub = "kept"
         self.scrub = scrub
         # langid: "jvm" (default — the function-word model as pure InSet
         # probes over the token array, bit-identical scores, no Arrow
@@ -117,8 +128,15 @@ class QualityFilterPipeline:
         text_scrubbed. Pure plan construction — no action."""
         text = F.col(self.text_column)
         df = df.drop(*[c for c in self.drop_columns if c in df.columns])
-        # signals: expensive arrays (words/bigrams) materialized once per row
-        out = with_signals(df, self.text_column)
+        # signals: expensive arrays (words/bigrams) materialized once per
+        # row; the lowered token array is kept when JVM langid follows so
+        # language-ID reuses it instead of re-splitting the full text
+        jvm_langid = bool(self.langid) and self.langid != "pandas"
+        out = with_signals(df, self.text_column, keep_lowered_tokens=jvm_langid)
+        if jvm_langid:
+            from soda_core_spark.functions.langid import attach_langid_jvm
+
+            out = attach_langid_jvm(out, self.text_column, lowered_tokens_col="__wl")
         # all scorer UDFs in ONE projection level and one eval type → the
         # ExtractPythonUDFs rule fuses them into a single ArrowEvalPython
         # node (one Arrow round-trip per batch; shared input columns cross
@@ -129,7 +147,13 @@ class QualityFilterPipeline:
         if self.perplexity:
             udf_cols["log_ppl"] = perplexity_udf(text)
         if self.scrub:
-            udf_cols["text_scrubbed"] = scrub_udf(text)
+            # delta form: the UDF returns NULL for rows the scrub leaves
+            # unchanged, so the Arrow batch back to the JVM carries only
+            # the few % of rows that actually contain PII/toxicity —
+            # coalesce(delta, text) reconstructs the full column
+            # byte-identically. Fused with the other scorers (text
+            # crosses the Arrow boundary once, shared).
+            udf_cols["__scrub_delta"] = scrub_delta_udf(text)
         if udf_cols:
             out = out.withColumns(udf_cols)
         if self.langid == "pandas":
@@ -139,10 +163,6 @@ class QualityFilterPipeline:
                     "langid_conf": F.col("_langid.langid_conf"),
                 }
             ).drop("_langid")
-        elif self.langid:
-            from soda_core_spark.functions.langid import attach_langid_jvm
-
-            out = attach_langid_jvm(out, self.text_column)
         fail_flags = {}
         for r in self.rules:
             try:
@@ -158,6 +178,14 @@ class QualityFilterPipeline:
         out = out.withColumn(
             "keep", keep_predicate([F.col(f"fail_{r.name}") for r in self.rules])
         )
+        if self.scrub:
+            scrubbed = F.coalesce(F.col("__scrub_delta"), text)
+            if self.scrub == "kept":
+                # dropped rows' scrubbed text is dead bytes at 100 TB —
+                # NULL it JVM-side (the regex already ran in the fused
+                # node; this masks the OUTPUT, costing nothing)
+                scrubbed = F.when(F.col("keep"), scrubbed)
+            out = out.withColumn("text_scrubbed", scrubbed).drop("__scrub_delta")
         out = out.withColumn(LINEAGE_KEY, host_col())
         return out
 

@@ -82,12 +82,31 @@ def test_per_rule_flag_parity(spark_labels, oracle_labels):
 
 
 def test_scrubbed_text_byte_identical(spark_labels, oracle_labels):
+    """Kept docs: byte-identical to the oracle scrub. Dropped docs are
+    NULL by default (scrub='kept' — the regex chain never runs on rows
+    the filter discards; 'all' restores whole-corpus scrubbing)."""
+    kept = spark_labels["keep"].astype(bool)
     s = spark_labels["text_scrubbed"]
     o = oracle_labels["text_scrubbed"]
-    mismatch = (s != o).sum()
-    assert mismatch == 0, f"{mismatch} scrubbed docs differ"
+    mismatch = (s[kept] != o[kept]).sum()
+    assert mismatch == 0, f"{mismatch} scrubbed kept docs differ"
+    assert s[~kept].isna().all(), "dropped docs must not be scrubbed"
     # scrubbing actually happened: PII docs contain sentinels
     assert s.str.contains("<EMAIL>|<SSN>|<PHONE>|<IP>|<CARD>|<TOX>").any()
+
+
+def test_scrub_all_mode_scrubs_every_row(web_pages_df, oracle_labels):
+    """scrub='all' preserves the round-2 behavior: every row scrubbed,
+    byte-identical to the oracle, inside the fused Arrow node."""
+    ann = (
+        QualityFilterPipeline(scrub="all")
+        .annotate(web_pages_df)
+        .select("url", "text_scrubbed")
+        .toPandas()
+        .set_index("url")
+        .sort_index()
+    )
+    assert (ann["text_scrubbed"] != oracle_labels["text_scrubbed"]).sum() == 0
 
 
 def test_signal_value_parity(spark_labels, oracle_labels):
