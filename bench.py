@@ -19,6 +19,25 @@ import sys
 import time
 
 
+def host_probe_gbps() -> float:
+    """Fresh-page fault-service rate: single-thread touch of never-touched
+    pages. Healthy hosts sustain ≥0.5-1 GB/s; this sandbox's hypervisor
+    intermittently throttles it to 0.01-0.2 GB/s for tens of minutes,
+    during which allocation-heavy Spark (Arrow batches, pandas buffers)
+    runs 1.5-4× slow (see BENCH/BASELINE.md). Recording the probe with
+    every bench JSON lets a future regression carry its host-health
+    context."""
+    import time as _t
+
+    import numpy as np
+
+    buf = np.empty(32_000_000)
+    t0 = _t.monotonic()
+    buf[::512] = 1.0
+    dt = _t.monotonic() - t0
+    return round((buf.nbytes / dt) / 1e9, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -36,6 +55,8 @@ def main() -> int:
     from soda_core_spark.entry_queries import REGISTRY
     from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
     from soda_core_spark.sources.webtext_gen import write_web_pages_parquet
+
+    probe_before = host_probe_gbps()
 
     web_path = write_web_pages_parquet(
         f"/tmp/soda_webtext_bench/n{n_docs}", n_docs, rows_per_file=50_000
@@ -138,6 +159,12 @@ def main() -> int:
                 "pipeline_docs": res.n_input,
                 "pipeline_kept": res.n_kept,
                 "cpus": cpus,
+                # host-health flags: fresh-page fault-service GB/s before
+                # and after the timed section (healthy ≥ ~0.5; degraded
+                # windows explain slow absolute numbers — do not compare
+                # rounds across different regimes)
+                "host_probe_gbps": probe_before,
+                "host_probe_gbps_after": host_probe_gbps(),
             }
         )
     )
