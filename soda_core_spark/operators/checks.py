@@ -35,6 +35,7 @@ from soda_core_spark.operators.compiler import (
     count_if,
     is_invalid_col,
     is_missing_col,
+    value_col,
 )
 from soda_core_spark.plans.model import CheckSpec, Contract
 from soda_core_spark.plans.results import (
@@ -126,11 +127,11 @@ def dataset_rows_metric() -> AggMetric:
 
 
 def missing_metric(check: CheckSpec) -> AggMetric:
-    col, cfg = check.column, check.missing
-    key = f"missing|{col}|{cfg!r}|{_fkey(check)}"
+    col, cfg, ce = check.column, check.missing, check.column_expression
+    key = f"missing|{col}|{ce}|{cfg!r}|{_fkey(check)}"
 
     def build() -> Column:
-        cond = is_missing_col(col, cfg)
+        cond = is_missing_col(col, cfg, ce)
         f = check_filter_col(check)
         if f is not None:
             cond = f & cond
@@ -141,10 +142,11 @@ def missing_metric(check: CheckSpec) -> AggMetric:
 
 def invalid_metric(check: CheckSpec) -> AggMetric:
     col, validity, missing = check.column, check.validity, check.missing
-    key = f"invalid|{col}|{validity!r}|{missing!r}|{_fkey(check)}"
+    ce = check.column_expression
+    key = f"invalid|{col}|{ce}|{validity!r}|{missing!r}|{_fkey(check)}"
 
     def build() -> Column:
-        cond = is_invalid_col(col, validity, missing)
+        cond = is_invalid_col(col, validity, missing, ce)
         f = check_filter_col(check)
         if f is not None:
             cond = f & cond
@@ -262,7 +264,10 @@ def plan_invalid(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     if check.validity.has_reference():
         ref_ds = check.validity.valid_reference_dataset
         ref_col = check.validity.valid_reference_column or check.column
-        key = f"invalid_ref|{check.column}|{ref_ds}.{ref_col}|{check.missing!r}|{_fkey(check)}"
+        key = (
+            f"invalid_ref|{check.column}|{check.column_expression}|"
+            f"{ref_ds}.{ref_col}|{check.missing!r}|{_fkey(check)}"
+        )
 
         def run_ref(ctx: CheckContext) -> int:
             # invalid := not-missing values with no match in the reference
@@ -279,10 +284,19 @@ def plan_invalid(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
             f = check_filter_col(check)
             if f is not None:
                 left = left.where(f)
-            left = left.where(~is_missing_col(check.column, check.missing))
+            left = left.where(
+                ~is_missing_col(check.column, check.missing, check.column_expression)
+            )
+            # materialize the checked value (physical column or
+            # column_expression — the reference alias-rewrites expressions
+            # into the join, invalidity_check.py:293-303) so the anti-join
+            # key is unambiguous across both forms
+            left = left.withColumn(
+                "__check_value", value_col(check.column, check.column_expression)
+            )
             return left.join(
                 F.broadcast(ref_df),
-                on=left[check.column] == ref_df["__ref_value"],
+                on=left["__check_value"] == ref_df["__ref_value"],
                 how="left_anti",
             ).count()
 
@@ -351,14 +365,15 @@ def plan_duplicate(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
         mm = None
     else:
         col = check.column
-        dkey = f"distinct{approx_tag}|{col}|{check.missing!r}|{_fkey(check)}"
+        ce = check.column_expression
+        dkey = f"distinct{approx_tag}|{col}|{ce}|{check.missing!r}|{_fkey(check)}"
 
         def build_distinct() -> Column:
-            cond = ~is_missing_col(col, check.missing)
+            cond = ~is_missing_col(col, check.missing, ce)
             f = check_filter_col(check)
             if f is not None:
                 cond = f & cond
-            return _distinct_agg(F.when(cond, F.col(col)))
+            return _distinct_agg(F.when(cond, value_col(col, ce)))
 
         distinct_m = AggMetric(dkey, f"distinct_count({col})", build_distinct, True)
         mm = missing_metric(check)
@@ -397,10 +412,10 @@ _FRESHNESS_DIVISORS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 def plan_freshness(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     """freshness_check.py:46-276 — now − MAX(ts), floored to unit, UTC."""
     col = check.column
-    key = f"max_ts|{col}|{_fkey(check)}"
+    key = f"max_ts|{col}|{check.column_expression}|{_fkey(check)}"
 
     def build() -> Column:
-        c = F.col(col)
+        c = value_col(col, check.column_expression)
         f = check_filter_col(check)
         if f is not None:
             c = F.when(f, c)
@@ -450,16 +465,17 @@ def plan_aggregate(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     if fn not in _AGG_FUNCS:
         raise ValueError(f"aggregate function {fn!r} not in {sorted(_AGG_FUNCS)}")
     col = check.column
-    key = f"agg|{fn}|{col}|{check.validity!r}|{check.missing!r}|{_fkey(check)}"
+    ce = check.column_expression
+    key = f"agg|{fn}|{col}|{ce}|{check.validity!r}|{check.missing!r}|{_fkey(check)}"
 
     def build() -> Column:
-        valid = ~is_missing_col(col, check.missing)
-        inv = is_invalid_col(col, check.validity, check.missing)
+        valid = ~is_missing_col(col, check.missing, ce)
+        inv = is_invalid_col(col, check.validity, check.missing, ce)
         valid = valid & ~F.coalesce(inv, F.lit(False))
         f = check_filter_col(check)
         if f is not None:
             valid = f & valid
-        base = F.col(col)
+        base = value_col(col, ce)
         if fn.endswith("_length"):
             base = F.length(base.cast("string"))
         guarded = F.when(valid, base)

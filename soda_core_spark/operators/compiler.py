@@ -51,8 +51,18 @@ def all_of(conds: list[Optional[Column]]) -> Optional[Column]:
     return reduce(lambda a, b: a & b, conds)
 
 
-def is_missing_col(column: str, cfg: MissingConfig) -> Column:
-    c = F.col(column)
+def value_col(column: str, column_expression: Optional[str] = None) -> Column:
+    """The value a column check evaluates: the physical column, or the
+    contract's ``column_expression`` SQL (reference ColumnImpl
+    .column_expression, contract_verification_impl.py:670-675 —
+    SqlExpressionStr when set, COLUMN(name) otherwise)."""
+    return F.expr(column_expression) if column_expression else F.col(column)
+
+
+def is_missing_col(
+    column: str, cfg: MissingConfig, column_expression: Optional[str] = None
+) -> Column:
+    c = value_col(column, column_expression)
     conds: list[Optional[Column]] = [c.isNull()]
     if cfg.missing_values is not None and len(cfg.missing_values) > 0:
         conds.append(c.isin(list(cfg.missing_values)))
@@ -63,13 +73,18 @@ def is_missing_col(column: str, cfg: MissingConfig) -> Column:
     return out
 
 
-def is_invalid_col(column: str, validity: ValidityConfig, missing: MissingConfig) -> Column:
+def is_invalid_col(
+    column: str,
+    validity: ValidityConfig,
+    missing: MissingConfig,
+    column_expression: Optional[str] = None,
+) -> Column:
     """NOT missing AND (disjunction of configured validity failures).
 
     Reference-data validity is handled by the engine as an anti-join
     (see checks.py ``ReferenceInvalidQuery``), not here.
     """
-    c = F.col(column)
+    c = value_col(column, column_expression)
     fails: list[Optional[Column]] = []
     if validity.valid_values is not None:
         if len(validity.valid_values) == 0:
@@ -95,7 +110,7 @@ def is_invalid_col(column: str, validity: ValidityConfig, missing: MissingConfig
     invalid = any_of(fails)
     if invalid is None:
         return F.lit(False)
-    return (~is_missing_col(column, missing)) & invalid
+    return (~is_missing_col(column, missing, column_expression)) & invalid
 
 
 def check_filter_col(check: CheckSpec) -> Optional[Column]:

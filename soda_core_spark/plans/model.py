@@ -255,6 +255,9 @@ class CheckSpec:
 
     type: str
     column: Optional[str] = None
+    #: inherited from the parent ColumnSpec: SQL expression the check
+    #: evaluates instead of F.col(column) (reference column_expression)
+    column_expression: Optional[str] = None
     columns: Optional[tuple[str, ...]] = None  # multi-column duplicate
     threshold: Threshold = field(default_factory=Threshold)
     level: str = "fail"  # fail | warn  (contract_yaml.py:714-765)
@@ -304,6 +307,11 @@ class ColumnSpec:
     character_maximum_length: Optional[int] = None
     numeric_precision: Optional[int] = None
     numeric_scale: Optional[int] = None
+    #: computed-column support (reference contract_yaml.py:493-495): when
+    #: set, every check on this column runs over this SQL expression
+    #: instead of the physical column (contract_verification_impl.py:
+    #: 656-675 feeds it into is_missing_expr/is_invalid_expr :715-722)
+    column_expression: Optional[str] = None
     missing: MissingConfig = field(default_factory=MissingConfig)
     validity: ValidityConfig = field(default_factory=ValidityConfig)
     checks: list[CheckSpec] = field(default_factory=list)
@@ -440,6 +448,7 @@ def _parse_check(
     spec = CheckSpec(
         type=type_name,
         column=column.name if column is not None else body.get("column"),
+        column_expression=column.column_expression if column is not None else None,
         columns=tuple(cols) if cols else None,
         threshold=threshold,
         level=body.get("level", "fail"),
@@ -512,6 +521,7 @@ def contract_from_dict(d: dict) -> Contract:
             character_maximum_length=col_raw.get("character_maximum_length"),
             numeric_precision=col_raw.get("numeric_precision"),
             numeric_scale=col_raw.get("numeric_scale"),
+            column_expression=(col_raw.get("column_expression") or "").strip() or None,
             missing=MissingConfig.from_dict(col_raw),
             validity=ValidityConfig.from_dict(col_raw),
         )

@@ -670,3 +670,116 @@ def test_path_selector_matches_absolute_source_path(spark, people):
         spark, c, people, check_selectors=["path=other/*.yml"]
     )
     assert res.check_results[0].outcome == CheckOutcome.EXCLUDED
+
+
+# ---------------------------------------------------------------------------
+# round 3: column_expression (computed columns)
+# ---------------------------------------------------------------------------
+
+
+def test_column_expression_missing_invalid_duplicate(spark):
+    """Checks on a column with `column_expression:` run over the SQL
+    expression, not the physical column (reference contract_yaml.py:
+    493-495; contract_verification_impl.py:656-675 feeds it into
+    is_missing_expr/is_invalid_expr at :715-722)."""
+    df = spark.createDataFrame(
+        [
+            (1, "Alice"), (2, "ALICE"), (3, "bob"),
+            (4, "N/A"), (5, None), (6, "Carol"),
+        ],
+        "id bigint, name string",
+    )
+    c = contract_from_yaml(
+        """
+dataset: ce_people
+columns:
+  - name: name
+    column_expression: "LOWER(name)"
+    missing_values: ["n/a"]
+    checks:
+      - missing:
+          must_be: 2
+      - invalid:
+          valid_values: ["alice", "bob", "carol"]
+          must_be: 0
+      - duplicate:
+          must_be: 1
+"""
+    )
+    res = verify_contract(spark, c, df)
+    by_type = {r.check_type: r for r in res.check_results}
+    # missing: NULL + 'N/A' (lowered to 'n/a' matches missing_values) = 2
+    m = by_type["missing"]
+    assert m.outcome == CheckOutcome.PASSED, m.diagnostics
+    assert m.metric_value == 2
+    # invalid: every non-missing lowered value is in the valid set
+    assert by_type["invalid"].outcome == CheckOutcome.PASSED
+    assert by_type["invalid"].metric_value == 0
+    # duplicate: 'Alice' and 'ALICE' collide under LOWER → 1 duplicate
+    d = by_type["duplicate"]
+    assert d.outcome == CheckOutcome.PASSED, d.diagnostics
+    assert d.metric_value == 1
+
+
+def test_column_expression_aggregate_and_freshness(spark):
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [(1, "  5 ", "2026-08-01T00:00:00"), (2, " 15", "2026-08-10T12:00:00")],
+        "id bigint, amount_str string, ts_str string",
+    )
+    c = contract_from_yaml(
+        """
+dataset: ce_agg
+columns:
+  - name: amount_str
+    column_expression: "CAST(TRIM(amount_str) AS DOUBLE)"
+    checks:
+      - aggregate:
+          function: avg
+          must_be: 10
+  - name: ts_str
+    column_expression: "CAST(ts_str AS TIMESTAMP)"
+    checks:
+      - freshness:
+          unit: hour
+          must_be_less_than: 48
+"""
+    )
+    res = verify_contract(
+        spark, c, df,
+        data_timestamp=datetime(2026, 8, 11, 12, 0, 0, tzinfo=timezone.utc),
+    )
+    by_type = {r.check_type: r for r in res.check_results}
+    assert by_type["aggregate"].outcome == CheckOutcome.PASSED
+    assert by_type["aggregate"].metric_value == pytest.approx(10.0)
+    f = by_type["freshness"]
+    assert f.outcome == CheckOutcome.PASSED, f.diagnostics
+    assert f.metric_value == 24
+
+
+def test_column_expression_reference_data(spark):
+    """Reference-data validity joins on the EXPRESSION value."""
+    df = spark.createDataFrame(
+        [(1, "US "), (2, " de"), (3, "xx"), (4, None)],
+        "id bigint, country string",
+    )
+    ref = spark.createDataFrame([("us",), ("de",), ("fr",)], "code string")
+    c = contract_from_yaml(
+        """
+dataset: ce_ref
+columns:
+  - name: country
+    column_expression: "LOWER(TRIM(country))"
+    checks:
+      - invalid:
+          valid_reference_data:
+            dataset: country_codes
+            column: code
+          must_be: 1
+"""
+    )
+    res = verify_contract(spark, c, df, datasets={"country_codes": ref})
+    r = res.check_results[0]
+    assert r.outcome == CheckOutcome.PASSED, r.diagnostics
+    assert r.metric_value == 1  # only 'xx' misses the reference set
