@@ -273,6 +273,79 @@ def _contract_main(argv: list[str]) -> int:
 
 
 # ---------------------------------------------------------------------------
+# data-source test (connection smoke test)
+# ---------------------------------------------------------------------------
+
+
+def data_source_test_main(args: argparse.Namespace) -> int:
+    """Connection smoke test (reference ``soda data-source test``,
+    cli/cli.py:487-513 → handlers/data_source.py:57-93): build the
+    session per the configured mode, run a trivial query, probe each
+    ``-ds`` binding readable, exit 0 on success / 3 on the first
+    failure. The first thing an operator runs in a new environment."""
+    from soda_core_spark.sources.session import get_session
+
+    try:
+        spark = get_session(
+            use_active=args.use_active_session,
+            remote=args.remote,
+            token=args.token,
+            cluster_id=args.cluster_id,
+            local_cpus=args.local_cpus or ("2" if not args.remote else None),
+        )
+    except Exception as e:
+        print(f"could not build SparkSession: {type(e).__name__}: {e}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    try:
+        spark.sql("SELECT 1").first()
+    except Exception as e:
+        print(f"session is not usable: {type(e).__name__}: {e}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    print("session ok")
+
+    for spec in args.dataset or []:
+        if "=" in spec:
+            name, path = (s.strip() for s in spec.split("=", 1))
+            reader = lambda: spark.read.parquet(path)  # noqa: E731
+            target = f"{name} ({path})"
+        else:
+            name = spec.strip()
+            reader = lambda: spark.table(name)  # noqa: E731
+            target = f"{name} (catalog table)"
+        try:
+            df = reader()
+            n_cols = len(df.schema.fields)
+            df.limit(1).count()  # actually touch the data, not just metadata
+        except Exception as e:
+            print(f"dataset {target} NOT readable: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            return ExitCode.LOG_ERRORS
+        print(f"dataset {target} ok: {n_cols} columns")
+    print("Success! Connection tested ok.")
+    return ExitCode.OK
+
+
+def _data_source_main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="soda_core_spark.cli data-source")
+    sub = p.add_subparsers(dest="command", required=True)
+    t = sub.add_parser("test", help="Test the Spark session + dataset bindings")
+    t.add_argument(
+        "-ds", "--dataset", action="append",
+        help="Probe a binding readable: NAME=PARQUET_PATH, or a bare "
+        "catalog table name",
+    )
+    t.add_argument("--local-cpus", default=None, help="run local[N] instead of cluster master")
+    t.add_argument("--remote", default=None, help="Spark Connect sc:// target")
+    t.add_argument("--token", default=None, help="bearer token for --remote")
+    t.add_argument("--cluster-id", default=None, help="cluster id for --remote")
+    t.add_argument("--use-active-session", action="store_true",
+                   help="reuse the thread-local active SparkSession")
+    t.set_defaults(_handler=data_source_test_main)
+    args = p.parse_args(argv)
+    return args._handler(args)
+
+
+# ---------------------------------------------------------------------------
 # quality-filter pipeline (legacy flat form)
 # ---------------------------------------------------------------------------
 
@@ -330,6 +403,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:]) if argv is None else list(argv)
     if argv[:1] == ["contract"]:
         return _contract_main(argv[1:])
+    if argv[:1] == ["data-source"]:
+        return _data_source_main(argv[1:])
     return _filter_main(argv)
 
 

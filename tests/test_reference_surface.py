@@ -783,3 +783,28 @@ columns:
     r = res.check_results[0]
     assert r.outcome == CheckOutcome.PASSED, r.diagnostics
     assert r.metric_value == 1  # only 'xx' misses the reference set
+
+
+# ---------------------------------------------------------------------------
+# round 3: data-source test CLI
+# ---------------------------------------------------------------------------
+
+
+def test_cli_data_source_test(people_parquet):
+    ok = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "data-source", "test",
+         "-ds", f"people={people_parquet}", "--local-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert ok.returncode == 0, ok.stderr[-2000:]
+    assert "session ok" in ok.stdout
+    assert "people" in ok.stdout and "ok: 2 columns" in ok.stdout
+    assert "Success" in ok.stdout
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "data-source", "test",
+         "-ds", "nope=/does/not/exist.parquet", "--local-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert bad.returncode == 3
+    assert "NOT readable" in bad.stderr
