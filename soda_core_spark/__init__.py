@@ -36,4 +36,12 @@ from soda_core_spark.operators.engine import (  # noqa: F401
     verify_contract,
     verify_contracts,
 )
+from soda_core_spark.operators.checks import (  # noqa: F401
+    AggMetric,
+    CheckContext,
+    CheckPlan,
+    SideQuery,
+    register_check_type,
+    unregister_check_type,
+)
 from soda_core_spark.plans.results import SessionResult  # noqa: F401

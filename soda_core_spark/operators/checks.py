@@ -856,3 +856,52 @@ CHECK_PLANNERS: dict[str, Callable[[CheckSpec, CheckContext], CheckPlan]] = {
     "metric": plan_metric,
     "failed_rows": plan_failed_rows,
 }
+
+
+def register_check_type(
+    name: str,
+    planner: Callable[[CheckSpec, CheckContext], CheckPlan],
+    yaml_parser: Optional[Callable[..., CheckSpec]] = None,
+    replace: bool = False,
+) -> None:
+    """Public check-type extension point — the Spark twin of the
+    reference's paired registries (``CheckImpl.register``
+    contract_verification_impl.py:1049-1058 for planning/execution,
+    ``CheckYaml.register`` contract_yaml.py:619-628 for YAML parsing).
+    One call wires BOTH sides so a registered type works end-to-end
+    through ``contract_from_yaml`` + ``verify_contract``:
+
+    * ``planner(check, ctx) -> CheckPlan`` joins ``CHECK_PLANNERS`` —
+      its AggMetrics fuse into the scan's single aggregation job like
+      any built-in check's;
+    * ``yaml_parser(type_name, body, column) -> CheckSpec`` (optional)
+      replaces the generic body parsing; omit it to accept the standard
+      keys (thresholds, filter, qualifier, name, attributes) with the
+      custom parameters riding in ``attributes``.
+
+    Re-registering an existing type (built-in or custom) requires
+    ``replace=True`` — accidental shadowing of e.g. ``missing`` is a
+    contract-semantics change and must be explicit."""
+    from soda_core_spark.plans import model
+
+    if not name or not isinstance(name, str):
+        raise ValueError("check type name must be a non-empty string")
+    taken = name in CHECK_PLANNERS or name in model.CUSTOM_CHECK_PARSERS
+    if taken and not replace:
+        raise ValueError(
+            f"check type {name!r} is already registered; pass replace=True "
+            "to override it"
+        )
+    CHECK_PLANNERS[name] = planner
+    if name not in model.CHECK_TYPES:
+        model.CUSTOM_CHECK_PARSERS[name] = yaml_parser
+
+
+def unregister_check_type(name: str) -> None:
+    """Remove a custom check type (built-ins cannot be removed)."""
+    from soda_core_spark.plans import model
+
+    if name in model.CHECK_TYPES:
+        raise ValueError(f"cannot unregister built-in check type {name!r}")
+    CHECK_PLANNERS.pop(name, None)
+    model.CUSTOM_CHECK_PARSERS.pop(name, None)

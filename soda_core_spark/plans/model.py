@@ -242,6 +242,15 @@ CHECK_TYPES = (
     "failed_rows",
 )
 
+#: extension registry: custom check types accepted by the YAML parser
+#: (reference ``CheckYaml.register``, contract_yaml.py:619-628). Maps
+#: type name → parser callable ``(type_name, body, column) -> CheckSpec``
+#: or None for the generic CheckSpec parsing (threshold keys, filter,
+#: qualifier, attributes — enough for most custom checks). Register
+#: through ``soda_core_spark.register_check_type`` so the planner side
+#: (reference ``CheckImpl.register``) stays in sync.
+CUSTOM_CHECK_PARSERS: dict = {}
+
 
 @dataclass
 class CheckSpec:
@@ -420,9 +429,21 @@ def _parse_check(
     if not isinstance(body, dict):
         raise ContractParseError(f"check body for {type_name!r} must be a mapping")
     if type_name not in CHECK_TYPES:
-        raise ContractParseError(
-            f"unknown check type {type_name!r}; expected one of {CHECK_TYPES}"
-        )
+        if type_name in CUSTOM_CHECK_PARSERS:
+            custom_parser = CUSTOM_CHECK_PARSERS[type_name]
+            if custom_parser is not None:
+                spec = custom_parser(type_name, body, column)
+                if not isinstance(spec, CheckSpec):
+                    raise ContractParseError(
+                        f"custom parser for {type_name!r} must return a CheckSpec"
+                    )
+                return spec
+            # None → fall through to the generic CheckSpec parsing
+        else:
+            raise ContractParseError(
+                f"unknown check type {type_name!r}; expected one of "
+                f"{CHECK_TYPES + tuple(CUSTOM_CHECK_PARSERS)}"
+            )
 
     threshold = Threshold.from_dict(body)
     # defaults mirror the reference:
