@@ -275,9 +275,28 @@ def plan_invalid(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
             # (invalidity_check.py:287-338); Spark-first: broadcast
             # left-anti join — no NULL-probe ambiguity, one shuffle-free
             # pass when the reference list is small.
-            if ref_ds not in ctx.datasets:
-                raise ValueError(f"reference dataset {ref_ds!r} not provided")
-            ref_df = ctx.datasets[ref_ds].select(
+            ref_frame = ctx.datasets.get(ref_ds)
+            if ref_frame is None:
+                # '/'-qualified reference names resolve like the contract
+                # dataset (reference carries ref_prefix in check identity,
+                # contract_verification_impl.py:1421); fall back to the
+                # session catalog for either form
+                from soda_core_spark.plans.model import DatasetIdentifier
+
+                ident = DatasetIdentifier.parse(ref_ds)
+                if ident.data_source_name is not None:
+                    ref_frame = ctx.datasets.get(ident.spark_name) or ctx.datasets.get(
+                        ident.dataset_name
+                    )
+                if ref_frame is None:
+                    try:
+                        ref_frame = ctx.spark.table(ident.spark_name)
+                    except Exception:
+                        raise ValueError(
+                            f"reference dataset {ref_ds!r} not provided and not "
+                            "resolvable as a catalog table"
+                        ) from None
+            ref_df = ref_frame.select(
                 F.col(ref_col).alias("__ref_value")
             ).where(F.col("__ref_value").isNotNull()).distinct()
             left = ctx.filtered

@@ -67,7 +67,18 @@ def verify_contract(
     if df is None:
         df = datasets.get(contract.dataset)
     if df is None:
-        df = spark.table(contract.dataset)
+        # '/'-qualified names (data_source/prefix…/dataset — reference
+        # dataset_identifier.py) resolve through their parsed form: the
+        # datasets dict may bind either the full qualified string, the
+        # bare dataset name, or the dotted catalog path; otherwise the
+        # prefixes become the spark.table namespace
+        ident = contract.dataset_identifier
+        if ident.data_source_name is not None:
+            df = datasets.get(ident.spark_name) or datasets.get(ident.dataset_name)
+            if df is None:
+                df = spark.table(ident.spark_name)
+        else:
+            df = spark.table(contract.dataset)
     datasets.setdefault(contract.dataset, df)
 
     filtered = apply_scan_filter(df, contract.filter)

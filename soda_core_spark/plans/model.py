@@ -359,6 +359,51 @@ class SampleConfig:
         )
 
 
+@dataclass(frozen=True)
+class DatasetIdentifier:
+    """Parsed ``dataset:`` line. The reference's qualified form is
+    ``data_source/prefix…/dataset`` ('/'-separated,
+    dataset_identifier.py:23-37; consumed at base.py:535-537). In Spark
+    the session IS the data source, so the prefixes map onto the catalog
+    namespace tiers (``catalog.database``) and ``spark_name`` is what
+    ``spark.table`` resolves. A plain (slash-free) ``dataset:`` — possibly
+    already dotted — stays opaque: ``data_source_name`` is None and
+    ``spark_name`` is the string as given."""
+
+    data_source_name: Optional[str]
+    prefixes: tuple[str, ...]
+    dataset_name: str
+    raw: str
+
+    @classmethod
+    def parse(cls, qualified_name: str) -> "DatasetIdentifier":
+        if "/" not in qualified_name:
+            return cls(None, (), qualified_name, qualified_name)
+        parts = qualified_name.split("/")
+        if len(parts) < 2 or any(not p.strip() for p in parts):
+            raise ContractParseError(
+                f"dataset {qualified_name!r}: a '/'-qualified dataset name "
+                "needs at least data_source/dataset with no empty segments "
+                "(reference dataset_identifier.py:23-37)"
+            )
+        return cls(
+            data_source_name=parts[0],
+            prefixes=tuple(parts[1:-1]),
+            dataset_name=parts[-1],
+            raw=qualified_name,
+        )
+
+    def to_string(self) -> str:
+        if self.data_source_name is None:
+            return self.raw
+        return "/".join([self.data_source_name, *self.prefixes, self.dataset_name])
+
+    @property
+    def spark_name(self) -> str:
+        """Catalog path for ``spark.table``: prefixes + dataset dotted."""
+        return ".".join([*self.prefixes, self.dataset_name])
+
+
 @dataclass
 class Contract:
     dataset: str
@@ -370,6 +415,13 @@ class Contract:
     # where this contract was loaded from (None for inline contracts);
     # matched by 'path' check selectors (check_selector.py:115-117)
     source_path: Optional[str] = None
+
+    @property
+    def dataset_identifier(self) -> DatasetIdentifier:
+        """Parsed dataset id (reference parses it at construction,
+        base.py:535-537); the full qualified string — prefixes included —
+        is what check identities hash over."""
+        return DatasetIdentifier.parse(self.dataset)
 
     def all_checks(self) -> list[CheckSpec]:
         """Checks in contract order: dataset-level first, then per column
@@ -466,10 +518,15 @@ def _parse_check(
             validity = column.validity
 
     cols = body.get("columns")
+    # check-level column_expression overrides the column-level one
+    # (reference CheckImpl.column_expression,
+    # contract_verification_impl.py:1136-1141)
+    check_ce = (body.get("column_expression") or "").strip() or None
     spec = CheckSpec(
         type=type_name,
         column=column.name if column is not None else body.get("column"),
-        column_expression=column.column_expression if column is not None else None,
+        column_expression=check_ce
+        or (column.column_expression if column is not None else None),
         columns=tuple(cols) if cols else None,
         threshold=threshold,
         level=body.get("level", "fail"),

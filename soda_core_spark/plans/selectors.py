@@ -31,6 +31,7 @@ SUPPORTED_FIELDS = {
     "column",
     "path",
     "relative_path",
+    "check_path",
     "qualifier",
 }
 ATTRIBUTES_PREFIX = "attributes."
@@ -95,7 +96,18 @@ class CheckSelector:
         if self.field == "column":
             return check.column
         if self.field in ("path", "relative_path"):
-            return _path_variants(contract.source_path)
+            # the reference matches the CHECK's dotted relative path
+            # ("columns.<col>.checks.<type>[.<qualifier>]",
+            # contract_verification_impl.py:1156-1171, selected at
+            # check_selector.py:113-115); contract-file-path matching is
+            # kept as an engine extension — both participate in the OR
+            variants = [check_relative_path(check)]
+            variants.extend(_path_variants(contract.source_path) or [])
+            return variants
+        if self.field == "check_path":
+            # no wire_source/collection prefixing here, so check_path ==
+            # relative_path (reference :1198-1211 contract case)
+            return check_relative_path(check)
         if self.field == "qualifier":
             return check.qualifier
         if self.field.startswith(ATTRIBUTES_PREFIX):
@@ -121,6 +133,21 @@ class CheckSelector:
             any(s.matches(check, contract) for s in group)
             for group in groups.values()
         )
+
+
+def check_relative_path(check: CheckSpec) -> str:
+    """The check's dotted position path within the contract — the value
+    the reference's ``path=`` selector and ``checkPath`` wire field carry
+    (contract_verification_impl.py:1156-1171):
+    ``columns.<col>.checks.<type>[.<qualifier>]`` for column checks,
+    ``checks.<type>[.<qualifier>]`` for dataset checks."""
+    parts: list[str] = []
+    if check.column:
+        parts += ["columns", check.column]
+    parts += ["checks", check.type]
+    if check.qualifier:
+        parts.append(check.qualifier)
+    return ".".join(parts)
 
 
 def _path_variants(source_path: Optional[str]) -> Optional[list[str]]:

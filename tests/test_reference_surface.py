@@ -808,3 +808,129 @@ def test_cli_data_source_test(people_parquet):
     )
     assert bad.returncode == 3
     assert "NOT readable" in bad.stderr
+
+
+# ---------------------------------------------------------------------------
+# round 3: dataset identifier prefixes + check_path selectors
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_identifier_parse():
+    from soda_core_spark.plans.model import DatasetIdentifier
+
+    d = DatasetIdentifier.parse("spark_ds/lake/bronze/events")
+    assert d.data_source_name == "spark_ds"
+    assert d.prefixes == ("lake", "bronze")
+    assert d.dataset_name == "events"
+    assert d.spark_name == "lake.bronze.events"
+    assert d.to_string() == "spark_ds/lake/bronze/events"
+    # plain (possibly dotted) names stay opaque
+    p = DatasetIdentifier.parse("catalog.db.table")
+    assert p.data_source_name is None
+    assert p.spark_name == "catalog.db.table"
+    with pytest.raises(ContractParseError):
+        DatasetIdentifier.parse("ds//x")
+
+
+def test_prefixed_dataset_resolves_via_spark_table(spark, people):
+    """A two-level-prefixed DQN resolves through the session catalog:
+    prefixes become the database namespace of spark.table."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS soda_dqn_db")
+    people.write.mode("overwrite").saveAsTable("soda_dqn_db.people_pref")
+    try:
+        c = contract_from_yaml(
+            """
+dataset: spark_ds/soda_dqn_db/people_pref
+checks:
+  - row_count:
+      must_be: 100
+"""
+        )
+        res = verify_contract(spark, c)
+        r = res.check_results[0]
+        assert r.outcome == CheckOutcome.PASSED
+        # identity hashes the FULL qualified name — two contracts with the
+        # same dataset name under different prefixes never collide
+        c2 = contract_from_yaml(
+            "dataset: spark_ds/other_db/people_pref\nchecks:\n  - row_count\n"
+        )
+        from soda_core_spark.plans.results import check_identity
+
+        id1 = check_identity(c.dataset, "row_count", None, None)
+        id2 = check_identity(c2.dataset, "row_count", None, None)
+        assert id1 != id2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS soda_dqn_db.people_pref")
+        spark.sql("DROP DATABASE IF EXISTS soda_dqn_db")
+
+
+def test_prefixed_dataset_binds_from_datasets_dict(spark, people):
+    c = contract_from_yaml(
+        "dataset: spark_ds/lake/people_x\nchecks:\n  - row_count:\n      must_be: 100\n"
+    )
+    # bind by dotted catalog path (what a CLI -ds flag would map to)
+    res = verify_contract(spark, c, datasets={"lake.people_x": people})
+    assert res.check_results[0].outcome == CheckOutcome.PASSED
+
+
+def test_path_selector_matches_check_relative_path(spark, people):
+    """Reference semantics: path= matches the check's dotted position
+    path columns.<col>.checks.<type>[.<qualifier>]
+    (contract_verification_impl.py:1156-1171, check_selector.py:113-115)."""
+    people.createOrReplaceTempView("people_rp")
+    c = contract_from_yaml(
+        """
+dataset: people_rp
+columns:
+  - name: name
+    checks:
+      - missing:
+          must_be: 0
+checks:
+  - row_count:
+      must_be: 100
+"""
+    )
+    res = verify_contract(
+        spark, c, people, check_selectors=["path=columns.name.checks.*"]
+    )
+    by_type = {r.check_type: r.outcome for r in res.check_results}
+    assert by_type["missing"] == CheckOutcome.PASSED
+    assert by_type["row_count"] == CheckOutcome.EXCLUDED
+    # check_path= selects the same value without file-path fallback
+    res = verify_contract(
+        spark, c, people, check_selectors=["check_path=checks.row_count"]
+    )
+    by_type = {r.check_type: r.outcome for r in res.check_results}
+    assert by_type["row_count"] == CheckOutcome.PASSED
+    assert by_type["missing"] == CheckOutcome.EXCLUDED
+
+
+def test_check_level_column_expression_overrides(spark):
+    """check-level column_expression overrides the column-level one
+    (reference contract_verification_impl.py:1136-1141)."""
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "a"), (3, None)], "id bigint, tag string"
+    )
+    c = contract_from_yaml(
+        """
+dataset: ce_override
+columns:
+  - name: tag
+    column_expression: "LOWER(tag)"
+    checks:
+      - duplicate:
+          must_be: 1
+      - duplicate:
+          qualifier: raw
+          column_expression: "tag"
+          must_be: 0
+"""
+    )
+    res = verify_contract(spark, c, df)
+    by_q = {r.diagnostics.get("qualifier") or i: r
+            for i, r in enumerate(res.check_results)}
+    vals = [r.metric_value for r in res.check_results]
+    # lowered: 'A'/'a' collide (1 dup); raw: all distinct (0 dups)
+    assert sorted(vals) == [0, 1]
+    assert all(r.outcome == CheckOutcome.PASSED for r in res.check_results)
