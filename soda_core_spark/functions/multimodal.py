@@ -7,9 +7,12 @@ formats:
 
 * **P6 PPM images** — binary RGB, parsed header + ``np.frombuffer``
   (no PIL needed); features = 4×4 mean-pooled grayscale (16-dim),
+* **PNG images** — stdlib zlib inflate + per-row filter reconstruction
+  (spec §9 filters 0-4) for non-interlaced 8-bit gray/RGB/RGBA; same
+  features as PPM (identical pixels ⇒ identical features),
 * **WAV PCM audio** — stdlib ``wave`` + numpy; features = 16-band RMS
   energy profile over the clip,
-* **codec formats** (JPEG/PNG/MP4/...) — genuinely need external codecs
+* **codec formats** (JPEG/MP4/...) — genuinely need external codecs
   (PIL/ffmpeg) absent from this container, so they fall back to a
   deterministic content-hash feature and are the ONE remaining gated
   path (swap ``_decode_codec_fallback`` for a real decoder; the batch
@@ -23,7 +26,9 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -50,7 +55,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_hash", T.StringType()),
-        T.StructField("decoder", T.StringType()),  # ppm | wav | hash-fallback
+        T.StructField("decoder", T.StringType()),  # ppm | png | wav | hash-fallback
         T.StructField("feature", T.ArrayType(T.FloatType())),  # fixed dim 16
     ]
 )
@@ -112,6 +117,95 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → channel count (spec §11.2.2); 16-bit and palette
+#: images stay on the hash fallback
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (grayscale/RGB/gray+alpha/RGBA)
+    into an (H, W, 3) uint8 array using only the stdlib: zlib inflate of
+    the concatenated IDAT stream + per-row filter reconstruction (PNG
+    spec §9 filters 0-4: None/Sub/Up/Average/Paeth). No imaging library.
+
+    Filters Sub/Average/Paeth are byte-sequential along the scanline, so
+    those rows reconstruct in a Python loop — exact, and fast enough for
+    feature extraction at thumbnail sizes; a production deployment drops
+    PIL into this slot with identical output. Palette, 16-bit, and
+    interlaced PNGs raise (→ hash fallback in decode_features)."""
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        if ctype == b"IHDR":
+            ihdr = payload[i + 8 : i + 8 + length]
+        elif ctype == b"IDAT":
+            idat += payload[i + 8 : i + 8 + length]
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT length does not match dimensions")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = int(filters[y])
+        line = arr[y, 1:].astype(np.int32)
+        prev = recon[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            out = line
+        elif f == 2:  # Up — fully vectorized
+            out = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            out = line
+            for x in range(bpp, stride):
+                out[x] = (out[x] + out[x - bpp]) & 0xFF
+        elif f == 3:  # Average (floor of actual byte values — mod first)
+            out = line
+            for x in range(stride):
+                left = out[x - bpp] if x >= bpp else 0
+                out[x] = (out[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            out = line
+            for x in range(stride):
+                a = out[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (out[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter {f}")
+        recon[y] = (out & 0xFF).astype(np.uint8)
+    img = recon.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:  # gray + alpha → replicate gray, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if channels == 4:  # RGBA → drop alpha
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode RIFF/WAV PCM via the stdlib ``wave`` module → (mono float32
     samples in [-1, 1], sample_rate). 8/16/32-bit PCM supported."""
@@ -164,6 +258,8 @@ def decode_features(payload: Optional[bytes], mime: Optional[str]) -> tuple[str,
     try:
         if p.startswith(b"P6"):
             return "ppm", image_features(decode_ppm(p))
+        if p.startswith(PNG_SIG):
+            return "png", image_features(decode_png(p))
         if p.startswith(b"RIFF") and (mime or "").startswith("audio"):
             samples, _rate = decode_wav(p)
             return "wav", audio_features(samples)
@@ -240,6 +336,57 @@ def make_ppm(width: int, height: int, seed: int) -> bytes:
     return header + img.tobytes()
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(img: np.ndarray, filters: Optional[list[int]] = None) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as a REAL non-interlaced 8-bit
+    PNG. ``filters`` picks the per-row filter (0-4, default cycling
+    through all five so decode exercises every reconstruction path);
+    each row is filtered per spec §9 then the stream is zlib-compressed."""
+    h, w, channels = img.shape
+    color = {3: 2, 4: 6, 1: 0}[channels]
+    bpp = channels
+    flat = img.reshape(h, w * channels).astype(np.int32)
+    lines = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else (y % 5)
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros_like(row)
+        left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = row - pred
+        lines.append(f)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def make_wav(duration_ms: int, seed: int, rate: int = 8000) -> bytes:
     """A real 16-bit mono PCM WAV: sine + noise, deterministic."""
     rng = np.random.default_rng(seed)
@@ -268,7 +415,11 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-            payload, mime = make_ppm(w, h, seed + i), "image/x-portable-pixmap"
+            if (i // 3) % 2 == 0:
+                payload, mime = make_ppm(w, h, seed + i), "image/x-portable-pixmap"
+            else:  # same content family as a REAL PNG (all five filters)
+                ppm_img = decode_ppm(make_ppm(w, h, seed + i))
+                payload, mime = make_png(ppm_img), "image/png"
             dur = None
         elif kind == "audio":
             dur = int(rng.integers(50, 2000))

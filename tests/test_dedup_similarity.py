@@ -598,7 +598,7 @@ def test_multimodal_real_decoders(spark):
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r["kind"], set()).add(r["decoder"])
-    assert by_kind["image"] == {"ppm"}
+    assert by_kind["image"] == {"ppm", "png"}
     assert by_kind["audio"] == {"wav"}
     assert by_kind["video"] == {"hash-fallback"}
 
@@ -690,3 +690,59 @@ def test_pq_topk_recall_on_clustered_vectors(spark, vectors):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.75, f"PQ ADC recall {recall} too low on clustered data"
+
+
+def test_png_decode_all_filters_and_feature_parity(spark):
+    """Stdlib PNG decode: every filter type (0-4) reconstructs exact
+    pixels; RGBA drops alpha; grayscale replicates; identical pixels via
+    PPM and PNG yield identical features end-to-end through
+    extract_features (the VERDICT-6 acceptance)."""
+    import numpy as np
+
+    from soda_core_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        decode_ppm,
+        extract_features,
+        make_png,
+        make_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+    # each filter type alone must round-trip exactly
+    for f in range(5):
+        assert np.array_equal(decode_png(make_png(img, filters=[f])), img), f
+    # cycling all five filters (the default) round-trips too
+    assert np.array_equal(decode_png(make_png(img)), img)
+    # RGBA: alpha dropped
+    rgba = np.dstack([img, np.full((23, 17), 200, np.uint8)])
+    assert np.array_equal(decode_png(make_png(rgba)), img)
+    # grayscale: replicated to 3 channels
+    gray = img[:, :, :1]
+    assert np.array_equal(decode_png(make_png(gray)), np.repeat(gray, 3, axis=2))
+
+    # e2e: the SAME pixels through PPM and PNG give IDENTICAL features
+    ppm_bytes = make_ppm(31, 19, seed=5)
+    pixels = decode_ppm(ppm_bytes)
+    png_bytes = make_png(pixels)
+    media = spark.createDataFrame(
+        [
+            ("ppm0", "image", bytearray(ppm_bytes), "image/x-portable-pixmap", 31, 19, None),
+            ("png0", "image", bytearray(png_bytes), "image/png", 31, 19, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows["ppm0"]["decoder"] == "ppm"
+    assert rows["png0"]["decoder"] == "png"
+    assert rows["ppm0"]["feature"] == rows["png0"]["feature"]
+
+    # interlaced/16-bit/palette refuse → hash fallback path (not a crash)
+    from soda_core_spark.functions.multimodal import decode_features
+
+    bad = bytearray(make_png(img))
+    bad[8 + 8 + 12] = 1  # IHDR interlace byte → Adam7
+    # fix up nothing else: decode must raise inside and fall back
+    d, feat = decode_features(bytes(bad), "image/png")
+    assert d == "hash-fallback" and len(feat) == 16
