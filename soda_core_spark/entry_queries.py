@@ -1413,6 +1413,48 @@ def q42(spark, sf_dir):
     )
 
 
+_Q43_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 10
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+reach AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+)
+SELECT s AS node, LEAST(s, MIN(d)) AS component
+FROM reach GROUP BY s ORDER BY node
+"""
+
+
+@register("q43_connected_components", _Q43_SQL)
+def q43(spark, sf_dir):
+    """Connected components over a near-dup pair table: the step between
+    pairwise candidate generation (MinHash/SimHash emit PAIRS) and
+    cluster survivor selection — A~B, B~C must land in ONE cluster.
+    Spark side: iterative min-label propagation
+    (operators/dedup.py connected_components); oracle: DuckDB recursive
+    reachability closure + min-label — the same fixed point computed two
+    entirely different ways. Edges here are a deterministic similarity
+    surrogate (same source, |n_chars| within 10) so both engines build
+    the identical graph from the shared table."""
+    from soda_core_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return connected_components(edges).orderBy("node")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality/lineage summary over documents: heuristic keep
     flags + dedup + aggregate metrics in one grouped scan — the engine's

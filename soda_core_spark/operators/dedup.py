@@ -756,3 +756,114 @@ def per_group_cap(
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-duplicate pair tables → dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Transitive closure of a pair table: (node, component) where
+    ``component`` is the MINIMUM node id reachable through the undirected
+    edge set. This is the step a real dedup pipeline needs between
+    pairwise near-dup detection (MinHash/SimHash/Jaccard emit PAIRS) and
+    survivor selection — A~B and B~C must collapse into ONE cluster even
+    though (A, C) was never emitted.
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    (a) every node takes the min of its own and its neighbors\' labels
+    (one shuffle over the edge list), then (b) labels shortcut through
+    their own labels (``label ← label(label)``, one self-join), which
+    halves remaining path lengths, so a diameter-D graph converges in
+    O(log D) rounds instead of O(D) — a 10^6-long pathological chain is
+    ~20 rounds, and real near-dup clusters (dense clumps) finish in 2-4.
+
+    Each round ends in ``localCheckpoint(eager=True)``: iterative
+    self-joins otherwise nest the logical plan exponentially (analyzer
+    OOM by ~iteration 15) — truncating lineage per round keeps the plan
+    constant-size and bounds driver memory. The driver loop holds one
+    changed-count per round (1-row aggregate; the data never leaves the
+    executors). On a real cluster set ``spark.checkpoint.dir`` and swap
+    in reliable ``checkpoint()`` if executor loss during the loop must
+    be survivable.
+
+    soda-core has no graph machinery (SURVEY §1.1: no graphs); this is a
+    training-pipeline extension like the pair generators above.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    sym = (
+        edges.select(a.alias("s"), b.alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .union(edges.select(b.alias("s"), a.alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.groupBy("s")
+        .agg(F.least(F.min("d"), F.first("s")).alias("label"))
+        .select(F.col("s").alias("node"), "label")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # (a) neighbor-min: candidate label from the edge list
+        nbr = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("s").alias("node"), "nbr_label")
+        )
+        stage1 = (
+            labels.withColumnRenamed("label", "old")
+            .join(nbr, "node", "left")
+            .select(
+                "node",
+                F.col("old"),
+                F.least(
+                    F.col("old"), F.coalesce(F.col("nbr_label"), F.col("old"))
+                ).alias("mid"),
+            )
+        )
+        # (b) pointer jump: label ← label(label). Every label VALUE is a
+        # node id (mins of node ids), so it resolves in the label table.
+        hop = stage1.select(
+            F.col("node").alias("pnode"), F.col("mid").alias("plabel")
+        )
+        nxt = (
+            stage1.join(hop, stage1["mid"] == hop["pnode"], "left")
+            .select(
+                "node",
+                "old",
+                F.least(
+                    F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.where(F.col("label") < F.col("old")).limit(1).count()
+        labels = nxt.drop("old")
+        if not changed:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_by_components(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor selection: keep the MINIMUM-id document of every
+    near-dup cluster (plus every document that appears in no cluster).
+    ``components`` is the (node, component) output of
+    :func:`connected_components`; the survivor of a cluster is the node
+    whose id equals the component label — no window, no extra shuffle
+    beyond the membership join (left-anti on the non-survivor set)."""
+    non_survivors = components.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(non_survivors, id_col, "left_anti")

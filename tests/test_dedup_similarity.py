@@ -746,3 +746,91 @@ def test_png_decode_all_filters_and_feature_parity(spark):
     # fix up nothing else: decode must raise inside and fall back
     d, feat = decode_features(bytes(bad), "image/png")
     assert d == "hash-fallback" and len(feat) == 16
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation must agree with a plain union-find oracle on
+    a random graph, including long chains (transitivity across many
+    hops) and isolated pairs."""
+    import random
+
+    from soda_core_spark.operators.dedup import (
+        connected_components,
+        dedup_by_components,
+    )
+
+    rng = random.Random(42)
+    n = 300
+    edges = [(i, i + 1) for i in range(0, 60)]            # one 61-node chain
+    edges += [(100 + 2 * i, 101 + 2 * i) for i in range(20)]  # isolated pairs
+    edges += [(rng.randrange(150, n), rng.randrange(150, n)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # union-find oracle
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({x for e in edges for x in e})
+    expected = {x: find(x) for x in nodes}
+    # canonicalize: component label = min member
+    comp_min = {}
+    for x in nodes:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[find(x)] for x in nodes}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(7)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+    # survivor selection: exactly one survivor (the min id) per cluster,
+    # plus all unpaired docs
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    comps = connected_components(df)
+    kept = {r["doc_id"] for r in dedup_by_components(docs, comps).collect()}
+    survivors = set(expected.values())
+    unpaired = set(range(n)) - set(nodes)
+    assert kept == survivors | unpaired
+
+
+def test_connected_components_edge_cases(spark):
+    from soda_core_spark.operators.dedup import connected_components
+
+    # self-loops and duplicate edges collapse away
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5}
+    # empty edge table → empty output, no crash
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(empty).count() == 0
+
+
+def test_minhash_pairs_to_clusters_end_to_end(spark, docs):
+    """The full dedup flow: MinHash pairs → components → survivors.
+    Docs 1,2,3,4 are all near/exact dups (1~2, 1~3 exact-normalized,
+    1~4 near): transitivity must put all four in one cluster even if
+    some pair was never emitted."""
+    from soda_core_spark.operators.dedup import (
+        connected_components,
+        dedup_by_components,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.6)
+    comps = connected_components(pairs)
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_components(docs, comps).collect()
+    )
+    assert kept == [1, 5, 6]
