@@ -1413,6 +1413,68 @@ def q42(spark, sf_dir):
     )
 
 
+_Q44_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[ \t\n\r]+'),
+                     x -> x <> '') AS wds
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(wds) >= 8 THEN
+           list_transform(range(1, len(wds) - 6),
+                          i -> array_to_string(wds[i:i+7], ' '))
+         ELSE []::VARCHAR[] END AS grams
+  FROM w
+),
+ex AS (
+  SELECT doc_id, i - 1 AS pos, grams[i] AS gram
+  FROM g, unnest(range(1, len(grams) + 1)) AS t(i)
+),
+dupg AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM ex)
+  GROUP BY gram HAVING count(*) >= 2
+),
+hot AS (
+  SELECT doc_id, pos FROM ex WHERE gram IN (SELECT gram FROM dupg)
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS new_span
+  FROM hot
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM marked
+)
+SELECT doc_id,
+       MIN(pos)::BIGINT AS span_start,
+       (MAX(pos) + 8)::BIGINT AS span_end,
+       COUNT(*)::BIGINT AS n_positions
+FROM sp GROUP BY doc_id, span_id
+ORDER BY doc_id, span_start
+"""
+
+
+@register("q44_duplicated_spans", _Q44_SQL)
+def q44(spark, sf_dir):
+    """WHERE cross-document duplication sits inside each document:
+    merged word-offset spans of corpus-duplicated 8-gram runs — the
+    trim signal (cut the span, keep the document) refining q39's
+    per-doc fraction. The oracle rebuilds the same windows, the same
+    dup-gram set, and the same interval merge with DuckDB window
+    functions."""
+    from soda_core_spark.operators.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, n=8, min_docs=2)
+
+
 _Q43_SQL = """
 WITH RECURSIVE edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d

@@ -642,6 +642,125 @@ def duplicated_ngram_stats(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """WHERE the duplication is: word-offset spans of corpus-duplicated
+    ``n``-gram runs per document — the trim-don't-drop refinement of
+    :func:`duplicated_ngram_stats` (which only scores HOW MUCH). A window
+    position is duplicated when its n-gram occurs in ≥ ``min_docs``
+    distinct documents; runs of overlapping/adjacent duplicated windows
+    (start-gap ≤ n) merge into one span. Returns
+    ``(doc_id, span_start, span_end, n_positions)`` with 0-based word
+    offsets, ``span_end`` exclusive — feed to a slicer to cut mirrored
+    boilerplate out of otherwise-unique documents instead of dropping
+    them (Lee et al. 2021 trim semantics).
+
+    Scale shape: identical to duplicated_ngram_stats up to the flagging
+    join (linear posexplode, one distinct+groupBy for the dup-gram set,
+    semi-join to flag); the added interval merge is one window over
+    (doc, pos) — partitioned by doc id, so its shuffle key is uniform
+    and per-group size is bounded by document length, never corpus size.
+    """
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(t), "[ \\t\\n\\r]+"), lambda w: w != "")
+    k = F.size(words)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _spread(df).select(F.col(id_col).alias("id"), grams.alias("g"))
+    ex = base.select("id", F.posexplode("g").alias("pos", "gram"))
+    dup_grams = (
+        ex.select("id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("gram")
+    )
+    hot = ex.join(dup_grams, "gram", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    new_span = F.when(gap <= n, F.lit(0)).otherwise(F.lit(1))
+    spans = hot.withColumn(
+        "span_id",
+        F.sum(new_span).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        spans.groupBy("id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "n_positions"
+        )
+        .orderBy(id_col, "span_start")
+    )
+
+
+def trim_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`duplicated_spans` output to the corpus: drop every
+    word whose 0-based position falls inside any ``[span_start,
+    span_end)`` of its document; surviving words re-join with single
+    spaces into ``text_trimmed`` (whitespace-normalized — the engine's
+    tokenization contract). Documents with no spans pass through with
+    normalized whitespace only. This is trim-don't-drop: mirrored
+    boilerplate is cut while the unique remainder of the document stays
+    in the training mix.
+
+    Scale shape: spans aggregate per doc (tiny arrays — spans are merged
+    intervals, bounded by doc length / n), ONE left join back to the
+    corpus on the id, then pure per-row column algebra (zip positions,
+    nested-HOF membership test) — no second shuffle, no UDF.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    out = df.join(sp, id_col, "left")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, "[ \\t\\n\\r]+"), lambda w: w != "")
+    empty_spans = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    wp = F.zip_with(
+        words,
+        F.sequence(F.lit(0), F.size(words) - 1).cast("array<bigint>"),
+        lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+    )
+    kept = F.filter(
+        F.when(F.size(words) > 0, wp).otherwise(
+            F.array().cast("array<struct<w:string,i:bigint>>")
+        ),
+        lambda x: ~F.exists(
+            empty_spans,
+            lambda s: (x["i"] >= s["span_start"]) & (x["i"] < s["span_end"]),
+        ),
+    )
+    trimmed = F.concat_ws(" ", F.transform(kept, lambda x: x["w"]))
+    n_dropped = F.size(words) - F.size(kept)
+    return out.withColumns(
+        {"text_trimmed": trimmed, "n_words_trimmed": n_dropped.cast("long")}
+    ).drop("__spans")
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level repeated-line (boilerplate) removal
 # ---------------------------------------------------------------------------
@@ -799,8 +918,8 @@ def connected_components(
     a, b = F.col(src_col), F.col(dst_col)
     sym = (
         edges.select(a.alias("s"), b.alias("d"))
-        .where(F.col("s") != F.col("d"))
         .union(edges.select(b.alias("s"), a.alias("d")))
+        .where(F.col("s") != F.col("d"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -834,3 +834,82 @@ def test_minhash_pairs_to_clusters_end_to_end(spark, docs):
         r["doc_id"] for r in dedup_by_components(docs, comps).collect()
     )
     assert kept == [1, 5, 6]
+
+
+def test_duplicated_spans(spark):
+    """Span extraction: duplicated windows merge into [start, end) word
+    offsets; unique docs produce no spans; verified against a
+    hand-computed oracle."""
+    from soda_core_spark.operators.dedup import duplicated_spans
+
+    boiler = "one two three four"  # 4 words, shared by docs 1 and 2
+    rows = [
+        # doc 1: boilerplate at words [0,4) and again at [8,12)
+        (1, boiler + " unique alpha beta gamma " + boiler),
+        # doc 2: boilerplate at words [2,6)
+        (2, "first second " + boiler + " tail words here now"),
+        # doc 3: entirely unique
+        (3, "completely different text with no shared windows at all ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+        for r in duplicated_spans(df, n=4, min_docs=2).collect()
+    ]
+
+    # python oracle: same windows, same dup set, same merge
+    from collections import defaultdict
+
+    texts = {i: t.lower().split() for i, t in rows}
+    grams = {
+        i: [tuple(ws[p : p + 4]) for p in range(len(ws) - 3)]
+        for i, ws in texts.items()
+    }
+    docfreq = defaultdict(set)
+    for i, gs in grams.items():
+        for g in set(gs):
+            docfreq[g].add(i)
+    expected = []
+    for i, gs in sorted(grams.items()):
+        hot = [p for p, g in enumerate(gs) if len(docfreq[g]) >= 2]
+        spans = []
+        for p in hot:
+            if spans and p - spans[-1][1] <= 4:
+                spans[-1] = (spans[-1][0], p, spans[-1][2] + 1)
+            else:
+                spans.append((p, p, 1))
+        for s0, s1, cnt in spans:
+            expected.append((i, s0, s1 + 4, cnt))
+    assert got == expected
+    # sanity on the hand case: doc1 has dup gram at 0 and 8 (gap 8 > 4 →
+    # two spans); doc2 one span at [2,6); doc3 none
+    assert (1, 0, 4, 1) in got and (1, 8, 12, 1) in got
+    assert (2, 2, 6, 1) in got
+    assert not any(d == 3 for d, *_ in got)
+
+
+def test_trim_spans_applies_and_passthrough(spark):
+    """trim_spans cuts exactly the span words and leaves span-free docs
+    whitespace-normalized; empty text survives."""
+    from soda_core_spark.operators.dedup import duplicated_spans, trim_spans
+
+    boiler = "one two three four"
+    rows = [
+        (1, boiler + " unique alpha beta gamma " + boiler),
+        (2, "first second " + boiler + " tail words here now"),
+        (3, "completely different text with no shared windows at all ok"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicated_spans(df, n=4, min_docs=2)
+    got = {r["doc_id"]: r for r in trim_spans(df, spans).collect()}
+    # doc1: words [0,4) and [8,12) removed → the middle 4 unique words stay
+    assert got[1]["text_trimmed"] == "unique alpha beta gamma"
+    assert got[1]["n_words_trimmed"] == 8
+    # doc2: words [2,6) removed
+    assert got[2]["text_trimmed"] == "first second tail words here now"
+    assert got[2]["n_words_trimmed"] == 4
+    # doc3 untouched, doc4 empty stays empty
+    assert got[3]["text_trimmed"] == rows[2][1]
+    assert got[3]["n_words_trimmed"] == 0
+    assert got[4]["text_trimmed"] == ""
