@@ -227,6 +227,13 @@ def with_signals(df, text_col: str = "text", keep_lowered_tokens: bool = False):
     )
     non_ws_chars = F.length(F.translate(text, " \t\n\r", ""))
     sw_hits = F.size(F.filter(wl, lambda t: t.isin(EN_STOPWORDS)))
+    # non-empty lines materialized once: line_dedup references the array
+    # 3× (total size, distinct size, the ≥2 guard) and HOFs have no CSE —
+    # without the alias the split+filter runs three times per row
+    out = out.withColumn(
+        "__lines", F.filter(F.split(text, "\\n"), lambda l: F.trim(l) != "")
+    )
+    n_lines = F.size(F.col("__lines"))
     signals = {
         "n_chars": n_chars(text),
         "n_words": n,
@@ -243,8 +250,13 @@ def with_signals(df, text_col: str = "text", keep_lowered_tokens: bool = False):
         "mean_word_length": F.when(
             n > 0, non_ws_chars.cast("double") / n.cast("double")
         ).otherwise(F.lit(0.0)),
-        "line_dedup_ratio": line_dedup_ratio(text),
+        "line_dedup_ratio": F.when(
+            n_lines >= 2,
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col("__lines"))).cast("double")
+            / n_lines.cast("double"),
+        ).otherwise(F.lit(0.0)),
         "doc_fingerprint": doc_fingerprint(text),
     }
-    out = out.withColumns(signals).drop("__words")
+    out = out.withColumns(signals).drop("__words", "__lines")
     return out if keep_lowered_tokens else out.drop("__wl")

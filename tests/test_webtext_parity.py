@@ -260,3 +260,25 @@ def test_scrub_python_re_matches_duckdb_re2_on_unicode():
         assert scrub_text(samples[i]) == duck_text, samples[i]
         py_hits = sum(len(rx.findall(samples[i])) for _, rx, _ in _COMPILED)
         assert py_hits == duck_hits, samples[i]
+
+
+def test_line_dedup_ratio_multiline(spark):
+    """The synthetic corpus is newline-free, so pin the multi-line
+    semantics explicitly: 1 − distinct/total over non-empty trimmed
+    lines, 0.0 below 2 lines. (The __lines array is materialized once —
+    a value-preserving plan change in round 3.)"""
+    from soda_core_spark.functions.text import with_signals
+
+    rows = [
+        (1, "nav menu\nreal content\n\nnav menu\nnav menu"),  # 4 non-empty, 2 distinct
+        (2, "only one line"),
+        (3, "a\nb\nc"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["line_dedup_ratio"]
+           for r in with_signals(df).select("doc_id", "line_dedup_ratio").collect()}
+    assert got[1] == pytest.approx(1.0 - 2 / 4)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
