@@ -1475,6 +1475,105 @@ def q44(spark, sf_dir):
     return duplicated_spans(d, n=8, min_docs=2)
 
 
+_Q45_SQL = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[ \t\n\r]+'),
+                     x -> x <> '') AS wds
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(wds) >= 8 THEN
+           list_transform(range(1, len(wds) - 6),
+                          i -> array_to_string(wds[i:i+7], ' '))
+         ELSE []::VARCHAR[] END AS grams
+  FROM w
+),
+ex AS (
+  SELECT doc_id, i - 1 AS pos, grams[i] AS gram
+  FROM g, unnest(range(1, len(grams) + 1)) AS t(i)
+),
+dupg AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM ex)
+  GROUP BY gram HAVING count(*) >= 2
+),
+hot AS (
+  SELECT doc_id, pos FROM ex WHERE gram IN (SELECT gram FROM dupg)
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS new_span
+  FROM hot
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+  FROM sp GROUP BY doc_id, span_id
+),
+wordpos AS (
+  SELECT doc_id, i - 1 AS pos, words[i] AS word
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '[ \t\n\r]+'),
+                       x -> x <> '') AS words
+    FROM documents
+  ), unnest(range(1, len(words) + 1)) AS t(i)
+),
+kept AS (
+  SELECT wp.doc_id, wp.pos, wp.word
+  FROM wordpos wp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = wp.doc_id
+      AND wp.pos >= s.span_start AND wp.pos < s.span_end
+  )
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(word, ' ' ORDER BY pos) AS text_trimmed,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(words) AS n_words FROM (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                                           '[ \t\n\r]+'),
+                     x -> x <> '') AS words
+  FROM documents
+))
+SELECT d.doc_id,
+       coalesce(a.text_trimmed, '') AS text_trimmed,
+       (tot.n_words - coalesce(a.n_kept, 0))::BIGINT AS n_words_trimmed
+FROM documents d
+JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("q45_trim_spans", _Q45_SQL)
+def q45(spark, sf_dir):
+    """Trim-don't-drop applied: the corpus with its duplicated spans cut
+    out (q44's spans removed word-wise, survivors re-joined single-
+    spaced). The oracle rebuilds spans AND the word-level removal with
+    anti-EXISTS + ordered string_agg — the full operator chain is
+    byte-checked end-to-end."""
+    from soda_core_spark.operators.dedup import duplicated_spans, trim_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicated_spans(d, n=8, min_docs=2)
+    return trim_spans(d, spans).select("doc_id", "text_trimmed", "n_words_trimmed")
+
+
 _Q43_SQL = """
 WITH RECURSIVE edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d

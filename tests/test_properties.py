@@ -186,3 +186,106 @@ class TestSelectorProperties:
 
         if "*" not in value and "?" not in value:
             assert _values_match(value, value)
+
+
+class TestPngCodecProperties:
+    """Round-3 stdlib PNG codec: encode∘decode == identity for every
+    image shape / channel count / filter choice in the supported space."""
+
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        channels=st.sampled_from([1, 3, 4]),
+        filt=st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_identity(self, h, w, channels, filt, seed):
+        import numpy as np
+
+        from soda_core_spark.functions.multimodal import decode_png, make_png
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+        payload = make_png(img, filters=None if filt is None else [filt])
+        out = decode_png(payload)
+        if channels == 3:
+            assert np.array_equal(out, img)
+        elif channels == 4:
+            assert np.array_equal(out, img[:, :, :3])
+        else:
+            assert np.array_equal(out, np.repeat(img, 3, axis=2))
+
+    @given(junk=st.binary(min_size=0, max_size=64))
+    @settings(max_examples=40, deadline=None)
+    def test_garbage_never_decodes_silently(self, junk):
+        import pytest as _pytest
+
+        from soda_core_spark.functions.multimodal import PNG_SIG, decode_png
+
+        with _pytest.raises(Exception):
+            decode_png(PNG_SIG + junk)
+
+
+class TestDatasetIdentifierProperties:
+    @given(
+        parts=st.lists(
+            st.text(
+                alphabet=string.ascii_lowercase + string.digits + "_",
+                min_size=1,
+                max_size=8,
+            ),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def test_parse_to_string_roundtrip(self, parts):
+        from soda_core_spark.plans.model import DatasetIdentifier
+
+        raw = "/".join(parts)
+        d = DatasetIdentifier.parse(raw)
+        assert d.to_string() == raw
+        assert d.data_source_name == parts[0]
+        assert list(d.prefixes) == parts[1:-1]
+        assert d.dataset_name == parts[-1]
+        assert d.spark_name == ".".join(parts[1:])
+
+    @given(
+        name=st.text(
+            alphabet=string.ascii_lowercase + string.digits + "._",
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_plain_names_stay_opaque(self, name):
+        from soda_core_spark.plans.model import DatasetIdentifier
+
+        d = DatasetIdentifier.parse(name)
+        assert d.data_source_name is None
+        assert d.spark_name == name == d.to_string()
+
+
+class TestCheckRelativePathProperties:
+    @given(
+        column=st.one_of(
+            st.none(),
+            st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+        ),
+        qualifier=st.one_of(
+            st.none(),
+            st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+        ),
+        ctype=st.sampled_from(["missing", "invalid", "row_count"]),
+    )
+    def test_shape_matches_reference_grammar(self, column, qualifier, ctype):
+        from soda_core_spark.plans.model import CheckSpec
+        from soda_core_spark.plans.selectors import check_relative_path
+
+        p = check_relative_path(
+            CheckSpec(type=ctype, column=column, qualifier=qualifier)
+        )
+        parts = p.split(".")
+        expect = (["columns", column] if column else []) + ["checks", ctype]
+        if qualifier:
+            expect.append(qualifier)
+        assert parts == expect
