@@ -913,3 +913,28 @@ def test_trim_spans_applies_and_passthrough(spark):
     assert got[3]["text_trimmed"] == rows[2][1]
     assert got[3]["n_words_trimmed"] == 0
     assert got[4]["text_trimmed"] == ""
+
+
+def test_ngram_jaccard_hash_join_modes(spark, docs):
+    """hash_shingles joins on 64/60-bit shingle hashes — pair sets and
+    Jaccard values identical to string keys on collision-free corpora
+    (the shuffle-byte win only shows at real scale; measured neutral at
+    sf0.1, value-identical)."""
+    import pytest as _pytest
+
+    from soda_core_spark.operators.dedup import ngram_jaccard_all_pairs
+
+    def pairs(mode):
+        return {
+            (r["id_a"], r["id_b"], r["n_shared"], r["jaccard"])
+            for r in ngram_jaccard_all_pairs(
+                docs, threshold=0.1, max_doc_freq=None, hash_shingles=mode
+            ).collect()
+        }
+
+    exact = pairs(None)
+    assert exact  # the fixture has near-dup pairs
+    assert pairs("xxhash64") == exact
+    assert pairs("portable") == exact
+    with _pytest.raises(ValueError, match="hash_shingles"):
+        ngram_jaccard_all_pairs(docs, hash_shingles="md5")
