@@ -158,9 +158,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels = _PNG_CHANNELS.get(color)
     if channels is None:
         raise ValueError(f"unsupported color type {color}")
-    raw = zlib.decompress(bytes(idat))
     stride = w * channels
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    if expected > 256 * 1024 * 1024:
+        raise ValueError(f"refusing image over 256 MiB decoded ({w}x{h})")
+    # BOUNDED inflate: IDAT is attacker-controlled web bytes — a ~1 KB
+    # decompression bomb would otherwise allocate unbounded memory before
+    # the length check. The expected size is known from IHDR, so inflate
+    # at most expected+1 bytes and reject any stream that under/overruns.
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:  # expected+1 == overrun; short == truncated
         raise ValueError("IDAT length does not match dimensions")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = arr[:, 0]

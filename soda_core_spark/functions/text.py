@@ -205,6 +205,13 @@ def with_signals(df, text_col: str = "text", keep_lowered_tokens: bool = False):
     tokenizing ``lower(text)``); the caller is responsible for dropping
     ``__wl``. Stopword density always counts against the lowered tokens —
     value-identical to lowering inline inside the membership filter."""
+    reserved = {"__words", "__wl", "__lines"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has internal column(s) {sorted(reserved)} — "
+            "with_signals would silently clobber and drop them; rename "
+            "them first"
+        )
     text = F.coalesce(F.col(text_col), F.lit(""))
     w = F.col("__words")
     out = df.withColumn("__words", words_col(text))

@@ -876,6 +876,10 @@ CHECK_PLANNERS: dict[str, Callable[[CheckSpec, CheckContext], CheckPlan]] = {
     "failed_rows": plan_failed_rows,
 }
 
+#: pristine snapshot so unregister_check_type can restore an overridden
+#: built-in planner
+_BUILTIN_PLANNERS = dict(CHECK_PLANNERS)
+
 
 def register_check_type(
     name: str,
@@ -900,7 +904,10 @@ def register_check_type(
 
     Re-registering an existing type (built-in or custom) requires
     ``replace=True`` — accidental shadowing of e.g. ``missing`` is a
-    contract-semantics change and must be explicit."""
+    contract-semantics change and must be explicit. Overriding a
+    built-in replaces BOTH sides (a custom ``yaml_parser`` takes
+    precedence over the generic parsing for that type too);
+    :func:`unregister_check_type` restores the built-in behavior."""
     from soda_core_spark.plans import model
 
     if not name or not isinstance(name, str):
@@ -912,15 +919,17 @@ def register_check_type(
             "to override it"
         )
     CHECK_PLANNERS[name] = planner
-    if name not in model.CHECK_TYPES:
+    if yaml_parser is not None or name not in model.CHECK_TYPES:
         model.CUSTOM_CHECK_PARSERS[name] = yaml_parser
 
 
 def unregister_check_type(name: str) -> None:
-    """Remove a custom check type (built-ins cannot be removed)."""
+    """Remove a custom check type; an overridden BUILT-IN type is
+    restored to its original planner + generic parsing (never deleted)."""
     from soda_core_spark.plans import model
 
     if name in model.CHECK_TYPES:
-        raise ValueError(f"cannot unregister built-in check type {name!r}")
-    CHECK_PLANNERS.pop(name, None)
+        CHECK_PLANNERS[name] = _BUILTIN_PLANNERS[name]
+    else:
+        CHECK_PLANNERS.pop(name, None)
     model.CUSTOM_CHECK_PARSERS.pop(name, None)

@@ -91,7 +91,11 @@ def _spread(df: DataFrame) -> DataFrame:
         par = spark.sparkContext.defaultParallelism
         n = df.rdd.getNumPartitions()
     except Exception:
-        par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            # may be non-numeric ("auto" under some AQE deployments)
+            par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except Exception:
+            par = 200
         try:
             n = len(df.inputFiles())
         except Exception:
@@ -988,6 +992,13 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = nxt.where(F.col("label") < F.col("old")).limit(1).count()
+        # release the previous generation promptly: localCheckpoint blocks
+        # are reclaimed by the ContextCleaner once the Dataset reference is
+        # gone, so peak storage stays ~2 label generations (reclamation is
+        # asynchronous — on a storage-tight cluster raise
+        # spark.cleaner.periodicGC.interval pressure or use reliable
+        # checkpoint() with a managed dir)
+        del labels
         labels = nxt.drop("old")
         if not changed:
             break

@@ -20,6 +20,7 @@ from soda_core_spark.operators.compiler import (
     combined_key,
     is_invalid_col,
     is_missing_col,
+    value_col,
 )
 from soda_core_spark.plans.model import CheckSpec, Contract
 
@@ -28,9 +29,11 @@ def failing_row_predicate(check: CheckSpec):
     """Row-level TRUE == this row fails the check; None if the check has
     no row-level form (schema, row_count, freshness, aggregate, metric)."""
     if check.type == "missing":
-        return is_missing_col(check.column, check.missing)
+        return is_missing_col(check.column, check.missing, check.column_expression)
     if check.type == "invalid" and not check.validity.has_reference():
-        return is_invalid_col(check.column, check.validity, check.missing)
+        return is_invalid_col(
+            check.column, check.validity, check.missing, check.column_expression
+        )
     if check.type == "failed_rows" and check.condition:
         return F.expr(check.condition)
     return None
@@ -55,8 +58,15 @@ def failed_rows_sample(
         if check.columns:
             key = combined_key(list(check.columns))
         else:
-            scoped = scoped.where(~is_missing_col(check.column, check.missing))
-            key = F.coalesce(F.col(check.column).cast("string"), F.lit(""))
+            # the duplicate key must be the same value the check counted:
+            # the column_expression when configured, else the raw column
+            scoped = scoped.where(
+                ~is_missing_col(check.column, check.missing, check.column_expression)
+            )
+            key = F.coalesce(
+                value_col(check.column, check.column_expression).cast("string"),
+                F.lit(""),
+            )
         keyed = scoped.withColumn("__key", key)
         dups = (
             keyed.groupBy("__key")

@@ -95,14 +95,21 @@ class QualityFilterPipeline:
         # entirely (SURVEY §4: column pruning is the point of the binary
         # column). Pass drop_columns=() to keep it.
         self.drop_columns = drop_columns
-        # scrub: "kept" (default — scrub ONLY rows the filter keeps;
-        # dropped rows get NULL text_scrubbed. keep/drop never depends on
-        # text_scrubbed, so parity on kept docs is unchanged, and at
-        # 100 TB the regex work on the ~30 % dropped rows is pure waste)
-        # | "all" (scrub every row — for consumers of the annotated
-        # dropped partition) | False
+        # scrub: "kept" (default) — dropped rows get NULL text_scrubbed:
+        # their scrubbed bytes are never written or carried (dead output
+        # at 100 TB). NOTE this masks the OUTPUT; the regex chain itself
+        # still evaluates in the fused Arrow node for every prefilter
+        # candidate (keep isn't known until after the scorer UDFs run —
+        # a measured second Arrow node for input-masking cost more than
+        # the ~5 % regex it saved, see BENCH/JOURNAL round 3).
+        # "all" — scrub every row, for consumers of the annotated
+        # dropped partition. False — no scrubbing.
         if scrub is True:
             scrub = "kept"
+        if scrub not in (False, "kept", "all"):
+            raise ValueError(
+                f"scrub must be True/'kept', 'all', or False — got {scrub!r}"
+            )
         self.scrub = scrub
         # langid: "jvm" (default — the function-word model as pure InSet
         # probes over the token array, bit-identical scores, no Arrow

@@ -480,22 +480,23 @@ def _parse_check(
         body = {}
     if not isinstance(body, dict):
         raise ContractParseError(f"check body for {type_name!r} must be a mapping")
-    if type_name not in CHECK_TYPES:
-        if type_name in CUSTOM_CHECK_PARSERS:
-            custom_parser = CUSTOM_CHECK_PARSERS[type_name]
-            if custom_parser is not None:
-                spec = custom_parser(type_name, body, column)
-                if not isinstance(spec, CheckSpec):
-                    raise ContractParseError(
-                        f"custom parser for {type_name!r} must return a CheckSpec"
-                    )
-                return spec
-            # None → fall through to the generic CheckSpec parsing
-        else:
+    # custom parser dispatch comes FIRST so register_check_type(...,
+    # replace=True) can override a built-in type's parsing too (reference
+    # registries allow re-registration); a registered-but-parserless
+    # custom type falls through to the generic CheckSpec parsing
+    custom_parser = CUSTOM_CHECK_PARSERS.get(type_name)
+    if custom_parser is not None:
+        spec = custom_parser(type_name, body, column)
+        if not isinstance(spec, CheckSpec):
             raise ContractParseError(
-                f"unknown check type {type_name!r}; expected one of "
-                f"{CHECK_TYPES + tuple(CUSTOM_CHECK_PARSERS)}"
+                f"custom parser for {type_name!r} must return a CheckSpec"
             )
+        return spec
+    if type_name not in CHECK_TYPES and type_name not in CUSTOM_CHECK_PARSERS:
+        raise ContractParseError(
+            f"unknown check type {type_name!r}; expected one of "
+            f"{CHECK_TYPES + tuple(CUSTOM_CHECK_PARSERS)}"
+        )
 
     threshold = Threshold.from_dict(body)
     # defaults mirror the reference:

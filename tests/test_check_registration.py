@@ -146,9 +146,6 @@ columns:
 def test_register_conflicts():
     with pytest.raises(ValueError, match="already registered"):
         register_check_type("missing", _plan_starts_with)
-    # replace=True allows overriding, and built-ins cannot be unregistered
-    with pytest.raises(ValueError, match="built-in"):
-        unregister_check_type("missing")
     register_check_type("starts_with", _plan_starts_with)
     try:
         with pytest.raises(ValueError, match="already registered"):
@@ -156,3 +153,48 @@ def test_register_conflicts():
         register_check_type("starts_with", _plan_starts_with, replace=True)
     finally:
         unregister_check_type("starts_with")
+
+
+def test_override_builtin_and_restore(spark, people):
+    """replace=True on a BUILT-IN overrides both the planner and (when a
+    yaml_parser is given) the parsing; unregister restores the original
+    behavior instead of deleting the type."""
+    from soda_core_spark.operators.checks import CHECK_PLANNERS, plan_row_count
+
+    def parse_row_count(type_name, body, column):
+        return CheckSpec(
+            type=type_name, threshold=Threshold(must_be=float(body["exactly"]))
+        )
+
+    def plan_constant(check, ctx):
+        def evaluate(values, ctx):
+            return CheckResult(
+                identity=check_identity(ctx.contract.dataset, check.type, None, None),
+                check_type=check.type,
+                name="constant",
+                column=None,
+                outcome=CheckOutcome.PASSED,
+                metric_value=-1,
+            )
+
+        return CheckPlan(check, evaluate=evaluate)
+
+    register_check_type(
+        "row_count", plan_constant, yaml_parser=parse_row_count, replace=True
+    )
+    try:
+        c = contract_from_yaml(
+            "dataset: ov_people\nchecks:\n  - row_count:\n      exactly: 10\n"
+        )
+        assert c.checks[0].threshold.must_be == 10.0  # custom parser ran
+        res = verify_contract(spark, c, people)
+        assert res.check_results[0].metric_value == -1  # custom planner ran
+    finally:
+        unregister_check_type("row_count")
+    assert CHECK_PLANNERS["row_count"] is plan_row_count
+    # generic parsing is back: 'exactly' is not a standard key
+    c2 = contract_from_yaml(
+        "dataset: ov_people\nchecks:\n  - row_count:\n      must_be: 10\n"
+    )
+    res2 = verify_contract(spark, c2, people)
+    assert res2.check_results[0].metric_value == 10
