@@ -325,9 +325,149 @@ def data_source_test_main(args: argparse.Namespace) -> int:
     return ExitCode.OK
 
 
+_DATA_SOURCE_TEMPLATE = """\
+# soda_core_spark data-source configuration (Spark session modes —
+# sources/session.py; pick exactly one mode)
+type: spark
+name: spark_ds
+session:
+  # mode 1: new local session
+  local_cpus: 8
+  # mode 2: Spark Connect (uncomment; secrets via env expansion)
+  # remote: sc://your-host:443
+  # token: ${SPARK_CONNECT_TOKEN}
+  # cluster_id: your-cluster-id
+  # mode 3: reuse the thread-local active session
+  # use_active_session: true
+"""
+
+
+def data_source_create_main(args: argparse.Namespace) -> int:
+    """Write a data-source YAML template (reference `soda data-source
+    create`, handlers/data_source.py:22-56: refuses existing files,
+    one supported type — there 'postgres', here 'spark')."""
+    import os
+
+    path = args.file
+    if not path:
+        print("-f/--file is required", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    if os.path.exists(path):
+        print(f"could not create {path!r}: file already exists", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    if args.type != "spark":
+        print(f"only type 'spark' is supported, got {args.type!r}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    try:
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(_DATA_SOURCE_TEMPLATE)
+    except Exception as e:
+        print(f"could not create {path!r}: {e}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    print(f"Created data source file {path!r}")
+    return ExitCode.OK
+
+
+def _like_to_regex(pattern: str):
+    """SQL LIKE → anchored regex: % = any run, _ = any char, everything
+    else literal (reference pushes include/exclude down as LIKE filters,
+    discovery.py:19-29)."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return _re.compile("^" + "".join(out) + "$")
+
+
+#: discovery never surfaces the engine's own temp tables (reference
+#: SODA_TEMP_PREFIX filter, discovery.py:31 — filtered in Python because
+#: LIKE would read the leading underscores as wildcards)
+SODA_TEMP_PREFIX = "__soda_temp"
+
+
+def data_source_discover_main(args: argparse.Namespace) -> int:
+    """List datasets visible to the session as DQNs
+    (`data_source/database/table`), with SQL-LIKE include/exclude
+    filters — the local path of reference `soda data-source discover`
+    (handlers/data_source.py:204-221; DQNs via dataset_identifier.py)."""
+    from soda_core_spark.sources.session import get_session
+
+    try:
+        spark = get_session(
+            use_active=args.use_active_session,
+            remote=args.remote,
+            token=args.token,
+            cluster_id=args.cluster_id,
+            local_cpus=args.local_cpus or ("2" if not args.remote else None),
+        )
+    except Exception as e:
+        print(f"could not build SparkSession: {type(e).__name__}: {e}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    include = [_like_to_regex(p) for p in (args.include or [])]
+    exclude = [_like_to_regex(p) for p in (args.exclude or [])]
+    try:
+        dbs = (
+            [args.database]
+            if args.database
+            else [d.name for d in spark.catalog.listDatabases()]
+        )
+        dqns = []
+        for db in dbs:
+            # tables AND views, like the reference's explicit all-types
+            # discovery (discovery.py:24-27)
+            for t in spark.catalog.listTables(db):
+                name = t.name
+                if name.lower().startswith(SODA_TEMP_PREFIX):
+                    continue
+                if include and not any(rx.match(name) for rx in include):
+                    continue
+                if exclude and any(rx.match(name) for rx in exclude):
+                    continue
+                prefix = t.namespace[0] if getattr(t, "namespace", None) else db
+                dqns.append(f"{args.name}/{prefix}/{name}")
+    except Exception as e:
+        print(f"discovery failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    for dqn in sorted(dqns):
+        print(dqn)
+    print(f"Discovered {len(dqns)} datasets")
+    return ExitCode.OK
+
+
 def _data_source_main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="soda_core_spark.cli data-source")
     sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("create", help="Create a data source YAML configuration file")
+    c.add_argument("-f", "--file", help="Path of the YAML file to create")
+    c.add_argument("-t", "--type", default="spark", help="Data source type (spark)")
+    c.set_defaults(_handler=data_source_create_main)
+
+    d = sub.add_parser("discover", help="Discover datasets in the session catalog")
+    d.add_argument("--include", action="append",
+                   help="Dataset name pattern to include (SQL %% wildcard)")
+    d.add_argument("--exclude", action="append",
+                   help="Dataset name pattern to exclude (SQL %% wildcard)")
+    d.add_argument("--database", default=None,
+                   help="Limit discovery to one database (default: all)")
+    d.add_argument("--name", default="spark_ds",
+                   help="Data-source name used as the DQN prefix")
+    d.add_argument("--local-cpus", default=None)
+    d.add_argument("--remote", default=None, help="Spark Connect sc:// target")
+    d.add_argument("--token", default=None)
+    d.add_argument("--cluster-id", default=None)
+    d.add_argument("--use-active-session", action="store_true")
+    d.set_defaults(_handler=data_source_discover_main)
+
     t = sub.add_parser("test", help="Test the Spark session + dataset bindings")
     t.add_argument(
         "-ds", "--dataset", action="append",

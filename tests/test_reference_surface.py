@@ -934,3 +934,73 @@ columns:
     # lowered: 'A'/'a' collide (1 dup); raw: all distinct (0 dups)
     assert sorted(vals) == [0, 1]
     assert all(r.outcome == CheckOutcome.PASSED for r in res.check_results)
+
+
+# ---------------------------------------------------------------------------
+# round 3: data-source create / discover
+# ---------------------------------------------------------------------------
+
+
+def test_cli_data_source_create(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dsyaml") / "sub" / "spark.yml")
+    r = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "data-source", "create",
+         "-f", path],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    body = open(path).read()
+    assert "type: spark" in body and "local_cpus" in body and "sc://" in body
+    # refuses to overwrite (reference handlers/data_source.py:24-29)
+    r2 = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "data-source", "create",
+         "-f", path],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert r2.returncode == 3
+    assert "already exists" in r2.stderr
+    # unsupported type (reference supports exactly one type too)
+    r3 = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "data-source", "create",
+         "-f", path + ".2", "-t", "postgres"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert r3.returncode == 3
+
+
+def test_cli_data_source_discover(spark, capsys):
+    """Discovery lists catalog datasets as DQNs with SQL-LIKE
+    include/exclude (OR within include, AND-not for exclude) and hides
+    __soda_temp tables (reference discovery.py:19-31)."""
+    import shutil
+
+    from soda_core_spark.cli import main as cli_main
+
+    shutil.rmtree("/root/repo/spark-warehouse/disc_t.db", ignore_errors=True)
+    spark.sql("CREATE DATABASE IF NOT EXISTS disc_t")
+    try:
+        for t in ("events_a", "users_b", "other_c", "__soda_temp_scan"):
+            spark.range(3).write.mode("overwrite").saveAsTable(f"disc_t.{t}")
+        rc = cli_main([
+            "data-source", "discover", "--database", "disc_t",
+            "--include", "%_a", "--include", "users%", "--use-active-session",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "spark_ds/disc_t/events_a" in out
+        assert "spark_ds/disc_t/users_b" in out
+        assert "other_c" not in out
+        assert "Discovered 2 datasets" in out
+
+        rc = cli_main([
+            "data-source", "discover", "--database", "disc_t",
+            "--exclude", "other%", "--name", "prod", "--use-active-session",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        # temp tables never surface, exclude filters, custom DQN prefix
+        assert "__soda_temp" not in out
+        assert "prod/disc_t/events_a" in out
+        assert "Discovered 2 datasets" in out
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS disc_t CASCADE")
