@@ -1574,6 +1574,93 @@ def q45(spark, sf_dir):
     return trim_spans(d, spans).select("doc_id", "text_trimmed", "n_words_trimmed")
 
 
+_Q46_SQL = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[ \t\n\r]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+lens AS (SELECT id, len(w)::DOUBLE AS dl FROM base),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT id, unnest(w) AS term FROM base)
+  WHERE term IN ('filter', 'hash', 'join')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df_ FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.id,
+         ln((s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS contrib
+  FROM tf JOIN dfreq d USING (term)
+          JOIN lens l ON tf.id = l.id
+          CROSS JOIN stats s
+)
+SELECT id AS doc_id,
+       round(SUM(contrib), 6) AS bm25,
+       count(*)::BIGINT AS n_terms_matched
+FROM scored GROUP BY id
+ORDER BY SUM(contrib) DESC, id
+LIMIT 15
+"""
+
+
+@register("q46_bm25_search", _Q46_SQL)
+def q46(spark, sf_dir):
+    """Okapi BM25 keyword search over the corpus (query: filter hash
+    join, k=15) — the inspect-your-training-data retrieval tool. The
+    query-term filter lands BEFORE any shuffle, so the scored relation
+    is |terms| x matching docs, never the corpus token stream; per-term
+    document frequencies and corpus stats broadcast. The oracle
+    recomputes the identical formula in SQL."""
+    from soda_core_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["filter", "hash", "join"], k=15)
+
+
+_Q47_SQL = """
+SELECT doc_id,
+       CASE WHEN lower(source) IN ('src3', 'src7') THEN 'host'
+            WHEN len(list_filter(
+                   list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                     '[ \t\n\r]+'),
+                               x -> x <> ''),
+                   x -> x IN ('slow', 'broken'))) > 0 THEN 'term'
+            ELSE NULL END AS block_reason,
+       CASE WHEN lower(source) IN ('src3', 'src7') THEN TRUE
+            WHEN len(list_filter(
+                   list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                     '[ \t\n\r]+'),
+                               x -> x <> ''),
+                   x -> x IN ('slow', 'broken'))) > 0 THEN TRUE
+            ELSE FALSE END AS blocked
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("q47_blocklist_filter", _Q47_SQL)
+def q47(spark, sf_dir):
+    """Source/term blocklist curation (RefinedWeb/UT1 style): blocked
+    sources drop with reason 'host', token-exact blocked terms with
+    reason 'term' (host precedence). Pure broadcast InSet probes +
+    one exists() over the token array — no shuffle, no regex scans."""
+    from soda_core_spark.operators.blocklist import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return blocklist_filter(
+        d,
+        blocked_hosts=["src3", "src7"],
+        blocked_terms=["slow", "broken"],
+        host_col="source",
+    ).select("doc_id", "block_reason", "blocked")
+
+
 _Q43_SQL = """
 WITH RECURSIVE edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d
