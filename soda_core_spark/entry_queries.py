@@ -1661,6 +1661,69 @@ def q47(spark, sf_dir):
     ).select("doc_id", "block_reason", "blocked")
 
 
+_Q48_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       / 4294967296.0)
+      < (CASE source WHEN 'src1' THEN 0.8 WHEN 'src3' THEN 0.25
+                     WHEN 'src5' THEN 0.0 ELSE 0.1 END)
+ORDER BY doc_id
+"""
+
+
+@register("q48_stratified_sample", _Q48_SQL)
+def q48(spark, sf_dir):
+    """Deterministic stratified sampling (training-mix construction):
+    per-source keep rates applied through the portable md5 fraction —
+    the SAME documents survive in any engine. Pure pushed-down filter,
+    no shuffle."""
+    from soda_core_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d,
+        "source",
+        {"src1": 0.8, "src3": 0.25, "src5": 0.0},
+        key=F.col("doc_id").cast("string"),
+        default_fraction=0.1,
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+_Q49_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM documents
+)
+SELECT doc_id, source, n_chars::BIGINT AS n_chars
+FROM ranked WHERE cum <= 5000
+ORDER BY doc_id
+"""
+
+
+@register("q49_token_budget_mix", _Q49_SQL)
+def q49(spark, sf_dir):
+    """Per-source token-budget selection (data mixing): documents enter
+    in portable-hash order until each source's running character total
+    crosses the budget — kept set identical across engines because both
+    the order and the cumulative sum are hash-determined."""
+    from soda_core_spark.operators.sampling import sample_to_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sample_to_token_budget(
+            d, budget_tokens=5000, token_col="n_chars", group_col="source"
+        )
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 _Q43_SQL = """
 WITH RECURSIVE edges AS (
   SELECT a.doc_id AS s, b.doc_id AS d

@@ -124,3 +124,80 @@ def test_blocklist_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan  # pure per-row probes, zero shuffle
+
+
+def test_stratified_hash_sample(spark):
+    import hashlib
+
+    from soda_core_spark.operators.sampling import stratified_hash_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    frac = {"a": 0.5, "b": 0.1, "c": 0.0}
+    kept = stratified_hash_sample(
+        df, "src", frac, key=F.col("doc_id").cast("string")
+    )
+    got = {r["doc_id"] for r in kept.collect()}
+
+    # python oracle: identical md5-fraction rule
+    def f(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 16**8
+
+    expected = {i for i, s in rows if f(i) < frac[s]}
+    assert got == expected
+    # rates land near targets
+    per = {s: sum(1 for i, t in rows if t == s and i in got) for s in "abc"}
+    assert abs(per["a"] / 1000 - 0.5) < 0.06
+    assert abs(per["b"] / 1000 - 0.1) < 0.04
+    assert per["c"] == 0
+    # deterministic across partitionings
+    again = {r["doc_id"] for r in stratified_hash_sample(
+        df.repartition(13), "src", frac, key=F.col("doc_id").cast("string")
+    ).collect()}
+    assert again == got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_hash_sample(df, "src", {"a": 1.5}, key=F.col("doc_id").cast("string"))
+
+
+def test_sample_to_token_budget(spark):
+    import hashlib
+
+    from soda_core_spark.operators.sampling import sample_to_token_budget
+
+    rows = [(i, ["x", "y"][i % 2], 10 + (i * 7) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "n_tok"])
+    budget = 500
+    kept = sample_to_token_budget(
+        df, budget_tokens=budget, token_col="n_tok", group_col="src"
+    )
+    got = {r["doc_id"] for r in kept.collect()}
+
+    # python oracle: same hash order, same cumulative rule
+    expected = set()
+    for g in ("x", "y"):
+        members = sorted(
+            ((hashlib.md5(str(i).encode()).hexdigest(), i, n)
+             for i, s, n in rows if s == g)
+        )
+        cum = 0
+        for _h, i, n in members:
+            cum += n
+            if cum <= budget:
+                expected.add(i)
+    assert got == expected
+    # per-group totals within budget and non-trivial
+    sums = {
+        r["src"]: r["s"]
+        for r in kept.groupBy("src").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    assert all(0 < v <= budget for v in sums.values())
+    # deterministic across partitionings
+    again = {r["doc_id"] for r in sample_to_token_budget(
+        df.repartition(11), budget_tokens=budget, token_col="n_tok", group_col="src"
+    ).collect()}
+    assert again == got
+    # global (ungrouped) form respects a single budget
+    gl = sample_to_token_budget(df, budget_tokens=300, token_col="n_tok")
+    assert gl.agg(F.sum("n_tok")).first()[0] <= 300
