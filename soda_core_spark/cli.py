@@ -426,6 +426,11 @@ def data_source_discover_main(args: argparse.Namespace) -> int:
             # discovery (discovery.py:24-27)
             for t in spark.catalog.listTables(db):
                 name = t.name
+                # session-global TEMP views appear under every database in
+                # listTables but are not catalog datasets (the reference
+                # discovers info-schema tables/views only) — skip them
+                if (getattr(t, "tableType", "") or "").upper() == "TEMPORARY":
+                    continue
                 if name.lower().startswith(SODA_TEMP_PREFIX):
                     continue
                 if include and not any(rx.match(name) for rx in include):
