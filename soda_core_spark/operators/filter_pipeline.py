@@ -167,8 +167,11 @@ class QualityFilterPipeline:
             # unchanged, so the Arrow batch back to the JVM carries only
             # the few % of rows that actually contain PII/toxicity —
             # coalesce(delta, text) reconstructs the full column
-            # byte-identically. Fused with the other scorers (text
-            # crosses the Arrow boundary once, shared).
+            # byte-identically. (A JVM input-mask via scrub.can_match_col
+            # was A/B-measured 6 % SLOWER here: two extra Java-regex
+            # passes over full text cost more than the Arrow-in savings
+            # on this corpus. The helper remains for transfer-bound
+            # deployments — much larger documents or remote shuffle.)
             udf_cols["__scrub_delta"] = scrub_delta_udf(text)
         if udf_cols:
             out = out.withColumns(udf_cols)
