@@ -93,6 +93,12 @@ def contract_verify_main(args: argparse.Namespace) -> int:
 
     try:
         selectors = CheckSelector.parse_all(args.check_filter)
+        # --check-path values become check_path= selectors, the wire form
+        # the reference converts --check-paths into
+        # (check_selector.py:84-88 from_check_paths)
+        selectors += CheckSelector.parse_all(
+            [f"check_path={p}" for p in (args.check_path or [])]
+        )
     except CheckSelectorParseError as e:
         print(str(e), file=sys.stderr)
         return ExitCode.LOG_ERRORS
@@ -155,6 +161,10 @@ def contract_verify_main(args: argparse.Namespace) -> int:
         check_selectors=selectors,
     )
     print(session.summary())
+    if args.verbose:
+        for res in session.results:
+            for m in res.measurements:
+                print(f"  measurement {m.metric_id} = {m.value}")
 
     if args.metrics_out:
         # diagnostics-warehouse analogue (reference -dw flag, cli.py:236-243):
@@ -242,8 +252,19 @@ def _contract_main(argv: list[str]) -> int:
         "--check-filter",
         action="append",
         help="Run only matching checks: field=glob "
-        "(type/name/column/path/qualifier/attributes.<key>; "
+        "(type/name/column/path/check_path/qualifier/attributes.<key>; "
         "AND across fields, OR within a field)",
+    )
+    v.add_argument(
+        "-cp",
+        "--check-path",
+        action="append",
+        help="Run only checks at this position path, e.g. "
+        "columns.email.checks.missing (reference --check-paths; glob ok)",
+    )
+    v.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="Also print every measurement (metric id = value)",
     )
     v.add_argument("--data-timestamp", default=None, help="ISO timestamp for freshness/NOW")
     v.add_argument("--local-cpus", default=None, help="run local[N] instead of cluster master")

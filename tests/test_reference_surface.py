@@ -1004,3 +1004,26 @@ def test_cli_data_source_discover(spark, capsys):
         assert "Discovered 2 datasets" in out
     finally:
         spark.sql("DROP DATABASE IF EXISTS disc_t CASCADE")
+
+
+def test_cli_check_path_and_verbose(tmp_path_factory, people_parquet):
+    c = _write_contract(
+        tmp_path_factory,
+        "dataset: people\n"
+        "columns:\n"
+        "  - name: name\n"
+        "    checks:\n"
+        "      - missing:\n"
+        "          must_be: 0\n"
+        "checks:\n"
+        "  - row_count:\n"
+        "      must_be: 1\n",  # would FAIL if selected
+    )
+    # only the column check selected via its position path → exit 0
+    r = _run_cli(
+        "-c", c, "-ds", f"people={people_parquet}",
+        "-cp", "columns.name.checks.*", "-v", "--local-cpus", "2",
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr[-1500:])
+    assert "EXCLUDED" in r.stdout  # the row_count check was not selected
+    assert "measurement" in r.stdout  # -v prints measurements
