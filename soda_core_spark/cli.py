@@ -298,25 +298,36 @@ def _contract_main(argv: list[str]) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _session_from_args(args: argparse.Namespace):
+    """Shared session-mode resolution for the data-source subcommands:
+    returns (spark, None) or (None, exit_code)."""
+    from soda_core_spark.sources.session import get_session
+
+    try:
+        return (
+            get_session(
+                use_active=args.use_active_session,
+                remote=args.remote,
+                token=args.token,
+                cluster_id=args.cluster_id,
+                local_cpus=args.local_cpus or ("2" if not args.remote else None),
+            ),
+            None,
+        )
+    except Exception as e:
+        print(f"could not build SparkSession: {type(e).__name__}: {e}", file=sys.stderr)
+        return None, ExitCode.LOG_ERRORS
+
+
 def data_source_test_main(args: argparse.Namespace) -> int:
     """Connection smoke test (reference ``soda data-source test``,
     cli/cli.py:487-513 → handlers/data_source.py:57-93): build the
     session per the configured mode, run a trivial query, probe each
     ``-ds`` binding readable, exit 0 on success / 3 on the first
     failure. The first thing an operator runs in a new environment."""
-    from soda_core_spark.sources.session import get_session
-
-    try:
-        spark = get_session(
-            use_active=args.use_active_session,
-            remote=args.remote,
-            token=args.token,
-            cluster_id=args.cluster_id,
-            local_cpus=args.local_cpus or ("2" if not args.remote else None),
-        )
-    except Exception as e:
-        print(f"could not build SparkSession: {type(e).__name__}: {e}", file=sys.stderr)
-        return ExitCode.LOG_ERRORS
+    spark, err = _session_from_args(args)
+    if err is not None:
+        return err
     try:
         spark.sql("SELECT 1").first()
     except Exception as e:
@@ -420,19 +431,9 @@ def data_source_discover_main(args: argparse.Namespace) -> int:
     (`data_source/database/table`), with SQL-LIKE include/exclude
     filters — the local path of reference `soda data-source discover`
     (handlers/data_source.py:204-221; DQNs via dataset_identifier.py)."""
-    from soda_core_spark.sources.session import get_session
-
-    try:
-        spark = get_session(
-            use_active=args.use_active_session,
-            remote=args.remote,
-            token=args.token,
-            cluster_id=args.cluster_id,
-            local_cpus=args.local_cpus or ("2" if not args.remote else None),
-        )
-    except Exception as e:
-        print(f"could not build SparkSession: {type(e).__name__}: {e}", file=sys.stderr)
-        return ExitCode.LOG_ERRORS
+    spark, err = _session_from_args(args)
+    if err is not None:
+        return err
     include = [_like_to_regex(p) for p in (args.include or [])]
     exclude = [_like_to_regex(p) for p in (args.exclude or [])]
     try:

@@ -168,7 +168,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     # at most expected+1 bytes and reject any stream that under/overruns.
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expected + 1)
-    if len(raw) != expected:  # expected+1 == overrun; short == truncated
+    # length check catches overrun (expected+1) and short streams; eof
+    # additionally requires a COMPLETE zlib stream (adler32 verified) —
+    # a stream truncated exactly at the data/checksum boundary yields
+    # `expected` bytes with eof False and must still be rejected
+    if len(raw) != expected or not dec.eof:
         raise ValueError("IDAT length does not match dimensions")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = arr[:, 0]

@@ -55,11 +55,12 @@ def blocklist_filter(
         )
         reasons.append(F.when(F.lower(host).isin(hosts), F.lit("host")))
     if blocked_terms:
+        from soda_core_spark.functions.text import words_col
+
         terms = sorted({t.lower() for t in blocked_terms})
-        words = F.filter(
-            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[ \\t\\n\\r]+"),
-            lambda w: w != "",
-        )
+        # THE engine tokenization contract — shared with with_signals and
+        # BM25, so the token-exact guarantee can't drift
+        words = words_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
         reasons.append(
             F.when(F.exists(words, lambda w: w.isin(terms)), F.lit("term"))
         )

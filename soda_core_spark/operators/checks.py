@@ -919,6 +919,10 @@ def register_check_type(
             "to override it"
         )
     CHECK_PLANNERS[name] = planner
+    # always clear any previous custom parser first: re-registering a
+    # built-in WITHOUT a yaml_parser must restore generic parsing, not
+    # keep a stale parser from an earlier registration
+    model.CUSTOM_CHECK_PARSERS.pop(name, None)
     if yaml_parser is not None or name not in model.CHECK_TYPES:
         model.CUSTOM_CHECK_PARSERS[name] = yaml_parser
 

@@ -44,7 +44,10 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from soda_core_spark.functions.langid import langid_udf
-from soda_core_spark.functions.perplexity import perplexity_udf
+from soda_core_spark.functions.perplexity import (
+    normalized_for_ppl,
+    perplexity_prenorm_udf,
+)
 from soda_core_spark.functions.scrub import scrub_delta_udf
 from soda_core_spark.functions.text import with_signals
 from soda_core_spark.operators.compiler import keep_predicate
@@ -156,11 +159,6 @@ class QualityFilterPipeline:
             # byte-identical to the pandas form); only the trigram-table
             # gather crosses into Python — ~70 % of the UDF's CPU moves
             # out of the Arrow node
-            from soda_core_spark.functions.perplexity import (
-                normalized_for_ppl,
-                perplexity_prenorm_udf,
-            )
-
             udf_cols["log_ppl"] = perplexity_prenorm_udf(normalized_for_ppl(text))
         if self.scrub:
             # delta form: the UDF returns NULL for rows the scrub leaves

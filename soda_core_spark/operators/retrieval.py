@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from soda_core_spark.functions.text import words_col
+
 
 def bm25_topk(
     df: DataFrame,
@@ -41,7 +43,9 @@ def bm25_topk(
     if not terms:
         raise ValueError("query_terms must be non-empty")
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(F.lower(t), "[ \\t\\n\\r]+"), lambda w: w != "")
+    # THE engine tokenization contract (functions/text.py words_col) —
+    # never re-derived inline, so BM25 can't drift from the signal stack
+    words = words_col(F.lower(t))
     base = df.select(F.col(id_col).alias("id"), words.alias("w"))
     lens = base.select("id", F.size("w").cast("double").alias("dl"))
     stats = lens.agg(

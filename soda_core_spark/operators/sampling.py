@@ -62,6 +62,10 @@ def stratified_hash_sample(
     for s, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for stratum {s!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0,1], got {default_fraction}"
+        )
     rate = F.lit(float(default_fraction))
     for s, f in sorted(fractions.items()):
         rate = F.when(F.col(strata_col) == s, F.lit(float(f))).otherwise(rate)

@@ -198,3 +198,29 @@ def test_override_builtin_and_restore(spark, people):
     )
     res2 = verify_contract(spark, c2, people)
     assert res2.check_results[0].metric_value == 10
+
+
+def test_reregister_builtin_without_parser_restores_generic_parsing(spark, people):
+    """Re-registering a built-in WITHOUT a yaml_parser must restore the
+    generic parsing, not keep a stale custom parser (review finding)."""
+    from soda_core_spark.operators.checks import plan_row_count
+
+    def parse_exactly(type_name, body, column):
+        return CheckSpec(
+            type=type_name, threshold=Threshold(must_be=float(body["exactly"]))
+        )
+
+    register_check_type(
+        "row_count", plan_row_count, yaml_parser=parse_exactly, replace=True
+    )
+    try:
+        register_check_type("row_count", plan_row_count, replace=True)
+        # generic keys parse again; 'exactly' would now be ignored/rejected
+        c = contract_from_yaml(
+            "dataset: rr_people\nchecks:\n  - row_count:\n      must_be: 10\n"
+        )
+        assert c.checks[0].threshold.must_be == 10.0
+        res = verify_contract(spark, c, people)
+        assert res.check_results[0].metric_value == 10
+    finally:
+        unregister_check_type("row_count")

@@ -938,3 +938,39 @@ def test_ngram_jaccard_hash_join_modes(spark, docs):
     assert pairs("portable") == exact
     with _pytest.raises(ValueError, match="hash_shingles"):
         ngram_jaccard_all_pairs(docs, hash_shingles="md5")
+
+
+def test_png_truncated_checksum_rejected():
+    """A deflate stream cut exactly at the data/adler32 boundary yields
+    the right byte count but an incomplete zlib stream — must be
+    rejected (review finding: dec.eof)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from soda_core_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+        make_png,
+    )
+
+    img = np.random.default_rng(3).integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    good = make_png(img, filters=[0])
+    # rebuild with the IDAT's zlib stream truncated before its checksum
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 0)
+    h, w, ch = img.shape
+    lines = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    full_stream = zlib.compress(lines)
+    cut = full_stream[:-4]  # drop adler32
+    bad = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", cut)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(good), img)
+    with _pytest.raises(Exception):
+        decode_png(bad)
