@@ -234,11 +234,22 @@ def with_signals(df, text_col: str = "text", keep_lowered_tokens: bool = False):
     )
     non_ws_chars = F.length(F.translate(text, " \t\n\r", ""))
     sw_hits = F.size(F.filter(wl, lambda t: t.isin(EN_STOPWORDS)))
-    # non-empty lines materialized once: line_dedup references the array
-    # 3× (total size, distinct size, the ≥2 guard) and HOFs have no CSE —
-    # without the alias the split+filter runs three times per row
+    # non-empty lines materialized ONCE and as 64-bit xxhash64 values, not
+    # line strings: line_dedup references the array 3× (total size,
+    # distinct size, the ≥2 guard) and HOFs have no CSE, so the alias keeps
+    # the split+filter to one pass per row; hashing inside the same
+    # transform gives array_distinct over array<bigint> the hash-set fast
+    # path (the same fix the bigram counter took — array_distinct over
+    # strings does pairwise comparisons) and keeps full line STRINGS out of
+    # the row entirely. Distinct-hash count equals distinct-line count
+    # modulo 64-bit collisions (~k²/2^65 per doc — immaterial); A/B'd
+    # value-identical over the 1.6M-doc corpus, see BENCH/JOURNAL.md r4.
     out = out.withColumn(
-        "__lines", F.filter(F.split(text, "\\n"), lambda l: F.trim(l) != "")
+        "__lines",
+        F.transform(
+            F.filter(F.split(text, "\\n"), lambda l: F.trim(l) != ""),
+            lambda l: F.xxhash64(l),
+        ),
     )
     n_lines = F.size(F.col("__lines"))
     signals = {

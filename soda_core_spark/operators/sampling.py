@@ -78,6 +78,7 @@ def sample_to_token_budget(
     token_col: str = "n_tokens",
     group_col: str | None = None,
     id_col: str = "doc_id",
+    buckets: int = 1024,
 ) -> DataFrame:
     """Deterministic token-budget selection: order documents by the
     portable hash of their id (a stable shuffle) and keep them while the
@@ -86,14 +87,84 @@ def sample_to_token_budget(
     kept set is identical across engines/restarts/partitionings because
     both the order and the cumulative sum are hash-determined.
 
-    Scale note: cumulative selection is inherently sequential per group,
-    so each group's window runs on one reducer (like any running total).
-    For groups with 10^9+ candidate rows, pre-thin with
-    :func:`stratified_hash_sample` or :func:`hash_sample` to a few× the
-    budget first — the budget cut itself then touches a bounded set.
-    The global (ungrouped) form uses a single-partition window: correct,
-    driver-side-free, but only appropriate after such pre-thinning.
+    Scale shape — two-stage distributed cumsum, not a global window.
+    A running total ordered over all rows would put every candidate row
+    of a group through ONE reducer. Instead the hash order is cut into
+    ``buckets`` contiguous ranges (bucket = a monotonic function of the
+    md5 prefix, so bucket order IS hash order):
+
+    1. per-bucket token sums — a tiny partial aggregate
+       (``buckets × groups`` rows),
+    2. exclusive prefix offsets over those sums — a window over the tiny
+       aggregate only,
+    3. offsets with ``offset < budget`` broadcast-joined back; buckets
+       wholly past the budget DROP BEFORE the expensive sort-shuffle
+       (with a uniform hash only ~budget/total of the data reaches it),
+    4. within-bucket running total (window per (group, bucket) — up to
+       ``buckets``-way parallel per group); keep ``offset + cum ≤
+       budget``.
+
+    Global cumsum = bucket offset + within-bucket cumsum because bucket
+    boundaries align with the sort key, so the survivor set is provably
+    identical to the single-window form (pinned by a parity test).
     """
+    from pyspark.sql import Window
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be ≥ 1, got {buckets}")
+    reserved = {"__tb_bucket", "__tb_offset", "__tb_cum"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has internal column(s) {sorted(reserved)}"
+        )
+    order = F.md5(F.col(id_col).cast("string"))
+    # bucket = floor(prefix32 * B / 2^32): exact in double (prefix32*B ≤
+    # 2^52) and monotonic non-decreasing in the md5 string, so rows of a
+    # bucket are contiguous in (order, id) sort order
+    prefix32 = F.conv(F.substring(order, 1, 8), 16, 10).cast("long")
+    bucket = F.floor((prefix32 * F.lit(int(buckets))) / F.lit(float(2**32)))
+    keys = [group_col] if group_col is not None else []
+    tok = F.col(token_col).cast("long")
+
+    tagged = df.withColumn("__tb_bucket", bucket)
+    bucket_sums = tagged.groupBy(*keys, "__tb_bucket").agg(
+        F.sum(tok).alias("__tb_sum")
+    )
+    off_w = (
+        Window.partitionBy(*keys)
+        .orderBy("__tb_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucket_sums.withColumn(
+            "__tb_offset", F.coalesce(F.sum("__tb_sum").over(off_w), F.lit(0))
+        )
+        .where(F.col("__tb_offset") < budget_tokens)
+        .select(*keys, "__tb_bucket", "__tb_offset")
+    )
+    cum_w = (
+        Window.partitionBy(*keys, "__tb_bucket")
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.join(F.broadcast(offsets), [*keys, "__tb_bucket"])
+        .withColumn("__tb_cum", F.col("__tb_offset") + F.sum(tok).over(cum_w))
+        .where(F.col("__tb_cum") <= budget_tokens)
+        .select(*df.columns)
+    )
+
+
+def _token_budget_single_window(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The one-reducer-per-group window form — kept as the parity oracle
+    for :func:`sample_to_token_budget` (identical survivor set by
+    construction; the test pins it)."""
     from pyspark.sql import Window
 
     order = F.md5(F.col(id_col).cast("string"))

@@ -201,3 +201,61 @@ def test_sample_to_token_budget(spark):
     # global (ungrouped) form respects a single budget
     gl = sample_to_token_budget(df, budget_tokens=300, token_col="n_tok")
     assert gl.agg(F.sum("n_tok")).first()[0] <= 300
+
+
+def test_token_budget_bucketed_matches_window_form(spark):
+    """The two-stage bucketed cumsum must pick the EXACT survivor set of
+    the one-reducer window form — grouped and global, across bucket
+    counts (including buckets=1, the degenerate single-range case)."""
+    from soda_core_spark.operators.sampling import (
+        _token_budget_single_window,
+        sample_to_token_budget,
+    )
+
+    rows = [(i, ["x", "y", "z"][i % 3], 1 + (i * 13) % 97) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "n_tok"])
+    for group in (None, "src"):
+        want = {
+            r["doc_id"]
+            for r in _token_budget_single_window(
+                df, 2000, token_col="n_tok", group_col=group
+            ).collect()
+        }
+        for b in (1, 7, 64, 1024):
+            got = {
+                r["doc_id"]
+                for r in sample_to_token_budget(
+                    df, 2000, token_col="n_tok", group_col=group, buckets=b
+                ).collect()
+            }
+            assert got == want, f"group={group} buckets={b}"
+    # column order preserved
+    assert sample_to_token_budget(
+        df, 2000, token_col="n_tok", group_col="src"
+    ).columns == df.columns
+
+
+def test_token_budget_plan_is_distributed(spark):
+    """No single-partition Exchange on the DATA path: the only window
+    over the full rows partitions by (group, bucket); the offsets join
+    is broadcast. (The tiny per-bucket offsets window may legitimately
+    use SinglePartition — it sees ≤ buckets×groups rows.)"""
+    from soda_core_spark.operators.sampling import sample_to_token_budget
+
+    rows = [(i, "s", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "n_tok"])
+    out = sample_to_token_budget(
+        df, 500, token_col="n_tok", group_col="src", buckets=64
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the big window keys on the bucket → parallel reducers
+    assert "hashpartitioning" in plan and "__tb_bucket" in plan
+    # offsets come back via broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # every Window node over the full data is bucket-partitioned: a
+    # SinglePartition exchange may only feed the offsets aggregate,
+    # which sits below the broadcast side
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*__tb_cum[^\]]*\]", plan):
+        assert "__tb_bucket" in m.group(0)
