@@ -955,14 +955,25 @@ def _q21_sql() -> str:
     # The oracle applies the SAME ordered rule chain with DuckDB's RE2 —
     # verified byte-identical to Python `re` on these patterns (simple
     # alternations/quantifiers; no backtracking-order divergence).
-    # Deterministic PII is prepended per row so every rule FIRES in the
-    # compared output (the sf documents contain none naturally — without
-    # the injection the oracle would be vacuous).
-    from soda_core_spark.functions.scrub import ALL_RULES
+    # Deterministic PII is prepended per row — including an Arabic-Indic
+    # digit SSN, which only the digit-fold pre-pass can catch — so every
+    # rule AND the fold FIRE in the compared output (the sf documents
+    # contain none naturally; without the injection the oracle would be
+    # vacuous). The fold is DuckDB translate() with the same FROM/TO
+    # tables the Python side uses (shared as data).
+    from soda_core_spark.functions.scrub import (
+        ALL_RULES,
+        DIGIT_FOLD_FROM,
+        DIGIT_FOLD_TO,
+    )
 
     inject = (
         "'mail u' || doc_id::VARCHAR || '@example.com ssn 123-45-6789 "
+        "ssn2 ١٢٣-٤٥-٦٧٨٩ "
         "tel +1 (555) 123-4567 frakking ' || coalesce(text, '')"
+    )
+    inject = (
+        f"translate({inject}, '{DIGIT_FOLD_FROM}', '{DIGIT_FOLD_TO}')"
     )
     scrub_expr = "text2"
     hit_terms = []
@@ -981,15 +992,19 @@ def _q21_sql() -> str:
 @register("q21_scrub", _q21_sql())
 def q21(spark, sf_dir):
     """PII/toxicity scrub (Python-re pandas UDF) with deterministic PII
-    injected per row so the cross-engine oracle exercises every rule on
-    every document — byte-identical output is the north-rule criterion."""
+    injected per row — including an Arabic-Indic-digit SSN that only the
+    Unicode digit-fold pre-pass catches — so the cross-engine oracle
+    exercises every rule AND the fold on every document; byte-identical
+    output is the north-rule criterion. The UDF folds internally; the
+    oracle folds via DuckDB translate() with the shared FROM/TO tables."""
     from soda_core_spark.functions.scrub import pii_count_udf, scrub_udf
 
     d = _t(spark, sf_dir, "documents")
     text2 = F.concat(
         F.lit("mail u"),
         F.col("doc_id").cast("string"),
-        F.lit("@example.com ssn 123-45-6789 tel +1 (555) 123-4567 frakking "),
+        F.lit("@example.com ssn 123-45-6789 ssn2 ١٢٣-٤٥-٦٧٨٩ "),
+        F.lit("tel +1 (555) 123-4567 frakking "),
         F.coalesce(F.col("text"), F.lit("")),
     )
     return d.select(

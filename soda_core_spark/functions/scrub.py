@@ -17,6 +17,7 @@ quality-filter extension mandated by the north rule.
 from __future__ import annotations
 
 import re
+import unicodedata
 
 import pandas as pd
 from pyspark.sql import Column
@@ -58,12 +59,47 @@ ALL_RULES: tuple[tuple[str, str, str], ...] = SCRUB_RULES + (
     ("toxicity", _TOX_PATTERN, _TOX_REPLACEMENT),
 )
 
+# Digit-fold pre-pass: every Unicode decimal digit (category Nd, 650
+# code points) maps to its ASCII value BEFORE any rule runs, on both
+# engines — Python str.translate here, DuckDB translate(text, FROM, TO)
+# in the oracle (verified identical incl. astral-plane digits). This is
+# what lets the ASCII-pinned rules below catch e.g. Arabic-Indic or
+# Devanagari-digit SSNs/phones without giving up RE2 parity: the rules
+# still see only ASCII digits, the fold itself is engine-portable, and
+# the folded text is the scrub OUTPUT contract (both sides fold, so
+# byte-parity per url is preserved by construction).
+_FOLD_PAIRS = [
+    (chr(cp), str(unicodedata.digit(chr(cp))))
+    for cp in range(0x110000)
+    if unicodedata.category(chr(cp)) == "Nd" and not 0x30 <= cp <= 0x39
+]
+DIGIT_FOLD_FROM = "".join(p[0] for p in _FOLD_PAIRS)
+DIGIT_FOLD_TO = "".join(p[1] for p in _FOLD_PAIRS)
+_DIGIT_TRANS = str.maketrans(DIGIT_FOLD_FROM, DIGIT_FOLD_TO)
+# none of the Nd chars are regex-class metacharacters ([ ] \ ^ -), so the
+# raw set embeds directly in a character class
+_FOLD_NEEDED = re.compile("[" + DIGIT_FOLD_FROM + "]")
+
+
+def _fold_digits(texts: pd.Series) -> pd.Series:
+    """Fold Unicode digits to ASCII on the rows that need it (most rows
+    contain none and keep their original string object — no copy)."""
+    need = texts.str.contains(_FOLD_NEEDED, regex=True) == True  # noqa: E712
+    if not need.any():
+        return texts
+    out = texts.copy()
+    out[need] = out[need].str.translate(_DIGIT_TRANS)
+    return out
+
+
 # re.ASCII pins \b/\d/\w to ASCII semantics — deliberately: (a) PII
 # shapes (SSNs, phones, cards, IPs) are ASCII by construction, and
 # (b) DuckDB/RE2 (the cross-engine oracle) is ASCII-only for these
 # classes, so without the flag Python finds boundaries RE2 doesn't on
 # any non-ASCII document (e.g. 'é123-45-6789': Unicode \b sees no
-# boundary after 'é'; ASCII \b does) and byte-parity breaks.
+# boundary after 'é'; ASCII \b does) and byte-parity breaks. The digit
+# fold above closes the coverage gap re.ASCII would otherwise open on
+# non-ASCII-digit PII.
 _COMPILED = [
     (name, re.compile(pat, re.ASCII), repl) for name, pat, repl in ALL_RULES
 ]
@@ -73,6 +109,7 @@ def scrub_text(text: str | None) -> str | None:
     """Plain-Python single-document scrub (used by the oracle)."""
     if text is None:
         return None
+    text = text.translate(_DIGIT_TRANS)
     for _, rx, repl in _COMPILED:
         text = rx.sub(repl, text)
     return text
@@ -100,13 +137,16 @@ def can_match_col(text: "Column") -> "Column":
     fails this cannot be changed by any scrub rule (every PII rule needs
     a digit or '@'; toxicity needs one of the lexicon words — matched
     here as substrings, a superset of the whole-word Python test, so
-    extra candidates just scrub to an unchanged string). Masking the UDF
+    extra candidates just scrub to an unchanged string). Unicode digits
+    count too: the digit-fold pass can change any row containing one, so
+    the class embeds DIGIT_FOLD_FROM verbatim (Java regex handles
+    supplementary chars in classes per code point). Masking the UDF
     input with ``F.when(can_match_col(t), t)`` ships NULL for the ~80 %
     of rows with no candidate bytes — they never cross Arrow at all."""
     from pyspark.sql import functions as F
 
     tox = "|".join(re.escape(w) for w in TOXICITY_LEXICON)
-    return text.rlike("[0-9@]") | F.lower(text).rlike(tox)
+    return text.rlike("[0-9@" + DIGIT_FOLD_FROM + "]") | F.lower(text).rlike(tox)
 
 
 def scrub_batch(texts: pd.Series) -> pd.Series:
@@ -114,7 +154,12 @@ def scrub_batch(texts: pd.Series) -> pd.Series:
     pandas ``str.replace`` (Python re) per rule over the candidate rows
     only. Rule ORDER is semantic (sequential passes) — do not merge the
     patterns into one alternation; leftmost-match-wins across rules would
-    diverge from sequential semantics on adjacent matches."""
+    diverge from sequential semantics on adjacent matches.
+
+    Digit fold runs first; a folded row always contains an ASCII digit
+    afterwards, so it is a candidate by construction and the folded form
+    reaches the output even when no rule fires."""
+    texts = _fold_digits(texts)
     candidates = _candidate_mask(texts)
     if not candidates.any():
         return texts
@@ -134,13 +179,18 @@ def scrub_delta_batch(texts: pd.Series) -> pd.Series:
     ``F.coalesce(scrub_delta_udf(text), text)`` — byte-identical to
     scrubbing every row, at a fraction of the Python→JVM traffic. This is
     the memory-bandwidth-bound-pipeline optimization: same regex work,
-    ~10× fewer bytes crossing Arrow on the way out."""
+    ~10× fewer bytes crossing Arrow on the way out.
+
+    "Changed" compares against the PRE-fold original, so a row whose only
+    change is digit folding is still returned (its folded bytes are the
+    contract output); folded rows are candidates by construction."""
     out = pd.Series(None, index=texts.index, dtype=object)
-    candidates = _candidate_mask(texts)
+    folded = _fold_digits(texts)
+    candidates = _candidate_mask(folded)
     if not candidates.any():
         return out
     orig = texts[candidates]
-    sub = orig
+    sub = folded[candidates]
     for _, rx, repl in _COMPILED:
         sub = sub.str.replace(rx, repl, regex=True)
     changed = sub != orig
@@ -165,7 +215,9 @@ def scrubbed(text: Column) -> Column:
 
 
 def pii_hit_count(texts: pd.Series) -> pd.Series:
-    """Number of scrub-rule hits per document (diagnostic metric)."""
+    """Number of scrub-rule hits per document (diagnostic metric);
+    counted on digit-folded text, matching what the scrub rules see."""
+    texts = _fold_digits(texts)
     total = pd.Series(0, index=texts.index)
     for _, rx, _repl in _COMPILED:
         total = total + texts.str.count(rx)

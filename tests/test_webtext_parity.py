@@ -231,22 +231,35 @@ def test_scrub_python_re_matches_duckdb_re2_on_unicode():
     """The scrub chain is compiled with re.ASCII so Python and DuckDB/RE2
     agree byte-for-byte even on non-ASCII text (Unicode \\b/\\d in Python
     would find boundaries RE2 doesn't — 'é123-45-6789' must scrub the
-    same way in both engines)."""
+    same way in both engines). The Unicode digit fold runs first on BOTH
+    engines (Python str.translate vs DuckDB translate() with the shared
+    FROM/TO tables), so Arabic-Indic / Devanagari / astral-digit PII is
+    caught without giving up the ASCII-pinned rule parity."""
     import duckdb
 
-    from soda_core_spark.functions.scrub import ALL_RULES, _COMPILED, scrub_text
+    from soda_core_spark.functions.scrub import (
+        ALL_RULES,
+        DIGIT_FOLD_FROM,
+        DIGIT_FOLD_TO,
+        pii_hit_count,
+        scrub_text,
+    )
 
     samples = [
-        "é123-45-6789 and ٣٤٥-٤٥-٦٧٨٩ digits",
+        "é123-45-6789 and ٣٤٥-٤٥-٦٧٨٩ digits",  # Arabic-Indic SSN folds + scrubs
         "naïve user: café@exämple.com vs cafe@example.com",
         "überfrakking frakking Gorram's smegging",
         "中文123-45-6789中文 +1 (555) 123-4567é",
         "ASCII baseline 999-99-9999 me@ex.co 10.0.0.1 4111 1111 1111 1111",
+        "देवनागरी फ़ोन +१ (५५५) १२३-४५६७ and year २०२३",  # Devanagari phone
+        "mixed ١2٣-4٥-6٧8٩ half-folded ssn",  # mixed-script digits still fold to one SSN
+        "𐒠𐒡𐒢-𐒣𐒤-𐒥𐒦𐒧𐒨 osmanya (astral) ssn",
         "",
     ]
     con = duckdb.connect()
-    con.execute("CREATE TABLE t(i INT, text VARCHAR)")
+    con.execute("CREATE TABLE t(i INT, raw VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(samples)))
+    fold = f"translate(raw, '{DIGIT_FOLD_FROM}', '{DIGIT_FOLD_TO}')"
     expr = "text"
     hit_terms = []
     for _name, pat, repl in ALL_RULES:
@@ -254,12 +267,42 @@ def test_scrub_python_re_matches_duckdb_re2_on_unicode():
         expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
         hit_terms.append(f"len(regexp_extract_all(text, '{p}'))")
     rows = con.execute(
-        f"SELECT i, {expr}, {'+'.join(hit_terms)} FROM t ORDER BY i"
+        f"SELECT i, {expr}, {'+'.join(hit_terms)} "
+        f"FROM (SELECT i, {fold} AS text FROM t) ORDER BY i"
     ).fetchall()
     for i, duck_text, duck_hits in rows:
         assert scrub_text(samples[i]) == duck_text, samples[i]
-        py_hits = sum(len(rx.findall(samples[i])) for _, rx, _ in _COMPILED)
+        py_hits = int(pii_hit_count(pd.Series([samples[i]])).iloc[0])
         assert py_hits == duck_hits, samples[i]
+    # the non-ASCII-digit PII rows really are redacted
+    assert "<SSN>" in scrub_text(samples[0])
+    assert "<PHONE>" in scrub_text(samples[5])
+    assert "<SSN>" in scrub_text(samples[6])
+    assert "<SSN>" in scrub_text(samples[7])
+    # non-PII digits fold but survive: year २०२३ → 2023
+    assert "2023" in scrub_text(samples[5])
+
+
+def test_scrub_delta_returns_fold_only_changes():
+    """The delta scrub (changed-rows-only Arrow return) must surface rows
+    whose ONLY change is digit folding — they compare against the
+    pre-fold original, so the folded bytes reach the output; rows left
+    fully identical stay NULL (never cross Arrow back)."""
+    from soda_core_spark.functions.scrub import scrub_delta_batch, scrub_text
+
+    rows = pd.Series([
+        "year ٢٠٢٣ only unicode digits, no PII",  # fold-only change
+        "clean text with no digits at all",       # untouched → NULL
+        "ssn ١٢٣-٤٥-٦٧٨٩ redact me",              # fold + rule hit
+        None,                                      # null stays null
+        "ascii 123 but no pii shapes",            # candidate, unchanged → NULL
+    ])
+    out = scrub_delta_batch(rows)
+    assert out[0] == "year 2023 only unicode digits, no PII"
+    assert pd.isna(out[1])
+    assert out[2] == scrub_text(rows[2]) and "<SSN>" in out[2]
+    assert pd.isna(out[3])
+    assert pd.isna(out[4])
 
 
 def test_line_dedup_ratio_multiline(spark):
