@@ -459,7 +459,11 @@ def data_source_discover_main(args: argparse.Namespace) -> int:
                     continue
                 if exclude and any(rx.match(name) for rx in exclude):
                     continue
-                prefix = t.namespace[0] if getattr(t, "namespace", None) else db
+                # every namespace tier joins into the DQN — collapsing
+                # catalog.database to the first tier would print ambiguous
+                # DQNs that spark.table can't resolve back
+                ns = getattr(t, "namespace", None)
+                prefix = "/".join(ns) if ns else db
                 dqns.append(f"{args.name}/{prefix}/{name}")
     except Exception as e:
         print(f"discovery failed: {type(e).__name__}: {e}", file=sys.stderr)

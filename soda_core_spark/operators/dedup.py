@@ -25,6 +25,8 @@ training-pipeline extension the north rule asks for.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -83,24 +85,65 @@ def _spread(df: DataFrame) -> DataFrame:
     input is already wide (the 100 TB case).
 
     Spark Connect safe: ``.rdd`` / ``sparkContext`` don't exist on Connect
-    DataFrames, so on that path partition width is approximated by the
-    input-file count (a lower bound — ``maxPartitionBytes`` only splits
-    files further) against the SQL shuffle width."""
+    DataFrames, so on that path:
+
+    * ``inputFiles()`` unavailable or empty → NOT a file scan. Such frames
+      are typically post-shuffle (join/agg output) and already wide — a
+      defensive ``repartition`` would add a full extra shuffle — so the
+      spread is skipped. (A tiny Connect LocalRelation also lands here and
+      loses the spread; it had to fit in one RPC, so the loss is bounded.)
+    * file scan → partition width is estimated as total bytes /
+      ``maxPartitionBytes`` when the files are locally stat-able. The file
+      COUNT alone is an upper bound, not an estimate: the scan packs many
+      tiny files into one partition, so counting files can report "wide"
+      for a scan that actually runs on one task. Un-stat-able (remote)
+      files spread defensively — a bounded extra shuffle versus an
+      unboundedly serialized HOF stage."""
     spark = df.sparkSession
     try:
         par = spark.sparkContext.defaultParallelism
         n = df.rdd.getNumPartitions()
+        return df.repartition(par) if n < par else df
     except Exception:
+        pass
+    try:
+        # may be non-numeric ("auto" under some AQE deployments)
+        par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:
+        par = 200
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if not files:
+        return df  # non-file source: post-shuffle frames are already wide
+    try:
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    total = 0
+    for path in files:
+        local = path[5:] if path.startswith("file:") else path
+        if not os.path.isabs(local):
+            return df.repartition(par)  # remote/unknown scheme: defensive
         try:
-            # may be non-numeric ("auto" under some AQE deployments)
-            par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        except Exception:
-            par = 200
-        try:
-            n = len(df.inputFiles())
-        except Exception:
-            n = 0  # non-file source under Connect: spread defensively
-    return df.repartition(par) if n < par else df
+            total += os.path.getsize(local)
+        except OSError:
+            return df.repartition(par)
+    est = max(1, -(-total // max_pb))
+    return df.repartition(par) if est < par else df
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-string parser subset ('134217728', '128m', '1g')."""
+    s = str(v).strip().lower()
+    for suffix, mult in (("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                         ("t", 1024**4), ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:

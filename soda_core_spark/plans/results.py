@@ -70,7 +70,12 @@ class CheckResult:
     metric_unavailable: bool = False
 
     def to_row(self) -> dict[str, Any]:
-        """Flat dict for the check-metrics sink (Iceberg/parquet table)."""
+        """Flat dict for the check-metrics sink (Iceberg/parquet table).
+
+        Schema note: ``metric_unavailable`` was added in round 3 — when
+        appending to a fixed-schema table created before it existed,
+        enable schema evolution (Iceberg) or read mixed tables with
+        ``mergeSchema`` (parquet); old rows surface NULL."""
         return {
             "identity": self.identity,
             "check_type": self.check_type,

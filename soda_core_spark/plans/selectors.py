@@ -32,6 +32,7 @@ SUPPORTED_FIELDS = {
     "path",
     "relative_path",
     "check_path",
+    "contract_path",
     "qualifier",
 }
 ATTRIBUTES_PREFIX = "attributes."
@@ -96,14 +97,18 @@ class CheckSelector:
         if self.field == "column":
             return check.column
         if self.field in ("path", "relative_path"):
-            # the reference matches the CHECK's dotted relative path
-            # ("columns.<col>.checks.<type>[.<qualifier>]",
+            # reference-pure: matches ONLY the check's dotted relative
+            # path ("columns.<col>.checks.<type>[.<qualifier>]",
             # contract_verification_impl.py:1156-1171, selected at
-            # check_selector.py:113-115); contract-file-path matching is
-            # kept as an engine extension — both participate in the OR
-            variants = [check_relative_path(check)]
-            variants.extend(_path_variants(contract.source_path) or [])
-            return variants
+            # check_selector.py:113-115). Contract-FILE-path matching
+            # lives under the distinct contract_path= field so a file
+            # glob like path=*missing* cannot accidentally select every
+            # check in a matching contract file.
+            return check_relative_path(check)
+        if self.field == "contract_path":
+            # engine extension: match the contract's source file path
+            # (as-given / cwd-relative / absolute forms all participate)
+            return _path_variants(contract.source_path)
         if self.field == "check_path":
             # no wire_source/collection prefixing here, so check_path ==
             # relative_path (reference :1198-1211 contract case)

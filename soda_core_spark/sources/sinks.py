@@ -35,6 +35,11 @@ CHECK_RESULTS_SCHEMA = T.StructType(
         T.StructField("dataset_rows_tested", T.LongType()),
         T.StructField("check_rows_tested", T.LongType()),
         T.StructField("message", T.StringType()),
+        # added round 4 (with the metric_unavailable NOT_EVALUATED
+        # distinction): appended files carry the extra column; READ old+new
+        # mixed tables with spark.read.option("mergeSchema", "true") (old
+        # rows surface NULL), or evolve the table schema first on Iceberg
+        T.StructField("metric_unavailable", T.BooleanType()),
     ]
 )
 
@@ -83,6 +88,7 @@ def check_results_df(
                 _long(d.get("datasetRowsTested")),
                 _long(d.get("checkRowsTested")),
                 r.message,
+                bool(getattr(r, "metric_unavailable", False)),
             )
         )
     return spark.createDataFrame(rows, CHECK_RESULTS_SCHEMA)

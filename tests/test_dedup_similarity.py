@@ -273,11 +273,16 @@ def test_per_group_cap_default_is_skew_guarded(spark):
     assert plain.count("Window [") == 1
 
 
-def test_spread_never_touches_rdd_on_connect_style_frame(spark):
+def test_spread_never_touches_rdd_on_connect_style_frame(spark, tmp_path):
     """Spark Connect DataFrames have no .rdd / sparkSession.sparkContext —
     _spread must survive on such a frame (capability probe + inputFiles
     fallback), since the sc:// session mode and the dedup operators must
-    compose (round-2 verdict: they contradicted each other)."""
+    compose (round-2 verdict: they contradicted each other).
+
+    Width on the Connect path is SIZE-based, not file-count-based: the
+    scan packs tiny files, so many small files must still spread; a
+    non-file source (inputFiles raises or is empty) is post-shuffle and
+    already wide, so no repartition may be inserted there."""
     from soda_core_spark.operators.dedup import _spread
 
     calls = {"repartitioned_to": None}
@@ -286,8 +291,10 @@ def test_spread_never_touches_rdd_on_connect_style_frame(spark):
         class conf:  # noqa: N801 - mimics spark.conf namespace
             @staticmethod
             def get(key, default=None):
-                assert key == "spark.sql.shuffle.partitions"
-                return "16"
+                return {
+                    "spark.sql.shuffle.partitions": "16",
+                    "spark.sql.files.maxPartitionBytes": "1k",
+                }.get(key, default)
 
         @property
         def sparkContext(self):
@@ -301,25 +308,66 @@ def test_spread_never_touches_rdd_on_connect_style_frame(spark):
             raise AssertionError("_spread accessed .rdd on a Connect frame")
 
         def inputFiles(self):
-            return ["f1.parquet", "f2.parquet"]
+            return ["file:" + str(tmp_path / "small.parquet")]
 
         def repartition(self, n):
             calls["repartitioned_to"] = n
             return self
 
+    (tmp_path / "small.parquet").write_bytes(b"x" * 100)
     out = _spread(_ConnectFrame())
-    # 2 files < 16 shuffle partitions → defensive spread to the SQL width
+    # 100 bytes / 1k maxPartitionBytes → ~1 partition < 16 → spread
     assert calls["repartitioned_to"] == 16
     assert out is not None
 
-    class _WideConnectFrame(_ConnectFrame):
+    # MANY tiny files still spread: the scan packs them into few tasks,
+    # so file count alone must not be read as width
+    class _ManyTinyFiles(_ConnectFrame):
         def inputFiles(self):
-            return [f"f{i}.parquet" for i in range(64)]
+            return ["file:" + str(tmp_path / "small.parquet")] * 64
 
     calls["repartitioned_to"] = None
-    _spread(_WideConnectFrame())
-    # already wide: no shuffle inserted
+    _spread(_ManyTinyFiles())
+    assert calls["repartitioned_to"] == 16
+
+    # genuinely wide by bytes: est = 32k/1k = 32 ≥ 16 → no shuffle
+    (tmp_path / "big.parquet").write_bytes(b"x" * 32768)
+    class _WideByBytes(_ConnectFrame):
+        def inputFiles(self):
+            return ["file:" + str(tmp_path / "big.parquet")]
+
+    calls["repartitioned_to"] = None
+    _spread(_WideByBytes())
     assert calls["repartitioned_to"] is None
+
+    # non-file source (inputFiles raises): post-shuffle, already wide —
+    # the defensive repartition must NOT be inserted
+    class _NonFileSource(_ConnectFrame):
+        def inputFiles(self):
+            raise Exception("inputFiles is not defined on this plan")
+
+    calls["repartitioned_to"] = None
+    out = _spread(_NonFileSource())
+    assert calls["repartitioned_to"] is None
+    assert isinstance(out, _NonFileSource)
+
+    # empty inputFiles (local relation): same — no repartition
+    class _EmptyFiles(_ConnectFrame):
+        def inputFiles(self):
+            return []
+
+    calls["repartitioned_to"] = None
+    _spread(_EmptyFiles())
+    assert calls["repartitioned_to"] is None
+
+    # remote (un-stat-able) files: can't verify width → defensive spread
+    class _RemoteFiles(_ConnectFrame):
+        def inputFiles(self):
+            return ["s3://bucket/part-0.parquet"]
+
+    calls["repartitioned_to"] = None
+    _spread(_RemoteFiles())
+    assert calls["repartitioned_to"] == 16
 
 
 def test_ngram_cap_default_warns_once():

@@ -145,11 +145,16 @@ def test_selector_attribute_list_member_and_exact(spark, people):
 
 
 def test_selector_path_and_cross_field_and(spark, people):
-    out = _outcomes(spark, people, ["path=contracts/*.yml", "type=metric"])
+    # contract_path= (engine extension) matches the contract FILE path;
+    # path= stays reference-pure (dotted check position only)
+    out = _outcomes(spark, people, ["contract_path=contracts/*.yml", "type=metric"])
     assert out["metric"] == CheckOutcome.PASSED
     assert out["row_count"] == CheckOutcome.EXCLUDED
-    # path that matches nothing → all excluded
-    out = _outcomes(spark, people, ["path=other/*.yml"])
+    # contract_path that matches nothing → all excluded
+    out = _outcomes(spark, people, ["contract_path=other/*.yml"])
+    assert set(out.values()) == {CheckOutcome.EXCLUDED}
+    # a file glob under path= must NOT select checks via the file path
+    out = _outcomes(spark, people, ["path=contracts/*.yml"])
     assert set(out.values()) == {CheckOutcome.EXCLUDED}
 
 
@@ -652,22 +657,22 @@ def test_cli_unavailable_metric_is_not_exit_3(tmp_path_factory, people_parquet):
     assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
 
 
-def test_path_selector_matches_absolute_source_path(spark, people):
-    """Globs written for relative paths must match when the contract was
-    loaded via an absolute path (reference matches relative_path,
-    check_selector.py:115-117)."""
+def test_contract_path_selector_matches_absolute_source_path(spark, people):
+    """contract_path= globs written for relative paths must match when the
+    contract was loaded via an absolute path (as-given / cwd-relative /
+    absolute forms all participate in the OR)."""
     people.createOrReplaceTempView("people_pathsel")
     c = contract_from_yaml(
         "dataset: people_pathsel\nchecks:\n  - row_count:\n      must_be_greater_than: 0\n"
     )
     c.source_path = "/root/repo/contracts/webtext.yml"  # absolute, as the CLI passes it
     res = verify_contract(
-        spark, c, people, check_selectors=["path=contracts/*.yml"]
+        spark, c, people, check_selectors=["contract_path=contracts/*.yml"]
     )
     assert res.check_results[0].outcome == CheckOutcome.PASSED
     # and a non-matching relative glob still excludes
     res = verify_contract(
-        spark, c, people, check_selectors=["path=other/*.yml"]
+        spark, c, people, check_selectors=["contract_path=other/*.yml"]
     )
     assert res.check_results[0].outcome == CheckOutcome.EXCLUDED
 
