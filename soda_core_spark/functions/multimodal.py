@@ -119,32 +119,39 @@ def image_features(img: np.ndarray) -> np.ndarray:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-#: PNG color type → channel count (spec §11.2.2); 16-bit and palette
+#: PNG color type → channel count (spec §11.2.2); palette (3) carries one
+#: index byte per pixel, mapped through PLTE after reconstruction; 16-bit
 #: images stay on the hash fallback
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG (grayscale/RGB/gray+alpha/RGBA)
-    into an (H, W, 3) uint8 array using only the stdlib: zlib inflate of
-    the concatenated IDAT stream + per-row filter reconstruction (PNG
-    spec §9 filters 0-4: None/Sub/Up/Average/Paeth). No imaging library.
+    """Decode a non-interlaced 8-bit PNG (grayscale/RGB/gray+alpha/RGBA/
+    palette) into an (H, W, 3) uint8 array using only the stdlib: zlib
+    inflate of the concatenated IDAT stream + per-row filter
+    reconstruction (PNG spec §9 filters 0-4: None/Sub/Up/Average/Paeth);
+    indexed-color images (type 3, the most common web thumbnail class)
+    map their index bytes through the PLTE chunk (spec §11.2.3) as one
+    numpy gather. No imaging library.
 
     Filters Sub/Average/Paeth are byte-sequential along the scanline, so
     those rows reconstruct in a Python loop — exact, and fast enough for
     feature extraction at thumbnail sizes; a production deployment drops
-    PIL into this slot with identical output. Palette, 16-bit, and
-    interlaced PNGs raise (→ hash fallback in decode_features)."""
+    PIL into this slot with identical output. 16-bit and interlaced PNGs
+    raise (→ hash fallback in decode_features)."""
     if not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG")
     i = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while i + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[i : i + 4])
         ctype = payload[i + 4 : i + 8]
         if ctype == b"IHDR":
             ihdr = payload[i + 8 : i + 8 + length]
+        elif ctype == b"PLTE":
+            plte = payload[i + 8 : i + 8 + length]
         elif ctype == b"IDAT":
             idat += payload[i + 8 : i + 8 + length]
         elif ctype == b"IEND":
@@ -158,6 +165,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels = _PNG_CHANNELS.get(color)
     if channels is None:
         raise ValueError(f"unsupported color type {color}")
+    palette = None
+    if color == 3:
+        # spec §11.2.3: PLTE required for type 3, 1-256 RGB triples
+        if plte is None or len(plte) == 0 or len(plte) % 3 != 0 or len(plte) > 768:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     stride = w * channels
     expected = (stride + 1) * h
     if expected > 256 * 1024 * 1024:
@@ -209,6 +222,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter {f}")
         recon[y] = (out & 0xFF).astype(np.uint8)
     img = recon.reshape(h, w, channels)
+    if palette is not None:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[idx]
     if channels == 1:
         return np.repeat(img, 3, axis=2)
     if channels == 2:  # gray + alpha → replicate gray, drop alpha
@@ -366,6 +384,41 @@ def make_png(img: np.ndarray, filters: Optional[list[int]] = None) -> bytes:
     color = {3: 2, 4: 6, 1: 0}[channels]
     bpp = channels
     flat = img.reshape(h, w * channels).astype(np.int32)
+    lines = _filter_scanlines(flat, bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_palette_png(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    filters: Optional[list[int]] = None,
+) -> bytes:
+    """Encode an (H, W) uint8 index array + (N, 3) palette as a REAL
+    indexed-color (type 3) PNG with a PLTE chunk — the encoder twin of
+    the palette decode path."""
+    h, w = indices.shape
+    flat = indices.reshape(h, w).astype(np.int32)
+    lines = _filter_scanlines(flat, 1, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filter_scanlines(
+    flat: np.ndarray, bpp: int, filters: Optional[list[int]]
+) -> bytearray:
+    h = flat.shape[0]
     lines = bytearray()
     for y in range(h):
         f = filters[y % len(filters)] if filters else (y % 5)
@@ -390,13 +443,7 @@ def make_png(img: np.ndarray, filters: Optional[list[int]] = None) -> bytes:
             filt = row - pred
         lines.append(f)
         lines += (filt & 0xFF).astype(np.uint8).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return lines
 
 
 def make_wav(duration_ms: int, seed: int, rate: int = 8000) -> bytes:
@@ -427,11 +474,16 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-            if (i // 3) % 2 == 0:
+            variant = (i // 3) % 3
+            if variant == 0:
                 payload, mime = make_ppm(w, h, seed + i), "image/x-portable-pixmap"
-            else:  # same content family as a REAL PNG (all five filters)
+            elif variant == 1:  # same content family as a REAL PNG (all filters)
                 ppm_img = decode_ppm(make_ppm(w, h, seed + i))
                 payload, mime = make_png(ppm_img), "image/png"
+            else:  # REAL indexed-color PNG (PLTE) — the web-thumbnail class
+                pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+                idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                payload, mime = make_palette_png(idx, pal), "image/png"
             dur = None
         elif kind == "audio":
             dur = int(rng.integers(50, 2000))

@@ -86,6 +86,10 @@ class CheckContext:
     filtered: DataFrame  # dataset under the contract-level filter
     datasets: dict[str, DataFrame] = field(default_factory=dict)
     data_timestamp: Optional[datetime] = None
+    #: actual primary-key columns (sorted) from source introspection —
+    #: None means the source doesn't introspect PKs (parquet/views),
+    #: mirroring reference metadata_types.py:95-97
+    primary_keys: Optional[list[str]] = None
 
     def now_utc(self) -> Optional[datetime]:
         ts = self.data_timestamp
@@ -839,20 +843,42 @@ def plan_schema(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
             actual_seq = [n for n in actual_order if n in declared_names]
             order_mismatch = declared_seq != actual_seq
 
+        # primary key: declared `primary_key: true` columns vs the
+        # source's introspected key (Iceberg identifier fields; reference
+        # ColumnMetadata.is_primary_key + MetadataPrimaryKeysQuery).
+        # ctx.primary_keys None = source doesn't introspect (parquet,
+        # views) → record the declaration, compare nothing — the
+        # reference's own semantics for non-introspecting sources.
+        declared_pk = sorted(n for n, c in declared if c.is_primary_key)
+        pk_mismatch = None
+        if declared_pk and ctx.primary_keys is not None:
+            actual_pk = sorted(ctx.primary_keys)
+            if declared_pk != actual_pk:
+                pk_mismatch = {"expected": declared_pk, "actual": actual_pk}
+
         problems = (
             len(missing_cols) + len(extra_cols) + len(type_mismatches)
             + (1 if order_mismatch else 0)
+            + (1 if pk_mismatch else 0)
         )
+        diagnostics = {
+            "missingColumns": missing_cols,
+            "extraColumns": extra_cols,
+            "typeMismatches": type_mismatches,
+            "orderMismatch": order_mismatch,
+        }
+        if declared_pk:
+            diagnostics["declaredPrimaryKey"] = declared_pk
+            diagnostics["primaryKeyIntrospection"] = (
+                "unavailable" if ctx.primary_keys is None else "compared"
+            )
+        if pk_mismatch:
+            diagnostics["primaryKeyMismatch"] = pk_mismatch
         res = _base_result(
             ctx,
             check,
             problems,
-            {
-                "missingColumns": missing_cols,
-                "extraColumns": extra_cols,
-                "typeMismatches": type_mismatches,
-                "orderMismatch": order_mismatch,
-            },
+            diagnostics,
         )
         # PASS iff all diff categories empty (schema_check.py:237-246)
         res.outcome = (

@@ -55,13 +55,19 @@ def verify_contract(
     datasets: Optional[dict[str, DataFrame]] = None,
     data_timestamp: Optional[datetime] = None,
     check_selectors: Optional[list[Union[str, CheckSelector]]] = None,
+    primary_keys: Optional[list[str]] = None,
 ) -> ContractVerificationResult:
     """Run all checks of ``contract`` against ``df`` in (at most) one fused
     aggregation job plus one job per side query.
 
     ``df`` defaults to ``spark.table(contract.dataset)`` /
     ``datasets[contract.dataset]``. ``datasets`` supplies reference-data
-    tables for ``valid_reference_data`` checks.
+    tables for ``valid_reference_data`` checks. ``primary_keys`` is the
+    dataset's actual key columns for the schema check's ``primary_key:``
+    comparison; when omitted it is introspected from the catalog (Iceberg
+    identifier fields; None on parquet/views = source doesn't introspect,
+    reference metadata_types.py:95-97) — only attempted when the contract
+    declares a primary key, so the common path pays nothing.
     """
     datasets = dict(datasets or {})
     if df is None:
@@ -102,9 +108,16 @@ def verify_contract(
             )
         else:
             sample_cache = filtered = filtered.limit(contract.sample.limit).cache()
+    if primary_keys is None and any(
+        c.is_primary_key for c in contract.columns
+    ):
+        from soda_core_spark.sources.tables import introspect_primary_keys
+
+        primary_keys = introspect_primary_keys(spark, contract.dataset)
     try:
         return _verify_contract_body(
-            spark, contract, df, filtered, datasets, data_timestamp, check_selectors
+            spark, contract, df, filtered, datasets, data_timestamp,
+            check_selectors, primary_keys,
         )
     finally:
         # unpersist on EVERY exit path — a raised DuplicateCheckIdentityError
@@ -122,6 +135,7 @@ def _verify_contract_body(
     datasets: dict[str, DataFrame],
     data_timestamp: Optional[datetime],
     check_selectors: Optional[list[Union[str, CheckSelector]]],
+    primary_keys: Optional[list[str]] = None,
 ) -> ContractVerificationResult:
     selectors = CheckSelector.parse_all(check_selectors)
     ctx = CheckContext(
@@ -131,6 +145,7 @@ def _verify_contract_body(
         filtered=filtered,
         datasets=datasets,
         data_timestamp=data_timestamp,
+        primary_keys=primary_keys,
     )
 
     # --- plan -------------------------------------------------------------

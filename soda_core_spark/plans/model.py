@@ -313,6 +313,13 @@ class CheckSpec:
 class ColumnSpec:
     name: str
     data_type: Optional[str] = None
+    #: declared primary-key membership (reference ColumnMetadata.
+    #: is_primary_key, metadata_types.py:88-97 — "False both for non-key
+    #: columns and for data sources that don't introspect primary keys").
+    #: Spark mapping: compared by the schema check against the table's
+    #: Iceberg identifier fields when introspectable; a documented no-op
+    #: on parquet/views, which have no key concept.
+    is_primary_key: bool = False
     character_maximum_length: Optional[int] = None
     numeric_precision: Optional[int] = None
     numeric_scale: Optional[int] = None
@@ -601,6 +608,7 @@ def contract_from_dict(d: dict) -> Contract:
             numeric_precision=col_raw.get("numeric_precision"),
             numeric_scale=col_raw.get("numeric_scale"),
             column_expression=(col_raw.get("column_expression") or "").strip() or None,
+            is_primary_key=bool(col_raw.get("primary_key", False)),
             missing=MissingConfig.from_dict(col_raw),
             validity=ValidityConfig.from_dict(col_raw),
         )

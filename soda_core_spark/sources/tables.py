@@ -86,3 +86,40 @@ def table_schema(spark: SparkSession, identifier: str) -> T.StructType:
     """DESCRIBE equivalent (reference sparkdf_data_source.py:456-467) —
     the schema check's 'actual' side."""
     return spark.table(identifier).schema
+
+
+def introspect_primary_keys(
+    spark: SparkSession, identifier: str
+) -> "Optional[list[str]]":
+    """Best-effort primary-key introspection — the Spark analogue of the
+    reference's ``MetadataPrimaryKeysQuery`` (statements/
+    metadata_primary_keys_query.py; surfaced on ``ColumnMetadata.
+    is_primary_key``, metadata_types.py:88-97).
+
+    Spark has no information_schema PK view; the honest mapping is
+    Iceberg's *identifier fields* (the table-level row-identity columns).
+    This probes the V2 catalog for an Iceberg ``SparkTable`` and reads
+    ``table().schema().identifierFieldNames()``. Everything else —
+    parquet paths, views, non-Iceberg catalogs, Spark Connect (no JVM
+    handle) — returns ``None``: "data source does not introspect primary
+    keys", exactly the reference's non-introspecting-source state, and
+    the schema check then records the declared key without comparing.
+    Returned sorted (Iceberg identifier fields are an unordered set)."""
+    try:
+        jspark = spark._jsparkSession
+        jvm = spark.sparkContext._jvm
+        parts = identifier.split(".")
+        mgr = jspark.sessionState().catalogManager()
+        if len(parts) > 1 and mgr.isCatalogRegistered(parts[0]):
+            catalog, parts = mgr.catalog(parts[0]), parts[1:]
+        else:
+            catalog = mgr.currentCatalog()
+        ns = jvm.org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts[:-1], parts[-1]
+        )
+        table = catalog.loadTable(ns)
+        # Iceberg SparkTable only; other V2 tables have no identifier set
+        names = table.table().schema().identifierFieldNames()
+        return sorted(names.toArray()) or None
+    except Exception:
+        return None

@@ -216,6 +216,35 @@ class TestPngCodecProperties:
         else:
             assert np.array_equal(out, np.repeat(img, 3, axis=2))
 
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        n_colors=st.integers(min_value=1, max_value=256),
+        filt=st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_palette_roundtrip_identity(self, h, w, n_colors, filt, seed):
+        """Round-4 indexed-color path: decode(make_palette_png(idx, pal))
+        == pal[idx] for every shape / palette size / filter, and equals
+        the RGB path on identical pixels."""
+        import numpy as np
+
+        from soda_core_spark.functions.multimodal import (
+            decode_png,
+            make_palette_png,
+            make_png,
+        )
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+        payload = make_palette_png(idx, pal, filters=None if filt is None else [filt])
+        out = decode_png(payload)
+        assert np.array_equal(out, pal[idx])
+        # feature parity with the RGB encoding of the same pixels
+        assert np.array_equal(out, decode_png(make_png(pal[idx])))
+
     @given(junk=st.binary(min_size=0, max_size=64))
     @settings(max_examples=40, deadline=None)
     def test_garbage_never_decodes_silently(self, junk):

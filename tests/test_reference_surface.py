@@ -1032,3 +1032,69 @@ def test_cli_check_path_and_verbose(tmp_path_factory, people_parquet):
     assert r.returncode == 0, (r.stdout, r.stderr[-1500:])
     assert "EXCLUDED" in r.stdout  # the row_count check was not selected
     assert "measurement" in r.stdout  # -v prints measurements
+
+
+# ---------------------------------------------------------------------------
+# round 4: primary-key schema surface (reference ColumnMetadata.is_primary_key,
+# metadata_types.py:88-97 + statements/metadata_primary_keys_query.py)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_primary_key_mismatch_and_match(spark, people):
+    from soda_core_spark.plans.model import contract_from_yaml
+
+    c = contract_from_yaml(
+        """
+dataset: t
+columns:
+  - name: id
+    primary_key: true
+  - name: name
+checks:
+  - schema:
+      allow_extra_columns: true
+"""
+    )
+    assert c.columns[0].is_primary_key and not c.columns[1].is_primary_key
+
+    # declared PK ['id'] vs introspected ['id','name'] → FAILED + diagnostics
+    r = verify_contract(
+        spark, c, people, primary_keys=["name", "id"]
+    ).check_results[0]
+    assert r.outcome == CheckOutcome.FAILED
+    assert r.diagnostics["primaryKeyMismatch"] == {
+        "expected": ["id"], "actual": ["id", "name"],
+    }
+    assert r.diagnostics["primaryKeyIntrospection"] == "compared"
+
+    # matching key (order-insensitive: identifier fields are a set) → PASSED
+    r = verify_contract(spark, c, people, primary_keys=["id"]).check_results[0]
+    assert r.outcome == CheckOutcome.PASSED
+
+
+def test_schema_primary_key_noop_without_introspection(spark, people):
+    """parquet/views don't introspect PKs (introspect_primary_keys → None):
+    the declaration is recorded but compared against nothing — the
+    reference's non-introspecting-source semantics."""
+    from soda_core_spark.plans.model import contract_from_yaml
+    from soda_core_spark.sources.tables import introspect_primary_keys
+
+    c = contract_from_yaml(
+        """
+dataset: t
+columns:
+  - name: id
+    primary_key: true
+checks:
+  - schema:
+      allow_extra_columns: true
+"""
+    )
+    r = verify_contract(spark, c, people).check_results[0]
+    assert r.outcome == CheckOutcome.PASSED
+    assert r.diagnostics["declaredPrimaryKey"] == ["id"]
+    assert r.diagnostics["primaryKeyIntrospection"] == "unavailable"
+    assert "primaryKeyMismatch" not in r.diagnostics
+    # the introspection facade itself: temp view → None, never a raise
+    people.createOrReplaceTempView("people_pk_probe")
+    assert introspect_primary_keys(spark, "people_pk_probe") is None
