@@ -83,12 +83,22 @@ _FOLD_NEEDED = re.compile("[" + DIGIT_FOLD_FROM + "]")
 
 def _fold_digits(texts: pd.Series) -> pd.Series:
     """Fold Unicode digits to ASCII on the rows that need it (most rows
-    contain none and keep their original string object — no copy)."""
-    need = texts.str.contains(_FOLD_NEEDED, regex=True) == True  # noqa: E712
-    if not need.any():
+    contain none and keep their original string object — no copy).
+
+    Gated on ``str.isascii()`` first — CPython stores an ASCII flag in
+    every str header, so the test is O(1) per row and the 650-char class
+    scan only ever runs over the non-ASCII minority."""
+    arr = texts.to_numpy(dtype=object)
+    hits = [
+        i
+        for i, s in enumerate(arr)
+        if isinstance(s, str) and not s.isascii() and _FOLD_NEEDED.search(s)
+    ]
+    if not hits:
         return texts
     out = texts.copy()
-    out[need] = out[need].str.translate(_DIGIT_TRANS)
+    pos = texts.index[hits]
+    out[pos] = out[pos].str.translate(_DIGIT_TRANS)
     return out
 
 
