@@ -418,6 +418,24 @@ def simhash_near_duplicates(
     if portable_hash:
         bits = min(bits, PORTABLE_HASH_BITS)
     sims = simhash_df(df, id_col, text_col, bits, portable_hash)
+    return hamming_near_duplicates(
+        sims, id_col=id_col, hash_col="simhash",
+        max_hamming=max_hamming, bits=bits,
+    )
+
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """All id pairs whose ``hash_col`` 64-bit fingerprints lie within
+    ``max_hamming`` — the pigeonhole block join factored out of
+    :func:`simhash_near_duplicates` so ANY fingerprint (SimHash, image
+    dHash, audio chromaprint-style hashes) gets the same exact-in-ball,
+    never-all-pairs candidate generation. Returns (id_a, id_b, hamming)."""
     nblocks = max_hamming + 1
     width = bits // nblocks
     blocks = []
@@ -427,13 +445,13 @@ def simhash_near_duplicates(
         # w == 64 (max_hamming=0 at 64 bits): (1<<64)-1 overflows LongType;
         # all-ones as a signed long is -1
         mask = F.lit(-1 if w == 64 else (1 << w) - 1).cast("long")
-        val = F.shiftright(F.col("simhash"), start).bitwiseAND(mask)
+        val = F.shiftright(F.col(hash_col), start).bitwiseAND(mask)
         blocks.append(F.struct(F.lit(b).alias("b"), val.alias("v")))
-    banded = sims.select(
+    banded = df.select(
         F.col(id_col).alias("id"),
-        F.col("simhash"),
+        F.col(hash_col).alias("__fp"),
         F.explode(F.array(*blocks)).alias("blk"),
-    ).select("id", "simhash", F.col("blk.b").alias("b"), F.col("blk.v").alias("v"))
+    ).select("id", "__fp", F.col("blk.b").alias("b"), F.col("blk.v").alias("v"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -445,12 +463,12 @@ def simhash_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            F.col("a.__fp").alias("fp_a"),
+            F.col("b.__fp").alias("fp_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
     return (
         pairs.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,114 @@
+"""Perceptual image dedup: dHash fingerprints + Hamming-ball join.
+
+The multimodal twin of text near-dedup — a training pipeline dedups
+images the same way it dedups documents. Composition of two existing
+pieces: the REAL stdlib image decoders (functions/multimodal.py: PPM,
+PNG incl. palette) run inside ``mapInPandas`` to fingerprint each image,
+and the pigeonhole Hamming join (operators/dedup.py:
+hamming_near_duplicates) finds all pairs within the ball exactly,
+never all-pairs. No reference analogue (soda-core has no media surface);
+dHash per Krawetz's difference-hash construction (public domain).
+
+Scale shape: fingerprinting is a narrow mapInPandas pass (8 bytes out
+per image — the decoded pixels never leave the executor); the join
+explodes max_hamming+1 block keys per image and equi-joins, with AQE
+skew-join handling giant identical-image clusters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from soda_core_spark.functions.multimodal import PNG_SIG, decode_png, decode_ppm
+from soda_core_spark.operators.dedup import hamming_near_duplicates
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash_image(img: np.ndarray, hash_size: int = 8) -> int:
+    """64-bit difference hash of an (H, W, 3) uint8 image: grayscale,
+    subsample to (hash_size, hash_size+1) by deterministic index
+    mapping (``(i·dim)//n`` — no float resampling, so the value is
+    reproducible bit-for-bit anywhere), then one bit per horizontal
+    gradient sign. Robust to re-encoding and minor pixel noise; NOT to
+    crops/rotations (dedup, not retrieval)."""
+    h, w = img.shape[0], img.shape[1]
+    gray = img.astype(np.uint32).sum(axis=2)  # 3× luminance, order-free
+    rows = (np.arange(hash_size) * h) // hash_size
+    cols = (np.arange(hash_size + 1) * w) // (hash_size + 1)
+    small = gray[np.ix_(rows, cols)]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return _to_signed64(v)
+
+
+def _fingerprint_one(payload: bytes | None) -> tuple[int, bool]:
+    p = payload or b""
+    try:
+        if p.startswith(b"P6"):
+            return dhash_image(decode_ppm(p)), True
+        if p.startswith(PNG_SIG):
+            return dhash_image(decode_png(p)), True
+    except Exception:
+        pass  # malformed media → byte-hash fallback, never a crashed task
+    # undecodable: exact-byte-dup semantics only (distinct content never
+    # collides into one perceptual bucket)
+    digest = hashlib.md5(p).digest()[:8]
+    return _to_signed64(int.from_bytes(digest, "big")), False
+
+
+def dhash_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, dhash, decoded) per image row — Arrow-batched, narrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [_fingerprint_one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "dhash": pd.Series(
+                        [v for v, _ in fps], dtype="int64", index=pdf.index
+                    ),
+                    "decoded": [d for _, d in fps],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """All image pairs within ``max_hamming`` bits of dHash — exact in
+    the ball via the shared pigeonhole join. Returns
+    (id_a, id_b, hamming)."""
+    fps = dhash_images(df, id_col=id_col, payload_col=payload_col)
+    return hamming_near_duplicates(
+        fps, id_col="media_id", hash_col="dhash",
+        max_hamming=max_hamming, bits=64,
+    )
