@@ -1806,3 +1806,110 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_Q50_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                  '[ \\t\\n\\r]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((1 + n.n) / (1 + dfreq.df)) + 1.0) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS kw_rank
+  FROM scored
+)
+SELECT doc_id, term, tf::BIGINT AS tf, round(score, 6) AS score,
+       kw_rank::INT AS kw_rank
+FROM ranked WHERE kw_rank <= 5
+ORDER BY doc_id, kw_rank
+"""
+
+
+@register("q50_tfidf_keywords", _Q50_SQL)
+def q50(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document — smoothed idf, deterministic
+    term-asc tie-break; the DuckDB oracle mirrors tokenization, idf
+    formula, and ranking exactly (operators/keywords.py)."""
+    from soda_core_spark.operators.keywords import tfidf_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_keywords(d, k=5)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round("score", 6).alias("score"),
+        F.col("rank").alias("kw_rank"),
+    ).orderBy("doc_id", "kw_rank")
+
+
+_Q51_SQL = r"""
+WITH t AS (
+  -- sf documents are single-paragraph; append a deterministic repeated
+  -- paragraph per row so the dup fractions are non-trivial and the
+  -- cross-engine compare exercises the whole formula on every document
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) || chr(10) || 'para ' || source
+           || chr(10) || chr(10) || 'uniq ' || doc_id::VARCHAR
+           || chr(10) || chr(10) || 'para ' || source AS text2
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text2, '\n\n+'),
+                     x -> trim(x) <> '') AS paras
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         len(paras) AS n,
+         len(list_distinct(paras)) AS n_d,
+         coalesce(list_sum(list_transform(paras, x -> length(x))), 0) AS tot,
+         coalesce(list_sum(list_transform(list_distinct(paras),
+                                          x -> length(x))), 0) AS dtot
+  FROM p
+)
+SELECT doc_id,
+       CASE WHEN n >= 2 THEN 1.0 - n_d::DOUBLE / n::DOUBLE
+            ELSE 0.0 END AS dup_para_frac,
+       CASE WHEN n >= 2 AND tot > 0 THEN (tot - dtot)::DOUBLE / tot::DOUBLE
+            ELSE 0.0 END AS dup_para_char_frac
+FROM m ORDER BY doc_id
+"""
+
+
+@register("q51_paragraph_repetition", _Q51_SQL)
+def q51(spark, sf_dir):
+    """Gopher-style duplicate-paragraph fractions (count- and
+    char-weighted) per document — row-local column algebra, zero
+    shuffle; DuckDB oracle mirrors split/trim/distinct/length exactly
+    (functions/text.py with_paragraph_signals). A deterministic repeated
+    paragraph is appended per row (sf documents are single-paragraph, so
+    the compare would otherwise be all-zeros vacuous)."""
+    from soda_core_spark.functions.text import with_paragraph_signals
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n\npara "), F.col("source"),
+            F.lit("\n\nuniq "), F.col("doc_id").cast("string"),
+            F.lit("\n\npara "), F.col("source"),
+        ),
+    )
+    return with_paragraph_signals(d).select(
+        "doc_id", "dup_para_frac", "dup_para_char_frac"
+    ).orderBy("doc_id")

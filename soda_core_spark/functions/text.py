@@ -278,3 +278,57 @@ def with_signals(df, text_col: str = "text", keep_lowered_tokens: bool = False):
     }
     out = out.withColumns(signals).drop("__words", "__lines")
     return out if keep_lowered_tokens else out.drop("__wl")
+
+
+def with_paragraph_signals(df, text_col: str = "text"):
+    """Gopher-style paragraph-repetition signals (Rae et al. 2021 §A1.1
+    repetition filters; no reference analogue — quality-filter surface):
+
+    * ``dup_para_frac``  — 1 − distinct/total non-empty paragraphs,
+    * ``dup_para_char_frac`` — fraction of paragraph characters inside
+      REPEATED occurrences: (Σ len − Σ len over distinct values) / Σ len
+      ≡ Σ (count_v − 1)·len_v / Σ len.
+
+    Paragraphs split on blank lines (``\\n\\n+``), whitespace-only
+    paragraphs dropped. Both signals are 0.0 below 2 paragraphs (and for
+    NULL text). Row-local column algebra, zero shuffle. Unlike the line
+    signal, the distinct here runs over paragraph STRINGS — the distinct
+    VALUES' lengths are needed, not just their count, and a per-doc
+    paragraph array is dozens of entries, far under the hash-set
+    crossover the bigram/line counters needed."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    paras = F.filter(F.split(text, "\\n\\n+"), lambda p: F.trim(p) != "")
+    reserved = {"__paras", "__paras_d"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has internal column(s) {sorted(reserved)}"
+        )
+    out = df.withColumn("__paras", paras).withColumn(
+        "__paras_d", F.array_distinct(F.col("__paras"))
+    )
+    n = F.size(F.col("__paras"))
+    n_d = F.size(F.col("__paras_d"))
+    total_len = F.aggregate(
+        F.col("__paras"), F.lit(0), lambda acc, p: acc + F.length(p)
+    )
+    distinct_len = F.aggregate(
+        F.col("__paras_d"), F.lit(0), lambda acc, p: acc + F.length(p)
+    )
+    return (
+        out.withColumn(
+            "dup_para_frac",
+            F.when(
+                n >= 2,
+                F.lit(1.0) - n_d.cast("double") / n.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_para_char_frac",
+            F.when(
+                (n >= 2) & (total_len > 0),
+                (total_len - distinct_len).cast("double")
+                / total_len.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__paras", "__paras_d")
+    )
