@@ -38,6 +38,28 @@ def host_probe_gbps() -> float:
     return round((buf.nbytes / dt) / 1e9, 3)
 
 
+def host_steal_pct(window_s: float = 1.0) -> float:
+    """CPU steal percentage over a short window — the SECOND noise mode
+    of this sandbox (discovered round 4): the hypervisor can steal
+    6-10 %+ of cycles from a noisy neighbor while the fresh-page probe
+    reads healthy, inflating CPU-bound Spark runs up to ~1.7×. Reading
+    /proc/stat twice and differencing the steal jiffies against total
+    jiffies captures it."""
+    import time as _t
+
+    def read():
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+
+    s0, t0 = read()
+    _t.sleep(window_s)
+    s1, t1 = read()
+    return round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -57,6 +79,7 @@ def main() -> int:
     from soda_core_spark.sources.webtext_gen import write_web_pages_parquet
 
     probe_before = host_probe_gbps()
+    steal_before = host_steal_pct()
 
     web_path = write_web_pages_parquet(
         f"/tmp/soda_webtext_bench/n{n_docs}", n_docs, rows_per_file=50_000
@@ -165,6 +188,8 @@ def main() -> int:
                 # rounds across different regimes)
                 "host_probe_gbps": probe_before,
                 "host_probe_gbps_after": host_probe_gbps(),
+                "host_steal_pct": steal_before,
+                "host_steal_pct_after": host_steal_pct(),
             }
         )
     )

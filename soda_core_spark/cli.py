@@ -252,7 +252,7 @@ def _contract_main(argv: list[str]) -> int:
         "--check-filter",
         action="append",
         help="Run only matching checks: field=glob "
-        "(type/name/column/path/check_path/qualifier/attributes.<key>; "
+        "(type/name/column/path/check_path/contract_path/qualifier/attributes.<key>; "
         "AND across fields, OR within a field)",
     )
     v.add_argument(
