@@ -1913,3 +1913,197 @@ def q51(spark, sf_dir):
     return with_paragraph_signals(d).select(
         "doc_id", "dup_para_frac", "dup_para_char_frac"
     ).orderBy("doc_id")
+
+
+_Q52_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) AS nc,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[ \t\n\r]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, nc, ns.n, array_to_string(w[t.i:t.i + ns.n - 1], ' ') AS gram
+  FROM d
+  CROSS JOIN (VALUES (2), (3)) ns(n)
+  CROSS JOIN LATERAL unnest(range(1, len(w) - ns.n + 2)) t(i)
+  WHERE len(w) >= ns.n
+),
+cnt AS (
+  SELECT doc_id, nc, n, gram, COUNT(*) AS cnt FROM grams GROUP BY ALL
+),
+top AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                               ORDER BY cnt DESC, gram ASC) AS rn
+  FROM cnt
+)
+SELECT doc_id, n::BIGINT AS n, gram AS top_ngram, cnt::BIGINT AS top_ngram_count,
+       round(least(1.0, (cnt * length(gram))::DOUBLE / nc::DOUBLE), 6)
+         AS top_ngram_char_frac
+FROM top WHERE rn = 1 ORDER BY doc_id, n
+"""
+
+
+@register("q52_top_ngram_repetition", _Q52_SQL)
+def q52(spark, sf_dir):
+    """Gopher top-n-gram signal at n=2,3 per document — single explode
+    carrying both n values, map-side partial counts, deterministic
+    gram-asc tie-break mirrored by the DuckDB oracle
+    (functions/text.py top_ngram_char_fractions)."""
+    from soda_core_spark.functions.text import top_ngram_char_fractions
+
+    d = _t(spark, sf_dir, "documents")
+    out = top_ngram_char_fractions(d, ns=(2, 3))
+    return out.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n"),
+        "top_ngram",
+        "top_ngram_count",
+        F.round("top_ngram_char_frac", 6).alias("top_ngram_char_frac"),
+    ).orderBy("doc_id", "n")
+
+
+def _duck_sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _duck_estr(s: str) -> str:
+    return (
+        "e'"
+        + s.replace("\\", "\\\\").replace("'", "''").replace("\x07", "\\x07")
+        + "'"
+    )
+
+
+def _duck_html_chain(expr: str) -> str:
+    """Replay functions/html.py HTML_EXTRACT_RULES as DuckDB SQL — built
+    FROM the same rule table, so the oracle can never drift from the
+    Spark chain."""
+    from soda_core_spark.functions.html import (
+        HTML_ENTITIES,
+        HTML_EXTRACT_RULES,
+        _ENTITY_STAGE,
+    )
+
+    for i, (pat, rep) in enumerate(HTML_EXTRACT_RULES):
+        if i == _ENTITY_STAGE:
+            for ent, lit in HTML_ENTITIES:
+                expr = f"replace({expr}, {_duck_sq(ent)}, {_duck_sq(lit)})"
+        expr = (
+            f"regexp_replace({expr}, {_duck_estr(pat)}, "
+            f"{_duck_estr(rep)}, 'g')"
+        )
+    return expr
+
+
+def _duck_title_chain(expr: str) -> str:
+    from soda_core_spark.functions.html import HTML_ENTITIES
+
+    pat = _duck_estr(r"(?is)<title\b[^>]*>(.*?)</title\s*>")
+    out = f"regexp_extract({expr}, {pat}, 1)"
+    for ent, lit in HTML_ENTITIES:
+        out = f"replace({out}, {_duck_sq(ent)}, {_duck_sq(lit)})"
+    return rf"nullif(trim(regexp_replace({out}, e'\\s+', ' ', 'g')), '')"
+
+
+def _q53_sql() -> str:
+    html = (
+        "'<html><head><title>Doc ' || doc_id::VARCHAR || "
+        "' &amp; friends</title></head><body><h1>' || source || "
+        "'</h1><p>' || coalesce(text, '') || "
+        "'</p><a href=\"/next\">next&nbsp;page</a>"
+        "<!-- footer --><div>nav menu</div></body></html>'"
+    )
+    anchors = (
+        "array_to_string(regexp_extract_all(h, "
+        + _duck_estr(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
+        + ", 1), ' ')"
+    )
+    return f"""
+WITH src AS (SELECT doc_id, {html} AS h FROM documents),
+ext AS (
+  SELECT doc_id,
+         {_duck_html_chain('h')} AS extracted_text,
+         {_duck_title_chain('h')} AS title,
+         length({_duck_html_chain(anchors)}) AS anchor_len
+  FROM src
+)
+SELECT doc_id, extracted_text, title,
+       round(CASE WHEN length(extracted_text) > 0
+                  THEN least(1.0, anchor_len::DOUBLE
+                             / length(extracted_text)::DOUBLE)
+                  ELSE 0.0 END, 6) AS link_density
+FROM ext ORDER BY doc_id
+"""
+
+
+@register("q53_html_extraction", _q53_sql())
+def q53(spark, sf_dir):
+    """HTML → text extraction: wrap each document's text in a
+    deterministic HTML template (title, heading, anchor, comment, nav
+    div — built identically in both engines), then run the pure-JVM
+    regexp extraction chain; the DuckDB oracle replays the SAME ordered
+    rule table via _duck_html_chain (functions/html.py)."""
+    from soda_core_spark.functions.html import with_extracted_text
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" &amp; friends</title></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                '</p><a href="/next">next&nbsp;page</a>'
+                "<!-- footer --><div>nav menu</div></body></html>"
+            ),
+        ),
+    )
+    out = with_extracted_text(d)
+    return out.select(
+        "doc_id",
+        "extracted_text",
+        "title",
+        F.round("link_density", 6).alias("link_density"),
+    ).orderBy("doc_id")
+
+
+_Q54_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(trim(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 7 = 0),
+fresh AS (
+  SELECT f.* FROM fp f
+  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = f.fp)
+),
+surv AS (SELECT fp, MIN(doc_id) AS doc_id FROM fresh GROUP BY fp)
+SELECT f.doc_id, f.source FROM fresh f
+JOIN surv s ON f.doc_id = s.doc_id
+ORDER BY f.doc_id
+"""
+
+
+@register("q54_incremental_dedup", _Q54_SQL)
+def q54(spark, sf_dir):
+    """Cross-snapshot exact dedup: docs with doc_id % 7 == 0 play the
+    already-ingested corpus (only their fingerprints are retained); the
+    full table is the new batch. Anti-join on the 16-byte fingerprint +
+    min-id in-batch survivor (operators/dedup.py
+    incremental_exact_dedup / corpus_fingerprints)."""
+    from soda_core_spark.operators.dedup import (
+        corpus_fingerprints,
+        incremental_exact_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    seen = corpus_fingerprints(d.where(F.col("doc_id") % 7 == 0))
+    surv = incremental_exact_dedup(d, seen)
+    return surv.select("doc_id", "source").orderBy("doc_id")

@@ -1,0 +1,150 @@
+"""HTML → text extraction as a pure JVM regexp pipeline.
+
+The input table (BASELINE.json input_hint) carries ``html:binary`` next
+to the extracted ``text:string``; a Common-Crawl-style pipeline must be
+able to (re-)extract text from markup itself — e.g. when the upstream
+extraction is missing or needs re-running under new rules. soda-core has
+no markup surface (its type system stops at scalars, SURVEY §1.2); this
+is first-class quality-filter machinery.
+
+Design: an ORDERED chain of ``regexp_replace`` steps — whole-stage
+codegen, zero Python, zero shuffle — published as a data table
+(:data:`HTML_EXTRACT_RULES`) so the DuckDB/any-SQL oracle can replay the
+exact same chain (same pattern strings, same order; the patterns stay
+inside the syntax subset Java regex and RE2 agree on: inline ``(?is)``
+flags, non-greedy ``.*?``, character classes — no backrefs, no
+lookaround). This mirrors how the PII scrub achieves cross-engine byte
+parity (functions/scrub.py).
+
+This is deliberately a STRUCTURAL extractor (script/style/comment
+removal, block-tag line breaks, tag stripping, entity decode, whitespace
+normalization) — the boilerplate/main-content decision is a separate
+concern solved by the quality rules downstream (line dedup, link
+density, stopword density), matching the trafilatura/jusText division
+of labor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (pattern, replacement) applied IN ORDER. \x07 (BEL) is the internal
+#: newline sentinel: real newlines in source HTML are insignificant
+#: whitespace, so they are folded first and block boundaries then
+#: introduce sentinel breaks that survive the whitespace collapse.
+HTML_EXTRACT_RULES: tuple[tuple[str, str], ...] = (
+    # non-content subtrees go first, while their contents are still intact
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?is)<noscript\b[^>]*>.*?</noscript\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # source-format newlines are plain whitespace in HTML
+    (r"[\n\r\t]", " "),
+    # block-level boundaries become the newline sentinel
+    (
+        r"(?i)</?(p|div|br|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|table|"
+        r"blockquote|section|article|header|footer|pre|hr)\b[^>]*>",
+        "\x07",
+    ),
+    # every remaining tag is inline: drop it
+    (r"<[^>]*>", " "),
+    # minimal named-entity set + numeric decimal entities are handled
+    # below via explicit replaces (regexp_replace can't compute chr())
+    # whitespace collapse: spaces around sentinels, runs of either
+    (r" +", " "),
+    (r" ?\x07 ?", "\x07"),
+    (r"\x07+", "\n"),
+    # explicit [ \n] (not \s): Java and RE2 disagree on \x0B membership
+    (r"^[ \n]+|[ \n]+$", ""),
+)
+
+#: entity → literal, applied between tag-strip and whitespace collapse.
+#: &amp; must come LAST so "&amp;lt;" decodes to "&lt;" not "<"
+#: (single-pass decode, the standard non-recursive rule).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+#: index in HTML_EXTRACT_RULES before which the entity replaces run
+_ENTITY_STAGE = 7
+
+
+def html_text_col(html: Column) -> Column:
+    """The extraction chain as one nested Column expression.
+
+    ``html`` may be string or binary (binary is UTF-8 decoded first —
+    real WARC payloads need charset sniffing, which is metadata the
+    caller owns; UTF-8-with-replacement is the deterministic default).
+    """
+    col = html.cast("string")
+    for i, (pat, rep) in enumerate(HTML_EXTRACT_RULES):
+        if i == _ENTITY_STAGE:
+            for ent, lit in HTML_ENTITIES:
+                col = F.replace(col, F.lit(ent), F.lit(lit))
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+def html_title_col(html: Column) -> Column:
+    """<title> contents (first match), entity-decoded, whitespace
+    collapsed; NULL when absent."""
+    col = F.regexp_extract(
+        html.cast("string"), r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1
+    )
+    for ent, lit in HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(lit))
+    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.when(col != "", col)
+
+
+def link_density_col(html: Column) -> Column:
+    """Fraction of extracted-text characters inside <a> elements —
+    a classic boilerplate signal (jusText): nav/footer chrome is mostly
+    links. Computed as anchor-text length over total text length, both
+    through the same extraction chain, so the two sides cancel
+    consistently. 0.0 for empty text."""
+    body = html.cast("string")
+    anchors = html_text_col(
+        F.array_join(
+            F.regexp_extract_all(
+                body, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1)
+            ),
+            " ",
+        )
+    )
+    full = html_text_col(body)
+    return F.when(
+        F.length(full) > 0,
+        F.least(
+            F.lit(1.0),
+            F.length(anchors).cast("double") / F.length(full).cast("double"),
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def with_extracted_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "extracted_text",
+    title_col: str | None = "title",
+    link_density: str | None = "link_density",
+) -> DataFrame:
+    """Attach extraction columns. NULL html → NULL outputs (never fails
+    a row). Pure projection: zero shuffle, codegen throughout, and the
+    html column is read once per output column with no Python round-trip
+    — at 100 TB the binary column stays executor-side and only the
+    extracted text (typically 10-50× smaller) flows on."""
+    src = F.col(html_col)
+    cols = {out_col: F.when(src.isNotNull(), html_text_col(src))}
+    if title_col:
+        cols[title_col] = F.when(src.isNotNull(), html_title_col(src))
+    if link_density:
+        cols[link_density] = F.when(src.isNotNull(), link_density_col(src))
+    return df.withColumns(cols)

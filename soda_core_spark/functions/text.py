@@ -20,7 +20,7 @@ same machinery, see operators/compiler.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 #: shared English stopword list (top function words) — also used by the
@@ -278,6 +278,78 @@ def with_signals(df, text_col: str = "text", keep_lowered_tokens: bool = False):
     }
     out = out.withColumns(signals).drop("__words", "__lines")
     return out if keep_lowered_tokens else out.drop("__wl")
+
+
+def top_ngram_char_fractions(
+    df,
+    ns: tuple[int, ...] = (2, 3, 4),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher-style top-n-gram signal (Rae et al. 2021 §A1.1): for each
+    requested n, the single most frequent word n-gram per document and
+    the fraction of the document's characters it covers
+    (``count · length(gram)`` over ``length(text)``, capped at 1.0 —
+    overlapping occurrences can nominally exceed the text length).
+    Boilerplate pages repeat one phrase; a high top-gram share catches
+    them where per-line dedup misses intra-line repetition.
+
+    Tokens are lowered whitespace-split words (the shared contract).
+    Ties break on gram ascending — deterministic cross-engine. Returns
+    (id, n, top_ngram, top_ngram_count, top_ngram_char_frac); documents
+    with fewer than n words yield no row for that n.
+
+    Scale shape: ALL requested n values ride one explode (each element
+    tagged with its n), counts are map-side partial-aggregated before
+    the single (id, n, gram) shuffle, and the per-(id, n) top-1 window
+    only ever sees one document's grams — no reducer hotspots. The text
+    itself never shuffles: only grams + counts move.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    w = words_col(F.lower(text))
+    k = F.size(w)
+    def _gram_fn(n: int):
+        # one-arg lambda only: a 2-arg lambda would receive the array
+        # INDEX as its second argument from F.transform, clobbering n
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(w, i, n), " ").alias("gram"),
+        )
+
+    per_n = [
+        # guard: sequence(1, k-n+1) DESCENDS when k < n — empty instead
+        F.when(
+            k >= n,
+            F.transform(F.sequence(F.lit(1), k - F.lit(n) + 1), _gram_fn(n)),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        for n in ns
+    ]
+    ex = df.select(
+        F.col(id_col),
+        F.length(text).alias("__nc"),
+        F.explode(F.flatten(F.array(*per_n))).alias("g"),
+    ).select(id_col, "__nc", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    cnt = ex.groupBy(id_col, "__nc", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    win = Window.partitionBy(id_col, "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    return (
+        cnt.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            "n",
+            F.col("gram").alias("top_ngram"),
+            F.col("cnt").alias("top_ngram_count"),
+            F.least(
+                F.lit(1.0),
+                (F.col("cnt") * F.length("gram")).cast("double")
+                / F.col("__nc").cast("double"),
+            ).alias("top_ngram_char_frac"),
+        )
+    )
 
 
 def with_paragraph_signals(df, text_col: str = "text"):

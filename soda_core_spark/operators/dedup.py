@@ -1081,3 +1081,51 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return df.join(non_survivors, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+
+def corpus_fingerprints(
+    df: DataFrame, text_col: str = "text", fp_col: str = "fp"
+) -> DataFrame:
+    """Distinct exact-dedup fingerprints of a corpus snapshot — the
+    state a pipeline persists between crawl increments (reference
+    analogue: none; soda-core has no cross-run state beyond metric
+    history). Write this to a table bucketed by ``fp``
+    (sources/bucketing.py) so successive increments anti-join
+    shuffle-free."""
+    return df.select(
+        F.md5(normalized_text(F.col(text_col))).alias(fp_col)
+    ).distinct()
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-ingested corpus:
+    drop every new document whose normalized-text fingerprint exists in
+    ``seen_fps`` (the :func:`corpus_fingerprints` of prior snapshots),
+    then keep the min-id survivor per fingerprint within the batch.
+    This is the monthly-crawl shape: the seen set only grows, and the
+    batch never re-reads the historical corpus — only its fingerprints.
+
+    Scale shape: one anti-join on fp (broadcast when the seen set is
+    small; bucketed-by-fp storage makes it shuffle-free when it is
+    not), then the same min_by groupBy as :func:`exact_dedup` within
+    the batch. The historical TEXT never moves — 16-byte keys do."""
+    tagged = new_df.withColumn("__fp", F.md5(normalized_text(F.col(text_col))))
+    fresh = tagged.join(
+        seen_fps.select(F.col(fp_col).alias("__fp")), "__fp", "left_anti"
+    )
+    surviv = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(surviv.select(id_col), on=id_col, how="left_semi")
+        .drop("__fp")
+    )

@@ -1,0 +1,110 @@
+"""Top-n-gram signal, incremental dedup, audio fingerprint dedup."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+
+def test_top_ngram_char_fractions_hand_values(spark):
+    from soda_core_spark.functions.text import top_ngram_char_fractions
+
+    rows = [
+        # "buy now buy now buy now" → top bigram "buy now" count 3 (len 7),
+        # top trigram "buy now buy" count 2 vs "now buy now" count 2 →
+        # tie breaks gram-asc → "buy now buy" (len 11); chars = 23
+        (1, "buy now buy now buy now"),
+        (2, "one two"),       # single bigram, no trigram row
+        (3, "solo"),          # no rows at all
+        (4, None),            # no rows
+        (5, "MiXed miXED mixed"),  # lowered: top bigram "mixed mixed" x2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_id"], r["n"]): (
+            r["top_ngram"],
+            r["top_ngram_count"],
+            r["top_ngram_char_frac"],
+        )
+        for r in top_ngram_char_fractions(df, ns=(2, 3)).collect()
+    }
+    assert out[(1, 2)] == ("buy now", 3, min(1.0, 3 * 7 / 23))
+    assert out[(1, 3)] == ("buy now buy", 2, min(1.0, 2 * 11 / 23))
+    assert out[(2, 2)] == ("one two", 1, 1.0)
+    assert (2, 3) not in out
+    assert not any(d in (3, 4) for d, _ in out)
+    assert out[(5, 2)][0] == "mixed mixed"
+    assert out[(5, 2)][1] == 2
+
+
+def test_incremental_exact_dedup(spark):
+    from soda_core_spark.operators.dedup import (
+        corpus_fingerprints,
+        incremental_exact_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], ["doc_id", "text"]
+    )
+    seen = corpus_fingerprints(old)
+    new = spark.createDataFrame(
+        [
+            (10, "ALPHA   text"),   # dup of old #1 after normalization
+            (11, "gamma text"),     # fresh
+            (12, "gamma text"),     # in-batch dup of 11 → min id wins
+            (13, "delta text"),     # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    surv = sorted(
+        r["doc_id"] for r in incremental_exact_dedup(new, seen).collect()
+    )
+    assert surv == [11, 13]
+    # survivors keep full rows
+    cols = incremental_exact_dedup(new, seen).columns
+    assert cols == ["doc_id", "text"]
+
+
+def test_audio_near_duplicates_e2e(spark):
+    from soda_core_spark.functions.multimodal import decode_wav, make_wav
+    from soda_core_spark.operators.media_dedup import (
+        ahash_audio,
+        audio_near_duplicates,
+    )
+    import io
+    import wave
+
+    def reencode_gain(payload: bytes, gain: float) -> bytes:
+        x, rate = decode_wav(payload)
+        pcm = np.clip(x * gain * 32767.0, -32768, 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    a = make_wav(800, seed=7)
+    rows = [
+        ("a", a),
+        ("b", reencode_gain(a, 0.5)),        # same clip, quieter
+        ("c", make_wav(800, seed=123)),      # different clip
+        ("d", b"RIFFbroken"),                # malformed → fallback
+        ("e", b"RIFFbroken"),                # byte-identical fallback twin
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_duplicates(df, max_hamming=4).collect()
+    }
+    assert pairs[("a", "b")] <= 2  # quantization may flip a bit or two
+    assert ("e", "d") in pairs or ("d", "e") in pairs
+    assert not any("c" in p for p in pairs)
+
+    # python-oracle: spark-reported hamming equals local recompute
+    x, _ = decode_wav(a)
+    y, _ = decode_wav(reencode_gain(a, 0.5))
+    local = bin(
+        (ahash_audio(x) ^ ahash_audio(y)) & ((1 << 64) - 1)
+    ).count("1")
+    assert pairs[("a", "b")] == local

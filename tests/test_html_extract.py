@@ -1,0 +1,108 @@
+"""HTML → text extraction: python-oracle parity, plan shape, binary input."""
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _py_extract(s: str) -> str:
+    from soda_core_spark.functions.html import (
+        HTML_ENTITIES,
+        HTML_EXTRACT_RULES,
+        _ENTITY_STAGE,
+    )
+
+    for i, (pat, rep) in enumerate(HTML_EXTRACT_RULES):
+        if i == _ENTITY_STAGE:
+            for ent, lit in HTML_ENTITIES:
+                s = s.replace(ent, lit)
+        s = re.sub(pat, rep, s)
+    return s
+
+
+CASES = [
+    "<html><head><title> My &amp; Title </title><style>p{color:red}</style>"
+    "<script>var x='<p>not text</p>';</script></head>"
+    "<body><h1>Heading</h1><p>Para one with <b>bold</b> and a "
+    "<a href='/x'>link&nbsp;text</a>.</p>\n\n<div>Second   block</div>"
+    "<!-- comment --><ul><li>item1</li><li>item2</li></ul>"
+    "&amp;lt; stays &lt; becomes</body></html>",
+    "no tags at all",
+    "",
+    "<p>&#39;q&#39; &quot;d&quot;</p>",
+    "<P CLASS=x>upper <BR>case tags</P>",
+    "<script>unclosed script swallows nothing after"
+    "</p>",  # malformed: unterminated script only removed when closed
+    "a <span>b</span> c<hr>d",
+    "<noscript>hidden</noscript>shown",
+    "<pre>kept\ntext</pre>",
+]
+
+
+def test_extraction_matches_python_oracle(spark):
+    from soda_core_spark.functions.html import html_text_col
+
+    df = spark.createDataFrame(list(enumerate(CASES)), ["i", "h"])
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_text_col(F.col("h")).alias("t")).collect()
+    }
+    for i, c in enumerate(CASES):
+        assert got[i] == _py_extract(c), (i, got[i])
+
+
+def test_extraction_semantics():
+    """Pin the observable behavior, not just oracle agreement."""
+    out = _py_extract(CASES[0])
+    assert "color:red" not in out and "not text" not in out  # style/script
+    assert "comment" not in out
+    assert "Heading\n" in out  # block boundary → newline
+    assert "My & Title" in out  # entity decode
+    assert "&lt; stays < becomes" in out  # single-pass entity decode
+    assert "  " not in out  # whitespace collapsed
+
+
+def test_with_extracted_text_binary_and_null(spark):
+    from soda_core_spark.functions.html import with_extracted_text
+
+    rows = [
+        (1, "<p>hello <b>world</b></p>".encode()),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, html binary")
+    got = {
+        r["doc_id"]: (r["extracted_text"], r["title"], r["link_density"])
+        for r in with_extracted_text(df).collect()
+    }
+    assert got[1][0] == "hello world"
+    assert got[2] == (None, None, None)
+
+
+def test_title_and_link_density(spark):
+    from soda_core_spark.functions.html import with_extracted_text
+
+    rows = [
+        (1, "<title>T &amp; T</title><p>body text here</p>"),
+        (2, "<p>no title</p>"),
+        (3, "<p><a href=x>all of this is link</a></p>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {
+        r["doc_id"]: (r["title"], r["link_density"])
+        for r in with_extracted_text(df).collect()
+    }
+    assert got[1][0] == "T & T"
+    assert got[2][0] is None
+    assert got[3][1] == 1.0
+    assert got[1][1] == 0.0  # no anchors at all
+
+
+def test_extraction_no_shuffle_no_python(spark):
+    from soda_core_spark.functions.html import with_extracted_text
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], ["doc_id", "html"])
+    plan = (
+        with_extracted_text(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM chain
