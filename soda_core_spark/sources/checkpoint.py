@@ -115,3 +115,59 @@ def run_resumable(
         store.mark_done(st)
         states.append(st)
     return sorted(states, key=lambda s: s.bucket)
+
+
+def run_resumable_snapshots(
+    pipeline,
+    df: DataFrame,
+    table,
+    n_buckets: int = 16,
+) -> list[BucketState]:
+    """Snapshot-checkpoint resume (sources/snapshots.py): each completed
+    bucket commits ONE atomic snapshot append to ``table`` — kept rows
+    and the bucket's stats travel in the same manifest, so "output
+    visible" and "bucket recorded done" are a single linearization
+    point (the exact property the bucket-marker variant above only
+    approximates with ordered writes). Resume = read the snapshot log,
+    skip recorded buckets; a crash mid-bucket leaves only unreferenced
+    data files, invisible to every reader until ``table.vacuum()``.
+
+    The kept-row metrics ride a ``df.observe`` on the same write job —
+    no second pass over the bucket."""
+    from pyspark.sql import Observation
+
+    done = {
+        int(s.properties["bucket"])
+        for s in table.snapshots()
+        if "bucket" in s.properties
+    }
+    states = [
+        BucketState(
+            int(s.properties["bucket"]),
+            int(s.properties["n_docs"]),
+            int(s.properties["n_kept"]),
+        )
+        for s in table.snapshots()
+        if "bucket" in s.properties
+    ]
+    bucketed = df.withColumn("__bucket", bucket_col(n_buckets))
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        part = bucketed.where(F.col("__bucket") == b).drop("__bucket")
+        annotated = pipeline.annotate(part)
+        obs = Observation(f"bucket_{b}")
+        observed = annotated.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        txn = table.new_append()
+        txn.write(observed.where(F.col("keep")))
+        m = dict(obs.get)
+        st = BucketState(b, int(m["n_docs"] or 0), int(m["n_kept"] or 0))
+        txn.commit(
+            {"bucket": b, "n_docs": st.n_docs, "n_kept": st.n_kept}
+        )
+        states.append(st)
+    return sorted(states, key=lambda s: s.bucket)

@@ -1,0 +1,149 @@
+"""Snapshot table format: atomic commits, time travel, conflicts,
+crash invisibility, vacuum, and snapshot-checkpoint pipeline resume."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _mk(spark, tmp_path, name="t"):
+    from soda_core_spark.sources.snapshots import SnapshotTable
+
+    return SnapshotTable(spark, str(tmp_path / name))
+
+
+def _web(spark, n, seed):
+    from soda_core_spark.sources.webtext_gen import generate_web_pages
+
+    pdf = generate_web_pages(n, seed=seed)
+    for c in ("url", "text", "lang"):
+        pdf[c] = pdf[c].astype(object)
+    return spark.createDataFrame(pdf)
+
+
+def test_append_read_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.current_snapshot_id() is None
+    s1 = t.append(spark.range(3).select(F.col("id")))
+    s2 = t.append(spark.range(3, 5).select(F.col("id")))
+    assert (s1, s2) == (1, 2)
+    assert t.read().count() == 5
+    assert sorted(r["id"] for r in t.read(snapshot_id=s1).collect()) == [0, 1, 2]
+    ops = [s.operation for s in t.snapshots()]
+    assert ops == ["append", "append"]
+
+
+def test_overwrite_and_rollback(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    s1 = t.append(spark.range(4))
+    s2 = t.overwrite(spark.range(100, 102))
+    assert t.read().count() == 2
+    assert t.read(snapshot_id=s1).count() == 4  # old files still readable
+    t.rollback(s1)
+    assert t.read().count() == 4
+    assert t.current_snapshot_id() == s1
+    with pytest.raises(Exception):
+        t.rollback(999)
+    # s2's files are now orphaned off the committed chain → vacuumable
+    removed = t.vacuum()
+    assert removed, "overwrite files should be swept after rollback"
+    assert t.read().count() == 4  # live files untouched
+
+
+def test_commit_conflict(spark, tmp_path):
+    from soda_core_spark.sources.snapshots import CommitConflict
+
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(2))
+    txn = t.new_append()  # captures parent = 1
+    txn.write(spark.range(10, 12))
+    t.append(spark.range(5, 7))  # concurrent writer lands first
+    with pytest.raises(CommitConflict):
+        txn.commit()
+    # loser's rows never became visible
+    assert t.read().count() == 4
+    # and its files are sweepable
+    assert t.vacuum()
+
+
+def test_crash_leftovers_invisible(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(3))
+    # simulate a writer that crashed after its data write, before commit
+    t._write_data(spark.range(1000, 1010))
+    assert t.read().count() == 3  # readers use manifests, not listings
+    removed = t.vacuum()
+    assert len(removed) >= 1
+    assert t.read().count() == 3
+
+
+def test_empty_table_read_raises(spark, tmp_path):
+    from soda_core_spark.sources.snapshots import NoSuchSnapshot
+
+    t = _mk(spark, tmp_path)
+    with pytest.raises(NoSuchSnapshot):
+        t.read()
+
+
+def test_pipeline_snapshot_resume(spark, tmp_path):
+    """End-to-end: resumable run commits one snapshot per bucket; a
+    second invocation adds nothing; the union of bucket outputs equals
+    the single-pass keep set."""
+    from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+    from soda_core_spark.sources.checkpoint import run_resumable_snapshots
+
+    web = _web(spark, 400, seed=7)
+    pipe = QualityFilterPipeline()
+    t = _mk(spark, tmp_path, "out")
+
+    states = run_resumable_snapshots(pipe, web, t, n_buckets=4)
+    assert [s.bucket for s in states] == [0, 1, 2, 3]
+    assert sum(s.n_docs for s in states) == 400
+    n_snaps = len(t.snapshots())
+    assert n_snaps == 4
+
+    # resume: everything already done → no new snapshots, same states
+    states2 = run_resumable_snapshots(pipe, web, t, n_buckets=4)
+    assert len(t.snapshots()) == n_snaps
+    assert [(s.bucket, s.n_docs, s.n_kept) for s in states2] == [
+        (s.bucket, s.n_docs, s.n_kept) for s in states
+    ]
+
+    # parity with a single-pass run
+    expected = pipe.annotate(web).where(F.col("keep"))
+    got = t.read()
+    assert got.count() == expected.count() == sum(s.n_kept for s in states)
+    exp_urls = {r["url"] for r in expected.select("url").collect()}
+    got_urls = {r["url"] for r in got.select("url").collect()}
+    assert got_urls == exp_urls
+
+
+def test_partial_run_then_resume(spark, tmp_path):
+    """Kill the run after 2 buckets (simulated by a pipeline whose
+    annotate raises on the 3rd call); resuming with a healthy pipeline
+    finishes only the remaining buckets."""
+    from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+    from soda_core_spark.sources.checkpoint import run_resumable_snapshots
+
+    web = _web(spark, 200, seed=9)
+    t = _mk(spark, tmp_path, "out2")
+
+    class Flaky(QualityFilterPipeline):
+        calls = 0
+
+        def annotate(self, df):
+            type(self).calls += 1
+            if type(self).calls == 3:
+                raise RuntimeError("simulated crash")
+            return super().annotate(df)
+
+    with pytest.raises(RuntimeError):
+        run_resumable_snapshots(Flaky(), web, t, n_buckets=4)
+    assert len(t.snapshots()) == 2
+
+    states = run_resumable_snapshots(QualityFilterPipeline(), web, t, n_buckets=4)
+    assert [s.bucket for s in states] == [0, 1, 2, 3]
+    assert len(t.snapshots()) == 4
+    assert sum(s.n_docs for s in states) == 200
