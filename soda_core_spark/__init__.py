@@ -45,3 +45,9 @@ from soda_core_spark.operators.checks import (  # noqa: F401
     unregister_check_type,
 )
 from soda_core_spark.plans.results import SessionResult  # noqa: F401
+from soda_core_spark.sources.snapshots import (  # noqa: F401
+    CommitConflict,
+    NoSuchSnapshot,
+    Snapshot,
+    SnapshotTable,
+)

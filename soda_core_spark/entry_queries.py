@@ -2107,3 +2107,84 @@ def q54(spark, sf_dir):
     seen = corpus_fingerprints(d.where(F.col("doc_id") % 7 == 0))
     surv = incremental_exact_dedup(d, seen)
     return surv.select("doc_id", "source").orderBy("doc_id")
+
+
+_Q55_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.Example.COM:443/p/'
+           || doc_id::VARCHAR
+           || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1#frag'
+                   WHEN doc_id % 3 = 1 THEN '?a=1&b=2'
+                   ELSE '' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)(?:\?([^#]*))?', 1))
+      AS scheme,
+    lower(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)(?:\?([^#]*))?', 2))
+      AS host0,
+    regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)(?:\?([^#]*))?', 3)
+      AS path0,
+    regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)(?:\?([^#]*))?', 4)
+      AS query0
+  FROM u
+),
+norm AS (
+  SELECT doc_id,
+    CASE WHEN scheme = 'http'  AND host0 LIKE '%:80'
+           THEN substr(host0, 1, length(host0) - 3)
+         WHEN scheme = 'https' AND host0 LIKE '%:443'
+           THEN substr(host0, 1, length(host0) - 4)
+         ELSE host0 END AS host,
+    scheme,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    array_to_string(list_sort(list_filter(str_split(query0, '&'),
+      p -> p <> '' AND NOT regexp_matches(p,
+             '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=|$)'))), '&')
+      AS q
+  FROM parts
+)
+SELECT doc_id,
+       CASE WHEN scheme <> '' AND host <> ''
+            THEN scheme || '://' || host || path
+                 || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+            END AS canonical_url,
+       CASE WHEN regexp_replace(host, ':[0-9]+$', '') <> ''
+            THEN regexp_replace(host, ':[0-9]+$', '') END AS url_host
+FROM norm ORDER BY doc_id
+"""
+
+
+@register("q55_url_canonicalization", _Q55_SQL)
+def q55(spark, sf_dir):
+    """URL canonicalization over synthetic URLs built identically in
+    both engines (upper-case scheme/host, default :443 port, tracking
+    params, fragments): scheme/host lowering, default-port strip,
+    fragment drop, tracking-param filter, bytewise param sort — pure
+    column algebra (operators/urls.py)."""
+    from soda_core_spark.operators.urls import with_canonical_urls
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM:443/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1#frag"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return (
+        with_canonical_urls(d)
+        .select("doc_id", "canonical_url", "url_host")
+        .orderBy("doc_id")
+    )
