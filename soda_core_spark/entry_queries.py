@@ -2188,3 +2188,46 @@ def q55(spark, sf_dir):
         .select("doc_id", "canonical_url", "url_host")
         .orderBy("doc_id")
     )
+
+
+_Q56_SQL = r"""
+WITH b AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                                            '[^a-z ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS body
+  FROM documents
+),
+tris AS (
+  SELECT unnest(list_transform(range(1, length(body) - 1),
+                               i -> substr(body, i, 3))) AS trigram
+  FROM b WHERE length(body) >= 3
+),
+cnt AS (SELECT trigram, COUNT(*) AS cnt FROM tris GROUP BY trigram),
+ctx AS (
+  SELECT trigram, cnt,
+         SUM(cnt) OVER (PARTITION BY substr(trigram, 1, 2)) AS ctx_cnt
+  FROM cnt
+)
+SELECT trigram, cnt::BIGINT AS cnt, ctx_cnt::BIGINT AS ctx_cnt,
+       round(ln((cnt + 0.1) / (ctx_cnt + 0.1 * 27)), 6) AS logp
+FROM ctx ORDER BY trigram
+"""
+
+
+@register("q56_trigram_lm_training", _Q56_SQL)
+def q56(spark, sf_dir):
+    """Distributed char-trigram LM training (the KenLM lmplz step for
+    the scorer's model family): row-local normalize + trigram explode,
+    one bounded count shuffle (≤ 27³ keys), add-k conditional log-probs
+    via a window sum over context groups
+    (functions/perplexity.py train_char_trigram_lm)."""
+    from soda_core_spark.functions.perplexity import train_char_trigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    out = train_char_trigram_lm(d)
+    return out.select(
+        "trigram",
+        "cnt",
+        F.col("ctx_cnt").cast("long").alias("ctx_cnt"),
+        F.round("logp", 6).alias("logp"),
+    ).orderBy("trigram")

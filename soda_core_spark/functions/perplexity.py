@@ -204,3 +204,87 @@ def log_perplexity(text: Column) -> Column:
     only the table gather in Python — same values as
     :func:`perplexity_udf` (same table, same normalized bytes)."""
     return perplexity_prenorm_udf(normalized_for_ppl(text))
+
+
+# --- distributed training of the same model -------------------------------
+#
+# Scoring above uses a model trained at import time on the embedded seed
+# corpus; a real pipeline trains the n-gram LM on a reference corpus as a
+# Spark job (the KenLM lmplz step). train_char_trigram_lm is that job for
+# this model family: per-document normalize (JVM), explode char trigrams,
+# one count shuffle, add-k conditional log-probs. The bigram denominator
+# needs no second pass — the training definition above only counts bigrams
+# at trigram-start positions, so bi(c1c2) == Σ_c3 tri(c1c2c3), a window
+# sum over the trigram counts.
+
+
+def normalized_body_col(text: Column) -> Column:
+    """The JVM twin of ``_normalize`` + whitespace-collapse: lowercase,
+    non-[a-z ] → space, runs collapsed, trimmed."""
+    from pyspark.sql import functions as F
+
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z ]", " "), " +", " "
+        )
+    )
+
+
+def train_char_trigram_lm(df, text_col: str = "text", k: float = _K):
+    """Train the add-k char-trigram LM on a corpus — returns a sparse
+    DataFrame (trigram, cnt, ctx_cnt, logp) with
+    ``logp = ln((cnt + k) / (ctx_cnt + k·V))`` for every OBSERVED
+    trigram; unseen next-chars in a seen context take
+    ``ln(k / (ctx_cnt + k·V))`` and unseen contexts the uniform
+    ``ln(1/V)``-equivalent backoff (both derivable from this table, no
+    extra state). Trigrams never cross document boundaries.
+
+    Scale shape: normalize + trigram explode are row-local JVM work;
+    one (trigram) count shuffle with map-side combine (≤ V³ = 19,683
+    distinct keys — the reducer side is trivially small at any corpus
+    size); ctx_cnt via a window sum over the 27-row context groups of
+    the COUNTED table, not the raw data. Feeding the result back into
+    the scorer is exercised in tests (train → table → score parity
+    with the import-time model)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    body = normalized_body_col(F.col(text_col))
+    tris = F.expr(
+        "transform(sequence(1, greatest(length(__body) - 2, 0)),"
+        " i -> substring(__body, i, 3))"
+    )
+    counts = (
+        df.select(body.alias("__body"))
+        .where(F.length("__body") >= 3)
+        .select(F.explode(tris).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ctx = Window.partitionBy(F.substring("trigram", 1, 2))
+    return counts.withColumn(
+        "ctx_cnt", F.sum("cnt").over(ctx)
+    ).withColumn(
+        "logp",
+        F.log(
+            (F.col("cnt") + F.lit(float(k)))
+            / (F.col("ctx_cnt") + F.lit(float(k * _V)))
+        ),
+    )
+
+
+def lm_table_from_rows(rows, k: float = _K) -> "np.ndarray":
+    """Rebuild the dense V³ scoring table (the ``_TABLE`` format the
+    pandas-UDF scorer gathers from) out of collected
+    (trigram, cnt, ctx_cnt) rows — the deploy step after
+    :func:`train_char_trigram_lm` (the table is 19,683 float64s =
+    154 KiB; broadcast-sized by construction)."""
+    lut = _char_lut()
+    tri = np.zeros(_V * _V * _V, dtype=np.float64)
+    bi = np.zeros(_V * _V, dtype=np.float64)
+    for r in rows:
+        g = r["trigram"]
+        ix = lut[np.frombuffer(g.encode("ascii"), dtype=np.uint8)]
+        tri[ix[0] * _V * _V + ix[1] * _V + ix[2]] = r["cnt"]
+        bi[ix[0] * _V + ix[1]] = r["ctx_cnt"]
+    return np.log((tri + k) / (np.repeat(bi, _V) + k * _V))

@@ -108,3 +108,38 @@ def test_audio_near_duplicates_e2e(spark):
         (ahash_audio(x) ^ ahash_audio(y)) & ((1 << 64) - 1)
     ).count("1")
     assert pairs[("a", "b")] == local
+
+
+def test_trigram_lm_training_matches_import_time_model(spark):
+    """Train on the embedded seed corpus AS ONE DOCUMENT via the Spark
+    job; the resulting dense table must match the import-time _TABLE
+    the scorer gathers from (same counts, same smoothing) — training
+    and scoring are one closed loop."""
+    import numpy as np
+
+    from soda_core_spark.functions import perplexity as P
+
+    df = spark.createDataFrame([(1, P._SEED_CORPUS)], ["doc_id", "text"])
+    rows = P.train_char_trigram_lm(df).collect()
+    table = P.lm_table_from_rows(rows)
+    assert np.allclose(table, P._TABLE, atol=1e-12)
+
+
+def test_trigram_lm_training_boundaries(spark):
+    """Trigrams never cross documents; short/NULL docs contribute
+    nothing; counts and smoothing match a hand computation."""
+    import math
+
+    from soda_core_spark.functions.perplexity import train_char_trigram_lm
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "ab"), (3, None), (4, "ba!b")], ["doc_id", "text"]
+    )
+    # doc1 body "abab": aba, bab ; doc4 body "ba b": "ba ", "a b"
+    got = {
+        r["trigram"]: (r["cnt"], r["ctx_cnt"], r["logp"])
+        for r in train_char_trigram_lm(df).collect()
+    }
+    assert set(got) == {"aba", "bab", "ba ", "a b"}
+    assert got["aba"][0] == 1 and got["aba"][1] == 1
+    assert abs(got["aba"][2] - math.log(1.1 / (1 + 0.1 * 27))) < 1e-9
