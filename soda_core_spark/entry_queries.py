@@ -2231,3 +2231,61 @@ def q56(spark, sf_dir):
         F.col("ctx_cnt").cast("long").alias("ctx_cnt"),
         F.round("logp", 6).alias("logp"),
     ).orderBy("trigram")
+
+
+_Q57_SQL = r"""
+SELECT source, lang,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(length(coalesce(text, '')))::BIGINT AS total_chars,
+       round(quantile_cont(length(coalesce(text, '')), 0.5), 4)
+         AS median_chars,
+       SUM(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))
+           + length(regexp_replace(coalesce(text, ''),
+                                   '[A-Za-z0-9 \t\n\r]', '', 'g')))::BIGINT
+         AS total_tokens,
+       COUNT(DISTINCT md5(lower(regexp_replace(trim(text),
+                                               '[ \t\n\r]+', ' ', 'g'))))::BIGINT
+         AS distinct_texts,
+       round(1.0 - COUNT(DISTINCT md5(lower(regexp_replace(trim(text),
+                            '[ \t\n\r]+', ' ', 'g'))))::DOUBLE / COUNT(*),
+             6) AS dup_ratio
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+@register("q57_corpus_profile", _Q57_SQL)
+def q57(spark, sf_dir):
+    """Dataset-card corpus profile per (source, lang): doc counts, char
+    and BPE-ish token totals, exact median doc length, exact-dedup
+    ratio — one groupBy with map-side partial aggregation; the exact
+    median and COUNT DISTINCT are the only memory-heavy aggregates and
+    both have approx twins (percentile_approx / approx_count_distinct)
+    for the 10^12-doc regime, per the q25/q30 pattern."""
+    from soda_core_spark.functions.text import token_count_bpe_ish
+    from soda_core_spark.operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text)).alias("total_chars"),
+            F.round(F.expr("percentile(length(coalesce(text, '')), 0.5)"), 4)
+              .alias("median_chars"),
+            F.sum(token_count_bpe_ish(text)).cast("long").alias("total_tokens"),
+            F.countDistinct(F.md5(normalized_text(F.col("text"))))
+              .alias("distinct_texts"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.lit(1.0)
+                - F.col("distinct_texts").cast("double") / F.col("n_docs"),
+                6,
+            ),
+        )
+        .orderBy("source", "lang")
+    )
