@@ -92,7 +92,16 @@ class QualityFilterPipeline:
         perplexity: bool = True,
         text_column: str = "text",
         drop_columns: tuple[str, ...] = ("html",),
+        html_fallback: bool = False,
     ):
+        # html_fallback: rows whose text column is NULL take their text
+        # from the pure-JVM HTML extraction chain (functions/html.py)
+        # over the html binary column instead of failing the missing-
+        # text rule. Default OFF: it forces the html column to be READ
+        # (normally pruned at the scan — the single biggest I/O saving
+        # on a real WARC-shaped table), so it is an explicit opt-in for
+        # inputs with incomplete upstream extraction.
+        self.html_fallback = html_fallback
         # raw html is dead weight for the filter (never referenced by any
         # rule) — excluded from the annotated output so the scan prunes it
         # entirely (SURVEY §4: column pruning is the point of the binary
@@ -137,6 +146,17 @@ class QualityFilterPipeline:
         """Attach signals, model scores, per-rule fail flags, keep, and
         text_scrubbed. Pure plan construction — no action."""
         text = F.col(self.text_column)
+        if self.html_fallback and "html" in df.columns:
+            from soda_core_spark.functions.html import html_text_col
+
+            # only NULL-text rows pay the extraction chain (when() short-
+            # circuits per row); html is then dropped as usual below
+            df = df.withColumn(
+                self.text_column,
+                F.when(text.isNotNull(), text).otherwise(
+                    html_text_col(F.col("html"))
+                ),
+            )
         df = df.drop(*[c for c in self.drop_columns if c in df.columns])
         # signals: expensive arrays (words/bigrams) materialized once per
         # row; the lowered token array is kept when JVM langid follows so

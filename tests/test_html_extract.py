@@ -106,3 +106,47 @@ def test_extraction_no_shuffle_no_python(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # pure JVM chain
+
+
+def test_pipeline_html_fallback(spark):
+    """Rows with NULL text take their text from the html column when
+    html_fallback=True; default pipeline leaves them missing."""
+    from soda_core_spark.operators.filter_pipeline import QualityFilterPipeline
+    from soda_core_spark.sources.webtext_gen import generate_web_pages
+
+    pdf = generate_web_pages(40, seed=5)
+    for c in ("url", "text", "lang"):
+        pdf[c] = pdf[c].astype(object)
+    df = spark.createDataFrame(pdf)
+    # null out one row's text and give it REAL html of another row's text
+    donor = pdf["text"][1]
+    html = f"<html><body><p>{donor}</p></body></html>".encode()
+    df = df.withColumn(
+        "text",
+        F.when(F.col("url") == pdf["url"][0], F.lit(None)).otherwise(
+            F.col("text")
+        ),
+    ).withColumn(
+        "html",
+        F.when(F.col("url") == pdf["url"][0], F.lit(html)).otherwise(
+            F.col("html")
+        ),
+    ).withColumn(
+        # rules also read the declared lang — give row0 the donor's so
+        # every text-derived signal (and therefore keep) must match
+        "lang",
+        F.when(F.col("url") == pdf["url"][0], F.lit(pdf["lang"][1])).otherwise(
+            F.col("lang")
+        ),
+    )
+
+    base = QualityFilterPipeline().annotate(df)
+    row0 = base.where(F.col("url") == pdf["url"][0]).first()
+    assert row0["text"] is None
+
+    fb = QualityFilterPipeline(html_fallback=True).annotate(df)
+    row0b = fb.where(F.col("url") == pdf["url"][0]).first()
+    assert row0b["text"] == donor
+    # donor text is keepable → the recovered row scores like the donor
+    donor_row = fb.where(F.col("url") == pdf["url"][1]).first()
+    assert row0b["keep"] == donor_row["keep"]
