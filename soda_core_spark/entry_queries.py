@@ -2289,3 +2289,51 @@ def q57(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+_Q58_SQL = f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT id, unnest(shl) AS s FROM sh),
+sig AS (
+  SELECT id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS i) r
+  GROUP BY id, i
+),
+band AS (
+  SELECT id, md5((i // 4)::VARCHAR || ',' || string_agg(m, ',' ORDER BY i)) AS bk
+  FROM sig GROUP BY id, (i // 4)
+),
+seen AS (SELECT DISTINCT bk FROM band WHERE id % 7 = 0),
+hits AS (
+  SELECT DISTINCT id FROM band
+  WHERE bk IN (SELECT bk FROM seen)
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.id = d.doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("q58_incremental_minhash", _Q58_SQL)
+def q58(spark, sf_dir):
+    """Cross-snapshot NEAR-dup gate: docs with doc_id % 7 == 0 play the
+    already-ingested corpus, persisted only as distinct LSH band keys;
+    the full table is the new batch and any document sharing a band
+    bucket with history is dropped (candidate semantics, documented
+    FP tradeoff). md5 portable mode so the DuckDB oracle replays
+    signatures → bands → semi-probe verbatim (operators/dedup.py
+    corpus_band_keys / incremental_minhash_dedup)."""
+    from soda_core_spark.operators.dedup import (
+        corpus_band_keys,
+        incremental_minhash_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    seen = corpus_band_keys(
+        d.where(F.col("doc_id") % 7 == 0),
+        num_hashes=16, bands=4, portable_hash=True,
+    )
+    surv = incremental_minhash_dedup(
+        d, seen, num_hashes=16, bands=4, portable_hash=True
+    )
+    return surv.select("doc_id", "source").orderBy("doc_id")

@@ -212,6 +212,56 @@ def portable_token_hash(col: Column) -> Column:
 PORTABLE_HASH_BITS = 60
 
 
+
+
+def _band_keys_of(
+    base: DataFrame, num_hashes: int, bands: int, portable_hash: bool
+) -> DataFrame:
+    """(id, band) keys from an (id, sh) shingle frame — the shared
+    signature+banding stage of MinHash LSH.
+
+    Signatures via explode → hash → groupBy(id) min-aggregates rather
+    than nested array expressions: higher-order functions run
+    interpreted with NO common-subexpression elimination, so the
+    expression form re-evaluates the shingle construction per hash
+    family member (measured 8s for 5k docs; this form: <1s). The
+    groupBy adds one shuffle, but partial aggregation collapses each
+    partition to one row per id before the wire — at corpus scale the
+    shuffle carries n_docs × num_hashes longs, not the shingles."""
+    rows = num_hashes // bands
+    exploded = base.select("id", F.explode("sh").alias("s"))
+    if portable_hash:
+        sig_cols = [
+            F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s")))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+        band_keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[F.col(f"m{b * rows + r}") for r in range(rows)],
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        sig_cols = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+        # one band-key derivation for both code paths: lsh_band_keys over
+        # the materialized m_i columns (Catalyst simplifies
+        # element_at(array(...), literal) to the single column — no
+        # re-evaluation)
+        sig_array = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+        band_keys = lsh_band_keys(sig_array, bands, rows)
+    sig = exploded.groupBy("id").agg(*sig_cols)
+    return sig.select("id", F.explode(band_keys).alias("band"))
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -243,51 +293,12 @@ def minhash_near_duplicates(
     the whole LSH pipeline is DuckDB-oracle-checkable. Empty/whitespace
     documents are excluded in both modes (they have no shingles; pairing
     them is meaningless)."""
-    rows = num_hashes // bands
     t = F.coalesce(F.col(text_col), F.lit(""))
     sh = shingles_col(t, shingle_n)
     base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
         F.col(id_col).alias("id"), sh.alias("sh")
     )
-    # Signatures via explode → hash → groupBy(id) min-aggregates rather
-    # than nested array expressions: higher-order functions run
-    # interpreted with NO common-subexpression elimination, so the
-    # expression form re-evaluates the shingle construction per hash
-    # family member (measured 8s for 5k docs; this form: <1s). The
-    # groupBy adds one shuffle, but partial aggregation collapses each
-    # partition to one row per id before the wire — at corpus scale the
-    # shuffle carries n_docs × num_hashes longs, not the shingles.
-    exploded = base.select("id", F.explode("sh").alias("s"))
-    if portable_hash:
-        sig_cols = [
-            F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s")))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
-        band_keys = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.lit(str(b)),
-                        *[F.col(f"m{b * rows + r}") for r in range(rows)],
-                    )
-                )
-                for b in range(bands)
-            ]
-        )
-    else:
-        sig_cols = [
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
-        # one band-key derivation for both code paths: lsh_band_keys over
-        # the materialized m_i columns (Catalyst simplifies
-        # element_at(array(...), literal) to the single column — no
-        # re-evaluation)
-        sig_array = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
-        band_keys = lsh_band_keys(sig_array, bands, rows)
-    sig = exploded.groupBy("id").agg(*sig_cols)
-    banded = sig.select("id", F.explode(band_keys).alias("band"))
+    banded = _band_keys_of(base, num_hashes, bands, portable_hash)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
@@ -1129,3 +1140,68 @@ def incremental_exact_dedup(
         fresh.join(surviv.select(id_col), on=id_col, how="left_semi")
         .drop("__fp")
     )
+
+
+def corpus_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Distinct MinHash LSH band keys of a corpus snapshot — the
+    near-dup twin of :func:`corpus_fingerprints`. Persist bucketed by
+    ``band`` so successive crawl increments probe it shuffle-free; the
+    state is ``bands`` keys per document regardless of document size
+    (text and shingles never persist)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
+        F.col(id_col).alias("id"), shingles_col(t, shingle_n).alias("sh")
+    )
+    return (
+        _band_keys_of(base, num_hashes, bands, portable_hash)
+        .select("band")
+        .distinct()
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    seen_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Near-dup gate for a NEW crawl batch against prior snapshots'
+    :func:`corpus_band_keys`: any new document sharing ≥1 LSH band
+    bucket with the historical corpus is dropped. Band-hit is LSH
+    CANDIDATE semantics — with r rows/band the hit probability is
+    jaccard^r per band, so false positives exist (tune num_hashes/bands
+    exactly as for :func:`minhash_near_duplicates`; persist signatures
+    or shingles instead if exact Jaccard gating is required — this
+    state-minimal form is the common blocking practice for monthly
+    crawl increments, where a rare false drop is cheaper than keeping
+    the historical shingle sets online).
+
+    Scale shape: new docs' band keys (bands × 16 bytes each) semi-probe
+    the seen set — broadcast when it fits, bucketed join when it does
+    not; the historical corpus itself is never read. In-batch near-dups
+    among the survivors are a separate, existing concern
+    (minhash_near_duplicates → connected_components →
+    dedup_by_components)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = _spread(new_df.where(F.length(F.trim(t)) > 0)).select(
+        F.col(id_col).alias("id"), shingles_col(t, shingle_n).alias("sh")
+    )
+    hits = (
+        _band_keys_of(base, num_hashes, bands, portable_hash)
+        .join(seen_bands.select("band"), "band", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(hits, id_col, "left_anti")

@@ -143,3 +143,31 @@ def test_trigram_lm_training_boundaries(spark):
     assert set(got) == {"aba", "bab", "ba ", "a b"}
     assert got["aba"][0] == 1 and got["aba"][1] == 1
     assert abs(got["aba"][2] - math.log(1.1 / (1 + 0.1 * 27))) < 1e-9
+
+
+def test_incremental_minhash_dedup(spark):
+    """A new doc near-identical to a historical one is dropped via the
+    band probe; a genuinely new doc survives; empty docs survive."""
+    from soda_core_spark.operators.dedup import (
+        corpus_band_keys,
+        incremental_minhash_dedup,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(80))
+    old = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    seen = corpus_band_keys(old, num_hashes=16, bands=4)
+    new = spark.createDataFrame(
+        [
+            (10, base.replace("tok7 ", "tok7x ")),  # near-dup of history
+            (11, "completely different text about rivers and gardens"),
+            (12, ""),                                # no shingles: kept
+        ],
+        ["doc_id", "text"],
+    )
+    surv = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            new, seen, num_hashes=16, bands=4
+        ).collect()
+    )
+    assert surv == [11, 12]
