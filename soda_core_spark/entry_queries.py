@@ -1279,9 +1279,12 @@ def q39(spark, sf_dir):
     return duplicated_ngram_stats(d, n=8, min_docs=2)
 
 
-def _q40_sql() -> str:
-    # the classifier is linear-over-signals + sigmoid; weights are shared
-    # data, features reuse the already-oracled q11/q14/q15 formulations
+def _quality_score_sql() -> str:
+    """DuckDB expression for functions.classifier.quality_score(text),
+    UNROUNDED — the classifier is linear-over-signals + sigmoid; weights
+    are shared data, features reuse the already-oracled q11/q14/q15
+    formulations. Shared by q40 (scores), q60 (weighted sampling) and
+    q61 (per-language buckets)."""
     from soda_core_spark.functions.classifier import INTERCEPT, WEIGHTS
 
     feats = {
@@ -1303,10 +1306,15 @@ def _q40_sql() -> str:
     z = f"({INTERCEPT} " + " ".join(
         f"+ ({w}) * ({feats[name]})" for name, w in WEIGHTS.items()
     ) + ")"
+    return f"(1.0 / (1.0 + exp(-{z})))"
+
+
+def _q40_sql() -> str:
+    s = _quality_score_sql()
     return f"""
     SELECT doc_id,
-           round(1.0 / (1.0 + exp(-{z})), 6) AS quality_score,
-           (1.0 / (1.0 + exp(-{z})) >= 0.5) AS keep
+           round({s}, 6) AS quality_score,
+           ({s} >= 0.5) AS keep
     FROM documents
     """
 
@@ -2337,3 +2345,313 @@ def q58(spark, sf_dir):
         d, seen, num_hashes=16, bands=4, portable_hash=True
     )
     return surv.select("doc_id", "source").orderBy("doc_id")
+
+
+def _q59_sql() -> str:
+    ph = _P_HASH_SQL.format(v="s")
+    return f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (
+      SELECT DISTINCT {ph} AS h
+      FROM (SELECT unnest(shl) AS s FROM sh WHERE id % 10 = 0)
+    ),
+    train AS (SELECT * FROM sh WHERE id % 10 <> 0),
+    sizes AS (SELECT id, len(shl)::BIGINT AS n_sh FROM train),
+    hits AS (
+      SELECT t.id, count(*)::BIGINT AS n_overlap
+      FROM (SELECT id, {ph} AS h
+            FROM (SELECT id, unnest(shl) AS s FROM train)) t
+      WHERE t.h IN (SELECT h FROM bench)
+      GROUP BY t.id
+    )
+    SELECT sizes.id AS doc_id, n_sh,
+           coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+           round(coalesce(n_overlap, 0)::DOUBLE / n_sh, 6) AS overlap,
+           coalesce(n_overlap, 0)::DOUBLE / n_sh >= 0.5 AS contaminated
+    FROM sizes LEFT JOIN hits ON sizes.id = hits.id
+    """
+
+
+@register("q59_cross_corpus_decontamination", _q59_sql())
+def q59(spark, sf_dir):
+    """Cross-corpus decontamination at the no-broadcast scale point: the
+    held-out side (doc_id % 10 == 0 — one doc in ten, far beyond an eval
+    suite) is NOT broadcast; the probe is a shuffle semi-join keyed on
+    the 60-bit portable shingle hash, so the shuffle moves 8-byte keys
+    instead of 20-40-byte shingle strings and AQE may still demote the
+    join to broadcast when the bench side turns out small. The DuckDB
+    oracle replays the hashing, so any hash collision over-counts
+    identically in both engines (operators/dedup.py decontaminate,
+    broadcast_bench=False)."""
+    from soda_core_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(
+        train,
+        bench,
+        n=3,
+        overlap_threshold=0.5,
+        broadcast_bench=False,
+        hash_shingles="portable",
+    )
+
+
+def _q60_sql() -> str:
+    s = _quality_score_sql()
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, round({s}, 6) AS weight FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, weight,
+             pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  / 4294967296.0),
+                 1.0 / weight) AS sel_key
+      FROM scored WHERE weight > 0
+    )
+    SELECT doc_id, weight, round(sel_key, 6) AS sel_key
+    FROM keyed ORDER BY keyed.sel_key DESC, doc_id LIMIT 40
+    """
+
+
+@register("q60_weighted_sample", _q60_sql())
+def q60(spark, sf_dir):
+    """Quality-weighted training-mix selection: Efraimidis-Spirakis
+    weighted sampling WITHOUT replacement, k=40, weight = the q40
+    classifier score — high-quality documents are proportionally more
+    likely to be drawn, yet the draw is deterministic (u = md5 hash
+    fraction of doc_id, select top-k of u^(1/w)), so re-runs and other
+    engines select the identical set. Plans as TakeOrderedAndProject:
+    per-partition top-k heaps, no global sort (operators/sampling.py
+    weighted_hash_topk)."""
+    from soda_core_spark.functions.classifier import quality_score
+    from soda_core_spark.operators.sampling import weighted_hash_topk
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("weight")
+    )
+    out = weighted_hash_topk(
+        scored, 40, F.col("weight"), F.col("doc_id").cast("string")
+    )
+    return out.select(
+        "doc_id", "weight", F.round("__ws_key", 6).alias("sel_key")
+    )
+
+
+def _q61_sql() -> str:
+    s = _quality_score_sql()
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, round({s}, 6) AS quality_score FROM documents
+    ),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(quality_score, 0.25) AS q_lo,
+             quantile_cont(quality_score, 0.75) AS q_hi
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality_score,
+           CASE WHEN s.quality_score > c.q_hi + 1e-9 THEN 'head'
+                WHEN s.quality_score < c.q_lo - 1e-9 THEN 'tail'
+                ELSE 'middle' END AS quality_bucket
+    FROM scored s JOIN cuts c USING (lang)
+    """
+
+
+@register("q61_ccnet_buckets", _q61_sql())
+def q61(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail quality tiers: each
+    language is split by its OWN score quartiles (exact percentile for
+    the oracle; percentile_approx is the documented 10^12-doc swap), so
+    low-resource languages aren't starved by a global cutoff. One tiny
+    per-lang aggregate broadcast back; bucket label is pure codegen
+    CASE with a 1e-9 margin absorbing cross-engine interpolation ulp
+    (functions/classifier.py ccnet_quality_buckets)."""
+    from soda_core_spark.functions.classifier import (
+        ccnet_quality_buckets,
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = ccnet_quality_buckets(d, quality_score(F.col("text")))
+    return out.select("doc_id", "lang", "quality_score", "quality_bucket")
+
+
+# Deterministic crawl fixture for the link-graph queries: 17 hosts; each
+# page links one absolute target, one protocol-relative target, and two
+# page-internal targets (self-edges). Built identically in both engines.
+_LG_URL_RE = (
+    "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)"
+    "(?:\\?([^#]*))?"
+)
+
+_LINKS_CTE = f"""
+    docs AS (
+      SELECT doc_id,
+             'host' || (doc_id % 17)::VARCHAR || '.example.com' AS src_host,
+             '<html><body><p>' || coalesce(text, '') || '</p>'
+             || '<a href="https://host' || ((doc_id * 3 + 1) % 17)::VARCHAR
+             || '.example.com/a">x</a>'
+             || '<a href="//host' || ((doc_id * 5 + 2) % 17)::VARCHAR
+             || '.example.com/b">y</a>'
+             || '<a href="/local">z</a><a href="#top">t</a></body></html>'
+               AS html
+      FROM documents
+    ),
+    lx AS (
+      SELECT src_host,
+             unnest(regexp_extract_all(html, '<a\\s[^>]*href="([^"]+)"', 1))
+               AS href
+      FROM docs
+    ),
+    resolved AS (
+      SELECT src_host,
+             CASE WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')
+                    THEN nullif(regexp_replace(
+                           lower(regexp_extract(href, '{_LG_URL_RE}', 2)),
+                           ':[0-9]+$', ''), '')
+                  WHEN href LIKE '//%'
+                    THEN nullif(regexp_replace(
+                           lower(regexp_extract('http:' || href,
+                                                '{_LG_URL_RE}', 2)),
+                           ':[0-9]+$', ''), '')
+                  WHEN NOT regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                    THEN src_host
+                  ELSE NULL END AS dst_host
+      FROM lx
+    ),
+    edges AS (
+      SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+      FROM resolved WHERE dst_host IS NOT NULL
+      GROUP BY src_host, dst_host
+    )
+"""
+
+
+def _lg_frame(spark, sf_dir):
+    """Spark twin of the _LINKS_CTE crawl fixture."""
+    d = _t(spark, sf_dir, "documents")
+    host = lambda e: F.concat(  # noqa: E731
+        F.lit("host"), (e % 17).cast("string"), F.lit(".example.com")
+    )
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host(did), F.lit("/page/"),
+                 did.cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><a href="https://'),
+            host(did * 3 + 1),
+            F.lit('/a">x</a><a href="//'),
+            host(did * 5 + 2),
+            F.lit('/b">y</a><a href="/local">z</a>'
+                  '<a href="#top">t</a></body></html>'),
+        ).alias("html"),
+    )
+
+
+_Q62_SQL = f"""
+WITH {_LINKS_CTE},
+outd AS (
+  SELECT src_host AS host, count(*)::BIGINT AS out_hosts,
+         sum(n_links)::BIGINT AS out_links
+  FROM edges GROUP BY src_host
+),
+ind AS (
+  SELECT dst_host AS host, count(*)::BIGINT AS in_hosts,
+         sum(n_links)::BIGINT AS in_links
+  FROM edges GROUP BY dst_host
+)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(out_hosts, 0)::BIGINT AS out_hosts,
+       coalesce(out_links, 0)::BIGINT AS out_links,
+       coalesce(in_hosts, 0)::BIGINT AS in_hosts,
+       coalesce(in_links, 0)::BIGINT AS in_links
+FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
+ORDER BY host
+"""
+
+
+@register("q62_host_link_graph", _Q62_SQL)
+def q62(spark, sf_dir):
+    """Host-level link graph from crawled HTML: regexp outlink
+    extraction (pure JVM, fuses with the scan), relative links resolved
+    to the source host, page edges collapsed to weighted host edges by
+    one partial-agg groupBy, then per-host in/out degree profiles — the
+    crawl-policy / spam-prior input. (operators/linkgraph.py)."""
+    from soda_core_spark.operators.linkgraph import (
+        host_degrees,
+        host_edges,
+        outlink_hosts,
+    )
+
+    lg = _lg_frame(spark, sf_dir)
+    edges = host_edges(outlink_hosts(lg))
+    return host_degrees(edges).orderBy("host")
+
+
+def _q63_sql(iterations: int = 3, d: float = 0.85) -> str:
+    # unrolled PageRank: rank'(v) = (1-d) + d*sum_in(rank(u)*w(u,v)),
+    # per-iteration 12dp rounding keeps both engines on one trajectory.
+    # (1.0 - d) is spelled as arithmetic so both engines use the exact
+    # same double (a 0.15 literal parses to a DIFFERENT double than the
+    # Spark side's computed 1.0 - 0.85).
+    it = [
+        "r0 AS (SELECT host, 1.0 AS rank FROM nodes)"
+    ]
+    for i in range(iterations):
+        it.append(f"""
+    r{i + 1} AS (
+      SELECT n.host,
+             round((1.0 - {d!r}) + {d!r} * coalesce(t.c, 0.0), 12) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT w.dst_host, sum(r.rank * w.w) AS c
+        FROM w JOIN r{i} r ON w.src_host = r.host
+        GROUP BY w.dst_host
+      ) t ON n.host = t.dst_host
+    )""")
+    return f"""
+    WITH {_LINKS_CTE},
+    nodes AS (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM edges
+        UNION ALL SELECT dst_host FROM edges
+      )
+    ),
+    w AS (
+      SELECT src_host, dst_host,
+             n_links::DOUBLE
+               / (sum(n_links) OVER (PARTITION BY src_host))::DOUBLE AS w
+      FROM edges
+    ),
+    {",".join(it)}
+    SELECT host, round(rank, 8) AS pagerank FROM r{iterations}
+    ORDER BY host
+    """
+
+
+@register("q63_host_pagerank", _q63_sql())
+def q63(spark, sf_dir):
+    """PageRank host authority over the q62 host graph (3 iterations,
+    d=0.85, link-count-weighted) — the spam/SEO quality prior. Each
+    iteration is one join + one groupBy on the HOST graph (4 orders
+    smaller than the page graph); localCheckpoint truncates lineage on
+    long runs; 12dp per-iteration rounding pins the trajectory across
+    engines and partitionings (operators/linkgraph.py host_pagerank)."""
+    from soda_core_spark.operators.linkgraph import (
+        host_edges,
+        host_pagerank,
+        outlink_hosts,
+    )
+
+    lg = _lg_frame(spark, sf_dir)
+    edges = host_edges(outlink_hosts(lg))
+    pr = host_pagerank(edges, iterations=3, damping=0.85, weighted=True)
+    return pr.select("host", F.round("rank", 8).alias("pagerank")).orderBy(
+        "host"
+    )

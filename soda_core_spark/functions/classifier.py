@@ -69,3 +69,63 @@ def quality_score(text: Column) -> Column:
     """P(high quality) = sigmoid(w·x + b), all codegen arithmetic."""
     z = quality_logit(text)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def ccnet_quality_buckets(
+    df,
+    score: Column,
+    lang_col: str = "lang",
+    lower_q: float = 0.25,
+    upper_q: float = 0.75,
+    score_col: str = "quality_score",
+    bucket_col: str = "quality_bucket",
+):
+    """CCNet-style per-language quality tiers (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): within each language, split documents into head / middle /
+    tail by that language's own score quantiles instead of one global
+    threshold — a global cutoff would keep mostly-English and starve
+    low-resource languages whose score distributions sit lower.
+
+    head: score > per-lang ``upper_q`` quantile; tail: score <
+    ``lower_q`` quantile; middle otherwise (boundary values are middle,
+    matching CCNet's closed middle band).
+
+    Scale shape: the cutoffs are ONE tiny aggregate (|languages| rows —
+    exact ``percentile`` here for oracle parity; swap ``percentile_approx``
+    at the 10^12-doc regime, its t-digest merges partial-agg style so no
+    language concentrates on one reducer) broadcast-joined back, then the
+    bucket label is pure codegen CASE — the corpus itself is scanned
+    once and never shuffled. Scores are rounded to 6dp BEFORE the
+    quantile so the cutoff comparison is stable across engines'
+    float-summation orders.
+
+    Quantile positions use linear interpolation at rank p*(n-1) — the
+    same definition as DuckDB's quantile_cont, so an oracle can replay
+    the cutoffs. Engines may still disagree on a cutoff's LAST BIT
+    (interpolation arithmetic order), so the comparison carries a 1e-9
+    margin: with quarter quantiles over 6dp-rounded scores a cutoff is
+    either exactly a score value or ≥ 2.5e-7 away from every score, so
+    the margin absorbs ulp drift without ever flipping a true decision.
+    """
+    if not 0.0 <= lower_q < upper_q <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower_q < upper_q <= 1, got {lower_q}, {upper_q}"
+        )
+    eps = 1e-9
+    s6 = F.round(score, 6)
+    scored = df.withColumn(score_col, s6)
+    cuts = scored.groupBy(lang_col).agg(
+        F.expr(f"percentile({score_col}, {lower_q!r})").alias("__q_lo"),
+        F.expr(f"percentile({score_col}, {upper_q!r})").alias("__q_hi"),
+    )
+    bucket = (
+        F.when(F.col(score_col) > F.col("__q_hi") + eps, F.lit("head"))
+        .when(F.col(score_col) < F.col("__q_lo") - eps, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col)
+        .withColumn(bucket_col, bucket)
+        .drop("__q_lo", "__q_hi")
+    )

@@ -643,15 +643,36 @@ def decontaminate(
     text_col: str = "text",
     n: int = 3,
     overlap_threshold: float = 0.8,
+    broadcast_bench: bool = True,
+    hash_shingles: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: per training document, the fraction of
     its distinct n-gram shingles that occur anywhere in the benchmark
     (eval) corpus; documents at/above ``overlap_threshold`` are flagged
     for removal so eval data never leaks into training data.
 
-    The benchmark shingle set is small (eval suites are), so it is
-    broadcast and the per-document hit count is a broadcast left-semi
-    join + groupBy — the training corpus is never shuffled on a wide key.
+    Two scale regimes, same exact result:
+
+    * ``broadcast_bench=True`` (default): eval suites are small, so the
+      distinct benchmark shingle set broadcasts and the per-document hit
+      count is a broadcast left-semi join + groupBy — the training
+      corpus is never shuffled on a wide key.
+    * ``broadcast_bench=False``: the "benchmark" side is itself a large
+      corpus (cross-corpus contamination, held-out-split leakage at
+      web scale) and cannot broadcast. The semi-join becomes a shuffle
+      join keyed on the shingle; pair it with
+      ``hash_shingles`` so the shuffle moves 8-byte keys instead of
+      20-40-byte shingle strings (3-5× less shuffle I/O — the join is
+      the dominant cost). Spark's AQE plans the shuffle join and can
+      still demote it to broadcast if the bench side turns out small.
+
+    ``hash_shingles``: ``None`` joins on exact shingle strings;
+    ``"xxhash64"`` is the production 64-bit path; ``"portable"`` the
+    md5-derived 60-bit hash a cross-engine oracle can replay
+    collision-for-collision (:func:`portable_token_hash`). A collision
+    can only over-count a doc's overlap (false positive toward
+    ``contaminated`` — the safe direction for decontamination) with
+    probability ~d²/2^{60} over d distinct shingles.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     bench_sh = (
@@ -663,9 +684,26 @@ def decontaminate(
         F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
     )
     sizes = base.select("id", F.size("shl").cast("long").alias("n_sh"))
+    ex = base.select("id", F.explode("shl").alias("s"))
+    if hash_shingles == "xxhash64":
+        ex = ex.select("id", F.xxhash64("s").alias("s"))
+        bench_sh = bench_sh.select(F.xxhash64("s").alias("s")).distinct()
+    elif hash_shingles == "portable":
+        ex = ex.select("id", portable_token_hash(F.col("s")).alias("s"))
+        bench_sh = bench_sh.select(
+            portable_token_hash(F.col("s")).alias("s")
+        ).distinct()
+    elif hash_shingles is not None:
+        raise ValueError(
+            f"hash_shingles must be None, 'xxhash64' or 'portable', got "
+            f"{hash_shingles!r}"
+        )
     hits = (
-        base.select("id", F.explode("shl").alias("s"))
-        .join(F.broadcast(bench_sh), "s", "left_semi")
+        ex.join(
+            F.broadcast(bench_sh) if broadcast_bench else bench_sh,
+            "s",
+            "left_semi",
+        )
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )

@@ -72,6 +72,47 @@ def stratified_hash_sample(
     return df.where(_hash_fraction(key) < rate)
 
 
+def weighted_hash_topk(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    key: Column,
+    key_col_name: str = "__ws_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each row
+    draws u = portable hash fraction of ``key`` and scores
+    ``u**(1/weight)``; the k largest scores are exactly a weight-
+    proportional sample without replacement. Rows with ``weight <= 0``
+    or NULL are excluded.
+
+    Determinism replaces the RNG: u comes from md5(key), so the selected
+    set is identical across engines, restarts, and partitionings — the
+    property a resumable training-mix needs (re-running the job cannot
+    silently select different documents).
+
+    Scale shape: the score is one codegen expression and the selection is
+    ``orderBy(desc).limit(k)``, which Spark plans as TakeOrderedAndProject
+    — per-partition top-k heaps merged on the driver, NO global sort
+    shuffle. O(rows) scan + O(k) driver state, any corpus size.
+
+    The returned frame carries ``key_col_name`` (the selection score) so
+    callers can audit the cut; drop it if unwanted.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if key_col_name in df.columns:
+        raise ValueError(f"input already has column {key_col_name!r}")
+    u = _hash_fraction(key)
+    score = F.pow(u, F.lit(1.0) / weight.cast("double"))
+    return (
+        df.where(weight.isNotNull() & (weight.cast("double") > 0))
+        .withColumn(key_col_name, score)
+        .orderBy(F.desc(key_col_name), key)
+        .limit(k)
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budget_tokens: int,
