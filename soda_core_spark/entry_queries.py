@@ -2655,3 +2655,86 @@ def q63(spark, sf_dir):
     return pr.select("host", F.round("rank", 8).alias("pagerank")).orderBy(
         "host"
     )
+
+
+_Q64_SQL = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) - n_chars AS excl
+  FROM documents
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       (excl // 20000)::BIGINT AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+
+@register("q64_token_shard_packing", _Q64_SQL)
+def q64(spark, sf_dir):
+    """Fixed-token training-shard assignment: documents laid out in
+    portable-hash order and cut greedily into 20k-token shards
+    (shard_id = exclusive running total // shard size — here n_chars as
+    the token weight, matching q49). The oracle is the one-window form;
+    the Spark plan is the two-stage distributed cumsum (per-bucket sums
+    → broadcast prefix offsets → 1024-way parallel windows), provably
+    identical because bucket boundaries align with the hash order
+    (operators/sampling.py pack_token_shards)."""
+    from soda_core_spark.operators.sampling import pack_token_shards
+
+    d = _t(spark, sf_dir, "documents")
+    out = pack_token_shards(
+        d.select("doc_id", "n_chars"),
+        shard_tokens=20000,
+        token_col="n_chars",
+    )
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "shard_id"
+    ).orderBy("doc_id")
+
+
+def _q65_sql(alpha: float = 0.6, tf: float = 0.4) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+    ),
+    norm AS (
+      SELECT sum(n)::DOUBLE AS nn, sum(pow(n::DOUBLE, {alpha!r})) AS z
+      FROM counts
+    ),
+    rates AS (
+      SELECT source,
+             round(least(1.0, {tf!r} * nn * pow(n::DOUBLE, {alpha!r})
+                              / z / n::DOUBLE), 9) AS rate
+      FROM counts CROSS JOIN norm
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0) < r.rate
+    ORDER BY doc_id
+    """
+
+
+@register("q65_temperature_mix", _q65_sql())
+def q65(spark, sf_dir):
+    """Temperature-scaled source mixing (the n^alpha rebalancing rule of
+    multilingual corpus pipelines, alpha=0.6, target 40 % of corpus):
+    per-source keep rates computed from one tiny count aggregate +
+    1-row normalizer, broadcast back, rows kept by the deterministic
+    hash-fraction predicate — small sources up-sampled relative to
+    their raw share, zero wide shuffles, no collect
+    (operators/sampling.py temperature_mixed_sample)."""
+    from soda_core_spark.operators.sampling import temperature_mixed_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_mixed_sample(
+        d,
+        "source",
+        key=F.col("doc_id").cast("string"),
+        alpha=0.6,
+        target_fraction=0.4,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")

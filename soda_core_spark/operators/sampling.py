@@ -113,6 +113,134 @@ def weighted_hash_topk(
     )
 
 
+def temperature_mixed_sample(
+    df: DataFrame,
+    source_col: str,
+    key: Column,
+    alpha: float = 0.7,
+    target_fraction: float = 0.4,
+) -> DataFrame:
+    """Temperature-scaled source mixing: keep-rate per source chosen so
+    the KEPT corpus follows p_s ∝ n_s^alpha (the multilingual /
+    multi-source rebalancing rule of fastText/XLM-R/mT5 pipelines —
+    alpha < 1 up-samples small sources relative to their raw share),
+    sized to ``target_fraction`` of the corpus, then rows kept by the
+    deterministic hash-fraction predicate.
+
+        rate_s = min(1, target_fraction * N * n_s^alpha / Z / n_s),
+        Z = Σ_s n_s^alpha,  N = Σ_s n_s
+
+    Scale shape: one tiny per-source count aggregate (partial-agg
+    absorbed), a 1-row normalizer cross-joined onto it, and the rate
+    table broadcast back — the corpus is scanned once and filtered by a
+    pure per-row predicate; nothing wide shuffles, no collect. Rates are
+    rounded to 9dp so the boundary compare is stable across engines'
+    pow() last-bit differences (a hash fraction lands within 5e-10 of a
+    cutoff with probability ~1e-7 per source; the rounding pins both
+    engines to the same cutoff value).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    norm = counts.agg(
+        F.sum("__n").cast("double").alias("__tot_n"),
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))).alias(
+            "__tot_z"
+        ),
+    )
+    w = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_fraction))
+        * F.col("__tot_n")
+        * w
+        / F.col("__tot_z")
+        / F.col("__n").cast("double"),
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        source_col, F.round(rate, 9).alias("__rate")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(_hash_fraction(key) < F.col("__rate"))
+        .select(*df.columns)
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training shard:
+    documents are laid out in portable-hash order (a stable, engine-
+    independent shuffle of the corpus) and cut greedily into consecutive
+    shards of ``shard_tokens`` tokens — ``shard_id = exclusive_cumsum //
+    shard_tokens``, so a document belongs to the shard its FIRST token
+    falls in (greedy packing; sequence-level split/pad of boundary docs
+    is the in-shard writer's job). The assignment is identical across
+    engines, restarts, and partitionings — what a resumable shard writer
+    needs (re-runs regenerate byte-identical shard manifests).
+
+    Scale shape: the same two-stage distributed cumsum as
+    :func:`sample_to_token_budget` — per-bucket token sums (tiny
+    aggregate), exclusive prefix offsets over that aggregate only,
+    offsets broadcast back, within-bucket running total (``buckets``-way
+    parallel windows). No single-reducer global window; all arithmetic
+    is integer, so the oracle is exact.
+    """
+    from pyspark.sql import Window
+
+    if shard_tokens < 1:
+        raise ValueError(f"shard_tokens must be >= 1, got {shard_tokens}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    reserved = {"__ps_bucket", "__ps_offset", "__ps_cum", shard_col} & set(
+        df.columns
+    )
+    if reserved:
+        raise ValueError(
+            f"input already has internal column(s) {sorted(reserved)}"
+        )
+    order = F.md5(F.col(id_col).cast("string"))
+    prefix32 = F.conv(F.substring(order, 1, 8), 16, 10).cast("long")
+    bucket = F.floor((prefix32 * F.lit(int(buckets))) / F.lit(float(2**32)))
+    tok = F.col(token_col).cast("long")
+
+    tagged = df.withColumn("__ps_bucket", bucket)
+    bucket_sums = tagged.groupBy("__ps_bucket").agg(
+        F.sum(tok).alias("__ps_sum")
+    )
+    off_w = (
+        Window.orderBy("__ps_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.withColumn(
+        "__ps_offset", F.coalesce(F.sum("__ps_sum").over(off_w), F.lit(0))
+    ).select("__ps_bucket", "__ps_offset")
+    cum_w = (
+        Window.partitionBy("__ps_bucket")
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exclusive = F.col("__ps_offset") + F.sum(tok).over(cum_w) - tok
+    return (
+        tagged.join(F.broadcast(offsets), "__ps_bucket")
+        .withColumn(
+            shard_col,
+            F.floor(exclusive / F.lit(int(shard_tokens))).cast("long"),
+        )
+        .select(*df.columns, shard_col)
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budget_tokens: int,

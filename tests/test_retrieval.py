@@ -259,3 +259,106 @@ def test_token_budget_plan_is_distributed(spark):
 
     for m in re.finditer(r"Window \[[^\]]*__tb_cum[^\]]*\]", plan):
         assert "__tb_bucket" in m.group(0)
+
+
+def test_pack_token_shards_matches_window_form(spark):
+    from pyspark.sql import Window
+    from soda_core_spark.operators.sampling import pack_token_shards
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = pack_token_shards(
+        df, shard_tokens=500, token_col="n_tok", buckets=16
+    )
+    # single-window reference form
+    order = F.md5(F.col("doc_id").cast("string"))
+    w = Window.orderBy(order, "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = df.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(500)
+        ).cast("long"),
+    )
+    got = {r["doc_id"]: r["shard_id"] for r in out.collect()}
+    exp = {r["doc_id"]: r["shard_id"] for r in ref.collect()}
+    assert got == exp
+    # partitioning-independent
+    got2 = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_token_shards(
+            df.repartition(7), 500, token_col="n_tok", buckets=16
+        ).collect()
+    }
+    assert got2 == exp
+    # shards are contiguous 0..max and every shard except possibly the
+    # last begins within budget
+    assert set(exp.values()) == set(range(max(exp.values()) + 1))
+
+
+def test_pack_token_shards_validation(spark):
+    import pytest
+
+    from soda_core_spark.operators.sampling import pack_token_shards
+
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tok"])
+    with pytest.raises(ValueError):
+        pack_token_shards(df, 0, token_col="n_tok")
+    with pytest.raises(ValueError):
+        pack_token_shards(df, 10, token_col="n_tok", buckets=0)
+    with pytest.raises(ValueError):
+        pack_token_shards(
+            df.withColumn("shard_id", F.lit(1)), 10, token_col="n_tok"
+        )
+
+
+def test_temperature_mixed_sample_rates_and_determinism(spark):
+    import pytest
+
+    from soda_core_spark.operators.sampling import temperature_mixed_sample
+
+    # heavily skewed sources: alpha<1 must up-sample the small source
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    key = F.col("doc_id").cast("string")
+    out = temperature_mixed_sample(
+        df, "source", key, alpha=0.5, target_fraction=0.3
+    )
+    kept = out.groupBy("source").count().collect()
+    k = {r["source"]: r["count"] for r in kept}
+    # expected rates: w_big=30, w_small=10, Z=40 → rate_big=0.25,
+    # rate_small=0.75 — small source keeps a 3x higher fraction
+    assert 0.15 < k["big"] / 900 < 0.35
+    assert 0.60 < k["small"] / 100 < 0.90
+    # deterministic across partitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixed_sample(
+            df.repartition(11), "source", key, alpha=0.5, target_fraction=0.3
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_mixed_sample(df, "source", key, alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_mixed_sample(df, "source", key, target_fraction=1.5)
+
+
+def test_temperature_mixed_sample_no_wide_shuffle(spark):
+    """The corpus path is scan → broadcast-join → filter: the only
+    Exchanges feed the tiny counts/normalizer aggregates."""
+    from soda_core_spark.operators.sampling import temperature_mixed_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], ["doc_id", "source"]
+    )
+    out = temperature_mixed_sample(
+        df, "source", F.col("doc_id").cast("string")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
