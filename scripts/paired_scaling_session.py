@@ -1,0 +1,132 @@
+"""Paired scaling session: time TWO levels back-to-back inside ONE
+healthy host window, so the ratio between them cancels any residual
+host-regime factor (the primary evidence form in BENCH/BASELINE.md —
+mixing windows lets multiplicative hypervisor noise forge a ratio).
+
+Gates (same thresholds as r4_gated_retry.py): fresh-page probe >= 4 GB/s
+and CPU steal < 2% BEFORE level A, BETWEEN the levels, and AFTER level
+B; per-level timed-run spread max/min <= 1.3. Any failed gate rejects
+the whole pair and the loop waits for the next quiet window.
+
+Usage: python scripts/paired_scaling_session.py LEVEL_A LEVEL_B \
+          [--n-docs N] [--out OUT.json] [--max-hours H]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MIN_GBPS = 4.0
+MAX_STEAL_PCT = 2.0
+MAX_SPREAD = 1.3
+SLEEP_UNHEALTHY = 120
+
+
+def probe_gbps() -> float:
+    best = 0.0
+    for _ in range(2):
+        b = np.empty(32_000_000, dtype=np.float64)
+        t0 = time.monotonic()
+        b[::512] = 1.0
+        best = max(best, b.nbytes / (time.monotonic() - t0) / 1e9)
+        del b
+    return round(best, 2)
+
+
+def steal_pct(window_s: float = 2.0) -> float:
+    def rd():
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return v[7], sum(v)
+
+    s0, t0 = rd()
+    time.sleep(window_s)
+    s1, t1 = rd()
+    return round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+
+
+def healthy() -> tuple[bool, float, float]:
+    g, s = probe_gbps(), steal_pct()
+    return (g >= MIN_GBPS and s <= MAX_STEAL_PCT), g, s
+
+
+def run_level(level: str, n_docs: int) -> dict | None:
+    r = subprocess.run(
+        [sys.executable, "scripts/scaling_bench.py", str(n_docs),
+         "--only", level, "--state", f"/tmp/sb_pair_{level}.json"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if r.returncode != 0 or not lines:
+        print(f"  {level} failed rc={r.returncode}: {r.stderr[-300:]}",
+              flush=True)
+        return None
+    res = json.loads(lines[-1])[level]
+    runs = res.get("timed_runs") or []
+    res["spread_ok"] = (
+        not runs or max(runs) / max(min(runs), 1e-9) <= MAX_SPREAD
+    )
+    return res
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    n_docs, out_path, max_hours = 1_600_000, "/tmp/sb_pair_final.json", 2.0
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--n-docs":
+            n_docs = int(args[i + 1]); i += 2
+        elif args[i] == "--out":
+            out_path = args[i + 1]; i += 2
+        elif args[i] == "--max-hours":
+            max_hours = float(args[i + 1]); i += 2
+        else:
+            pos.append(args[i]); i += 1
+    if len(pos) != 2:
+        print("need exactly two levels"); return 2
+    a, b = pos
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_hours * 3600:
+        ok0, g0, s0 = healthy()
+        if not ok0:
+            print(f"wait: probe {g0} steal {s0}", flush=True)
+            time.sleep(SLEEP_UNHEALTHY)
+            continue
+        print(f"window open (probe {g0}, steal {s0}): {a} then {b}",
+              flush=True)
+        ra = run_level(a, n_docs)
+        ok1, g1, s1 = healthy()
+        if ra is None or not ra["spread_ok"] or not ok1:
+            print(f"pair rejected after {a} "
+                  f"(mid probe {g1}, steal {s1}, "
+                  f"spread_ok={ra and ra['spread_ok']})", flush=True)
+            continue
+        rb = run_level(b, n_docs)
+        ok2, g2, s2 = healthy()
+        if rb is None or not rb["spread_ok"] or not ok2:
+            print(f"pair rejected after {b} "
+                  f"(end probe {g2}, steal {s2}, "
+                  f"spread_ok={rb and rb['spread_ok']})", flush=True)
+            continue
+        out = {
+            a: ra, b: rb,
+            "probes": {"before": [g0, s0], "mid": [g1, s1],
+                       "after": [g2, s2]},
+            "n_docs": n_docs,
+        }
+        json.dump(out, open(out_path, "w"), indent=1)
+        print("PAIR " + json.dumps(out), flush=True)
+        return 0
+    print("no healthy window found in budget", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -2738,3 +2738,65 @@ def q65(spark, sf_dir):
         target_fraction=0.4,
     )
     return out.select("doc_id", "source").orderBy("doc_id")
+
+
+# thresholds spelled as arithmetic in BOTH engines: python 0.8 + 0.1 and
+# DuckDB (0.8 + 0.1) are the same IEEE double, while a 0.9 literal is NOT
+_Q66_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 10
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+reach AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+frac AS (
+  SELECT doc_id, component,
+         (('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT
+          / 4294967296.0) AS u
+  FROM assigned
+)
+SELECT doc_id, component,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < (0.8 + 0.1) THEN 'val'
+            ELSE 'test' END AS split
+FROM frac ORDER BY doc_id
+"""
+
+
+@register("q66_leakage_free_split", _Q66_SQL)
+def q66(spark, sf_dir):
+    """Leakage-free train/val/test split: near-dup clusters (q43's
+    deterministic edge rule → connected components) are assigned WHOLE
+    to one split by the portable hash of the cluster representative, so
+    a document and its near-copies can never straddle train and test.
+    Singletons are their own cluster. One id-keyed join + codegen CASE
+    (operators/sampling.py leakage_free_split)."""
+    from soda_core_spark.operators.dedup import connected_components
+    from soda_core_spark.operators.sampling import leakage_free_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    comps = connected_components(edges)
+    out = leakage_free_split(
+        d, comps, train_frac=0.8, val_frac=0.1
+    )
+    return out.select("doc_id", "component", "split").orderBy("doc_id")

@@ -104,9 +104,12 @@ def weighted_hash_topk(
     if key_col_name in df.columns:
         raise ValueError(f"input already has column {key_col_name!r}")
     u = _hash_fraction(key)
-    score = F.pow(u, F.lit(1.0) / weight.cast("double"))
+    w = weight.cast("double")
+    score = F.pow(u, F.lit(1.0) / w)
+    # NaN guard matters: Spark sorts NaN ABOVE every real number, so an
+    # unfiltered NaN weight would both pass `> 0` and win the top-k
     return (
-        df.where(weight.isNotNull() & (weight.cast("double") > 0))
+        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn(key_col_name, score)
         .orderBy(F.desc(key_col_name), key)
         .limit(k)
@@ -238,6 +241,66 @@ def pack_token_shards(
             F.floor(exclusive / F.lit(int(shard_tokens))).cast("long"),
         )
         .select(*df.columns, shard_col)
+    )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    component_col: str = "component",
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that never separates near-duplicates: every
+    document inherits its near-dup CLUSTER's split, decided by the
+    portable hash fraction of the cluster representative — so a document
+    and its near-copies land on the same side and the eval sets stay
+    leakage-free (splitting row-wise would put one copy in train and its
+    twin in test, silently inflating eval scores). Documents in no
+    cluster are their own singleton (component = own id).
+
+    ``components`` is a (node, component) map — the output of
+    :func:`~soda_core_spark.operators.dedup.connected_components` over
+    any near-dup pair table (MinHash, SimHash, Jaccard, embedding).
+
+    Assignment: u = hash fraction of the component id; ``u <
+    train_frac`` → train, ``< train_frac + val_frac`` → val, else test.
+    u is an exact 32-bit integer over 2^32 (both division and the
+    threshold literals are exactly representable), so the comparison is
+    bit-identical across engines.
+
+    Scale shape: one id-keyed join of the corpus against the component
+    map (both sides hash-partition on the id — co-locatable via
+    bucketing, sources/bucketing.py) and a pure codegen CASE; the split
+    decision itself shuffles nothing.
+    """
+    if not (0.0 < train_frac < 1.0 and 0.0 <= val_frac < 1.0):
+        raise ValueError(
+            f"invalid fractions train={train_frac} val={val_frac}"
+        )
+    if train_frac + val_frac > 1.0:
+        raise ValueError("train_frac + val_frac must be <= 1")
+    if "__lf_component" in df.columns:
+        raise ValueError("input already has column '__lf_component'")
+    comp = components.select(
+        F.col(node_col).alias(id_col),
+        F.col(component_col).alias("__lf_component"),
+    )
+    joined = df.join(comp, id_col, "left").withColumn(
+        "__lf_component",
+        F.coalesce(F.col("__lf_component"), F.col(id_col)),
+    )
+    u = _hash_fraction(F.col("__lf_component").cast("string"))
+    split = (
+        F.when(u < float(train_frac), F.lit("train"))
+        .when(u < float(train_frac) + float(val_frac), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return joined.withColumn(split_col, split).withColumnRenamed(
+        "__lf_component", component_col
     )
 
 

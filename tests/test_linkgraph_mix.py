@@ -32,11 +32,14 @@ def test_weighted_topk_deterministic_and_bounded(spark):
 def test_weighted_topk_excludes_nonpositive_and_matches_python(spark):
     from soda_core_spark.operators.sampling import weighted_hash_topk
 
-    rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0), (6, 9.0)]
+    rows = [
+        (1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0), (6, 9.0),
+        (7, float("nan")),  # would sort ABOVE every real key unguarded
+    ]
     df = spark.createDataFrame(rows, ["doc_id", "w"])
     out = weighted_hash_topk(df, 2, F.col("w"), F.col("doc_id").cast("string"))
     got = {r["doc_id"] for r in out.collect()}
-    assert got <= {1, 5, 6}  # 2/3/4 can never be drawn
+    assert got <= {1, 5, 6}  # 2/3/4/7 can never be drawn
 
     # python replay of u^(1/w) over md5 hash fractions
     import hashlib
@@ -236,3 +239,51 @@ def test_pagerank_zero_iterations_and_validation(spark):
     assert got == {"x": 1.0, "y": 1.0}
     with pytest.raises(ValueError):
         host_pagerank(edges, -1)
+
+
+# ---------------------------------------------------------------------------
+# leakage_free_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_free_split_clusters_stay_together(spark):
+    import hashlib
+
+    from soda_core_spark.operators.sampling import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 21)], ["doc_id"]
+    )
+    # clusters: {1,2,3} -> 1, {10,11} -> 10; rest singletons
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        ["node", "component"],
+    )
+    out = leakage_free_split(docs, comps, train_frac=0.6, val_frac=0.2)
+    rows = {r["doc_id"]: (r["component"], r["split"]) for r in out.collect()}
+    assert len(rows) == 20
+    # cluster members share component AND split
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[10] == rows[11]
+    # singletons are their own component
+    assert rows[5][0] == 5 and rows[20][0] == 20
+
+    def u(c):
+        return int(hashlib.md5(str(c).encode()).hexdigest()[:8], 16) / 2**32
+
+    for d, (c, s) in rows.items():
+        expect = "train" if u(c) < 0.6 else ("val" if u(c) < 0.8 else "test")
+        assert s == expect, (d, c, s, expect)
+
+
+def test_leakage_free_split_validation(spark):
+    import pytest
+
+    from soda_core_spark.operators.sampling import leakage_free_split
+
+    docs = spark.createDataFrame([(1,)], ["doc_id"])
+    comps = spark.createDataFrame([(1, 1)], ["node", "component"])
+    with pytest.raises(ValueError):
+        leakage_free_split(docs, comps, train_frac=0.0)
+    with pytest.raises(ValueError):
+        leakage_free_split(docs, comps, train_frac=0.8, val_frac=0.3)
