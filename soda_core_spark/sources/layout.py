@@ -1,0 +1,105 @@
+"""Range-clustered data layout — file skipping for selective scans.
+
+Bucketing (sources/bucketing.py) co-locates JOIN keys; this module covers
+the other storage lever at 100-TB scale: laying data out so SELECTIVE
+scans touch few files. Parquet readers prune with file/row-group min-max
+statistics, but statistics only help if values are CLUSTERED — a column
+scattered uniformly across every file has each file's [min, max] spanning
+the whole domain and nothing is skipped. ``repartitionByRange`` +
+``sortWithinPartitions`` makes every output file own a narrow value range
+(hosts, languages, dates), so a pushed-down predicate skips all but the
+overlapping files at the scan — before any row is read.
+
+This is the honest Spark/parquet analogue of Iceberg's sort-order table
+property and the classic Z-order motivation (single-dimension form; for
+multi-column clustering, lead with the most-filtered column — range
+partitioning is lexicographic).
+
+``cluster_stats`` reads ONLY parquet footers (driver-side metadata, no
+data I/O) to audit a layout: per-file min/max of the cluster column and
+the overlap factor — the expected number of files a random point
+predicate must read. 1.0 is perfect clustering; ~n_files means the
+layout does nothing for that column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet range-clustered on ``cluster_cols``:
+    rows are range-partitioned (one contiguous key range per output
+    file) and sorted within each file (tight ROW-GROUP statistics too,
+    so even intra-file skipping works for large files).
+
+    ``num_files`` bounds output file count (defaults to the session's
+    shuffle parallelism). Range partitioning samples key quantiles, so
+    skewed keys still yield balanced files — a hot host spreads over
+    several consecutive files rather than one giant one.
+    """
+    if not cluster_cols:
+        raise ValueError("cluster_cols must be non-empty")
+    part = (
+        df.repartitionByRange(num_files, *cluster_cols)
+        if num_files
+        else df.repartitionByRange(*cluster_cols)
+    )
+    part.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
+
+
+@dataclass(frozen=True)
+class ClusterStats:
+    n_files: int
+    per_file: list[tuple[str, object, object]]  # (file, min, max)
+    overlap_factor: float  # avg files overlapping a random point
+
+
+def cluster_stats(path: str, column: str) -> ClusterStats:
+    """Audit a parquet directory's clustering on ``column`` from footer
+    metadata only (no data I/O): per-file min/max and the mean number
+    of files whose [min, max] contains each file's own midpoint — the
+    expected file-read amplification of a point predicate."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    per_file: list[tuple[str, object, object]] = []
+    for f in files:
+        md = pq.read_metadata(f)
+        lo, hi = None, None
+        idx = None
+        schema = md.schema
+        for i in range(len(schema.names)):
+            if schema.names[i] == column:
+                idx = i
+                break
+        if idx is None:
+            raise ValueError(f"column {column!r} not in {f}")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        per_file.append((os.path.basename(f), lo, hi))
+    spans = [(lo, hi) for _, lo, hi in per_file if lo is not None]
+    if not spans:
+        return ClusterStats(len(files), per_file, 0.0)
+    hits = 0
+    for lo, hi in spans:
+        probe = lo  # a point inside this file's range
+        hits += sum(1 for lo2, hi2 in spans if lo2 <= probe <= hi2)
+    return ClusterStats(
+        len(files), per_file, round(hits / len(spans), 3)
+    )
