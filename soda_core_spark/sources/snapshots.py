@@ -203,6 +203,53 @@ class SnapshotTable:
             fh.write(str(snapshot_id))
         os.replace(tmp, cur)
 
+    def compact(
+        self,
+        target_files: Optional[int] = None,
+        cluster_cols: Optional[list[str]] = None,
+        properties: Optional[dict] = None,
+    ) -> int:
+        """Rewrite CURRENT's files into fewer, larger ones as a new
+        ``compact`` snapshot — same rows, better layout. Resumable
+        per-bucket appends (run_resumable_snapshots) accumulate one
+        small file set per bucket; at scale that means footer-metadata
+        bloat and per-file open costs on every read, so periodic
+        compaction is table maintenance rule #1 (the analogue of
+        Iceberg's rewrite_data_files action).
+
+        ``cluster_cols`` additionally range-clusters the rewrite
+        (sources/layout.py rationale: each output file owns a narrow
+        key range, so selective scans prune); without it the rewrite is
+        a shuffle-free ``coalesce``. Old files stay readable via time
+        travel until :meth:`vacuum`.
+
+        Concurrency: the commit CASes on the parent captured at entry —
+        a writer that lands mid-compaction wins and this raises
+        :class:`CommitConflict` (retry against the new CURRENT; rows
+        appended meanwhile must not be silently dropped by a stale
+        rewrite)."""
+        parent = self.current_snapshot_id()
+        if parent is None:
+            raise NoSuchSnapshot("nothing to compact")
+        df = self.read(parent)
+        if cluster_cols:
+            df = (
+                df.repartitionByRange(target_files, *cluster_cols)
+                if target_files
+                else df.repartitionByRange(*cluster_cols)
+            ).sortWithinPartitions(*cluster_cols)
+        elif target_files:
+            df = df.coalesce(target_files)
+        n_before = len(self.snapshot(parent).files)
+        files = self._write_data(df)
+        props = {
+            "compacted_from": parent,
+            "files_before": n_before,
+            "files_after": len(files),
+            **(properties or {}),
+        }
+        return self._commit(parent, "compact", files, props)
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO reachable snapshot (crash
         leftovers, post-rollback orphans). Never touches referenced

@@ -147,3 +147,65 @@ def test_partial_run_then_resume(spark, tmp_path):
     assert [s.bucket for s in states] == [0, 1, 2, 3]
     assert len(t.snapshots()) == 4
     assert sum(s.n_docs for s in states) == 200
+
+
+def test_compact_rewrites_files_preserving_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, "compact")
+    for i in range(4):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10)
+            .toDF("id")
+            .withColumn("src", (F.col("id") % 3).cast("string"))
+            .repartition(3)
+        )
+    before_sid = t.current_snapshot_id()
+    n_files_before = len(t.snapshot(before_sid).files)
+    assert n_files_before >= 8
+
+    sid = t.compact(target_files=2)
+    s = t.snapshot(sid)
+    assert s.operation == "compact"
+    assert s.properties["files_before"] == n_files_before
+    assert s.properties["files_after"] == len(s.files) <= 2
+    # identical rows
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(40))
+    # time travel to the pre-compaction snapshot still works
+    assert t.read(before_sid).count() == 40
+    # vacuum keeps both (both snapshots reachable on the chain)
+    assert t.vacuum() == []
+
+
+def test_compact_clustered_layout(spark, tmp_path):
+    from soda_core_spark.sources.layout import cluster_stats
+
+    t = _mk(spark, tmp_path, "compactc")
+    df = (
+        spark.range(100)
+        .toDF("id")
+        .withColumn("src", F.concat(F.lit("s"), (F.col("id") % 4).cast("string")))
+    )
+    t.append(df.repartition(6))
+    sid = t.compact(target_files=4, cluster_cols=["src"])
+    files = [os.path.join(t.path, f) for f in t.snapshot(sid).files]
+    d = os.path.dirname(files[0])
+    assert cluster_stats(d, "src").overlap_factor <= 1.5
+    assert t.read().count() == 100
+
+
+def test_compact_conflict_with_concurrent_append(spark, tmp_path):
+    from soda_core_spark.sources.snapshots import CommitConflict, NoSuchSnapshot
+
+    t = _mk(spark, tmp_path, "compactx")
+    with pytest.raises(NoSuchSnapshot):
+        t.compact()
+    t.append(spark.range(10).toDF("id"))
+    # emulate a compaction that loses the race: capture parent + rewrite,
+    # let a writer land, then try to commit against the stale parent
+    parent = t.current_snapshot_id()
+    files = t._write_data(t.read(parent).coalesce(1))
+    t.append(spark.range(10, 20).toDF("id"))
+    with pytest.raises(CommitConflict):
+        t._commit(parent, "compact", files, {})
+    # the appended rows are intact and a RETRIED compaction now succeeds
+    t.compact(target_files=1)
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(20))
