@@ -2800,3 +2800,49 @@ def q66(spark, sf_dir):
         d, comps, train_frac=0.8, val_frac=0.1
     )
     return out.select("doc_id", "component", "split").orderBy("doc_id")
+
+
+_Q67_SQL = """
+WITH c AS (
+  SELECT doc_id, n_chars, coalesce(text, '') AS text,
+         SUM(n_chars) OVER (
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) - n_chars AS excl
+  FROM documents
+)
+SELECT (excl // 20000)::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS shard_tokens,
+       md5(string_agg(text, chr(10) || chr(10)
+           ORDER BY md5(doc_id::VARCHAR), doc_id)) AS shard_md5
+FROM c GROUP BY shard ORDER BY shard
+"""
+
+
+@register("q67_materialize_shards", _Q67_SQL)
+def q67(spark, sf_dir):
+    """Shard materialization — the writer step after q64's assignment:
+    each shard's documents concatenated in the packer's hash order into
+    one training sequence, byte-identical across engines/restarts (the
+    oracle compares md5 of the assembled text). One groupBy whose
+    per-group state the packer already budget-bounded
+    (operators/sampling.py materialize_shards)."""
+    from soda_core_spark.operators.sampling import (
+        materialize_shards,
+        pack_token_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_token_shards(
+        d.select("doc_id", "n_chars", "text"),
+        shard_tokens=20000,
+        token_col="n_chars",
+    )
+    out = materialize_shards(packed, token_col="n_chars")
+    return out.select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.md5("shard_text").alias("shard_md5"),
+    ).orderBy("shard")

@@ -304,6 +304,50 @@ def leakage_free_split(
     )
 
 
+def materialize_shards(
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Assemble :func:`pack_token_shards` output into actual training
+    sequences: one row per shard with the member documents concatenated
+    in the SAME portable-hash order the packer used (so the shard text
+    is byte-identical across engines/restarts — a re-run regenerates
+    the exact same training file). Returns (shard, n_docs,
+    shard_tokens?, shard_text).
+
+    Scale shape: one groupBy on the shard id. A shard is budget-bounded
+    (~10-100k tokens), so per-group state is small by construction —
+    this is the rare case where collect_list-style aggregation is the
+    RIGHT answer, because the packer upstream already bounded every
+    group. The sort-and-join runs inside each aggregated row (no extra
+    shuffle, no window).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    order = F.md5(F.col(id_col).cast("string"))
+    member = F.struct(
+        order.alias("o"), F.col(id_col).alias("i"), t.alias("t")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(member)), lambda x: x["t"]
+            ),
+            sep,
+        ).alias("shard_text"),
+    ]
+    if token_col is not None:
+        aggs.insert(
+            1,
+            F.sum(F.col(token_col).cast("long")).alias("shard_tokens"),
+        )
+    return df.groupBy(F.col(shard_col).alias("shard")).agg(*aggs)
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budget_tokens: int,

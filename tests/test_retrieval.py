@@ -362,3 +362,33 @@ def test_temperature_mixed_sample_no_wide_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_materialize_shards_order_and_nulls(spark):
+    import hashlib
+
+    from soda_core_spark.operators.sampling import (
+        materialize_shards,
+        pack_token_shards,
+    )
+
+    rows = [(i, 25, f"doc{i}" if i != 3 else None) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "text"])
+    packed = pack_token_shards(df, 60, token_col="n_tok", buckets=4)
+    out = {
+        r["shard"]: r
+        for r in materialize_shards(packed, token_col="n_tok").collect()
+    }
+    # python replay: hash order, running cut, concat
+    order = sorted(range(10), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    shards = {}
+    cum = 0
+    for i in order:
+        shards.setdefault(cum // 60, []).append(i)
+        cum += 25
+    for sid, members in shards.items():
+        exp = "\n\n".join("" if i == 3 else f"doc{i}" for i in members)
+        assert out[sid]["shard_text"] == exp
+        assert out[sid]["n_docs"] == len(members)
+        assert out[sid]["shard_tokens"] == 25 * len(members)
+    assert set(out) == set(shards)
