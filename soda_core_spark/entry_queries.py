@@ -2846,3 +2846,67 @@ def q67(spark, sf_dir):
         "shard_tokens",
         F.md5("shard_text").alias("shard_md5"),
     ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+#: target-corpus stand-in for the oracle-checked DSIR run: three sources
+#: play the role of Wikipedia/books; everything else is the raw pool.
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+def _q68_sql(buckets: int = 256, k: int = 100) -> str:
+    ph = _P_HASH_SQL.format(v="w")
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, (source IN ({tgt})) AS is_target,
+             unnest(list_filter(
+               regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\r]+'),
+               x -> x <> '')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, is_target, ({ph}) % {buckets} AS bucket,
+             count(*) AS n
+      FROM tok GROUP BY doc_id, is_target, bucket
+    ),
+    pb AS (
+      SELECT bucket, sum(n)::DOUBLE AS raw_c,
+             sum(CASE WHEN is_target THEN n ELSE 0 END)::DOUBLE AS tgt_c
+      FROM cnt GROUP BY bucket
+    ),
+    tot AS (SELECT sum(raw_c) AS raw_t, sum(tgt_c) AS tgt_t FROM pb),
+    lr AS (
+      SELECT bucket,
+             round(ln((tgt_c + 1.0) / (tgt_t + 1.0 * {buckets}))
+                 - ln((raw_c + 1.0) / (raw_t + 1.0 * {buckets})), 12) AS lr
+      FROM pb, tot
+    ),
+    score AS (
+      SELECT c.doc_id, round(sum(c.n * l.lr), 6) AS dsir_score
+      FROM cnt c JOIN lr l USING (bucket)
+      WHERE NOT c.is_target
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, dsir_score FROM score
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@register("q68_dsir_selection", _q68_sql())
+def q68(spark, sf_dir):
+    """DSIR data selection (arXiv:2302.03169): hashed-unigram importance
+    log-weights of the raw pool against a target-corpus stand-in, top-100
+    survivors pinned across engines. One explode pass, O(buckets) model
+    tables broadcast back, TakeOrdered top-k — no post-tokenize shuffle
+    of text (operators/dsir.py)."""
+    from soda_core_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    )
+    return dsir_select(d, k=100, buckets=256)
