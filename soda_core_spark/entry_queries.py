@@ -2910,3 +2910,80 @@ def q68(spark, sf_dir):
         "is_target", F.col("source").isin(*_DSIR_TARGET_SOURCES)
     )
     return dsir_select(d, k=100, buckets=256)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership pre-filter (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def _q69_sql(m: int = 1 << 16, k: int = 3) -> str:
+    def ph(v: str) -> str:
+        return _P_HASH_SQL.format(v=v)
+
+    return f"""
+    WITH seen AS (
+      SELECT md5(coalesce(text, '')) AS key
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS key
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    sbits AS (
+      SELECT DISTINCT ({ph("s.key || '#' || hi::VARCHAR")}) % {m} AS pos
+      FROM seen s, range({k}) t(hi)
+    ),
+    bpos AS (
+      SELECT b.doc_id, ({ph("b.key || '#' || hi::VARCHAR")}) % {m} AS pos
+      FROM batch b, range({k}) t(hi)
+    ),
+    maybe AS (
+      SELECT p.doc_id, bool_and(s.pos IS NOT NULL) AS bloom_maybe
+      FROM bpos p LEFT JOIN sbits s ON p.pos = s.pos
+      GROUP BY p.doc_id
+    ),
+    exact AS (
+      SELECT b.doc_id,
+             EXISTS(SELECT 1 FROM seen s WHERE s.key = b.key) AS exact_dup
+      FROM batch b
+    )
+    SELECT m.doc_id, m.bloom_maybe, e.exact_dup
+    FROM maybe m JOIN exact e USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("q69_bloom_membership", _q69_sql())
+def q69(spark, sf_dir):
+    """Bloom-filter crawl dedup pre-filter: seen-set (even doc_ids) packed
+    into a broadcastable (word, bits) frame; the new batch (odd doc_ids)
+    probes it with k shuffle-free broadcast joins, alongside the exact
+    answer so the no-false-negative invariant is oracle-checked — the
+    oracle reproduces membership *including deterministic false
+    positives* (operators/bloom.py)."""
+    from soda_core_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m, k = 1 << 16, 3
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("key")
+    )
+    seen = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    bl = bloom_build(seen, "key", m=m, k=k)
+    probed = bloom_might_contain(batch, bl, "key", m=m, k=k)
+    sk = (
+        seen.select("key").distinct().withColumn("__dup", F.lit(True))
+    )
+    return (
+        probed.join(F.broadcast(sk), "key", "left")
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("exact_dup"),
+        )
+        .orderBy("doc_id")
+    )
