@@ -2987,3 +2987,63 @@ def q69(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode char-class / script profile (functions/text.py script_profile)
+# ---------------------------------------------------------------------------
+
+_Q71_SQL = """
+WITH c AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+n AS (
+  SELECT doc_id,
+    length(t) AS n_cp,
+    length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS lo,
+    length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS up,
+    length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS dg,
+    length(t) - length(regexp_replace(t, '[ \\t\\n\\r]', '', 'g')) AS sp,
+    length(t) - length(regexp_replace(t, '[ -~]', '', 'g')) AS pr,
+    length(t) - length(regexp_replace(t, '[ ]', '', 'g')) AS sp0,
+    length(t) - length(regexp_replace(t, '[\\x{00c0}-\\x{024f}]', '', 'g')) AS lx,
+    length(t) - length(regexp_replace(t, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cj,
+    length(t) - length(regexp_replace(t, '[\\x{0400}-\\x{04ff}]', '', 'g')) AS cy,
+    length(t) - length(regexp_replace(t, '[\\x{0600}-\\x{06ff}]', '', 'g')) AS ar
+  FROM c
+),
+d AS (
+  SELECT *, lo + up AS lat, pr - lo - up - dg - sp0 AS pu,
+         greatest(lo + up, lx, cj, cy, ar) AS mx
+  FROM n
+)
+SELECT doc_id, n_cp::BIGINT AS n_cp,
+  round(CASE WHEN n_cp > 0 THEN lat::DOUBLE / n_cp ELSE 0.0 END, 6) AS letter_frac,
+  round(CASE WHEN n_cp > 0 THEN dg::DOUBLE / n_cp ELSE 0.0 END, 6) AS digit_frac,
+  round(CASE WHEN n_cp > 0 THEN sp::DOUBLE / n_cp ELSE 0.0 END, 6) AS space_frac,
+  round(CASE WHEN n_cp > 0 THEN pu::DOUBLE / n_cp ELSE 0.0 END, 6) AS punct_frac,
+  round(CASE WHEN n_cp > 0 THEN
+    (n_cp - lat - dg - sp - pu - lx - cj - cy - ar)::DOUBLE / n_cp
+    ELSE 0.0 END, 6) AS other_frac,
+  CASE WHEN mx <= 0 THEN 'none'
+       WHEN lat = mx THEN 'latin'
+       WHEN lx = mx THEN 'latin_ext'
+       WHEN cj = mx THEN 'cjk'
+       WHEN cy = mx THEN 'cyrillic'
+       WHEN ar = mx THEN 'arabic'
+  END AS dominant_script
+FROM d
+"""
+
+
+@register("q71_script_profile", _Q71_SQL)
+def q71(spark, sf_dir):
+    """Char-class / Unicode-script mix per document — the
+    garbled-encoding and script-vs-declared-lang quality signal. Explicit
+    codepoint ranges (not \\p{Script=...}) so Java regex and RE2 count
+    identically; punctuation derived arithmetically from printable ASCII
+    so no engine ever escapes punctuation (functions/text.py
+    script_profile)."""
+    from soda_core_spark.functions.text import script_profile
+
+    return script_profile(_t(spark, sf_dir, "documents"))

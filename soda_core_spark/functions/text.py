@@ -404,3 +404,106 @@ def with_paragraph_signals(df, text_col: str = "text"):
         )
         .drop("__paras", "__paras_d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode char-class / script profile
+# ---------------------------------------------------------------------------
+
+#: script blocks counted by ``char_class_counts``, in dominant-script
+#: preference order (first wins ties). Explicit codepoint ranges — not
+#: \p{Script=...} — because Java regex (Spark) and RE2 (DuckDB oracle)
+#: may carry different Unicode table versions, while raw ranges are
+#: engine-version-independent. \x{...} syntax parses in both.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z]"),
+    ("latin_ext", "[\\x{00c0}-\\x{024f}]"),
+    ("cjk", "[\\x{4e00}-\\x{9fff}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04ff}]"),
+    ("arabic", "[\\x{0600}-\\x{06ff}]"),
+)
+
+
+def _n_matching(t: Column, pattern: str) -> Column:
+    """Chars matching a one-char class, counted by deletion — one JVM
+    regexp pass, no explode."""
+    return F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+
+
+def char_class_counts(text: Column) -> dict[str, Column]:
+    """Per-document character-class counts over code points.
+
+    ASCII classes (letters, digits, whitespace, punctuation-as-remainder
+    of printable ASCII) plus the ``SCRIPT_RANGES`` blocks. ``punct`` is
+    derived arithmetically from the printable-ASCII count so no regex
+    needs to escape punctuation — the classes stay byte-identical across
+    Java regex and RE2.
+    """
+    t = F.coalesce(text, F.lit(""))
+    counts: dict[str, Column] = {"n_cp": F.length(t)}
+    counts["lower"] = _n_matching(t, "[a-z]")
+    counts["upper"] = _n_matching(t, "[A-Z]")
+    counts["digit"] = _n_matching(t, "[0-9]")
+    counts["space"] = _n_matching(t, "[ \\t\\n\\r]")
+    printable = _n_matching(t, "[ -~]")  # 0x20..0x7e
+    counts["punct"] = (
+        printable
+        - counts["lower"]
+        - counts["upper"]
+        - counts["digit"]
+        - _n_matching(t, "[ ]")
+    )
+    for name, pat in SCRIPT_RANGES:
+        if name == "latin":
+            counts[name] = counts["lower"] + counts["upper"]
+        else:
+            counts[name] = _n_matching(t, pat)
+    return counts
+
+
+def dominant_script(counts: dict[str, Column]) -> Column:
+    """Arg-max over the script blocks, ties broken by ``SCRIPT_RANGES``
+    order; ``'none'`` when the document has no script characters at all."""
+    cols = [(name, counts[name]) for name, _ in SCRIPT_RANGES]
+    mx = F.greatest(*[c for _, c in cols])
+    dom = F.when(mx <= 0, F.lit("none"))
+    for name, c in cols:
+        dom = dom.when(c == mx, F.lit(name))
+    return dom
+
+
+def script_profile(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """``(id, n_cp, letter/digit/space/punct/other fractions, dominant
+    script)`` — the script-mix quality signal (garbled-encoding and
+    wrong-language detector) as one shuffle-free projection."""
+    c = char_class_counts(F.col(text_col))
+    n = c["n_cp"]
+    nd = n.cast("double")
+
+    def frac(x: Column) -> Column:
+        return F.round(
+            F.when(n > 0, x.cast("double") / nd).otherwise(F.lit(0.0)), 6
+        )
+
+    known = (
+        c["latin"]
+        + c["digit"]
+        + c["space"]
+        + c["punct"]
+        + c["latin_ext"]
+        + c["cjk"]
+        + c["cyrillic"]
+        + c["arabic"]
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_cp"),
+        frac(c["latin"]).alias("letter_frac"),
+        frac(c["digit"]).alias("digit_frac"),
+        frac(c["space"]).alias("space_frac"),
+        frac(c["punct"]).alias("punct_frac"),
+        frac(n - known).alias("other_frac"),
+        dominant_script(c).alias("dominant_script"),
+    )
