@@ -3047,3 +3047,86 @@ def q71(spark, sf_dir):
     from soda_core_spark.functions.text import script_profile
 
     return script_profile(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means + intra-cluster cosine dedup (operators/semdedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _q70_sql(
+    k: int = 8, iterations: int = 3, dim: int = 64, tau: float = 0.35
+) -> str:
+    # distances fold dims left-to-right exactly like the Spark side's
+    # F.aggregate-over-zip_with (0.0 + d1 + d2 + ... == list_reduce's
+    # d1 + d2 + ...), so arg-min can compare raw doubles; centroid means
+    # are 12dp-rounded per iteration (trajectory pin).
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        " j -> (p.e[j]-c.c[j])*(p.e[j]-c.c[j])), (x,y) -> x+y)"
+    )
+    ctes = [
+        "pts AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
+          FROM (SELECT * FROM pts ORDER BY vec_id LIMIT {k})
+        )""",
+        f"""a0 AS (
+          SELECT vec_id, e, cl FROM (
+            SELECT vec_id, e, cl,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d, cl) AS rn
+            FROM (SELECT p.vec_id, p.e, c.cl, {dist} AS d
+                  FROM pts p, c0 c) dd
+          ) t WHERE rn = 1
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""u{i} AS (
+          SELECT a.cl, r.j, round(sum(a.e[r.j]) / count(*), 12) AS m
+          FROM a{i - 1} a, range(1, {dim + 1}) r(j)
+          GROUP BY a.cl, r.j
+        )""")
+        ctes.append(f"""c{i} AS (
+          SELECT c.cl, coalesce(n.c, c.c) AS c
+          FROM c{i - 1} c LEFT JOIN (
+            SELECT cl, array_agg(m ORDER BY j) AS c FROM u{i} GROUP BY cl
+          ) n ON n.cl = c.cl
+        )""")
+        ctes.append(f"""a{i} AS (
+          SELECT vec_id, e, cl FROM (
+            SELECT vec_id, e, cl,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d, cl) AS rn
+            FROM (SELECT p.vec_id, p.e, c.cl, {dist} AS d
+                  FROM pts p, c{i} c) dd
+          ) t WHERE rn = 1
+        )""")
+    last = f"a{iterations}"
+    return f"""
+    WITH {",".join(ctes)},
+    pr AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM {last} a JOIN {last} b
+        ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.e, b.e), 4) >= {tau!r}
+    )
+    SELECT v.vec_id, v.cl::BIGINT AS cluster,
+           EXISTS(SELECT 1 FROM pr WHERE pr.dup_id = v.vec_id) AS is_semdup
+    FROM {last} v
+    ORDER BY v.vec_id
+    """
+
+
+@register("q70_semdedup", _q70_sql())
+def q70(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): deterministic fixed-iteration k-means
+    over the embedding table, then cosine near-dup search ONLY within
+    clusters — Σ|c|² instead of n². Assignment is a shuffle-free
+    projection against driver-held centroid literals; update is one
+    partial-aggregated (cluster, dim) groupBy; the pair join's key is the
+    cluster id (operators/semdedup.py)."""
+    from soda_core_spark.operators.semdedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, k=8, iterations=3, threshold=0.35)
