@@ -246,3 +246,88 @@ def start_metrics_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_near_dup_gate_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    band_store_path: str,
+    schema: T.StructType = WEB_PAGES_SCHEMA,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable_hash: bool = False,
+    max_files_per_trigger: Optional[int] = None,
+    available_now: bool = True,
+):
+    """Streaming MinHash near-dup gate: each micro-batch is checked
+    against the PERSISTED band-key store (prior snapshots + all earlier
+    batches), survivors are appended to ``output_path``, and the
+    survivors' own band keys are appended to the store — so batch N+1
+    near-dedups against batch N without any stream-stream join or
+    unbounded operator state.
+
+    Why ``foreachBatch`` and not a stream-static join: the gate needs
+    (a) an anti-join against a store that GROWS as the stream runs
+    (stream-static joins snapshot the static side per batch — that part
+    is fine) and (b) the survivors' keys written back — a second sink.
+    ``foreachBatch`` gives both with the batch operators reused verbatim
+    (operators/dedup.incremental_minhash_dedup / corpus_band_keys);
+    state lives in parquet, not the state store, so it survives restarts
+    and is shared with the batch engine's snapshot dedup.
+
+    Semantics: at-least-once on replay (a re-run batch re-appends
+    survivors); exactly-once needs an ACID sink (sources/snapshots.py).
+    Band-hit is LSH candidate semantics — see incremental_minhash_dedup.
+    """
+    from soda_core_spark.operators.dedup import (
+        corpus_band_keys,
+        incremental_minhash_dedup,
+    )
+
+    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        band_type = T.StringType() if portable_hash else T.LongType()
+        try:
+            seen = spark.read.parquet(band_store_path)
+        except Exception:  # first batch, store not created yet
+            seen = spark.createDataFrame(
+                [], T.StructType([T.StructField("band", band_type)])
+            )
+        survivors = incremental_minhash_dedup(
+            batch_df,
+            seen,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            portable_hash=portable_hash,
+        ).persist()
+        try:
+            survivors.write.mode("append").parquet(output_path)
+            new_bands = corpus_band_keys(
+                survivors,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                portable_hash=portable_hash,
+            ).join(seen.select("band"), "band", "left_anti")
+            new_bands.write.mode("append").parquet(band_store_path)
+        finally:
+            survivors.unpersist()
+
+    stream = read_web_pages_stream(
+        spark, input_path, schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    writer = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -163,3 +163,59 @@ def test_dedup_stream_drops_duplicate_urls(spark, tmp_path):
     got = spark.sql("SELECT url, count(*) AS n FROM dedup_out GROUP BY url").collect()
     assert len(got) == 20  # 20 distinct urls
     assert all(r["n"] == 1 for r in got)
+
+
+def test_near_dup_gate_stream_cross_batch(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from soda_core_spark.operators.dedup import corpus_band_keys
+    from soda_core_spark.streaming.quality_stream import (
+        start_near_dup_gate_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    text_b = "the quick brown fox jumps over the lazy dog tonight"
+    text_c = "completely different fresh content about spark streaming gates"
+    text_d = "another unrelated document that only appears in the second file"
+
+    # prior-snapshot band store seeded with text_b
+    band_store = str(tmp_path / "bands")
+    prior = spark.createDataFrame([(100, text_b)], schema)
+    corpus_band_keys(prior).write.parquet(band_store)
+    n_bands_before = spark.read.parquet(band_store).count()
+
+    # two input files → two micro-batches (maxFilesPerTrigger=1)
+    inp = tmp_path / "in"
+    spark.createDataFrame([(1, text_b), (2, text_c)], schema).coalesce(
+        1
+    ).write.parquet(str(inp / "f1"))
+    spark.createDataFrame([(3, text_c), (4, text_d)], schema).coalesce(
+        1
+    ).write.parquet(str(inp / "f2"))
+
+    out = str(tmp_path / "out")
+    q = start_near_dup_gate_stream(
+        spark,
+        str(inp) + "/*",
+        out,
+        str(tmp_path / "ckpt"),
+        band_store,
+        schema=schema,
+        id_col="doc_id",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 1 not in ids              # dup of the prior snapshot → gated
+    assert 4 in ids                  # fresh → survives
+    # text_c appears in both batches: the first occurrence survives, the
+    # second is gated by the bands the first batch appended
+    assert len(ids & {2, 3}) == 1
+    # the store grew by the survivors' bands
+    assert spark.read.parquet(band_store).count() > n_bands_before
