@@ -1279,15 +1279,10 @@ def q39(spark, sf_dir):
     return duplicated_ngram_stats(d, n=8, min_docs=2)
 
 
-def _quality_score_sql() -> str:
-    """DuckDB expression for functions.classifier.quality_score(text),
-    UNROUNDED — the classifier is linear-over-signals + sigmoid; weights
-    are shared data, features reuse the already-oracled q11/q14/q15
-    formulations. Shared by q40 (scores), q60 (weighted sampling) and
-    q61 (per-language buckets)."""
-    from soda_core_spark.functions.classifier import INTERCEPT, WEIGHTS
-
-    feats = {
+def _signal_feats_sql() -> dict[str, str]:
+    """DuckDB expressions for functions.classifier.quality_features —
+    shared by q40/q60/q61 (frozen-weight scoring) and q72 (training)."""
+    return {
         "log_chars": "least(ln(1.0 + length(coalesce(text, ''))), ln(20001.0))",
         "stopword_density": f"""CASE WHEN len({_WORDS_SQL}) > 0
                  THEN len(list_filter({_WORDS_SQL},
@@ -1303,6 +1298,17 @@ def _quality_score_sql() -> str:
                    / (len({_WORDS_SQL}) - 1)
            ELSE 0.0 END""",
     }
+
+
+def _quality_score_sql() -> str:
+    """DuckDB expression for functions.classifier.quality_score(text),
+    UNROUNDED — the classifier is linear-over-signals + sigmoid; weights
+    are shared data, features reuse the already-oracled q11/q14/q15
+    formulations. Shared by q40 (scores), q60 (weighted sampling) and
+    q61 (per-language buckets)."""
+    from soda_core_spark.functions.classifier import INTERCEPT, WEIGHTS
+
+    feats = _signal_feats_sql()
     z = f"({INTERCEPT} " + " ".join(
         f"+ ({w}) * ({feats[name]})" for name, w in WEIGHTS.items()
     ) + ")"
@@ -3130,3 +3136,111 @@ def q70(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return semdedup(e, k=8, iterations=3, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Distilled quality-classifier training (operators/training.py)
+# ---------------------------------------------------------------------------
+
+
+def _q72_sql(lr: float = 1.0, iterations: int = 20) -> str:
+    feats = _signal_feats_sql()
+    names = list(feats)  # insertion order == Spark feature order
+    d = len(names)
+    fcols = ", ".join(f"({feats[n]}) AS r{j + 1}" for j, n in enumerate(names))
+    label = f"""CASE WHEN NOT (length(text) < 150
+                 OR len({_WORDS_SQL}) < 20
+                 OR length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                    / length(text) < 0.55)
+           THEN 1.0 ELSE 0.0 END"""
+    stats = ", ".join(
+        f"round(avg(r{j + 1}), 12) AS m{j + 1},"
+        f" round(stddev_pop(r{j + 1}), 12) AS s{j + 1}"
+        for j in range(d)
+    )
+    std = ", ".join(
+        f"(raw.r{j + 1} - st.m{j + 1})"
+        f" / (CASE WHEN st.s{j + 1} > 0 THEN st.s{j + 1} ELSE 1.0 END)"
+        f" AS f{j + 1}"
+        for j in range(d)
+    )
+    zeros = ", ".join(f"0.0 AS w{j + 1}" for j in range(d)) + ", 0.0 AS b"
+    z = "w.b + " + " + ".join(f"w.w{j + 1} * f{j + 1}" for j in range(d))
+    ctes = [
+        # MATERIALIZED: the unrolled iterations reference f ~2x each;
+        # without it DuckDB re-inlines the parquet scan per reference and
+        # exhausts the open-file limit at 20 iterations.
+        f"raw AS MATERIALIZED (SELECT doc_id, {fcols}, ({label}) AS y"
+        " FROM documents)",
+        f"st AS MATERIALIZED (SELECT {stats} FROM raw)",
+        f"f AS MATERIALIZED (SELECT raw.doc_id, raw.y, {std} FROM raw, st)",
+        f"w0 AS MATERIALIZED (SELECT {zeros})",
+    ]
+    for i in range(1, iterations + 1):
+        gsel = ", ".join(
+            f"avg((p - y) * f{j + 1}) AS g{j + 1}" for j in range(d)
+        )
+        wsel = ", ".join(
+            f"round(w.w{j + 1} - {lr!r} * g.g{j + 1}, 12) AS w{j + 1}"
+            for j in range(d)
+        )
+        # every per-iteration CTE MATERIALIZED: w{{i-1}} is referenced
+        # twice (predict + update), so inlining would expand 2^iterations
+        ctes.append(f"""p{i} AS MATERIALIZED (
+          SELECT f.*, 1.0 / (1.0 + exp(-({z}))) AS p
+          FROM f, w{i - 1} w
+        )""")
+        ctes.append(
+            f"g{i} AS MATERIALIZED ("
+            f"SELECT {gsel}, avg(p - y) AS g0 FROM p{i})"
+        )
+        ctes.append(f"""w{i} AS MATERIALIZED (
+          SELECT {wsel}, round(w.b - {lr!r} * g.g0, 12) AS b
+          FROM w{i - 1} w, g{i} g
+        )""")
+    return f"""
+    WITH {",".join(ctes)},
+    scored AS (
+      SELECT f.doc_id, f.y, 1.0 / (1.0 + exp(-({z}))) AS p
+      FROM f, w{iterations} w
+    )
+    SELECT doc_id, round(p, 6) AS distill_score,
+           (p >= 0.5) AS pred_keep, y::BIGINT AS label
+    FROM scored
+    """
+
+
+@register("q72_distill_classifier", _q72_sql())
+def q72(spark, sf_dir):
+    """Distributed classifier distillation: heuristic keep-rule labels →
+    5 batch-GD iterations of logistic regression, each ONE partial-
+    aggregated whole-corpus avg (no row shuffle, weights on the driver
+    like MLlib's treeAggregate), trajectory 12dp-pinned so the DuckDB
+    oracle replays training step for step (operators/training.py)."""
+    from soda_core_spark.functions.classifier import quality_features
+    from soda_core_spark.functions.text import alnum_ratio, words_col
+    from soda_core_spark.operators.training import (
+        distill_quality_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = quality_features(t)
+    names = list(feats)
+    label = (
+        ~(
+            (F.length(t) < 150)
+            | (F.size(words_col(t)) < 20)
+            | (alnum_ratio(t) < 0.55)
+        )
+    ).cast("double")
+    base = d.select(
+        "doc_id", *[feats[n].alias(n) for n in names], label.alias("y")
+    )
+    out = distill_quality_classifier(base, names, "y", lr=1.0, iterations=20)
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("distill_score"),
+        "pred_keep",
+        F.col("y").cast("long").alias("label"),
+    )
