@@ -3244,3 +3244,160 @@ def q72(spark, sf_dir):
         "pred_keep",
         F.col("y").cast("long").alias("label"),
     )
+
+
+def _q73_sql(n_bins: int = 20) -> str:
+    score = _quality_score_sql()
+    label = f"""CASE WHEN NOT (length(text) < 150
+                 OR len({_WORDS_SQL}) < 20
+                 OR length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                    / length(text) < 0.55)
+           THEN 1 ELSE 0 END"""
+    return f"""
+    WITH scored AS (
+      SELECT least(CAST(floor(round({score}, 6) * {n_bins}) AS BIGINT),
+                   {n_bins}) AS b,
+             ({label}) AS y
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    agg AS (
+      SELECT b, sum(y)::BIGINT AS pos, count(*)::BIGINT AS n
+      FROM scored GROUP BY b
+    ),
+    tot AS (
+      SELECT coalesce(sum(pos), 0)::BIGINT AS tot_pos,
+             coalesce(sum(n), 0)::BIGINT AS tot_n
+      FROM agg
+    ),
+    grid AS (SELECT range AS t FROM range(0, {n_bins} + 1)),
+    per AS (
+      SELECT g.t,
+             coalesce(sum(a.pos), 0)::BIGINT AS tp,
+             coalesce(sum(a.n), 0)::BIGINT AS pp
+      FROM grid g LEFT JOIN agg a ON a.b >= g.t
+      GROUP BY g.t
+    )
+    SELECT round(t / {n_bins}.0, 6) AS threshold,
+           tp,
+           (pp - tp)::BIGINT AS fp,
+           (tot_pos - tp)::BIGINT AS fn,
+           (tot_n - pp - (tot_pos - tp))::BIGINT AS tn,
+           CASE WHEN pp > 0 THEN round(tp::DOUBLE / pp, 6) END AS "precision",
+           CASE WHEN tot_pos > 0 THEN round(tp::DOUBLE / tot_pos, 6) END
+             AS recall,
+           CASE WHEN (tp + pp + tot_pos) > 0
+                THEN round((2 * tp)::DOUBLE / (pp + tot_pos), 6) END AS f1
+    FROM per, tot
+    """
+
+
+@register("q73_threshold_sweep", _q73_sql())
+def q73(spark, sf_dir):
+    """Classifier calibration sweep: P/R/F1 of the frozen quality
+    classifier against the heuristic keep rule at 21 thresholds — the
+    query that picks the operating point for the north rule's F1≥0.99
+    criterion. One corpus pass (bucketed counts), everything after runs
+    on a ≤21-row aggregate (operators/calibration.py)."""
+    from soda_core_spark.functions.classifier import quality_score
+    from soda_core_spark.functions.text import alnum_ratio, words_col
+    from soda_core_spark.operators.calibration import threshold_sweep
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    label = ~(
+        (F.length(t) < 150)
+        | (F.size(words_col(t)) < 20)
+        | (alnum_ratio(t) < 0.55)
+    )
+    return threshold_sweep(d, quality_score(t), label, n_bins=20)
+
+
+def _q74_sql() -> str:
+    old_digits = ", ".join(f"'{c}'" for c in "0123456789ab")
+    new_digits = ", ".join(f"'{c}'" for c in "456789abcdef")
+    return f"""
+    WITH o AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS old_fp
+      FROM documents
+      WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ({old_digits})
+    ),
+    n AS (
+      SELECT doc_id,
+             md5(CASE WHEN substr(md5(doc_id::VARCHAR), 2, 1) < '8'
+                  THEN coalesce(text, '') || ' v2'
+                  ELSE coalesce(text, '') END) AS new_fp
+      FROM documents
+      WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ({new_digits})
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           o.old_fp, n.new_fp,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+
+
+@register("q74_crawl_delta", _q74_sql())
+def q74(spark, sf_dir):
+    """Crawl-to-crawl delta: two deterministic hash-derived snapshots of
+    the documents table (an overlapping old/new crawl pair with a
+    hash-chosen 'changed' subset) adjudicated added / removed / changed
+    / unchanged by ONE full-outer join on the key — the incremental-
+    ingestion primitive (operators/crawl_delta.py)."""
+    from soda_core_spark.operators.crawl_delta import crawl_delta
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    h1 = F.substring(h, 1, 1)
+    h2 = F.substring(h, 2, 1)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    old = d.where(h1.isin(*"0123456789ab")).select(
+        "doc_id", F.md5(text).alias("fingerprint")
+    )
+    new_text = F.when(h2 < "8", F.concat(text, F.lit(" v2"))).otherwise(text)
+    new = d.where(h1.isin(*"456789abcdef")).select(
+        "doc_id", F.md5(new_text).alias("fingerprint")
+    )
+    return crawl_delta(old, new, key_col="doc_id")
+
+
+def _q75_sql() -> str:
+    # decorated text appends decomposed sequences (e+U+0301, A+U+030A,
+    # a+U+0308) so NFC composition is actually exercised on every row
+    deco = (
+        "coalesce(text, '') || ' caf' || chr(101) || chr(769) || ' ' ||"
+        " chr(65) || chr(778) || chr(97) || chr(776)"
+    )
+    return f"""
+    SELECT doc_id,
+           md5(nfc_normalize({deco})) AS nfc_md5,
+           length(nfc_normalize({deco}))::BIGINT AS n_chars_nfc,
+           length({deco})::BIGINT AS n_chars_raw
+    FROM documents
+    """
+
+
+@register("q75_nfc_normalize", _q75_sql())
+def q75(spark, sf_dir):
+    """Unicode NFC normalization (functions/normalize.py): every row's
+    text gets decomposed combining sequences appended, the Arrow-batched
+    UDF composes them, and the oracle pins Python unicodedata byte-equal
+    to DuckDB's utf8proc via md5 + codepoint counts (raw is 3 codepoints
+    longer than NFC on every row by construction)."""
+    from soda_core_spark.functions.normalize import nfc_normalize_col
+
+    d = _t(spark, sf_dir, "documents")
+    deco = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" cafe\u0301 A\u030aa\u0308"),
+    )
+    norm = nfc_normalize_col(deco)
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("nfc_md5"),
+        F.length(norm).cast("long").alias("n_chars_nfc"),
+        F.length(deco).cast("long").alias("n_chars_raw"),
+    )

@@ -1,0 +1,120 @@
+"""Classifier calibration: precision/recall/F1 over a threshold grid.
+
+The north-rule acceptance criterion is F1 ≥ 0.99 of the pipeline's
+keep/drop decision against reference labels — which makes "where do I
+put the score threshold, and how sharp is the cliff around it?" a
+first-class pipeline query, not an offline notebook step (CCNet and
+FineWeb both publish exactly this sweep when they pick an operating
+point). soda-core's metric checks evaluate ONE number against ONE
+threshold (reference: soda-core/src/soda_core/contracts/impl/
+check_types/metric_check.py); this operator evaluates the whole
+threshold axis in a single pass so the contract threshold can be
+*chosen* from evidence.
+
+Scale shape — the corpus is touched exactly once:
+
+1. one partial-aggregated groupBy over ``floor(round(score, 6) *
+   n_bins)`` → at most ``n_bins + 1`` rows of (bucket, positives,
+   total) counts, whatever the corpus size;
+2. the threshold grid joins that tiny aggregate with a ``bucket >=
+   threshold_idx`` range condition (a broadcast nested-loop over two
+   ≤ (n_bins+1)-row frames — deliberately chosen: at this size a
+   nested loop is cheaper than any shuffle) and sums;
+3. confusion cells and P/R/F1 are pure arithmetic on the grid rows.
+
+``pred(t_i) = score >= i/n_bins`` is evaluated as ``bucket >= i``,
+exact because ``floor(x*n) >= i  <=>  x >= i/n`` for integer ``i``.
+The score is rounded to 6 dp BEFORE bucketing so both engines bucket
+identical values (last-ULP ``exp`` drift between JVM and C libm could
+otherwise straddle a bucket boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 of ``score >= t`` against
+    boolean/0-1 ``label`` for every threshold ``t = i/n_bins``,
+    ``i = 0..n_bins``. Returns one row per threshold: (threshold, tp,
+    fp, fn, tn, precision, recall, f1) — ratio columns are NULL where
+    their denominator is zero, rounded to 6 dp.
+
+    ``score`` must lie in [0, 1] (a probability); rows with NULL score
+    or NULL label are excluded (they have no ground truth to count).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    spark = df.sparkSession
+    s = F.round(score.cast("double"), 6)
+    y = label.cast("int")
+    # NULL guard must wrap least(): Spark's (and DuckDB's) least() SKIPS
+    # NULL arguments, so least(floor(NULL*n), n) would be n, silently
+    # counting score-less rows in the top bucket
+    bucket = F.when(
+        s.isNotNull(),
+        F.least(
+            F.floor(s * F.lit(int(n_bins))).cast("long"), F.lit(int(n_bins))
+        ),
+    )
+    agg = (
+        df.select(bucket.alias("__cal_bucket"), y.alias("__cal_y"))
+        .where(F.col("__cal_bucket").isNotNull() & F.col("__cal_y").isNotNull())
+        .groupBy("__cal_bucket")
+        .agg(
+            F.sum("__cal_y").cast("long").alias("__cal_pos"),
+            F.count(F.lit(1)).cast("long").alias("__cal_n"),
+        )
+    )
+    grid = spark.range(0, n_bins + 1).select(
+        F.col("id").alias("__cal_t")
+    )
+    # per-threshold predicted-positive mass: every bucket >= the grid
+    # index counts as predicted-keep at that threshold
+    per = (
+        grid.join(
+            F.broadcast(agg),
+            agg["__cal_bucket"] >= F.col("__cal_t"),
+            "left",
+        )
+        .groupBy("__cal_t")
+        .agg(
+            F.coalesce(F.sum("__cal_pos"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.sum("__cal_n"), F.lit(0)).cast("long").alias("__cal_pp"),
+        )
+    )
+    totals = agg.agg(
+        F.coalesce(F.sum("__cal_pos"), F.lit(0)).cast("long").alias("__cal_tot_pos"),
+        F.coalesce(F.sum("__cal_n"), F.lit(0)).cast("long").alias("__cal_tot_n"),
+    )
+    tp = F.col("tp")
+    pp = F.col("__cal_pp")
+    fp = pp - tp
+    fn = F.col("__cal_tot_pos") - tp
+    tn = F.col("__cal_tot_n") - pp - fn
+    ratio = lambda num, den: F.when(den > 0, F.round(num / den, 6))  # noqa: E731
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            F.round(F.col("__cal_t") / F.lit(float(n_bins)), 6).alias("threshold"),
+            tp,
+            fp.cast("long").alias("fp"),
+            fn.cast("long").alias("fn"),
+            tn.cast("long").alias("tn"),
+            ratio(tp.cast("double"), pp.cast("double")).alias("precision"),
+            ratio(tp.cast("double"), F.col("__cal_tot_pos").cast("double")).alias(
+                "recall"
+            ),
+            ratio(
+                (2 * tp).cast("double"),
+                (2 * tp + fp + fn).cast("double"),
+            ).alias("f1"),
+        )
+    )
