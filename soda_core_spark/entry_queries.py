@@ -3401,3 +3401,72 @@ def q75(spark, sf_dir):
         F.length(norm).cast("long").alias("n_chars_nfc"),
         F.length(deco).cast("long").alias("n_chars_raw"),
     )
+
+
+@register(
+    "q76_key_skew",
+    """
+    WITH counts AS (
+      SELECT user_id, count(*)::BIGINT AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS keys
+      FROM counts
+    ),
+    top AS (
+      SELECT user_id, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+      FROM counts ORDER BY n_rows DESC, user_id LIMIT 15
+    )
+    SELECT rank::BIGINT AS rank, user_id, n_rows,
+           round(n_rows::DOUBLE / total, 6) AS share,
+           round(n_rows::DOUBLE * keys / total, 4) AS skew_x
+    FROM top, tot
+    """,
+)
+def q76(spark, sf_dir):
+    """Join-key skew diagnostic: the 15 hottest user_ids with row share
+    and skew factor — the pre-flight query that decides salting/AQE for
+    a keyed shuffle. One partial-agg groupBy + TakeOrdered top-k
+    (operators/profiling.py)."""
+    from soda_core_spark.operators.profiling import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf_dir, "events"), "user_id", top_k=15)
+
+
+@register(
+    "q77_value_histogram",
+    """
+    WITH clean AS (
+      SELECT value::DOUBLE AS v FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+    ),
+    st AS (
+      SELECT min(v) AS mn, max(v) AS mx,
+             CASE WHEN max(v) > min(v) THEN (max(v) - min(v)) / 20.0
+                  ELSE 1.0 END AS width
+      FROM clean
+    ),
+    binned AS (
+      SELECT least(CAST(floor((v - mn) / width) AS BIGINT), 19) AS bin,
+             count(*)::BIGINT AS n_rows
+      FROM clean, st GROUP BY 1
+    ),
+    grid AS (SELECT range AS bin FROM range(0, 20))
+    SELECT g.bin, round(mn + g.bin * width, 6) AS lo,
+           round(mn + (g.bin + 1) * width, 6) AS hi,
+           coalesce(b.n_rows, 0)::BIGINT AS n_rows
+    FROM grid g LEFT JOIN binned b ON g.bin = b.bin, st
+    """,
+)
+def q77(spark, sf_dir):
+    """Equal-width 20-bin histogram of events.value: 1-row min/max pass
+    broadcast back, one partial-agg groupBy on the bin index, empty bins
+    kept via the range() grid (operators/profiling.py). Bin boundaries
+    are identical IEEE double arithmetic on both engines."""
+    from soda_core_spark.operators.profiling import numeric_histogram
+
+    return numeric_histogram(
+        _t(spark, sf_dir, "events"), F.col("value"), n_bins=20
+    )

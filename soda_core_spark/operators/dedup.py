@@ -201,6 +201,65 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def plan_lsh_params(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Choose (bands, rows) for MinHash LSH given a target Jaccard
+    ``threshold`` and a signature budget of ``num_hashes`` permutations.
+
+    The collision probability of a pair with similarity s under b bands
+    of r rows is ``P(s) = 1 - (1 - s^r)^b`` (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets §3.4). The planner minimizes the weighted
+    sum of the false-positive mass (∫₀ᵗ P(s) ds) and false-negative mass
+    (∫ₜ¹ 1 - P(s) ds), integrated numerically — the same objective
+    datasketch's MinHashLSH optimizer uses, reimplemented from the
+    published formula. Driver-side math over at most ``num_hashes``
+    configurations: O(num_hashes × grid) microseconds, no Spark.
+
+    Weights tune the tradeoff: raising ``fn_weight`` favors more bands
+    (catch more true pairs, verify more candidates); raising
+    ``fp_weight`` favors longer rows (fewer junk candidates reaching the
+    verify join — the lever that matters at 10^12 docs, where candidate
+    volume IS the cost).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    if fp_weight < 0 or fn_weight < 0 or fp_weight + fn_weight <= 0:
+        raise ValueError("weights must be non-negative and not both zero")
+    grid = 200
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, num_hashes + 1):
+        bands = num_hashes // rows
+        if bands < 1:
+            break
+        fp = 0.0
+        fn = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            p = 1.0 - (1.0 - s**rows) ** bands
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp_weight * fp + fn_weight * fn) / grid
+        if best is None or err < best[0]:
+            best = (err, bands, rows)
+    assert best is not None
+    return best[1], best[2]
+
+
+def lsh_collision_probability(s: float, bands: int, rows: int) -> float:
+    """P(candidate | Jaccard = s) for b bands of r rows — the s-curve
+    :func:`plan_lsh_params` optimizes; exposed so callers can report the
+    operating characteristics a chosen (b, r) implies."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
 def portable_token_hash(col: Column) -> Column:
     """Engine-portable 60-bit hash: the first 15 hex digits of md5, parsed
     base-16. Reproducible in any engine with md5 (DuckDB twin:

@@ -1,0 +1,130 @@
+"""Distribution profiling: join-key skew diagnostics and numeric
+histograms.
+
+soda-core's profiling surface reports per-column aggregates (reference:
+soda-core's dataset/column metric checks compute single numbers like avg/
+min/max per column); a 100-TB pipeline additionally needs the two
+distribution shapes those single numbers hide:
+
+* **key skew** — before launching a groupBy/join keyed on host, url, or
+  user, you want to know whether one key owns 30 % of the rows (then you
+  salt it, or let AQE split it). The diagnostic itself must survive the
+  skew it measures: a partial-aggregated count combines each hot key
+  map-side, so the shuffle carries one row per (partition, key), never
+  the raw rows.
+* **histograms** — score/latency/length distributions for threshold
+  picking and drift detection.
+
+Both touch the corpus once and produce tiny frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``top_k`` hottest keys with their row share and skew factor
+    (count / mean-count-per-key). Returns (rank, <key_col>, n_rows,
+    share, skew_x) ordered hottest-first, ties broken by key for
+    determinism.
+
+    Scale shape: ONE partial-aggregated groupBy(key) → per-key counts;
+    totals are a second aggregate over that counts frame (not the
+    corpus); top-k is orderBy+limit = TakeOrderedAndProject (per-
+    partition heaps, no global sort); rank is a window over ≤ top_k
+    rows. NULL keys count as a key (they're the classic skew culprit).
+    """
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("long").alias("__ks_total"),
+        F.count(F.lit(1)).cast("long").alias("__ks_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.col(key_col)).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), F.col(key_col))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            key_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__ks_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("__ks_keys") / F.col("__ks_total"), 4
+            ).alias("skew_x"),
+        )
+    )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value: Column,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equal-width histogram of ``value`` over its observed [min, max]:
+    one row per bin (bin, lo, hi, n_rows), empty bins included, NULL/NaN
+    values excluded. The top bin is closed (max lands in bin
+    ``n_bins - 1``), all others half-open.
+
+    Scale shape: pass 1 is a 1-row min/max aggregate (broadcast back);
+    pass 2 is one partial-aggregated groupBy over the bin index; the
+    bin grid is a ``range(n_bins)`` joined against the tiny counts
+    frame. Degenerate input (min == max, or no rows) yields a single
+    populated bin 0 / an all-zero grid respectively.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    spark = df.sparkSession
+    v = value.cast("double")
+    clean = df.select(v.alias("__nh_v")).where(
+        F.col("__nh_v").isNotNull() & ~F.isnan("__nh_v")
+    )
+    stats = clean.agg(
+        F.min("__nh_v").alias("__nh_min"), F.max("__nh_v").alias("__nh_max")
+    )
+    width = F.when(
+        F.col("__nh_max") > F.col("__nh_min"),
+        (F.col("__nh_max") - F.col("__nh_min")) / F.lit(float(n_bins)),
+    ).otherwise(F.lit(1.0))
+    binned = (
+        clean.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("__nh_v") - F.col("__nh_min")) / width).cast(
+                    "long"
+                ),
+                F.lit(int(n_bins) - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    grid = spark.range(0, n_bins).select(F.col("id").alias("bin"))
+    return (
+        grid.join(F.broadcast(binned), "bin", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bin",
+            F.round(
+                F.col("__nh_min") + F.col("bin") * width, 6
+            ).alias("lo"),
+            F.round(
+                F.col("__nh_min") + (F.col("bin") + 1) * width, 6
+            ).alias("hi"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias(
+                "n_rows"
+            ),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Skew diagnostics + numeric histogram: hand values, NULL/NaN/edge
+semantics, plan shape; LSH planner properties."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from soda_core_spark.operators.dedup import (
+    lsh_collision_probability,
+    plan_lsh_params,
+)
+from soda_core_spark.operators.profiling import key_skew_stats, numeric_histogram
+
+
+def test_skew_hand_values(spark):
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = key_skew_stats(df, "k", top_k=3).orderBy("rank").collect()
+    assert [(r["rank"], r["k"], r["n_rows"]) for r in got] == [
+        (1, "hot", 6),
+        (2, "warm", 3),
+        (3, "a", 1),
+    ]
+    # 12 rows over 5 keys → mean 2.4; hot = 6/12 share, 6/2.4 = 2.5×
+    assert got[0]["share"] == 0.5
+    assert got[0]["skew_x"] == 2.5
+
+
+def test_skew_null_key_counted(spark):
+    df = spark.createDataFrame(
+        [(None,), (None,), ("x",)], "k string"
+    )
+    got = key_skew_stats(df, "k", top_k=2).orderBy("rank").collect()
+    assert got[0]["k"] is None and got[0]["n_rows"] == 2
+
+
+def test_skew_counts_partial_aggregate(spark):
+    # the corpus-side aggregate must be partial (map-side combine) so the
+    # hot key never ships raw rows: HashAggregate appears below the
+    # exchange in the physical plan
+    df = spark.range(1000).select((F.col("id") % 3).alias("k"))
+    plan = key_skew_stats(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+
+
+def test_histogram_hand_values(spark):
+    # values 0..9 in 5 bins of width 1.8
+    df = spark.createDataFrame([(float(i),) for i in range(10)], ["v"])
+    got = {r["bin"]: r for r in numeric_histogram(df, F.col("v"), 5).collect()}
+    assert len(got) == 5
+    assert [got[b]["n_rows"] for b in range(5)] == [2, 2, 2, 2, 2]
+    assert got[0]["lo"] == 0.0 and got[4]["hi"] == 9.0
+    # max value is included in the top (closed) bin
+    assert got[4]["n_rows"] == 2
+
+
+def test_histogram_nulls_nans_empty_bins(spark):
+    rows = [(0.0,), (10.0,), (None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["bin"]: r["n_rows"] for r in numeric_histogram(df, F.col("v"), 4).collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 3: 1}
+
+
+def test_histogram_degenerate_single_value(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    got = {r["bin"]: r for r in numeric_histogram(df, F.col("v"), 3).collect()}
+    assert got[0]["n_rows"] == 2
+    assert got[1]["n_rows"] == 0 and got[2]["n_rows"] == 0
+
+
+def test_histogram_empty_input(spark):
+    df = spark.createDataFrame([], "v double")
+    out = numeric_histogram(df, F.col("v"), 4).collect()
+    assert len(out) == 4
+    assert all(r["n_rows"] == 0 for r in out)
+
+
+def test_lsh_planner_properties():
+    b, r = plan_lsh_params(0.5, 128)
+    assert b * r <= 128 and b >= 1 and r >= 1
+    # the s-curve's inflection (1/b)^(1/r) should sit near the threshold
+    assert abs((1.0 / b) ** (1.0 / r) - 0.5) < 0.15
+    # a higher threshold needs longer rows (sharper curve further right)
+    b2, r2 = plan_lsh_params(0.9, 128)
+    assert r2 > r
+    # weighting recall pushes toward more bands (higher collision prob)
+    b_fn, r_fn = plan_lsh_params(0.5, 128, fp_weight=0.1, fn_weight=0.9)
+    p_bal = lsh_collision_probability(0.5, b, r)
+    p_fn = lsh_collision_probability(0.5, b_fn, r_fn)
+    assert p_fn >= p_bal
+    # collision probability is monotone in s for any plan
+    probs = [lsh_collision_probability(s / 20, b, r) for s in range(21)]
+    assert probs == sorted(probs)
+    assert math.isclose(probs[-1], 1.0)
+
+
+def test_lsh_planner_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_lsh_params(0.0, 128)
+    with pytest.raises(ValueError):
+        plan_lsh_params(0.5, 1)
+    with pytest.raises(ValueError):
+        plan_lsh_params(0.5, 128, fp_weight=0.0, fn_weight=0.0)
