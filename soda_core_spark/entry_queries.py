@@ -3470,3 +3470,75 @@ def q77(spark, sf_dir):
     return numeric_histogram(
         _t(spark, sf_dir, "events"), F.col("value"), n_bins=20
     )
+
+
+def _q78_sql(n_bins: int = 10) -> str:
+    score = f"round({_quality_score_sql()}, 6)"
+    return f"""
+    WITH r AS (
+      SELECT {score} AS v FROM documents
+      WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '8'
+    ),
+    c AS (
+      SELECT {score} AS v FROM documents
+      WHERE substr(md5(doc_id::VARCHAR), 1, 1) >= '8'
+    ),
+    st AS (
+      SELECT min(v) AS mn,
+             CASE WHEN max(v) > min(v) THEN (max(v) - min(v)) / {n_bins}.0
+                  ELSE 1.0 END AS width
+      FROM r
+    ),
+    u AS (
+      SELECT v, 'ref' AS side FROM r
+      UNION ALL SELECT v, 'cur' AS side FROM c
+    ),
+    b AS (
+      SELECT least(greatest(CAST(floor((v - mn) / width) AS BIGINT), 0),
+                   {n_bins} - 1) AS bin,
+             sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)::BIGINT AS ref_n,
+             sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)::BIGINT AS cur_n
+      FROM u, st GROUP BY 1
+    ),
+    grid AS (SELECT range AS bin FROM range(0, {n_bins})),
+    f AS (
+      SELECT g.bin, coalesce(b.ref_n, 0)::BIGINT AS ref_n,
+             coalesce(b.cur_n, 0)::BIGINT AS cur_n
+      FROM grid g LEFT JOIN b ON g.bin = b.bin
+    ),
+    t AS (SELECT sum(ref_n)::BIGINT AS rt, sum(cur_n)::BIGINT AS ct FROM f)
+    SELECT f.bin,
+           round(mn + f.bin * width, 6) AS lo,
+           round(mn + (f.bin + 1) * width, 6) AS hi,
+           round((ref_n + 0.5) / (rt + {n_bins} * 0.5), 6) AS ref_share,
+           round((cur_n + 0.5) / (ct + {n_bins} * 0.5), 6) AS cur_share,
+           round(((ref_n + 0.5) / (rt + {n_bins} * 0.5)
+                  - (cur_n + 0.5) / (ct + {n_bins} * 0.5))
+                 * ln(((ref_n + 0.5) / (rt + {n_bins} * 0.5))
+                      / ((cur_n + 0.5) / (ct + {n_bins} * 0.5))), 6)
+             AS psi_term
+    FROM f, t, st
+    """
+
+
+@register("q78_psi_drift", _q78_sql())
+def q78(spark, sf_dir):
+    """Quality-score drift between two hash-split crawl windows as
+    per-bin PSI contributions (operators/profiling.py): reference
+    window defines the bins, current clamps into edges, +0.5 Laplace
+    smoothing keeps empty-bin terms finite and engine-identical. The
+    score is rounded to 6dp BEFORE binning so both engines bin the
+    exact same doubles (q40 proves 6dp-rounded scores hash-identical)."""
+    from soda_core_spark.functions.classifier import quality_score
+    from soda_core_spark.operators.profiling import (
+        population_stability_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    scored = d.select(
+        h1.alias("h1"), F.round(quality_score(F.col("text")), 6).alias("v")
+    )
+    ref = scored.where(F.col("h1") < "8")
+    cur = scored.where(F.col("h1") >= "8")
+    return population_stability_index(ref, cur, F.col("v"), n_bins=10)

@@ -68,6 +68,99 @@ def key_skew_stats(
     )
 
 
+def population_stability_index(
+    ref: DataFrame,
+    cur: DataFrame,
+    value: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin PSI contributions between a reference window and a
+    current window of the same metric — the standard drift score for
+    "did this week's crawl change shape?" (PSI < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted; the credit-scoring convention). Returns
+    one row per bin: (bin, lo, hi, ref_share, cur_share, psi_term);
+    ``sum(psi_term)`` is the PSI.
+
+    Binning follows PSI practice: boundaries come from the REFERENCE
+    window's [min, max]; current values outside that range clamp into
+    the edge bins (drift mass at the extremes lands in bins 0/n-1, it
+    never disappears). Shares are Laplace-smoothed (+0.5 per bin) so an
+    empty bin contributes a finite, engine-identical term instead of
+    ln(0).
+
+    Scale shape: each corpus is touched once — the two frames are
+    tagged and unioned BEFORE a single partial-aggregated groupBy on
+    (bin), so Spark runs one shuffle of ≤ 2·n_bins aggregated rows;
+    the reference min/max is a 1-row broadcast. NULL/NaN excluded.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v = value.cast("double")
+
+    def _clean(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            v.alias("__nh_v"), F.lit(side).alias("__nh_side")
+        ).where(F.col("__nh_v").isNotNull() & ~F.isnan("__nh_v"))
+
+    r = _clean(ref, "ref")
+    c = _clean(cur, "cur")
+    stats = r.agg(
+        F.min("__nh_v").alias("__nh_min"), F.max("__nh_v").alias("__nh_max")
+    )
+    width = F.when(
+        F.col("__nh_max") > F.col("__nh_min"),
+        (F.col("__nh_max") - F.col("__nh_min")) / F.lit(float(n_bins)),
+    ).otherwise(F.lit(1.0))
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("__nh_v") - F.col("__nh_min")) / width).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(int(n_bins) - 1),
+    )
+    counts = (
+        r.unionByName(c)
+        .crossJoin(F.broadcast(stats))
+        .select(bin_.alias("bin"), "__nh_side")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("__nh_side") == "ref", 1).otherwise(0))
+            .cast("long")
+            .alias("__psi_ref_n"),
+            F.sum(F.when(F.col("__nh_side") == "cur", 1).otherwise(0))
+            .cast("long")
+            .alias("__psi_cur_n"),
+        )
+    )
+    spark = ref.sparkSession
+    grid = spark.range(0, n_bins).select(F.col("id").alias("bin"))
+    filled = grid.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce("__psi_ref_n", F.lit(0)).cast("long").alias("ref_n"),
+        F.coalesce("__psi_cur_n", F.lit(0)).cast("long").alias("cur_n"),
+    )
+    tot = filled.agg(
+        F.sum("ref_n").cast("long").alias("__psi_rt"),
+        F.sum("cur_n").cast("long").alias("__psi_ct"),
+    )
+    p = (F.col("ref_n") + 0.5) / (F.col("__psi_rt") + 0.5 * n_bins)
+    q = (F.col("cur_n") + 0.5) / (F.col("__psi_ct") + 0.5 * n_bins)
+    return (
+        filled.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bin",
+            F.round(F.col("__nh_min") + F.col("bin") * width, 6).alias("lo"),
+            F.round(F.col("__nh_min") + (F.col("bin") + 1) * width, 6).alias(
+                "hi"
+            ),
+            F.round(p, 6).alias("ref_share"),
+            F.round(q, 6).alias("cur_share"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+
+
 def numeric_histogram(
     df: DataFrame,
     value: Column,

@@ -103,3 +103,54 @@ def test_lsh_planner_validation():
         plan_lsh_params(0.5, 1)
     with pytest.raises(ValueError):
         plan_lsh_params(0.5, 128, fp_weight=0.0, fn_weight=0.0)
+
+
+def _psi_total(spark, ref_rows, cur_rows, n_bins=4):
+    from soda_core_spark.operators.profiling import population_stability_index
+
+    ref = spark.createDataFrame([(float(x),) for x in ref_rows], "v double")
+    cur = spark.createDataFrame([(float(x),) for x in cur_rows], "v double")
+    out = population_stability_index(ref, cur, F.col("v"), n_bins).collect()
+    return out, sum(r["psi_term"] for r in out)
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    vals = [i / 10.0 for i in range(40)]
+    out, psi = _psi_total(spark, vals, vals)
+    assert len(out) == 4
+    assert abs(psi) < 1e-9
+    # identical windows: every per-bin term is exactly 0 (p == q)
+    assert all(r["psi_term"] == 0.0 for r in out)
+
+
+def test_psi_detects_shift(spark):
+    ref = [i / 10.0 for i in range(40)]          # uniform on [0, 3.9]
+    cur = [3.5] * 40                              # mass piled in top bin
+    _, psi = _psi_total(spark, ref, cur)
+    assert psi > 0.25  # 'shifted' by the standard rule of thumb
+
+
+def test_psi_out_of_range_clamps_to_edges(spark):
+    ref = [0.0, 1.0, 2.0, 3.0]
+    cur = [-100.0, 100.0]  # far outside the reference range
+    out, _ = _psi_total(spark, ref, cur)
+    by_bin = {r["bin"]: r for r in out}
+    # smoothed cur shares: edge bins (1+0.5)/(2+2), middle (0+0.5)/(2+2)
+    assert by_bin[0]["cur_share"] == 0.375
+    assert by_bin[3]["cur_share"] == 0.375
+    assert by_bin[1]["cur_share"] == 0.125
+    # no mass vanished: total smoothed share is 1
+    assert abs(sum(r["cur_share"] for r in out) - 1.0) < 1e-9
+
+
+def test_psi_empty_bins_finite(spark):
+    import math
+
+    ref = [0.0, 3.0]  # only edge bins populated
+    cur = [1.5]       # only a middle bin
+    out, psi = _psi_total(spark, ref, cur)
+    assert all(
+        r["psi_term"] is not None and math.isfinite(r["psi_term"])
+        for r in out
+    )
+    assert math.isfinite(psi) and psi > 0
