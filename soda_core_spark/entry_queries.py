@@ -3542,3 +3542,70 @@ def q78(spark, sf_dir):
     ref = scored.where(F.col("h1") < "8")
     cur = scored.where(F.col("h1") >= "8")
     return population_stability_index(ref, cur, F.col("v"), n_bins=10)
+
+
+#: shared robots fixture for q79 — the same data builds the Spark rules
+#: frame and the SQL VALUES list. Shapes exercised: disallow-all with a
+#: deeper allow carve-out (longest match), allow/disallow at EQUAL length
+#: (allow wins the tie), disallow of one language subtree, and hosts with
+#: no rules at all (default allow).
+_Q79_ROBOTS_RULES: list[tuple[str, str, bool]] = [
+    ("src0", "/", False),
+    ("src0", "/en/", True),
+    ("src1", "/fr/", False),
+    ("src2", "/en/", False),
+    ("src2", "/en/", True),
+    ("src3", "/de/doc", False),
+]
+
+
+def _q79_sql() -> str:
+    values = ", ".join(
+        f"('{h}', '{p}', {str(a).lower()})" for h, p, a in _Q79_ROBOTS_RULES
+    )
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, source AS host,
+             '/' || lang || '/doc' || doc_id::VARCHAR AS path
+      FROM documents
+    ),
+    rules(host, rule_path, allow) AS (VALUES {values}),
+    matched AS (
+      SELECT p.doc_id, p.host, p.path,
+             max(2 * length(r.rule_path)
+                 + CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
+      FROM pages p
+      LEFT JOIN rules r
+        ON p.host = r.host AND starts_with(p.path, r.rule_path)
+      GROUP BY p.doc_id, p.host, p.path
+    )
+    SELECT doc_id, host, path,
+           CASE WHEN best IS NULL THEN true ELSE best % 2 = 1 END AS allowed
+    FROM matched
+    """
+
+
+@register("q79_robots_filter", _q79_sql())
+def q79(spark, sf_dir):
+    """robots.txt compliance gate (operators/robots.py): longest-prefix-
+    match allow/disallow per RFC 9309 — rules pre-collected into per-host
+    arrays, ONE broadcast equi-join on host, decision folded over the
+    array (corpus never shuffled). The oracle replays the same
+    longest-wins/allow-tie max-encoding via a join + group."""
+    from soda_core_spark.operators.robots import apply_robots_rules
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _Q79_ROBOTS_RULES, "host string, rule_path string, allow boolean"
+    )
+    return apply_robots_rules(pages, rules)
