@@ -221,3 +221,79 @@ def numeric_histogram(
             ),
         )
     )
+
+
+def psi_against_bins(
+    cur: DataFrame,
+    value: Column,
+    ref_bins: list[tuple[int, float, float, int]],
+) -> tuple[float, list[dict]]:
+    """PSI of ``cur``'s values against PRECOMPUTED reference bins —
+    the incremental form of :func:`population_stability_index` for
+    monitoring a stream/batch against a frozen baseline histogram
+    (``ref_bins`` = (bin, lo, hi, n_rows) rows, i.e.
+    :func:`numeric_histogram` output of the reference window).
+
+    Identical math to the two-frame form (same +0.5 smoothing, same
+    edge clamping), so the two agree exactly when the bins come from
+    the same reference window — pinned by a test. Returns
+    (psi, per-bin detail dicts).
+
+    Scale shape: ONE partial-agg groupBy over the current window's bin
+    index; the reference side is driver-held metadata (≤ n_bins tuples,
+    the k-means-centroid precedent), and the final arithmetic runs on
+    ≤ n_bins numbers. The ``cur`` corpus is touched once, never
+    collected.
+    """
+    if not ref_bins:
+        raise ValueError("ref_bins must be non-empty")
+    bins = sorted(ref_bins)
+    n_bins = len(bins)
+    mn = bins[0][1]
+    width = bins[0][2] - bins[0][1]
+    if width <= 0:
+        width = 1.0
+    v = value.cast("double")
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("__nh_v") - F.lit(mn)) / F.lit(width)).cast(
+                "long"
+            ),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    # NULL/NaN filtered BEFORE binning: cast(NaN as long) is 0 in Spark,
+    # so an unfiltered NaN would silently land in bin 0
+    counts = {
+        r["bin"]: r["n"]
+        for r in cur.select(v.alias("__nh_v"))
+        .where(F.col("__nh_v").isNotNull() & ~F.isnan("__nh_v"))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ref_total = sum(b[3] for b in bins)
+    cur_total = sum(counts.values())
+    import math
+
+    psi = 0.0
+    detail = []
+    for b, lo, hi, ref_n in bins:
+        cur_n = counts.get(b, 0)
+        p = (ref_n + 0.5) / (ref_total + 0.5 * n_bins)
+        q = (cur_n + 0.5) / (cur_total + 0.5 * n_bins)
+        term = (p - q) * math.log(p / q)
+        psi += term
+        detail.append(
+            {
+                "bin": b,
+                "lo": lo,
+                "hi": hi,
+                "ref_share": p,
+                "cur_share": q,
+                "psi_term": term,
+            }
+        )
+    return psi, detail

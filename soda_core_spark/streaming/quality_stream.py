@@ -331,3 +331,61 @@ def start_near_dup_gate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_drift_monitor_stream(
+    spark: SparkSession,
+    input_path: str,
+    ref_bins: list,
+    drift_log_path: str,
+    checkpoint_path: str,
+    value: "Column",
+    schema: T.StructType = WEB_PAGES_SCHEMA,
+    max_files_per_trigger: Optional[int] = None,
+    available_now: bool = True,
+):
+    """Streaming PSI drift monitor: every micro-batch's ``value``
+    distribution is scored against a FROZEN reference histogram
+    (``ref_bins`` = (bin, lo, hi, n_rows) tuples — e.g. collected
+    ``operators/profiling.numeric_histogram`` output of last week's
+    healthy corpus) and one (batch_id, n_rows, psi) row is appended to
+    ``drift_log_path`` — the alerting feed for "this crawl batch's
+    quality scores changed shape".
+
+    Why ``foreachBatch``: PSI needs a per-batch aggregate compared
+    against driver-held reference metadata and a second sink (the log),
+    neither of which fits a built-in streaming aggregation; the batch
+    operator (``psi_against_bins``) is reused verbatim, so stream and
+    batch monitoring can never disagree. State is the frozen bins (no
+    growth) — restart-safe by construction.
+
+    Scale shape per batch: one partial-agg groupBy on the bin index
+    (≤ n_bins aggregated rows collected — the k-means-centroid
+    precedent), everything else driver arithmetic on ≤ n_bins numbers.
+    """
+    from soda_core_spark.operators.profiling import psi_against_bins
+
+    bins = [tuple(b) for b in ref_bins]
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        psi, _ = psi_against_bins(batch_df, value, bins)
+        spark.createDataFrame(
+            [(int(batch_id), int(n), float(psi))],
+            "batch_id long, n_rows long, psi double",
+        ).write.mode("append").parquet(drift_log_path)
+
+    stream = read_web_pages_stream(
+        spark, input_path, schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    writer = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

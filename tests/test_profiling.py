@@ -154,3 +154,43 @@ def test_psi_empty_bins_finite(spark):
         for r in out
     )
     assert math.isfinite(psi) and psi > 0
+
+
+def test_psi_against_bins_matches_two_frame_form(spark):
+    from soda_core_spark.operators.profiling import (
+        numeric_histogram,
+        population_stability_index,
+        psi_against_bins,
+    )
+
+    # values placed mid-bin so the 6dp-rounded bin edges in the stored
+    # histogram bin identically to the unrounded two-frame form
+    ref_vals = [0.05 + i * 0.1 for i in range(40)]
+    cur_vals = [3.55] * 10 + [0.15] * 5
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "v double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "v double")
+    two_frame = sum(
+        r["psi_term"]
+        for r in population_stability_index(ref, cur, F.col("v"), 4).collect()
+    )
+    bins = [
+        (r["bin"], r["lo"], r["hi"], r["n_rows"])
+        for r in numeric_histogram(ref, F.col("v"), 4).collect()
+    ]
+    psi, detail = psi_against_bins(cur, F.col("v"), bins)
+    assert abs(psi - two_frame) < 1e-6
+    assert len(detail) == 4
+    assert abs(sum(d["cur_share"] for d in detail) - 1.0) < 1e-9
+
+
+def test_psi_against_bins_excludes_null_nan(spark):
+    from soda_core_spark.operators.profiling import psi_against_bins
+
+    bins = [(0, 0.0, 1.0, 10), (1, 1.0, 2.0, 10)]
+    cur = spark.createDataFrame(
+        [(0.5,), (1.5,), (None,), (float("nan"),)], "v double"
+    )
+    psi, detail = psi_against_bins(cur, F.col("v"), bins)
+    # only the two real values count: shares (1+0.5)/(2+1) each
+    assert all(abs(d["cur_share"] - 0.5) < 1e-9 for d in detail)
+    assert abs(psi) < 1e-9

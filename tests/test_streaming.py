@@ -219,3 +219,48 @@ def test_near_dup_gate_stream_cross_batch(spark, tmp_path):
     assert len(ids & {2, 3}) == 1
     # the store grew by the survivors' bands
     assert spark.read.parquet(band_store).count() > n_bands_before
+
+
+def test_drift_monitor_stream(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from soda_core_spark.operators.profiling import numeric_histogram
+    from soda_core_spark.streaming.quality_stream import (
+        start_drift_monitor_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    # batch files arrive one per trigger: first mirrors the reference
+    # distribution, second is piled into the top of the range
+    ref_rows = [(f"u{i}", float((i * 37) % 100) / 10.0) for i in range(200)]
+    shifted = [(f"s{i}", 9.5) for i in range(200)]
+    schema = "url string, score double"
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    ref_df.coalesce(1).write.parquet(inp + "/b0")
+    spark.createDataFrame(shifted, schema).coalesce(1).write.parquet(
+        inp + "/b1"
+    )
+    bins = [
+        (r["bin"], r["lo"], r["hi"], r["n_rows"])
+        for r in numeric_histogram(ref_df, F.col("score"), 5).collect()
+    ]
+    q = start_drift_monitor_stream(
+        spark,
+        inp + "/b*/*.parquet",
+        bins,
+        str(tmp_path / "log"),
+        str(tmp_path / "ckpt"),
+        value=F.col("score"),
+        schema=spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    log = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "log")).collect()
+    }
+    assert len(log) == 2
+    psis = sorted(r["psi"] for r in log.values())
+    assert psis[0] < 0.1       # self-similar batch: stable
+    assert psis[1] > 0.25      # piled batch: shifted
+    assert all(r["n_rows"] == 200 for r in log.values())
