@@ -357,6 +357,66 @@ def data_source_test_main(args: argparse.Namespace) -> int:
     return ExitCode.OK
 
 
+def data_source_profile_main(args: argparse.Namespace) -> int:
+    """Distribution profile of one dataset: numeric histograms for
+    ``--column`` and hottest-key skew tables for ``--key``
+    (operators/profiling.py) — the distribution extension of the
+    reference's single-number dataset metrics (its `data-source
+    discover` lists datasets; this looks inside one). Output is plain
+    text; exit 0 on success, 3 on any failure."""
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.operators.profiling import (
+        key_skew_stats,
+        numeric_histogram,
+    )
+
+    if not args.column and not args.key:
+        print("nothing to profile: pass --column and/or --key", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    spark, err = _session_from_args(args)
+    if err is not None:
+        return err
+    spec = args.dataset
+    try:
+        if "=" in spec:
+            name, path = (s.strip() for s in spec.split("=", 1))
+            df = spark.read.parquet(path)
+        else:
+            name = spec.strip()
+            df = spark.table(name)
+    except Exception as e:
+        print(f"dataset {spec} NOT readable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    try:
+        for col in args.column or []:
+            print(f"# histogram {name}.{col} ({args.bins} bins)")
+            rows = numeric_histogram(df, F.col(col), args.bins).orderBy(
+                "bin"
+            ).collect()
+            total = sum(r["n_rows"] for r in rows) or 1
+            for r in rows:
+                bar = "#" * round(40 * r["n_rows"] / total)
+                print(
+                    f"  [{r['lo']:>14.6g}, {r['hi']:>14.6g}) "
+                    f"{r['n_rows']:>10} {bar}"
+                )
+        for key in args.key or []:
+            print(f"# key skew {name}.{key} (top {args.top_k})")
+            for r in key_skew_stats(df, key, args.top_k).orderBy(
+                "rank"
+            ).collect():
+                print(
+                    f"  {r['rank']:>3}. {r[key]!r:<30} n={r['n_rows']:<10}"
+                    f" share={r['share']:<9} skew_x={r['skew_x']}"
+                )
+    except Exception as e:
+        print(f"profile failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    return ExitCode.OK
+
+
 _DATA_SOURCE_TEMPLATE = """\
 # soda_core_spark data-source configuration (Spark session modes —
 # sources/session.py; pick exactly one mode)
@@ -498,6 +558,26 @@ def _data_source_main(argv: list[str]) -> int:
     d.add_argument("--cluster-id", default=None)
     d.add_argument("--use-active-session", action="store_true")
     d.set_defaults(_handler=data_source_discover_main)
+
+    pr = sub.add_parser(
+        "profile", help="Histogram / key-skew profile of one dataset"
+    )
+    pr.add_argument(
+        "-ds", "--dataset", required=True,
+        help="NAME=PARQUET_PATH, or a bare catalog table name",
+    )
+    pr.add_argument("--column", action="append",
+                    help="numeric column to histogram (repeatable)")
+    pr.add_argument("--key", action="append",
+                    help="key column for skew diagnostics (repeatable)")
+    pr.add_argument("--bins", type=int, default=20)
+    pr.add_argument("--top-k", type=int, default=10)
+    pr.add_argument("--local-cpus", default=None)
+    pr.add_argument("--remote", default=None, help="Spark Connect sc:// target")
+    pr.add_argument("--token", default=None)
+    pr.add_argument("--cluster-id", default=None)
+    pr.add_argument("--use-active-session", action="store_true")
+    pr.set_defaults(_handler=data_source_profile_main)
 
     t = sub.add_parser("test", help="Test the Spark session + dataset bindings")
     t.add_argument(

@@ -36,7 +36,14 @@ def parse_robots_txt(
     lines share a group; the most specific matching group applies
     (exact agent name beats '*'); empty Disallow means no restriction.
     Unknown directives and comments are ignored. Returns [] when no
-    group matches or the body is NULL/empty."""
+    group matches or the body is NULL/empty.
+
+    Limitation (documented, not silent): RFC 9309's optional ``*``
+    wildcard and ``$`` end-anchor inside paths are treated as literal
+    characters here — rules using them effectively never match, which
+    FAILS OPEN to the spec's no-match default (allowed). Extending the
+    gate means swapping ``startswith`` for an anchored regex translated
+    per rule; the join/fold shape is unchanged."""
     if not body:
         return []
     ua = user_agent.lower()

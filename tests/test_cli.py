@@ -35,3 +35,41 @@ def test_cli_resumable(tmp_path):
     out2 = subprocess.run(args, capture_output=True, text=True, cwd="/root/repo", timeout=300)
     summary2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith("{")][-1])
     assert summary2 == summary
+
+
+def test_cli_data_source_profile(tmp_path, spark):
+    # in-process (use_active_session) so no new JVM spins up; the
+    # handler path is identical to the subprocess form
+    import pytest
+
+    from soda_core_spark.cli import main
+
+    df = spark.createDataFrame(
+        [(float(i % 10), "hot" if i % 3 == 0 else f"k{i}") for i in range(60)],
+        "score double, host string",
+    )
+    path = str(tmp_path / "pages")
+    df.write.parquet(path)
+    rc = main(
+        [
+            "data-source", "profile",
+            "-ds", f"pages={path}",
+            "--column", "score",
+            "--key", "host",
+            "--bins", "5",
+            "--top-k", "3",
+            "--use-active-session",
+        ]
+    )
+    assert rc == 0
+
+
+def test_cli_data_source_profile_errors(spark):
+    from soda_core_spark.cli import main
+
+    # nothing requested
+    assert main(["data-source", "profile", "-ds", "x=/nope",
+                 "--use-active-session"]) == 3
+    # unreadable dataset
+    assert main(["data-source", "profile", "-ds", "x=/nope",
+                 "--column", "v", "--use-active-session"]) == 3
