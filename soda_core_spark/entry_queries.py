@@ -3609,3 +3609,225 @@ def q79(spark, sf_dir):
         _Q79_ROBOTS_RULES, "host string, rule_path string, allow boolean"
     )
     return apply_robots_rules(pages, rules)
+
+
+# ---------------------------------------------------------------------------
+# Published rule packs: C4 line cleaning + Gopher document rules
+# ---------------------------------------------------------------------------
+
+_Q80_GOOD = "This is a proper sentence with enough words to survive."
+_Q80_LINES = (
+    "too short.",
+    "Please enable javascript to view the comments powered here.",
+    "this line has plenty of words but no terminal punctuation at all",
+)
+_Q80_BRACE = "A curly brace appears, so C4 drops this page {."
+_Q80_LOREM = "Lorem Ipsum filler text means boilerplate pages."
+
+
+def _q80_sql() -> str:
+    # decorate every document with hash-chosen line structure so line
+    # keeps, line drops, and page-level failures all actually occur
+    nl = "chr(10)"
+    mids = f" || {nl} || ".join(f"'{s}'" for s in _Q80_LINES)
+    deco = (
+        f"coalesce(text, '') || {nl} || '{_Q80_GOOD}' || {nl} || {mids}"
+        f" || {nl} || CASE"
+        " WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '4'"
+        f" THEN '{_Q80_BRACE}'"
+        " WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '8'"
+        f" THEN '{_Q80_LOREM}'"
+        f" ELSE '{_Q80_GOOD}' END"
+    )
+    term = "'[.!?\"' || chr(8217) || chr(8221) || ']$'"
+    return f"""
+    WITH arr AS (
+      SELECT doc_id, {deco} AS t,
+             list_transform(string_split({deco}, chr(10)), x -> trim(x))
+               AS lines
+      FROM documents
+    ),
+    keptl AS (
+      SELECT doc_id, t, lines,
+             list_filter(lines, x ->
+               regexp_matches(x, {term})
+               AND len(list_filter(regexp_split_to_array(x, '[ \\t]+'),
+                                   w -> w <> '')) >= 5
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM arr
+    ),
+    built AS (
+      SELECT doc_id, t, lines, kept,
+             array_to_string(kept, chr(10)) AS clean_text
+      FROM keptl
+    )
+    SELECT doc_id,
+           md5(clean_text) AS clean_md5,
+           len(list_filter(lines, x -> x <> ''))::BIGINT AS n_lines_total,
+           len(kept)::BIGINT AS n_lines_kept,
+           ((length(clean_text)
+             - length(translate(clean_text, '.!?', ''))) >= 3
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{{')) AS page_keep
+    FROM built
+    """
+
+
+@register("q80_c4_line_clean", _q80_sql())
+def q80(spark, sf_dir):
+    """C4 line-level cleaning (functions/rulepacks.py; Raffel et al.
+    2020 S2.2): keep lines ending in terminal punctuation with >= 5
+    words and no 'javascript'; page fails on < 3 sentences, 'lorem
+    ipsum', or '{'. Pure column algebra over one split — zero Python,
+    zero shuffle — and the oracle byte-checks the cleaned text via
+    md5 (the same byte-identity discipline as the scrub query)."""
+    from soda_core_spark.functions.rulepacks import c4_line_clean
+
+    d = _t(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    tail = (
+        F.when(h1 < "4", F.lit(_Q80_BRACE))
+        .when(h1 < "8", F.lit(_Q80_LOREM))
+        .otherwise(F.lit(_Q80_GOOD))
+    )
+    deco = F.concat_ws(
+        "\n",
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(_Q80_GOOD),
+        *(F.lit(s) for s in _Q80_LINES),
+        tail,
+    )
+    staged = d.select("doc_id", deco.alias("__t"))
+    return c4_line_clean(staged, text_col="__t").select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_lines_total",
+        "n_lines_kept",
+        "page_keep",
+    )
+
+
+_Q81_BULLET_DOC = (
+    "- one two three\n- four five six\n- seven eight nine"
+    "\n- ten eleven twelve"
+)
+_Q81_HASHES = " " + " ".join(["#"] * 20)
+_Q81_ELLIPSIS = "\nto be continued...\nmore light...\nwait…"
+_Q81_STOPS = " the be to of and that have with"
+
+
+def _q81_sql() -> str:
+    from soda_core_spark.functions.rulepacks import (
+        GOPHER_STOPWORDS,
+        GOPHER_THRESHOLDS,
+    )
+
+    ell = _Q81_ELLIPSIS.replace("\n", "' || chr(10) || '").replace(
+        "…", "' || chr(8230) || '"
+    )
+    bullets = _Q81_BULLET_DOC.replace("\n", "' || chr(10) || '")
+    deco = (
+        "CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '3'"
+        f" THEN '{bullets}'"
+        " WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '6'"
+        f" THEN coalesce(text, '') || '{_Q81_HASHES}'"
+        " WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '9'"
+        f" THEN coalesce(text, '') || '{ell}'"
+        " WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c'"
+        " THEN coalesce(text, '')"
+        f" ELSE coalesce(text, '') || '{_Q81_STOPS}' END"
+    )
+    stops = " + ".join(
+        "list_contains(list_transform(w, x -> lower(x)),"
+        f" '{sw}')::INT"
+        for sw in GOPHER_STOPWORDS
+    )
+    th = GOPHER_THRESHOLDS
+    lo_wc, hi_wc = th["word_count"]
+    lo_mwl, hi_mwl = th["mean_word_len"]
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, {deco} AS t,
+             list_filter(regexp_split_to_array({deco},
+                 '[ \\t\\n\\r]+'), x -> x <> '') AS w,
+             list_filter(list_transform(string_split({deco}, chr(10)),
+                 x -> trim(x)), x -> x <> '') AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, t, w, lines,
+             len(w)::BIGINT AS nw, len(lines)::BIGINT AS nl,
+             length(array_to_string(w, '')) AS wchars,
+             (length(t) - length(replace(t, '#', ''))) / 1
+               + (length(t) - length(replace(t, chr(8230), ''))) / 1
+               + (length(t) - length(replace(t, '...', ''))) / 3 AS nsym
+      FROM feat
+    )
+    SELECT doc_id,
+      (nw < {lo_wc} OR nw > {hi_wc}) AS fail_word_count,
+      CASE WHEN nw > 0 THEN (wchars / nw::DOUBLE) < {lo_mwl}
+             OR (wchars / nw::DOUBLE) > {hi_mwl}
+           ELSE true END AS fail_mean_word_len,
+      CASE WHEN nw > 0 THEN (nsym / nw::DOUBLE) > {th['symbol_word_ratio']}
+           ELSE true END AS fail_symbol_ratio,
+      CASE WHEN nl > 0 THEN
+             len(list_filter(lines, x -> starts_with(x, chr(8226))
+                 OR starts_with(x, '- ') OR starts_with(x, '* ')))::DOUBLE
+               / nl > {th['bullet_line_frac']}
+           ELSE false END AS fail_bullet,
+      CASE WHEN nl > 0 THEN
+             len(list_filter(lines, x -> ends_with(x, '...')
+                 OR ends_with(x, chr(8230))))::DOUBLE
+               / nl > {th['ellipsis_line_frac']}
+           ELSE false END AS fail_ellipsis,
+      CASE WHEN nw > 0 THEN
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / nw < {th['alpha_word_frac']}
+           ELSE true END AS fail_alpha_words,
+      ({stops}) < {th['min_stopwords']} AS fail_stopwords,
+      NOT ((nw < {lo_wc} OR nw > {hi_wc})
+        OR CASE WHEN nw > 0 THEN (wchars / nw::DOUBLE) < {lo_mwl}
+                  OR (wchars / nw::DOUBLE) > {hi_mwl}
+                ELSE true END
+        OR CASE WHEN nw > 0 THEN (nsym / nw::DOUBLE)
+                  > {th['symbol_word_ratio']} ELSE true END
+        OR CASE WHEN nl > 0 THEN
+                  len(list_filter(lines, x -> starts_with(x, chr(8226))
+                      OR starts_with(x, '- ')
+                      OR starts_with(x, '* ')))::DOUBLE
+                    / nl > {th['bullet_line_frac']} ELSE false END
+        OR CASE WHEN nl > 0 THEN
+                  len(list_filter(lines, x -> ends_with(x, '...')
+                      OR ends_with(x, chr(8230))))::DOUBLE
+                    / nl > {th['ellipsis_line_frac']} ELSE false END
+        OR CASE WHEN nw > 0 THEN
+                  len(list_filter(w, x ->
+                      regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                    / nw < {th['alpha_word_frac']} ELSE true END
+        OR ({stops}) < {th['min_stopwords']}) AS keep
+    FROM m
+    """
+
+
+@register("q81_gopher_rules", _q81_sql())
+def q81(spark, sf_dir):
+    """The Gopher document-quality rule pack (functions/rulepacks.py;
+    Rae et al. 2021 Appendix A.1.1): seven per-document failure flags
+    + keep, every ratio a division of identical integer counts so the
+    booleans are bit-identical across engines. Hash-chosen decoration
+    variants (bullet doc / symbol spam / ellipsis lines / raw /
+    stopword boost) make every rule fire on some subset."""
+    from soda_core_spark.functions.rulepacks import with_gopher_flags
+
+    d = _t(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    base = F.coalesce(F.col("text"), F.lit(""))
+    deco = (
+        F.when(h1 < "3", F.lit(_Q81_BULLET_DOC))
+        .when(h1 < "6", F.concat(base, F.lit(_Q81_HASHES)))
+        .when(h1 < "9", F.concat(base, F.lit(_Q81_ELLIPSIS)))
+        .when(h1 < "c", base)
+        .otherwise(F.concat(base, F.lit(_Q81_STOPS)))
+    )
+    staged = d.select("doc_id", deco.alias("__t"))
+    return with_gopher_flags(staged, "__t").drop("__t")
