@@ -3831,3 +3831,85 @@ def q81(spark, sf_dir):
     )
     staged = d.select("doc_id", deco.alias("__t"))
     return with_gopher_flags(staged, "__t").drop("__t")
+
+
+# clean source -> its UTF-8 bytes mis-decoded as Latin-1 and as cp1252:
+# the two real-web mojibake variants (deterministic at import time).
+# NOTE: must stay cp1252-decodable — chars whose UTF-8 bytes hit the
+# five undefined cp1252 slots (0x81 0x8D 0x8F 0x90 0x9D), e.g. the
+# closing curly quote U+201D (byte 0x9D), would raise at import.
+_Q82_CLEAN = (
+    "été déjà — «naïve»"
+    " “quoted’…"
+)
+_Q82_MOJI_L1 = _Q82_CLEAN.encode("utf-8").decode("latin-1")
+_Q82_MOJI_CP = _Q82_CLEAN.encode("utf-8").decode("cp1252")
+
+
+def _sql_chr_literal(s: str) -> str:
+    """A DuckDB expression reproducing ``s`` exactly, control chars and
+    all, without relying on literal-escaping rules."""
+    return "(" + " || ".join(f"chr({ord(c)})" for c in s) + ")"
+
+
+def _q82_sql() -> str:
+    deco = (
+        "CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '5'"
+        f" THEN coalesce(text, '') || ' ' || {_sql_chr_literal(_Q82_MOJI_L1)}"
+        " WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'a'"
+        f" THEN coalesce(text, '') || ' ' || {_sql_chr_literal(_Q82_MOJI_CP)}"
+        " ELSE coalesce(text, '') END"
+    )
+    a_c3 = "chr(195)"  # 'Ã'
+    a_c2 = "chr(194)"  # 'Â'
+    a_e2 = "(chr(226) || chr(8364))"  # 'â€' (cp1252 face of E2 80)
+    return f"""
+    WITH deco AS (SELECT doc_id, {deco} AS t FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             ((length(t) - length(replace(t, {a_c3}, ''))) / 1
+              + (length(t) - length(replace(t, {a_c2}, ''))) / 1
+              + (length(t) - length(replace(t, {a_e2}, ''))) / 2)::BIGINT
+               AS n_artifacts,
+             length(t) AS nc
+      FROM deco
+    )
+    SELECT doc_id, n_artifacts,
+           round(CASE WHEN nc > 0 THEN n_artifacts::DOUBLE / nc
+                      ELSE 0.0 END, 6) AS mojibake_ratio,
+           (n_artifacts >= 2
+            AND round(CASE WHEN nc > 0 THEN n_artifacts::DOUBLE / nc
+                           ELSE 0.0 END, 6) > 0.005) AS is_mojibake
+    FROM m
+    """
+
+
+@register("q82_mojibake", _q82_sql())
+def q82(spark, sf_dir):
+    """Encoding-artifact (mojibake) detection (functions/mojibake.py):
+    replace-diff counts of the UTF-8-read-as-Latin-1/cp1252 telltales,
+    ratio + flag — pure codegen, no UDF. Half the corpus gets a
+    Latin-1-flavoured artifact suffix, a quarter the cp1252 flavour
+    (hash-chosen), so both variants and the clean path are exercised.
+    The ftfy-style repair itself is JVM translate+encode+decode and is
+    python-oracled in tests (DuckDB has no Latin-1 codec)."""
+    from soda_core_spark.functions.mojibake import mojibake_signals
+
+    d = _t(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    base = F.coalesce(F.col("text"), F.lit(""))
+    deco = (
+        F.when(h1 < "5", F.concat(base, F.lit(" " + _Q82_MOJI_L1)))
+        .when(h1 < "a", F.concat(base, F.lit(" " + _Q82_MOJI_CP)))
+        .otherwise(base)
+    )
+    sig = mojibake_signals(deco)
+    # the ratio-vs-threshold compare must see the same 6dp-rounded value
+    # as the oracle (is_mojibake in mojibake_signals already compares
+    # the rounded ratio)
+    return d.select(
+        "doc_id",
+        sig["n_artifacts"].alias("n_artifacts"),
+        sig["mojibake_ratio"].alias("mojibake_ratio"),
+        sig["is_mojibake"].alias("is_mojibake"),
+    )
