@@ -3913,3 +3913,76 @@ def q82(spark, sf_dir):
         sig["mojibake_ratio"].alias("mojibake_ratio"),
         sig["is_mojibake"].alias("is_mojibake"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed n-gram NB classifier (operators/nbgram.py)
+# ---------------------------------------------------------------------------
+
+
+def _q83_sql(buckets: int = 1024, alpha: float = 1.0) -> str:
+    ph = _P_HASH_SQL.format(v="g")
+    a = float(alpha)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, (lang = 'en') AS label,
+             list_filter(
+               regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\r]+'),
+               x -> x <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, label,
+             unnest(list_concat(
+               ws,
+               list_transform(range(1, len(ws)),
+                              i -> ws[i] || chr(31) || ws[i + 1]))) AS g
+      FROM base
+    ),
+    cnt AS (
+      SELECT doc_id, label, ({ph}) % {buckets} AS bucket, count(*) AS n
+      FROM grams GROUP BY doc_id, label, bucket
+    ),
+    pb AS (
+      SELECT bucket,
+             sum(CASE WHEN label THEN n ELSE 0 END)::DOUBLE AS pos_c,
+             sum(CASE WHEN NOT label THEN n ELSE 0 END)::DOUBLE AS neg_c
+      FROM cnt GROUP BY bucket
+    ),
+    tot AS (SELECT sum(pos_c) AS pos_t, sum(neg_c) AS neg_t FROM pb),
+    llr AS (
+      SELECT bucket,
+             round(ln((pos_c + {a}) / (pos_t + {a} * {buckets}))
+                 - ln((neg_c + {a}) / (neg_t + {a} * {buckets})), 12) AS llr
+      FROM pb, tot
+    ),
+    prior AS (
+      SELECT round(ln(sum(CASE WHEN label THEN 1 ELSE 0 END) + {a})
+                 - ln(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) + {a}),
+                   12) AS prior
+      FROM base
+    ),
+    score AS (
+      SELECT c.doc_id,
+             round(sum(c.n * l.llr) + any_value(p.prior), 6) AS nb_score
+      FROM cnt c JOIN llr l USING (bucket), prior p
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, nb_score, nb_score > 0.0 AS nb_pred FROM score
+    """
+
+
+@register("q83_nbgram_classifier", _q83_sql())
+def q83(spark, sf_dir):
+    """fastText-style hashed uni+bigram quality classifier, NB
+    parametrization (operators/nbgram.py — the DCLM/FineWeb model-filter
+    shape): closed-form per-bucket log-likelihood-ratio weights from ONE
+    aggregation pass, broadcast back onto integer (doc, bucket) counts,
+    per-doc linear score + keep/drop prediction. Labels here: lang='en'
+    (learnable from n-grams, so the prediction column is meaningful)."""
+    from soda_core_spark.operators.nbgram import nb_quality_classifier
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "label", F.col("lang") == "en"
+    )
+    return nb_quality_classifier(d, buckets=1024)
