@@ -3986,3 +3986,165 @@ def q83(spark, sf_dir):
         "label", F.col("lang") == "en"
     )
     return nb_quality_classifier(d, buckets=1024)
+
+
+# ---------------------------------------------------------------------------
+# jusText boilerplate block classification (operators/justext.py)
+# ---------------------------------------------------------------------------
+
+
+def _duck_frag_chain(expr: str) -> str:
+    """Fragment → text: the justext module's frag_text as DuckDB SQL,
+    built FROM the same rule strings."""
+    from soda_core_spark.functions.html import HTML_ENTITIES
+    from soda_core_spark.operators.justext import FRAG_TAG_PATTERN
+
+    out = f"regexp_replace({expr}, {_duck_estr(FRAG_TAG_PATTERN)}, ' ', 'g')"
+    for ent, lit in HTML_ENTITIES:
+        out = f"replace({out}, {_duck_sq(ent)}, {_duck_sq(lit)})"
+    return f"trim(regexp_replace({out}, ' +', ' ', 'g'), ' ')"
+
+
+def _q84_sql() -> str:
+    from soda_core_spark.operators.justext import (
+        ANCHOR_PATTERN,
+        BLOCK_BOUNDARY_PATTERN,
+        PRE_RULES,
+    )
+
+    html = (
+        "'<html><body><div><a href=\"/\">Home</a> "
+        "<a href=\"/a\">About us</a> <a href=\"/c\">Contact</a></div><p>' || "
+        "substr(coalesce(text, ''), 1, 40) || '</p><p>' || "
+        "coalesce(text, '') || "
+        "'</p><p>Share this</p><div>' || chr(169) || "
+        "' 2026 Example Corp</div></body></html>'"
+    )
+    pre = html
+    for pat, rep in PRE_RULES:
+        pre = f"regexp_replace({pre}, {_duck_estr(pat)}, {_duck_estr(rep)}, 'g')"
+    # coalesce: DuckDB's array_to_string([]) is NULL, not '' — a NULL
+    # alen would silently become link_density 1.0 through NULL-skipping
+    # least()
+    anchors = (
+        "coalesce(array_to_string(regexp_extract_all(frag, "
+        + _duck_estr(ANCHOR_PATTERN)
+        + ", 1), ' '), '')"
+    )
+    sw = f"list_contains({_SW_LIST_SQL}, lower(x))"
+    gb = "CASE WHEN cf_class IN ('good', 'bad') THEN cf_class END"
+    ng = "CASE WHEN cf_class IN ('good', 'bad', 'neargood') THEN cf_class END"
+    return f"""
+    WITH src AS (SELECT doc_id, {pre} AS s FROM documents),
+    fr0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(fl)),
+                    j -> {{'i': j + 1, 'frag': fl[j + 1]}})) AS u
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(s,
+                     {_duck_estr(BLOCK_BOUNDARY_PATTERN)}) AS fl
+            FROM src) x
+    ),
+    fr AS (SELECT doc_id, u.i AS i, u.frag AS frag FROM fr0),
+    blk AS (
+      SELECT doc_id, i, {_duck_frag_chain('frag')} AS t,
+             length({_duck_frag_chain(anchors)}) AS alen
+      FROM fr
+    ),
+    nz AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos,
+             t, alen, length(t) AS L,
+             list_filter(regexp_split_to_array(t, '[ \\t\\n\\r]+'),
+                         x -> x <> '') AS ws
+      FROM blk WHERE t <> ''
+    ),
+    cf AS (
+      SELECT doc_id, pos, L,
+             CASE
+               WHEN (CASE WHEN L > 0
+                          THEN least(1.0, alen::DOUBLE / L) ELSE 0.0 END)
+                    > 0.2 THEN 'bad'
+               WHEN contains(t, chr(169)) THEN 'bad'
+               WHEN L < 70 THEN
+                 CASE WHEN alen > 0 THEN 'bad' ELSE 'short' END
+               WHEN (CASE WHEN len(ws) > 0
+                          THEN len(list_filter(ws, x -> {sw}))::DOUBLE
+                               / len(ws) ELSE 0.0 END) >= 0.32 THEN
+                 CASE WHEN L > 200 THEN 'good' ELSE 'neargood' END
+               WHEN (CASE WHEN len(ws) > 0
+                          THEN len(list_filter(ws, x -> {sw}))::DOUBLE
+                               / len(ws) ELSE 0.0 END) >= 0.30
+                 THEN 'neargood'
+               ELSE 'bad'
+             END AS cf_class
+      FROM nz
+    ),
+    nb AS (
+      SELECT doc_id, pos, L, cf_class,
+             coalesce(last_value({gb} IGNORE NULLS) OVER wp, 'bad') AS pgb,
+             coalesce(first_value({gb} IGNORE NULLS) OVER wn, 'bad') AS ngb,
+             coalesce(last_value({ng} IGNORE NULLS) OVER wp, 'bad') AS png,
+             coalesce(first_value({ng} IGNORE NULLS) OVER wn, 'bad') AS nng
+      FROM cf
+      WINDOW wp AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT doc_id, pos, cf_class,
+           CASE
+             WHEN cf_class = 'short' THEN
+               CASE
+                 WHEN pgb = 'good' AND ngb = 'good' THEN 'good'
+                 WHEN pgb = 'bad' AND ngb = 'bad' THEN 'bad'
+                 WHEN (pgb = 'bad' AND png = 'neargood')
+                   OR (ngb = 'bad' AND nng = 'neargood') THEN 'good'
+                 ELSE 'bad'
+               END
+             WHEN cf_class = 'neargood' THEN
+               CASE WHEN pgb = 'bad' AND ngb = 'bad'
+                    THEN 'bad' ELSE 'good' END
+             ELSE cf_class
+           END AS block_class,
+           L::BIGINT AS block_len
+    FROM nb
+    """
+
+
+@register("q84_justext_blocks", _q84_sql())
+def q84(spark, sf_dir):
+    """jusText-style boilerplate block classification
+    (operators/justext.py): each document wrapped in a deterministic
+    page template (link nav, a 40-char teaser block, the full text, a
+    short share block, a copyright footer — built identically in both
+    engines), segmented at block tags, classified context-free
+    (link density / copyright / length / stopword density) and revised
+    from nearest decided neighbours. Spark runs the whole algorithm
+    row-locally (prefix-scan HOFs, zero shuffle); the oracle is an
+    independent window-function formulation."""
+    from soda_core_spark.operators.justext import justext_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "html",
+        F.concat(
+            F.lit(
+                '<html><body><div><a href="/">Home</a> '
+                '<a href="/a">About us</a> <a href="/c">Contact</a></div><p>'
+            ),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+            F.lit("</p><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p><p>Share this</p><div>\u00a9 2026 Example Corp</div>"
+                  "</body></html>"),
+        ),
+    )
+    b = justext_blocks(d)
+    return b.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "cf_class",
+        "block_class",
+        F.length("block_text").cast("bigint").alias("block_len"),
+    )
