@@ -4148,3 +4148,25 @@ def q84(spark, sf_dir):
         "block_class",
         F.length("block_text").cast("bigint").alias("block_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (functions/bpe.py) — no SQL oracle (driver-side merge
+# loop is not SQL-expressible); pinned by the python replay + naive-
+# recount trainer parity in tests/test_bpe.py. Driver records rows-only.
+# ---------------------------------------------------------------------------
+
+
+@register("q85_bpe_token_count", None)
+def q85(spark, sf_dir):
+    """Tokenizer-accurate token counts: BPE merges trained on the
+    corpus's exact word-frequency table (one groupBy — the sufficient
+    statistic, not a sample; driver loop bounded by max_words), applied
+    via an Arrow-batched mapInPandas with a per-batch word cache
+    (functions/bpe.py). Deterministic end to end: training ties pinned,
+    so re-runs and re-partitionings yield identical counts."""
+    from soda_core_spark.functions.bpe import bpe_token_counts, train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, num_merges=200)
+    return bpe_token_counts(d, merges)
