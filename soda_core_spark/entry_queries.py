@@ -4170,3 +4170,103 @@ def q85(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     merges = train_bpe(d, num_merges=200)
     return bpe_token_counts(d, merges)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation (operators/linkgraph.py)
+# ---------------------------------------------------------------------------
+
+
+def _q86_sql(k: int = 3) -> str:
+    from soda_core_spark.operators.linkgraph import ANCHOR_HREF_TEXT_PATTERN
+
+    pat = _duck_estr(ANCHOR_HREF_TEXT_PATTERN)
+    host = "'host' || (doc_id % 17)::VARCHAR || '.example.com'"
+    h1 = "((doc_id * 3 + 1) % 17)::VARCHAR"
+    h2 = "((doc_id * 5 + 2) % 17)::VARCHAR"
+    html = (
+        "'<p>' || coalesce(text, '') || '</p>'"
+        f" || '<a href=\"https://host' || {h1} || '.example.com/a\">"
+        f"<b>Read</b> host ' || {h1} || '</a>'"
+        f" || '<a href=\"//host' || {h2} || '.example.com/b\">"
+        "news &amp; views</a>'"
+        " || '<a href=\"/local\">home</a>'"
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {host} AS src_host, {html} AS html FROM documents
+    ),
+    x AS (
+      SELECT src_host,
+             unnest(regexp_extract_all(html, {pat}, 1)) AS href,
+             unnest(regexp_extract_all(html, {pat}, 2)) AS raw
+      FROM docs
+    ),
+    resolved AS (
+      SELECT src_host,
+             CASE WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')
+                    THEN nullif(regexp_replace(
+                           lower(regexp_extract(href, '{_LG_URL_RE}', 2)),
+                           ':[0-9]+$', ''), '')
+                  WHEN href LIKE '//%'
+                    THEN nullif(regexp_replace(
+                           lower(regexp_extract('http:' || href,
+                                                '{_LG_URL_RE}', 2)),
+                           ':[0-9]+$', ''), '')
+                  WHEN NOT regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                    THEN src_host
+                  ELSE NULL END AS dst_host,
+             {_duck_frag_chain('raw')} AS anchor_text
+      FROM x
+    ),
+    cnt AS (
+      SELECT dst_host, anchor_text, count(*)::BIGINT AS n
+      FROM resolved
+      WHERE dst_host IS NOT NULL AND anchor_text <> ''
+        AND dst_host <> src_host
+      GROUP BY dst_host, anchor_text
+    )
+    SELECT dst_host, anchor_text, n, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY dst_host ORDER BY n DESC, anchor_text
+      )::BIGINT AS rank FROM cnt
+    ) WHERE rank <= {k}
+    """
+
+
+@register("q86_host_anchor_texts", _q86_sql())
+def q86(spark, sf_dir):
+    """Anchor-text aggregation onto target hosts
+    (operators/linkgraph.py): href + inner text extracted from the SAME
+    match via two group extractions zipped positionally, destinations
+    resolved like the link graph (http/protocol-relative/other-scheme),
+    inline markup stripped and entities decoded by the shared fragment
+    rules, external anchors counted per (host, text) and top-3 ranked —
+    the classic document-augmentation signal."""
+    from soda_core_spark.operators.linkgraph import (
+        host_anchor_texts,
+        top_host_anchors,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = lambda e: F.concat(  # noqa: E731
+        F.lit("host"), (e % 17).cast("string"), F.lit(".example.com")
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), host(did), F.lit("/page/"), did.cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit("<p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><a href="https://'),
+            host(did * 3 + 1),
+            F.lit('/a"><b>Read</b> host '),
+            ((did * 3 + 1) % 17).cast("string"),
+            F.lit('</a><a href="//'),
+            host(did * 5 + 2),
+            F.lit('/b">news &amp; views</a><a href="/local">home</a>'),
+        ).alias("html"),
+    )
+    return top_host_anchors(host_anchor_texts(pages), k=3)

@@ -62,17 +62,24 @@ def outlink_hosts(
     e = df.select(
         src_host.alias("src_host"), F.explode(hrefs).alias("href")
     ).where(F.col("src_host").isNotNull())
-    is_http = F.col("href").rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
-    has_scheme = F.col("href").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
-    is_proto_rel = F.col("href").startswith("//")
-    dst = (
-        F.when(is_http, url_host_col(F.col("href")))
-        .when(is_proto_rel, url_host_col(F.concat(F.lit("http:"), F.col("href"))))
-        .when(~has_scheme, F.col("src_host"))
-    )
+    dst = resolve_dst_host(F.col("href"), F.col("src_host"))
     return (
         e.select("src_host", dst.alias("dst_host"))
         .where(F.col("dst_host").isNotNull())
+    )
+
+
+def resolve_dst_host(href: Column, src_host: Column) -> Column:
+    """Destination host of one href: http(s) and protocol-relative
+    links resolve through the URL parser, path-relative links resolve
+    to the source host (self-edge), any other scheme → NULL."""
+    is_http = href.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
+    has_scheme = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    is_proto_rel = href.startswith("//")
+    return (
+        F.when(is_http, url_host_col(href))
+        .when(is_proto_rel, url_host_col(F.concat(F.lit("http:"), href)))
+        .when(~has_scheme, src_host)
     )
 
 
@@ -182,3 +189,80 @@ def host_pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+#: href + inner text of <a> elements: group 1 = href, group 2 = anchor
+#: text (may contain inline markup — cleaned by frag_text downstream).
+ANCHOR_HREF_TEXT_PATTERN = r'(?is)<a\s[^>]*href="([^"]+)"[^>]*>(.*?)</a\s*>'
+
+
+def host_anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    src_host: Column | None = None,
+    url_col: str = "url",
+    external_only: bool = True,
+) -> DataFrame:
+    """One row per (dst_host, anchor_text) link occurrence — the
+    classic document-augmentation / ranking signal: the anchors OTHER
+    pages use to link to a host describe it better than its own markup
+    (the original PageRank-era insight; used for query expansion and
+    crawl-frontier labeling).
+
+    href and inner text come from the SAME pattern via two
+    ``regexp_extract_all`` group extractions zipped positionally (match
+    order is shared, so the zip is exact); inner markup is stripped and
+    entities decoded by the extraction chain's fragment rules. Pure JVM
+    until the one explode; empty anchors (image links) drop.
+
+    ``external_only`` (default) keeps only cross-host anchors —
+    internal navigation ("Home", "next page") is noise for the
+    augmentation use case; pass False to keep self-links too.
+    """
+    from soda_core_spark.operators.justext import frag_text
+
+    if src_host is None:
+        src_host = url_host_col(F.col(url_col))
+    h = F.col(html_col)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(ANCHOR_HREF_TEXT_PATTERN), F.lit(1)).alias(
+            "href"
+        ),
+        F.regexp_extract_all(h, F.lit(ANCHOR_HREF_TEXT_PATTERN), F.lit(2)).alias(
+            "raw"
+        ),
+    )
+    e = df.select(
+        src_host.alias("src_host"), F.explode(pairs).alias("p")
+    ).where(F.col("src_host").isNotNull())
+    dst = resolve_dst_host(F.col("p.href"), F.col("src_host"))
+    out = e.select(
+        "src_host",
+        dst.alias("dst_host"),
+        frag_text(F.col("p.raw")).alias("anchor_text"),
+    ).where(F.col("dst_host").isNotNull() & (F.col("anchor_text") != ""))
+    if external_only:
+        out = out.where(F.col("dst_host") != F.col("src_host"))
+    return out.drop("src_host")
+
+
+def top_host_anchors(anchors: DataFrame, k: int = 5) -> DataFrame:
+    """Per-host top-k anchor texts: ``(dst_host, anchor_text, n,
+    rank)``. The groupBy collapses occurrences to distinct texts with
+    map-side partial aggregation BEFORE the rank window, so the window
+    input is one row per (host, distinct text) — orders of magnitude
+    smaller than the link stream. A host with pathologically many
+    distinct anchor texts is the same skew case as the per-host corpus
+    cap; its exact two-stage top-k (operators/dedup.py per_host_cap)
+    drops in unchanged if profiling shows one."""
+    from pyspark.sql import Window
+
+    counts = anchors.groupBy("dst_host", "anchor_text").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("anchor_text")
+    )
+    return counts.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= int(k))

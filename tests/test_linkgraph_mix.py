@@ -287,3 +287,71 @@ def test_leakage_free_split_validation(spark):
         leakage_free_split(docs, comps, train_frac=0.0)
     with pytest.raises(ValueError):
         leakage_free_split(docs, comps, train_frac=0.8, val_frac=0.3)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation (linkgraph.host_anchor_texts / top_host_anchors)
+# ---------------------------------------------------------------------------
+
+
+def _anchor_pages(spark):
+    rows = [
+        (
+            "https://a.com/1",
+            '<p>x</p><a href="https://b.com/p"><b>Great</b> site</a>'
+            '<a href="//c.com/q">news &amp; views</a>'
+            '<a href="/local">home</a>'
+            '<a href="mailto:x@y.z">mail</a>'
+            '<a href="https://b.com/img"><img src="i.png"/></a>',
+        ),
+        ("https://d.com/2", '<a href="https://b.com/p">Great site</a>'),
+        ("https://e.com/3", '<a href="https://b.com/p">b portal</a>'),
+        ("https://b.com/4", '<a href="https://b.com/self">internal nav</a>'),
+    ]
+    return spark.createDataFrame(rows, ["url", "html"])
+
+
+def test_anchor_texts_resolution_and_cleaning(spark):
+    from soda_core_spark.operators.linkgraph import host_anchor_texts
+
+    got = sorted(
+        (r["dst_host"], r["anchor_text"])
+        for r in host_anchor_texts(_anchor_pages(spark)).collect()
+    )
+    # internal nav (self-link + relative) and mailto dropped; image-only
+    # anchor drops as empty text; inline tags stripped; entities decoded
+    assert got == [
+        ("b.com", "Great site"),
+        ("b.com", "Great site"),
+        ("b.com", "b portal"),
+        ("c.com", "news & views"),
+    ]
+
+
+def test_anchor_texts_internal_kept_when_asked(spark):
+    from soda_core_spark.operators.linkgraph import host_anchor_texts
+
+    got = sorted(
+        (r["dst_host"], r["anchor_text"])
+        for r in host_anchor_texts(
+            _anchor_pages(spark), external_only=False
+        ).collect()
+    )
+    assert ("a.com", "home") in got and ("b.com", "internal nav") in got
+
+
+def test_top_host_anchors_rank_and_ties(spark):
+    from soda_core_spark.operators.linkgraph import (
+        host_anchor_texts,
+        top_host_anchors,
+    )
+
+    anchors = host_anchor_texts(_anchor_pages(spark))
+    got = {
+        (r["dst_host"], r["rank"]): (r["anchor_text"], r["n"])
+        for r in top_host_anchors(anchors, k=2).collect()
+    }
+    assert got[("b.com", 1)] == ("Great site", 2)
+    assert got[("b.com", 2)] == ("b portal", 1)
+    assert got[("c.com", 1)] == ("news & views", 1)
+    assert ("b.com", 3) not in got  # k cap
