@@ -4270,3 +4270,79 @@ def q86(spark, sf_dir):
         ).alias("html"),
     )
     return top_host_anchors(host_anchor_texts(pages), k=3)
+
+
+# ---------------------------------------------------------------------------
+# quality-ranked cluster survivor selection (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+_Q87_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 10
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+reach AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+),
+m AS (
+  SELECT c.component, c.node AS doc_id,
+         length(coalesce(d.text, '')) AS score
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+mx AS (SELECT component, max(score) AS smax FROM m GROUP BY component),
+surv AS (
+  SELECT m.component, min(m.doc_id) AS doc_id
+  FROM m JOIN mx USING (component) WHERE m.score = mx.smax
+  GROUP BY m.component
+),
+losers AS (
+  SELECT node AS doc_id FROM comp
+  WHERE node NOT IN (SELECT doc_id FROM surv)
+)
+SELECT doc_id, length(coalesce(text, ''))::BIGINT AS text_len
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+
+@register("q87_best_of_cluster", _Q87_SQL)
+def q87(spark, sf_dir):
+    """Quality-ranked near-dup survivor selection
+    (operators/dedup.py best_of_cluster): connected components over the
+    q43 similarity-surrogate graph, then keep the LONGEST member of
+    every cluster (ties → lowest id) plus all unclustered docs — the
+    keep-the-best-duplicate rule production dedup uses instead of
+    min-id. Membership joins move only (id, score) pairs; oracle is the
+    recursive-CTE closure plus max/min-id selection."""
+    from soda_core_spark.operators.dedup import (
+        best_of_cluster,
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    comps = connected_components(edges)
+    kept = best_of_cluster(
+        d, comps, F.length(F.coalesce(F.col("text"), F.lit("")))
+    )
+    return kept.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint")
+        .alias("text_len"),
+    )

@@ -1191,6 +1191,45 @@ def dedup_by_components(
     return df.join(non_survivors, id_col, "left_anti")
 
 
+def best_of_cluster(
+    df: DataFrame,
+    components: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked survivor selection: keep, per near-dup cluster,
+    the member with the HIGHEST ``score`` (ties → lowest id), plus every
+    document that appears in no cluster. The production upgrade over
+    :func:`dedup_by_components`' min-id rule — pipelines keep the
+    longest / highest-quality duplicate, not an arbitrary one.
+
+    Shape: cluster membership joins only (id, score) pairs — text never
+    moves; per-component max then min-id-among-maxima are two
+    partial-agg groupBys over the (small) membership table; survivors
+    come back as a left-anti on the loser id set. NULL scores rank
+    below every real score (all-NULL cluster → min id, the
+    dedup_by_components behavior)."""
+    scored = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(score.cast("double"), F.lit(float("-inf"))).alias("__s"),
+    )
+    m = components.join(scored, components["node"] == F.col("__id")).select(
+        "component", "__id", "__s"
+    )
+    mx = m.groupBy("component").agg(F.max("__s").alias("__smax"))
+    surv = (
+        m.join(mx, "component")
+        .where(F.col("__s") == F.col("__smax"))
+        .groupBy("component")
+        .agg(F.min("__id").alias(id_col))
+        .select(id_col)
+    )
+    losers = components.select(F.col("node").alias(id_col)).join(
+        surv, id_col, "left_anti"
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Incremental (cross-snapshot) dedup
 # ---------------------------------------------------------------------------

@@ -1022,3 +1022,54 @@ def test_png_truncated_checksum_rejected():
     assert np.array_equal(decode_png(good), img)
     with _pytest.raises(Exception):
         decode_png(bad)
+
+
+def test_best_of_cluster_quality_survivors(spark):
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.operators.dedup import (
+        best_of_cluster,
+        connected_components,
+    )
+
+    # clusters {1,2,3} and {10,11}; 20 and 21 unclustered
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = connected_components(edges)
+    docs = spark.createDataFrame(
+        [
+            (1, 5.0),
+            (2, 9.0),   # best of {1,2,3}
+            (3, 9.0),   # tie with 2 → min id (2) wins
+            (10, None), # all-NULL cluster → min id (10) wins
+            (11, None),
+            (20, 0.1),
+            (21, None),
+        ],
+        ["doc_id", "q"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in best_of_cluster(docs, comps, F.col("q")).collect()
+    }
+    assert kept == {2, 10, 20, 21}
+
+
+def test_best_of_cluster_highest_beats_min_id(spark):
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.operators.dedup import (
+        best_of_cluster,
+        connected_components,
+        dedup_by_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    comps = connected_components(edges)
+    docs = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["doc_id", "q"])
+    by_quality = {
+        r["doc_id"] for r in best_of_cluster(docs, comps, F.col("q")).collect()
+    }
+    by_min_id = {r["doc_id"] for r in dedup_by_components(docs, comps).collect()}
+    assert by_quality == {2} and by_min_id == {1}
