@@ -42,6 +42,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -249,6 +250,91 @@ class SnapshotTable:
             **(properties or {}),
         }
         return self._commit(parent, "compact", files, props)
+
+    def merge(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        properties: Optional[dict] = None,
+        validate_unique: bool = True,
+    ) -> int:
+        """Copy-on-write MERGE (upsert by key) — the analogue of Iceberg's
+        ``MERGE INTO``: rows of CURRENT whose key appears in ``source``
+        are replaced by the source row, source rows with new keys are
+        inserted, and — the point of CoW — only data files that actually
+        CONTAIN a matched key are rewritten; every untouched file carries
+        over into the new snapshot by reference.
+
+        Scale shape: matched-file detection reads only the key columns
+        plus ``input_file_name()`` (parquet column pruning — the text
+        never moves), semi-joined against the distinct source keys (AQE
+        broadcasts a small source side). The rewrite job reads just the
+        touched files, anti-joins the replaced keys, and unions the
+        source. On a range-clustered table (sources/layout.py) a keyed
+        merge touches few files by construction. Old files stay readable
+        via time travel until :meth:`vacuum`.
+
+        ``validate_unique`` (default) rejects a source with duplicate
+        keys — the Iceberg multiple-rows-match error — for one cheap
+        aggregate over the source. Concurrency: CASes on the parent like
+        every commit; a concurrent writer wins and this raises
+        :class:`CommitConflict`."""
+        from urllib.parse import unquote, urlparse
+
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        if validate_unique:
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge source has duplicate keys on "
+                    f"{key_cols} — an upsert would be ambiguous"
+                )
+        parent = self.current_snapshot_id()
+        if parent is None:
+            files = self._write_data(source)
+            return self._commit(parent, "merge", files, {
+                "files_rewritten": 0,
+                "files_carried": 0,
+                **(properties or {}),
+            })
+        cur_rel = self.snapshot(parent).files
+        abs_of = {os.path.abspath(os.path.join(self.path, f)): f for f in cur_rel}
+        keys = source.select(*key_cols).distinct()
+        with_file = (
+            self.read(parent)
+            .withColumn("__file", F.input_file_name())
+            .select(*key_cols, "__file")
+        )
+        touched_abs = {
+            os.path.abspath(unquote(urlparse(r["__file"]).path))
+            for r in with_file.join(keys, key_cols, "semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        carried = [rel for a, rel in abs_of.items() if a not in touched_abs]
+        touched = [a for a in abs_of if a in touched_abs]
+        if touched:
+            kept = self.spark.read.parquet(*touched).join(
+                keys, key_cols, "left_anti"
+            )
+            rewrite = kept.unionByName(source)
+        else:
+            rewrite = source
+        new_files = self._write_data(rewrite)
+        props = {
+            "files_rewritten": len(touched),
+            "files_carried": len(carried),
+            **(properties or {}),
+        }
+        return self._commit(parent, "merge", carried + new_files, props)
 
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO reachable snapshot (crash

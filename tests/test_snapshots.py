@@ -209,3 +209,85 @@ def test_compact_conflict_with_concurrent_append(spark, tmp_path):
     # the appended rows are intact and a RETRIED compaction now succeeds
     t.compact(target_files=1)
     assert sorted(r["id"] for r in t.read().collect()) == list(range(20))
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write MERGE (upsert)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upserts_and_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]))
+    src = spark.createDataFrame([(2, "B"), (9, "Z")], ["id", "v"])
+    sid = t.merge(src, ["id"])
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}
+    assert t.snapshot(sid).operation == "merge"
+
+
+def test_merge_is_file_level_cow(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # two appends → two disjoint file groups
+    t.append(spark.createDataFrame([(i, "lo") for i in range(5)],
+                                   ["id", "v"]).coalesce(1))
+    s2 = t.append(spark.createDataFrame([(i, "hi") for i in range(100, 105)],
+                                        ["id", "v"]).coalesce(1))
+    before = set(t.snapshot(s2).files)
+    # merge touches only the high-key file group
+    sid = t.merge(spark.createDataFrame([(101, "HI")], ["id", "v"]), ["id"])
+    after = set(t.snapshot(sid).files)
+    carried = before & after
+    assert carried, "untouched files must carry over by reference"
+    props = t.snapshot(sid).properties
+    assert props["files_rewritten"] == 1
+    assert props["files_carried"] == len(carried)
+    # low-key rows still present, exactly once
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == [(i, "lo") for i in range(5)] + [
+        (100, "hi"), (101, "HI"), (102, "hi"), (103, "hi"), (104, "hi")]
+
+
+def test_merge_time_travel_and_empty_table(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    sid0 = t.merge(spark.createDataFrame([(1, "a")], ["id", "v"]), ["id"])
+    assert {r["v"] for r in t.read(sid0).collect()} == {"a"}
+    t.merge(spark.createDataFrame([(1, "A")], ["id", "v"]), ["id"])
+    assert {r["v"] for r in t.read(sid0).collect()} == {"a"}  # pinned past
+    assert {r["v"] for r in t.read().collect()} == {"A"}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest
+
+    t = _mk(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(spark.createDataFrame([(1, "x"), (1, "y")], ["id", "v"]),
+                ["id"])
+
+
+def test_merge_conflicts_with_concurrent_writer(spark, tmp_path):
+    from soda_core_spark.sources.snapshots import CommitConflict, SnapshotTable
+
+    import pytest
+
+    t = _mk(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    # a second handle commits between our read of CURRENT and the merge:
+    # simulate by appending via another handle inside the window — the
+    # simplest deterministic equivalent is to monkeypatch _commit's parent
+    # by appending first, then calling merge with a stale handle state.
+    t2 = SnapshotTable(spark, t.path)
+    src = spark.createDataFrame([(1, "x")], ["id", "v"])
+    orig = t._write_data
+
+    def write_and_race(df):
+        files = orig(df)
+        t2.append(spark.createDataFrame([(7, "r")], ["id", "v"]))
+        return files
+
+    t._write_data = write_and_race
+    with pytest.raises(CommitConflict):
+        t.merge(src, ["id"])
