@@ -103,3 +103,92 @@ def cluster_stats(path: str, column: str) -> ClusterStats:
     return ClusterStats(
         len(files), per_file, round(hits / len(spans), 3)
     )
+
+
+def zorder_key(
+    cols: list, bounds: list[tuple[float, float]], bits: int = 8
+):
+    """Z-order (Morton) key over N numeric dimensions as ONE codegen
+    column expression: each column is quantized to ``bits`` equal-width
+    buckets over its [min, max] ``bounds`` (NULL → bucket 0, values
+    clamped), then the bucket bits are interleaved column-round-robin —
+    points close in EVERY dimension land close on the key, so range
+    clustering on it gives min-max file skipping on ALL the columns at
+    once instead of only the leading one (the Z-order motivation;
+    public design: Morton 1966, Delta OPTIMIZE ZORDER BY).
+
+    Equal-width quantization is deliberate: it needs only a 1-row
+    min/max aggregate (no per-column global sort) and is
+    engine-reproducible. Heavily skewed dimensions get fewer effective
+    buckets — pre-transform (log, rank) such columns, or pass explicit
+    ``bounds`` covering the hot range.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) != len(bounds):
+        raise ValueError("cols and bounds must align")
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    nb = 1 << bits
+    qs = []
+    for c, (lo, hi) in zip(cols, bounds):
+        c = F.col(c) if isinstance(c, str) else c
+        lo_f, hi_f = float(lo), float(hi)
+        span = hi_f - lo_f
+        if span <= 0:
+            qs.append(F.lit(0).cast("long"))
+            continue
+        q = F.floor(
+            (c.cast("double") - F.lit(lo_f)) * F.lit(float(nb)) / F.lit(span)
+        )
+        q = F.least(F.greatest(q, F.lit(0)), F.lit(nb - 1))
+        qs.append(F.coalesce(q, F.lit(0)).cast("long"))
+    key = F.lit(0).cast("long")
+    n = len(qs)
+    for b in range(bits):
+        for j, q in enumerate(qs):
+            out_pos = b * n + j
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), out_pos)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` parquet Z-order-clustered on N numeric columns:
+    one tiny min/max aggregate fixes the quantization bounds, rows
+    range-partition + sort on the interleaved key, and every output
+    file owns a compact hyper-rectangle — a selective predicate on ANY
+    of the cluster columns skips most files (``cluster_stats`` audits
+    each dimension). Single-column callers want :func:`write_clustered`
+    (lexicographic range beats Z-order in 1-D)."""
+    from pyspark.sql import functions as F
+
+    if len(cluster_cols) < 2:
+        raise ValueError(
+            "zorder needs >= 2 columns; use write_clustered for one"
+        )
+    aggs = []
+    for c in cluster_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    bounds = [
+        (row[f"__lo_{c}"] or 0.0, row[f"__hi_{c}"] or 0.0)
+        for c in cluster_cols
+    ]
+    z = zorder_key(cluster_cols, bounds, bits=bits)
+    staged = df.withColumn("__z", z)
+    part = (
+        staged.repartitionByRange(num_files, "__z")
+        if num_files
+        else staged.repartitionByRange("__z")
+    )
+    part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

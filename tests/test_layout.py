@@ -51,3 +51,79 @@ def test_cluster_stats_unknown_column(spark, tmp_path):
     spark.createDataFrame([(1, "a")], ["id", "s"]).write.parquet(p)
     with pytest.raises(ValueError):
         cluster_stats(p, "nope")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (255.0, 0.0), (0.0, 255.0), (255.0, 255.0)],
+        ["x", "y"],
+    )
+    z = zorder_key(["x", "y"], [(0.0, 256.0), (0.0, 256.0)], bits=8)
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+
+    def morton(a, b):
+        out = 0
+        for i in range(8):
+            out |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert got == [morton(0, 0), morton(255, 0), morton(0, 255),
+                   morton(255, 255)]
+    # corners: all-zero and all-one keys
+    assert got[0] == 0 and got[3] == (1 << 16) - 1
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    from soda_core_spark.sources.layout import (
+        cluster_stats,
+        write_clustered,
+        write_zordered,
+    )
+
+    # two independent uniform dimensions
+    df = spark.range(4096).selectExpr(
+        "cast(id % 64 as double) as x",
+        "cast(cast(id / 64 as int) as double) as y",
+        "id as payload",
+    )
+    p_range = str(tmp_path / "range")
+    p_z = str(tmp_path / "zord")
+    write_clustered(df, p_range, ["x"], num_files=16)
+    write_zordered(df, p_z, ["x", "y"], num_files=16)
+
+    range_x = cluster_stats(p_range, "x").overlap_factor
+    range_y = cluster_stats(p_range, "y").overlap_factor
+    z_x = cluster_stats(p_z, "x").overlap_factor
+    z_y = cluster_stats(p_z, "y").overlap_factor
+    # range clustering: perfect on x, useless on y (every file spans y)
+    assert range_x <= 2.0
+    assert range_y > 10.0
+    # z-order: decent on BOTH (each file owns a hyper-rectangle)
+    assert z_x <= 6.0 and z_y <= 6.0
+
+
+def test_zorder_roundtrip_and_validation(spark, tmp_path):
+    import pytest
+
+    from soda_core_spark.sources.layout import write_zordered
+
+    df = spark.range(100).selectExpr(
+        "cast(id as double) as x", "cast(id % 10 as double) as y", "id"
+    )
+    p = str(tmp_path / "t")
+    write_zordered(df, p, ["x", "y"], num_files=4)
+    back = spark.read.parquet(p)
+    assert back.count() == 100
+    assert {r["id"] for r in back.collect()} == set(range(100))
+    assert "__z" not in back.columns
+    with pytest.raises(ValueError, match=">= 2"):
+        write_zordered(df, p, ["x"])
