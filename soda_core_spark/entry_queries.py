@@ -4346,3 +4346,55 @@ def q87(spark, sf_dir):
         .cast("bigint")
         .alias("text_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OOV / rare-word rate (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+def _q88_sql(k: int = 200) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\r]+'),
+               x -> x <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS n FROM tok GROUP BY w
+        ORDER BY n DESC, w LIMIT {k}
+      )
+    ),
+    per AS (
+      SELECT t.doc_id, count(*) AS n,
+             sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM tok t LEFT JOIN vocab v ON t.w = v.w
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n, 0)::BIGINT AS n_words,
+           CASE WHEN coalesce(p.n, 0) > 0
+                THEN round(1.0 - p.hits::DOUBLE / p.n, 6)
+                ELSE 0.0 END AS oov_rate
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
+@register("q88_oov_rate", _q88_sql())
+def q88(spark, sf_dir):
+    """Rare-word (OOV) density against the corpus top-200 vocabulary
+    (operators/profiling.py): vocabulary from ONE bounded aggregate,
+    folded back as an InSet literal so per-doc scoring is a zero-shuffle
+    row-local projection; the oracle computes the same rate via an
+    explicit vocab join (independent formulation)."""
+    from soda_core_spark.operators.profiling import (
+        top_vocabulary,
+        with_oov_rate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = top_vocabulary(d, k=200)
+    return with_oov_rate(d, vocab).select("doc_id", "n_words", "oov_rate")

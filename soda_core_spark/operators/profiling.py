@@ -297,3 +297,55 @@ def psi_against_bins(
             }
         )
     return psi, detail
+
+
+def top_vocabulary(
+    docs: DataFrame, k: int, text_col: str = "text"
+) -> list[str]:
+    """The corpus's ``k`` most frequent words (ties by word) — one
+    explode + partial-agg groupBy + TakeOrdered; the collect is bounded
+    by ``k`` regardless of corpus size."""
+    from soda_core_spark.functions.text import words_col
+
+    w = F.explode(words_col(F.coalesce(F.col(text_col), F.lit(""))))
+    rows = (
+        docs.select(w.alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(int(k))
+        .collect()
+    )
+    return [r["w"] for r in rows]
+
+
+def with_oov_rate(
+    docs: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    out_col: str = "oov_rate",
+    n_col: str = "n_words",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a fixed vocabulary —
+    the rare-word-density quality signal (gibberish, base64 blobs, and
+    boilerplate code score high; ordinary prose scores low). The vocab
+    (typically :func:`top_vocabulary`'s output) folds into the plan as
+    an InSet literal, so scoring is a pure row-local projection: zero
+    shuffle, zero Python — the language-ID hot-path pattern
+    (functions/langid.py). 6 dp rounding pins the integer/integer
+    division's cross-engine compare."""
+    from soda_core_spark.functions.text import words_col
+
+    ws = words_col(F.coalesce(F.col(text_col), F.lit("")))
+    staged = docs.withColumn("__ws", ws)
+    n = F.size(F.col("__ws"))
+    hits = F.size(F.filter(F.col("__ws"), lambda w: w.isin(list(vocab))))
+    rate = F.when(
+        n > 0,
+        F.round(
+            F.lit(1.0) - hits.cast("double") / n.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return staged.withColumns(
+        {n_col: n.cast("long"), out_col: rate}
+    ).drop("__ws")

@@ -194,3 +194,48 @@ def test_psi_against_bins_excludes_null_nan(spark):
     # only the two real values count: shares (1+0.5)/(2+1) each
     assert all(abs(d["cur_share"] - 0.5) < 1e-9 for d in detail)
     assert abs(psi) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# OOV rate
+# ---------------------------------------------------------------------------
+
+
+def test_top_vocabulary_and_oov_rate(spark):
+    from soda_core_spark.operators.profiling import (
+        top_vocabulary,
+        with_oov_rate,
+    )
+
+    rows = [
+        (1, "the the the cat"),
+        (2, "the dog"),
+        (3, "zq xv"),        # fully OOV
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = top_vocabulary(df, k=2)
+    # counts: the=4, cat=1, dog=1, xv=1, zq=1 → top-2 ties by word: cat
+    assert vocab == ["the", "cat"]
+    got = {
+        r["doc_id"]: (r["n_words"], r["oov_rate"])
+        for r in with_oov_rate(df, vocab).collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (2, 0.5)
+    assert got[3] == (2, 1.0)
+    assert got[4] == (0, 0.0) and got[5] == (0, 0.0)
+
+
+def test_oov_scoring_is_shuffle_free(spark):
+    from soda_core_spark.operators.profiling import with_oov_rate
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        with_oov_rate(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
