@@ -264,3 +264,52 @@ def test_drift_monitor_stream(spark, tmp_path):
     assert psis[0] < 0.1       # self-similar batch: stable
     assert psis[1] > 0.25      # piled batch: shifted
     assert all(r["n_rows"] == 200 for r in log.values())
+
+
+def test_snapshot_sink_stream_exactly_once(spark, tmp_path):
+    """Stream → snapshot table: one snapshot per micro-batch, atomic
+    visibility, and replayed batches (crash redelivery) are no-ops."""
+    from soda_core_spark.sources.snapshots import SnapshotTable
+    from soda_core_spark.streaming.snapshot_sink import (
+        BATCH_ID_PROP,
+        commit_stream_batch,
+        last_committed_batch_id,
+        start_snapshot_sink_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], ["id", "text"]
+    ).write.parquet(inp)
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    stream = (
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = start_snapshot_sink_stream(
+        stream, table, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r["id"] for r in table.read().collect()}
+    assert got == set(range(30))
+    stamped = [
+        s for s in table.snapshots() if BATCH_ID_PROP in s.properties
+    ]
+    assert len(stamped) >= 1
+    last = last_committed_batch_id(table)
+    assert last == max(int(s.properties[BATCH_ID_PROP]) for s in stamped)
+
+    # crash redelivery: re-committing an already-stamped batch id is a
+    # no-op — row count and snapshot chain are unchanged
+    chain_before = [s.snapshot_id for s in table.snapshots()]
+    dup = spark.createDataFrame([(999, "dup")], ["id", "text"])
+    assert commit_stream_batch(table, dup, last) is None
+    assert [s.snapshot_id for s in table.snapshots()] == chain_before
+    assert table.read().count() == 30
+
+    # a genuinely new batch id commits
+    sid = commit_stream_batch(table, dup, last + 1)
+    assert sid is not None
+    assert table.read().count() == 31
