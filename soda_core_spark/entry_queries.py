@@ -4398,3 +4398,63 @@ def q88(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     vocab = top_vocabulary(d, k=200)
     return with_oov_rate(d, vocab).select("doc_id", "n_words", "oov_rate")
+
+
+# ---------------------------------------------------------------------------
+# per-language stopword density (functions/langid.py)
+# ---------------------------------------------------------------------------
+
+
+def _q89_sql() -> str:
+    from soda_core_spark.functions.langid import LANGS, LANG_WORDS
+
+    branches = []
+    for L in LANGS:
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_WORDS[L]))
+        dens = (
+            f"CASE WHEN len(wl) > 0 THEN "
+            f"round(len(list_filter(wl, x -> list_contains([{words}], x)))"
+            f"::DOUBLE / len(wl), 6) ELSE 0.0 END"
+        )
+        branches.append(f"WHEN '{L}' THEN {dens}")
+    case = "CASE lang " + " ".join(branches) + " ELSE NULL END"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_filter(
+                 regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\r]+'),
+                 x -> x <> ''),
+               x -> lower(x)) AS wl
+      FROM documents
+    )
+    SELECT doc_id, lang, {case} AS lang_stopword_density FROM w
+    """
+
+
+@register("q89_lang_stopword_density", _q89_sql())
+def q89(spark, sf_dir):
+    """Per-language stopword density (functions/langid.py
+    lang_stopword_density): each document measured against ITS OWN
+    language's function-word pack — the multilingual form of the
+    CCNet/Gopher stopword signal; pack-less languages (zh) surface NULL
+    ("signal unavailable"), never zero-quality. Shares the LANG_WORDS
+    tables with the SQL oracle as data."""
+    from soda_core_spark.functions.langid import lang_stopword_density
+
+    d = _t(spark, sf_dir, "documents")
+    wl = F.transform(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "[ \t\n\r]+"),
+            lambda t: t != "",
+        ),
+        lambda t: F.lower(t),
+    )
+    staged = d.select("doc_id", "lang", wl.alias("__wl"))
+    return staged.select(
+        "doc_id",
+        "lang",
+        lang_stopword_density(F.col("__wl"), F.col("lang")).alias(
+            "lang_stopword_density"
+        ),
+    )

@@ -206,3 +206,31 @@ def langid_jvm_from_words(lowered_words: Column) -> dict[str, Column]:
     for lang in LANGS:  # first max in sorted-lang order == pandas idxmax
         pred = pred.when(fracs[lang] == conf, F.lit(lang))
     return {"langid_pred": pred, "langid_conf": conf}
+
+
+def lang_stopword_density(lowered_words: Column, lang: Column) -> Column:
+    """Stopword density against the DOCUMENT'S OWN language pack — the
+    CCNet/Gopher signal done right for a multilingual corpus (an English
+    stopword list scores French prose as junk; each language must be
+    measured against its own function words).
+
+    One CASE chain over :data:`LANGS` — only the matching branch
+    evaluates, so cost is one membership filter per row regardless of
+    pack count. Languages with no pack (e.g. zh — whitespace stopword
+    lists don't apply to unsegmented scripts) yield NULL, which the
+    declarative check layer treats as "signal unavailable" rather than
+    zero-quality; token-less documents yield 0.0 like the monolingual
+    form. 6 dp rounding pins the integer/integer division cross-engine.
+    """
+    n = F.size(lowered_words)
+    result = None
+    for L in LANGS:
+        hits = F.size(F.filter(lowered_words, _member_fn(LANG_WORDS[L])))
+        d = F.when(
+            n > 0,
+            F.round(hits.cast("double") / n.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+        result = (
+            F.when(lang == L, d) if result is None else result.when(lang == L, d)
+        )
+    return result.otherwise(F.lit(None).cast("double"))
