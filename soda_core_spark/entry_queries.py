@@ -4458,3 +4458,118 @@ def q89(spark, sf_dir):
             "lang_stopword_density"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus data-card rollup (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+_Q90_SQL = """
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_text,
+       round(avg(length(text)), 4) AS avg_chars,
+       round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
+       max(length(text))::BIGINT AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+@register("q90_corpus_report", _Q90_SQL)
+def q90(spark, sf_dir):
+    """Data-card rollup per (lang, source)
+    (operators/profiling.py corpus_report): doc counts, NULL-text
+    counts, char-length mean/median/max — one partial-agg groupBy, the
+    first table of every corpus release card."""
+    from soda_core_spark.operators.profiling import corpus_report
+
+    d = _t(spark, sf_dir, "documents")
+    r = corpus_report(d, ["lang", "source"])
+    return r.select(
+        "lang",
+        "source",
+        "n_docs",
+        "null_text",
+        "avg_chars",
+        F.round("p50_chars", 4).alias("p50_chars"),
+        "max_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding sanity checks (functions/embeddings_qc.py)
+# ---------------------------------------------------------------------------
+
+
+def _q91_sql() -> str:
+    deco = """
+      CASE WHEN vec_id % 10 = 0 THEN NULL
+           WHEN vec_id % 10 = 1 THEN embedding[1:63]
+           WHEN vec_id % 10 = 2 THEN
+             list_concat(['nan'::FLOAT], embedding[2:])
+           WHEN vec_id % 10 = 3 THEN
+             list_transform(embedding, x -> 0.0::FLOAT)
+           ELSE embedding END
+    """
+    norm = (
+        "CASE WHEN len(v) = 0 THEN 0.0 ELSE "
+        "round(sqrt(list_reduce(list_transform(v, x -> x::DOUBLE * x), "
+        "(a, b) -> a + b) + 0.0), 6) END"
+    )
+    return f"""
+    WITH deco AS (SELECT vec_id, ({deco}) AS raw FROM embeddings),
+    c AS (
+      SELECT vec_id, coalesce(raw, []::FLOAT[]) AS v FROM deco
+    ),
+    d AS (
+      SELECT vec_id, len(v)::BIGINT AS dim,
+             len(list_filter(v, x -> isnan(x))) > 0 AS has_nan,
+             {norm} AS raw_norm
+      FROM c
+    )
+    SELECT vec_id, dim, dim = 64 AS dim_ok, has_nan,
+           coalesce((CASE WHEN NOT has_nan THEN raw_norm END) = 0.0,
+                    TRUE) AS is_zero,
+           CASE WHEN NOT has_nan THEN raw_norm END AS l2_norm,
+           (dim = 64 AND NOT has_nan
+            AND NOT coalesce(
+                  (CASE WHEN NOT has_nan THEN raw_norm END) = 0.0, TRUE))
+             AS vec_valid
+    FROM d
+    """
+
+
+@register("q91_embedding_sanity", _q91_sql())
+def q91(spark, sf_dir):
+    """Embedding-column sanity checks (functions/embeddings_qc.py):
+    NULL vectors, dimension drift, NaN components, zero vectors — the
+    vector extension of missing/invalid semantics, all row-local column
+    algebra (aggregate-fold norm, exists NaN scan). Corruption is
+    hash-injected per row so every flag fires: NULL / truncated /
+    NaN-poisoned / zeroed variants, built identically in both engines."""
+    from soda_core_spark.functions.embeddings_qc import (
+        with_embedding_diagnostics,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    emb = F.col("embedding")
+    deco = (
+        F.when(vid % 10 == 0, F.lit(None).cast("array<float>"))
+        .when(vid % 10 == 1, F.slice(emb, 1, 63))
+        .when(
+            vid % 10 == 2,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.slice(emb, 2, 63),
+            ),
+        )
+        .when(vid % 10 == 3, F.transform(emb, lambda x: F.lit(0.0).cast("float")))
+        .otherwise(emb)
+    )
+    staged = e.select("vec_id", deco.alias("embedding"))
+    out = with_embedding_diagnostics(staged, "embedding", expected_dim=64)
+    return out.select(
+        "vec_id", "dim", "dim_ok", "has_nan", "is_zero", "l2_norm", "vec_valid"
+    )

@@ -349,3 +349,26 @@ def with_oov_rate(
     return staged.withColumns(
         {n_col: n.cast("long"), out_col: rate}
     ).drop("__ws")
+
+
+def corpus_report(
+    docs: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """The data-card rollup: per group, document count, NULL-text count,
+    char-count mean/median/max — the first table every corpus release
+    publishes (public analogues: C4/FineWeb dataset cards). ONE
+    partial-agg groupBy; the exact median is fine at group granularity
+    (groups ≪ rows); swap `percentile` for `approx_percentile` when a
+    group's rows exceed executor memory."""
+    n_chars = F.length(F.col(text_col))
+    return docs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_text"),
+        F.round(F.avg(n_chars), 4).alias("avg_chars"),
+        F.expr(f"percentile(length({text_col}), 0.5)").alias("p50_chars"),
+        F.max(n_chars).cast("long").alias("max_chars"),
+    )
