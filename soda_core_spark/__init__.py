@@ -51,3 +51,22 @@ from soda_core_spark.sources.snapshots import (  # noqa: F401
     Snapshot,
     SnapshotTable,
 )
+from soda_core_spark.functions.bpe import (  # noqa: F401
+    bpe_token_counts,
+    bpe_tokenize,
+    train_bpe,
+)
+from soda_core_spark.functions.embeddings_qc import (  # noqa: F401
+    with_embedding_diagnostics,
+)
+from soda_core_spark.functions.mojibake import (  # noqa: F401
+    mojibake_signals,
+    repair_mojibake,
+)
+from soda_core_spark.operators.justext import (  # noqa: F401
+    justext_blocks,
+    justext_extract,
+)
+from soda_core_spark.operators.nbgram import (  # noqa: F401
+    nb_quality_classifier,
+)
