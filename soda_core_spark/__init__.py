@@ -70,3 +70,8 @@ from soda_core_spark.operators.justext import (  # noqa: F401
 from soda_core_spark.operators.nbgram import (  # noqa: F401
     nb_quality_classifier,
 )
+from soda_core_spark.operators.history import (  # noqa: F401
+    metric_history,
+    register_metric_anomaly_check,
+    register_metric_change_check,
+)

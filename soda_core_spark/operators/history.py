@@ -159,6 +159,98 @@ def plan_metric_change(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     return CheckPlan(check, metrics=[m], side_queries=[sq], evaluate=evaluate)
 
 
+def _history_values(
+    ctx: CheckContext, ident: str, path: str, fmt: str, n: int
+) -> list[float]:
+    try:
+        h = metric_history(ctx.spark, path, identity=ident, fmt=fmt)
+        rows = (
+            h.where(F.col("metric_value").isNotNull())
+            .orderBy(F.col("scan_ts").desc())
+            .select("metric_value")
+            .limit(int(n))
+            .collect()
+        )
+    except Exception:
+        return []
+    return [float(r[0]) for r in rows]
+
+
+def plan_metric_anomaly(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
+    """Local z-score anomaly check — the self-hosted analogue of the
+    reference's Cloud ``anomalyDetection`` monitoring type
+    (contract_verification.py:400-420): check value = |current −
+    mean(history)| / stddev(history) over the last ``n`` runs; threshold
+    it like any metric (``must_be_less_than: 3`` is the classic band).
+    Needs ≥ ``min_history`` (default 3) numeric rows and a non-zero
+    spread — otherwise NOT_EVALUATED with ``metric_unavailable`` (a
+    constant history makes every deviation infinitely surprising; a
+    change band, not a z-score, is the right tool there)."""
+    attrs = check.attributes or {}
+    path = attrs.get("history")
+    if not check.expression:
+        raise ValueError("metric_anomaly requires 'expression'")
+    if not path:
+        raise ValueError("metric_anomaly requires attributes.history")
+    n = int(attrs.get("n", 30))
+    min_history = int(attrs.get("min_history", 3))
+    fmt = str(attrs.get("format", "parquet"))
+
+    cur_key = f"metric_anomaly|{check.expression}|{check.filter or ''}"
+    m = AggMetric(
+        cur_key, f"metric_anomaly({check.expression})",
+        lambda: F.expr(check.expression), False,
+    )
+    ident = _identity(ctx, check)
+    base_key = f"metric_anomaly_history|{ident}"
+    sq = SideQuery(
+        base_key,
+        "metric_anomaly_history",
+        lambda c: _history_values(c, ident, path, fmt, n),
+    )
+
+    def evaluate(values: dict[str, Any], ctx: CheckContext):
+        cur = values.get(cur_key)
+        hist = values.get(base_key) or []
+        diag: dict[str, Any] = {
+            "current": cur,
+            "history_n": len(hist),
+            "history": path,
+        }
+        z = None
+        message = None
+        if cur is None:
+            message = "current metric is NULL"
+        elif len(hist) < min_history:
+            message = (
+                f"need >= {min_history} historical values, have {len(hist)}"
+            )
+        else:
+            mean = sum(hist) / len(hist)
+            var = sum((v - mean) ** 2 for v in hist) / len(hist)
+            sd = var**0.5
+            diag["mean"] = round(mean, 6)
+            diag["stddev"] = round(sd, 6)
+            if sd == 0:
+                message = (
+                    "history has zero spread — z-score undefined; use "
+                    "metric_change"
+                )
+            else:
+                z = abs(float(cur) - mean) / sd
+        result = _base_result(ctx, check, z, diag, message)
+        if z is None:
+            result.metric_unavailable = True
+        return result
+
+    return CheckPlan(check, metrics=[m], side_queries=[sq], evaluate=evaluate)
+
+
 def register_metric_change_check(replace: bool = False) -> None:
     """Wire ``metric_change`` into the YAML + planner registries."""
     register_check_type("metric_change", plan_metric_change, replace=replace)
+
+
+def register_metric_anomaly_check(replace: bool = False) -> None:
+    """Wire ``metric_anomaly`` into the YAML + planner registries."""
+    register_check_type("metric_anomaly", plan_metric_anomaly, replace=replace)

@@ -141,3 +141,104 @@ def test_validation_errors_isolate(spark, tmp_path, change_check):
     by_type = {r.check_type: r for r in res.check_results}
     assert by_type["metric_change"].outcome == CheckOutcome.NOT_EVALUATED
     assert by_type["row_count"].outcome == CheckOutcome.PASSED
+
+
+# ---------------------------------------------------------------------------
+# metric_anomaly (z-score over history)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def anomaly_check():
+    from soda_core_spark.operators.history import (
+        register_metric_anomaly_check,
+    )
+
+    register_metric_anomaly_check(replace=True)
+    yield
+    unregister_check_type("metric_anomaly")
+
+
+def _anomaly_contract(sink, z=3.0, min_history=3):
+    return contract_from_dict(
+        {
+            "dataset": "docs",
+            "checks": [
+                {
+                    "metric_anomaly": {
+                        "expression": "AVG(score)",
+                        "must_be_less_than": z,
+                        "attributes": {
+                            "history": sink,
+                            "min_history": min_history,
+                        },
+                    }
+                }
+            ],
+        }
+    )
+
+
+def _seed_history(spark, sink, values):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    base = verify_contract(
+        spark,
+        _anomaly_contract(sink),
+        spark.createDataFrame([(1, 1.0)], ["id", "score"]),
+    )
+    write_scan_results(spark, base, sink)
+    h = spark.read.parquet(sink)
+    frames = []
+    for i, v in enumerate(values):
+        frames.append(
+            h.withColumn("metric_value", F.lit(float(v))).withColumn(
+                "scan_ts",
+                F.lit(dt.datetime(2026, 7, 1 + i, tzinfo=dt.timezone.utc)),
+            )
+        )
+    out = frames[0]
+    for x in frames[1:]:
+        out = out.unionByName(x)
+    out = spark.createDataFrame(out.collect(), h.schema)
+    out.write.mode("overwrite").parquet(sink)
+
+
+def test_anomaly_z_score(spark, tmp_path, anomaly_check):
+    sink = str(tmp_path / "wh")
+    _seed_history(spark, sink, [9.0, 10.0, 11.0])  # mean 10, sd ~0.8165
+
+    # current 10.5 → z ≈ 0.61 → passes
+    ok = verify_contract(
+        spark,
+        _anomaly_contract(sink),
+        spark.createDataFrame([(1, 10.5)], ["id", "score"]),
+    )
+    assert ok.check_results[0].outcome == CheckOutcome.PASSED
+    assert ok.check_results[0].metric_value == pytest.approx(0.6123724, abs=1e-5)
+
+    # current 30 → z ≈ 24 → anomaly
+    bad = verify_contract(
+        spark,
+        _anomaly_contract(sink),
+        spark.createDataFrame([(1, 30.0)], ["id", "score"]),
+    )
+    assert bad.check_results[0].outcome == CheckOutcome.FAILED
+
+
+def test_anomaly_needs_history_and_spread(spark, tmp_path, anomaly_check):
+    sink = str(tmp_path / "wh")
+    df = spark.createDataFrame([(1, 10.0)], ["id", "score"])
+
+    # bootstrap: no history
+    r = verify_contract(spark, _anomaly_contract(sink), df)
+    assert r.check_results[0].outcome == CheckOutcome.NOT_EVALUATED
+    assert r.check_results[0].metric_unavailable
+
+    # constant history: zero spread → unavailable, not a crash
+    _seed_history(spark, sink, [10.0, 10.0, 10.0])
+    r2 = verify_contract(spark, _anomaly_contract(sink), df)
+    assert r2.check_results[0].outcome == CheckOutcome.NOT_EVALUATED
+    assert "zero spread" in (r2.check_results[0].message or "")
