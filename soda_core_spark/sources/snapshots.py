@@ -336,6 +336,81 @@ class SnapshotTable:
         }
         return self._commit(parent, "merge", carried + new_files, props)
 
+    def delete_where(
+        self,
+        predicate,
+        properties: Optional[dict] = None,
+    ) -> int:
+        """Copy-on-write DELETE: rows matching ``predicate`` (a Column or
+        SQL string) are removed; only files that actually contain a
+        matching row are rewritten, the rest carry over by reference —
+        the GDPR-eraser / bad-batch-removal primitive, same CoW shape as
+        :meth:`merge`. On a range/Z-clustered table a selective delete
+        touches few files by construction."""
+        from urllib.parse import unquote, urlparse
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        parent = self.current_snapshot_id()
+        if parent is None:
+            raise NoSuchSnapshot("nothing to delete from")
+        cur_rel = self.snapshot(parent).files
+        abs_of = {os.path.abspath(os.path.join(self.path, f)): f for f in cur_rel}
+        touched_abs = {
+            os.path.abspath(unquote(urlparse(r["__file"]).path))
+            for r in self.read(parent)
+            .where(pred)
+            .select(F.input_file_name().alias("__file"))
+            .distinct()
+            .collect()
+        }
+        carried = [rel for a, rel in abs_of.items() if a not in touched_abs]
+        touched = [a for a in abs_of if a in touched_abs]
+        new_files: list[str] = []
+        if touched:
+            kept = self.spark.read.parquet(*touched).where(~pred)
+            new_files = self._write_data(kept) if kept.limit(1).count() else []
+        props = {
+            "files_rewritten": len(touched),
+            "files_carried": len(carried),
+            **(properties or {}),
+        }
+        return self._commit(parent, "delete", carried + new_files, props)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Retention maintenance (Iceberg expire_snapshots analogue):
+        truncate the history to the most recent ``keep_last`` snapshots
+        by re-rooting the chain (the oldest kept snapshot's parent
+        becomes None) and deleting the expired manifests; data files
+        referenced only by expired snapshots become unreferenced —
+        :meth:`vacuum` reclaims them. Returns the expired ids. Time
+        travel past the retention window is gone by design."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        chain = self.snapshots()
+        if len(chain) <= keep_last:
+            return []
+        kept, expired = chain[-keep_last:], chain[:-keep_last]
+        root = kept[0]
+        manifest = {
+            "snapshot_id": root.snapshot_id,
+            "parent_id": None,
+            "operation": root.operation,
+            "files": root.files,
+            "properties": dict(root.properties),
+        }
+        mp = self._manifest_path(root.snapshot_id)
+        tmp = mp + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mp)
+        out = []
+        for s in expired:
+            p = self._manifest_path(s.snapshot_id)
+            if os.path.exists(p):
+                os.remove(p)
+            out.append(s.snapshot_id)
+        return out
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO reachable snapshot (crash
         leftovers, post-rollback orphans). Never touches referenced

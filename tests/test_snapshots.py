@@ -291,3 +291,54 @@ def test_merge_conflicts_with_concurrent_writer(spark, tmp_path):
     t._write_data = write_and_race
     with pytest.raises(CommitConflict):
         t.merge(src, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write DELETE + snapshot expiration
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_is_cow(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(spark.createDataFrame([(i, "lo") for i in range(5)],
+                                   ["id", "v"]).coalesce(1))
+    s2 = t.append(spark.createDataFrame([(i, "hi") for i in range(100, 105)],
+                                        ["id", "v"]).coalesce(1))
+    before = set(t.snapshot(s2).files)
+    sid = t.delete_where(F.col("id") == 102)
+    after = set(t.snapshot(sid).files)
+    assert before & after, "untouched file group carries over"
+    assert t.snapshot(sid).properties["files_rewritten"] == 1
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 103, 104]
+    # time travel still sees the deleted row
+    assert 102 in {r["id"] for r in t.read(s2).collect()}
+    # SQL-string predicate form
+    t.delete_where("v = 'lo'")
+    assert sorted(r["id"] for r in t.read().collect()) == [100, 101, 103, 104]
+
+
+def test_expire_snapshots_truncates_history(spark, tmp_path):
+    import pytest
+
+    from soda_core_spark.sources.snapshots import NoSuchSnapshot
+
+    t = _mk(spark, tmp_path)
+    s1 = t.append(spark.createDataFrame([(1,)], ["id"]))
+    s2 = t.overwrite(spark.createDataFrame([(2,)], ["id"]))
+    s3 = t.append(spark.createDataFrame([(3,)], ["id"]))
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [s1]
+    chain = [s.snapshot_id for s in t.snapshots()]
+    assert chain == [s2, s3]
+    assert t.snapshots()[0].parent_id is None  # re-rooted
+    with pytest.raises(NoSuchSnapshot):
+        t.read(s1)
+    # current data unaffected; vacuum reclaims the orphaned s1 file
+    assert sorted(r["id"] for r in t.read().collect()) == [2, 3]
+    removed = t.vacuum()
+    assert removed, "expired-only files are reclaimed"
+    assert sorted(r["id"] for r in t.read().collect()) == [2, 3]
+    assert t.expire_snapshots(keep_last=5) == []  # nothing to expire
