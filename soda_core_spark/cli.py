@@ -417,6 +417,74 @@ def data_source_profile_main(args: argparse.Namespace) -> int:
     return ExitCode.OK
 
 
+def data_source_metrics_main(args: argparse.Namespace) -> int:
+    """Check-metric history from the local results sink (the engine's
+    self-hosted twin of the reference's Cloud metric monitoring): latest
+    runs per check identity, optionally filtered, with the same z-score
+    the ``metric_anomaly`` check computes so drift is visible from the
+    terminal before any contract encodes a band. Exit 0 on success, 3 on
+    any failure."""
+    from pyspark.sql import functions as F
+
+    spark, err = _session_from_args(args)
+    if err is not None:
+        return err
+    try:
+        from soda_core_spark.operators.history import metric_history
+
+        h = metric_history(
+            spark, args.warehouse, identity=args.identity,
+            dataset=args.dataset_name,
+        )
+        idents = [
+            r["identity"]
+            for r in h.select("identity").distinct().orderBy("identity").collect()
+        ]
+        for ident in idents:
+            rows = (
+                h.where(F.col("identity") == ident)
+                .orderBy(F.col("scan_ts").desc())
+                .limit(args.last)
+                .collect()
+            )
+            head = rows[0]
+            print(
+                f"# {ident} {head['dataset']}.{head['column'] or '-'} "
+                f"{head['check_type']} — last {len(rows)} run(s)"
+            )
+            vals = [
+                float(r["metric_value"])
+                for r in rows
+                if r["metric_value"] is not None
+            ]
+            mean = sum(vals) / len(vals) if vals else None
+            sd = (
+                (sum((v - mean) ** 2 for v in vals) / len(vals)) ** 0.5
+                if vals
+                else None
+            )
+            for r in rows:
+                v = r["metric_value"]
+                z = ""
+                if (
+                    v is not None
+                    and sd is not None
+                    and sd > 0
+                    and len(vals) >= 3
+                ):
+                    z = f" z={abs(float(v) - mean) / sd:.2f}"
+                print(
+                    f"  {r['scan_ts']} {r['outcome']:<13} "
+                    f"value={v if v is not None else '-'}{z}"
+                )
+        if not idents:
+            print("no matching history rows")
+    except Exception as e:
+        print(f"metrics read failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return ExitCode.LOG_ERRORS
+    return ExitCode.OK
+
+
 _DATA_SOURCE_TEMPLATE = """\
 # soda_core_spark data-source configuration (Spark session modes —
 # sources/session.py; pick exactly one mode)
@@ -578,6 +646,23 @@ def _data_source_main(argv: list[str]) -> int:
     pr.add_argument("--cluster-id", default=None)
     pr.add_argument("--use-active-session", action="store_true")
     pr.set_defaults(_handler=data_source_profile_main)
+
+    mt = sub.add_parser(
+        "metrics", help="Check-metric history from a local results sink"
+    )
+    mt.add_argument(
+        "-dw", "--warehouse", required=True,
+        help="check-results sink directory (the contract verify -dw path)",
+    )
+    mt.add_argument("--identity", default=None, help="one check identity")
+    mt.add_argument("--dataset-name", default=None, help="filter by dataset")
+    mt.add_argument("--last", type=int, default=10, help="runs per check")
+    mt.add_argument("--local-cpus", default=None)
+    mt.add_argument("--remote", default=None, help="Spark Connect sc:// target")
+    mt.add_argument("--token", default=None)
+    mt.add_argument("--cluster-id", default=None)
+    mt.add_argument("--use-active-session", action="store_true")
+    mt.set_defaults(_handler=data_source_metrics_main)
 
     t = sub.add_parser("test", help="Test the Spark session + dataset bindings")
     t.add_argument(

@@ -73,3 +73,41 @@ def test_cli_data_source_profile_errors(spark):
     # unreadable dataset
     assert main(["data-source", "profile", "-ds", "x=/nope",
                  "--column", "v", "--use-active-session"]) == 3
+
+
+def test_cli_data_source_metrics(tmp_path, spark, capsys):
+    from soda_core_spark import verify_contract
+    from soda_core_spark.cli import main
+    from soda_core_spark.plans.model import contract_from_dict
+    from soda_core_spark.sources.sinks import write_scan_results
+
+    sink = str(tmp_path / "wh")
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], ["id", "score"])
+    contract = contract_from_dict(
+        {
+            "dataset": "docs",
+            "checks": [{"metric": {"expression": "AVG(score)", "must_be": 6}}],
+        }
+    )
+    import datetime as dt
+
+    for day in (1, 2, 3):
+        r = verify_contract(spark, contract, df)
+        write_scan_results(
+            spark, r, sink,
+            scan_ts=dt.datetime(2026, 8, day, tzinfo=dt.timezone.utc),
+        )
+    rc = main(
+        ["data-source", "metrics", "-dw", sink, "--use-active-session"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "docs" in out and "metric" in out and "value=6.0" in out
+    assert "last 3 run(s)" in out
+
+    # unreadable sink → exit 3
+    rc2 = main(
+        ["data-source", "metrics", "-dw", str(tmp_path / "nope"),
+         "--use-active-session"]
+    )
+    assert rc2 == 3
