@@ -88,16 +88,37 @@ def mojibake_signals(text: Column) -> dict[str, Column]:
     }
 
 
+#: RFC 3629 UTF-8 byte-structure validation as a regex over the folded
+#: Latin-1 string (each char IS one byte): ASCII, 2/3/4-byte sequences
+#: with the exact continuation ranges — overlongs (C0/C1, E0 80-9F,
+#: F0 80-8F) and >U+10FFFF (F5+) rejected, like a strict decoder.
+#: Spark's ``decode(..., 'UTF-8')`` THROWS on malformed input
+#: (MALFORMED_CHARACTER_CODING), so validity must be proven BEFORE the
+#: decode ever evaluates — a real crawl is full of truncated artifact
+#: runs like 0xC3 0xC3.
+_UTF8_VALID_RE = (
+    "\\A(?:[\\x00-\\x7f]"
+    "|[\\xc2-\\xdf][\\x80-\\xbf]"
+    "|\\xe0[\\xa0-\\xbf][\\x80-\\xbf]"
+    "|[\\xe1-\\xec][\\x80-\\xbf]{2}"
+    "|\\xed[\\x80-\\x9f][\\x80-\\xbf]"
+    "|[\\xee-\\xef][\\x80-\\xbf]{2}"
+    "|\\xf0[\\x90-\\xbf][\\x80-\\xbf]{2}"
+    "|[\\xf1-\\xf3][\\x80-\\xbf]{3}"
+    "|\\xf4[\\x80-\\x8f][\\x80-\\xbf]{2})*\\z"
+)
+
+
 def repair_mojibake(text: Column) -> Column:
     """Reverse a UTF-8-read-as-Latin-1/cp1252 decode when (and only
     when) it is provably lossless; otherwise return the input
-    unchanged. NULL stays NULL."""
+    unchanged. NULL stays NULL. Never raises: the byte reversal only
+    evaluates once the folded string is proven (a) pure Latin-1 range
+    and (b) structurally valid UTF-8 — both as JVM regexes."""
     t = text
     folded = F.translate(t, CP1252_VISIBLE, CP1252_CONTROLS)
     latin1_able = ~folded.rlike("[^\\x00-\\xff]")
+    utf8_valid = folded.rlike(_UTF8_VALID_RE)
     repaired = F.decode(F.encode(folded, "ISO-8859-1"), "UTF-8")
-    clean_roundtrip = ~repaired.contains("�")
     detected = mojibake_signals(t)["is_mojibake"]
-    return F.when(
-        detected & latin1_able & clean_roundtrip, repaired
-    ).otherwise(t)
+    return F.when(detected & latin1_able & utf8_valid, repaired).otherwise(t)

@@ -116,3 +116,41 @@ def test_tokenize_arrays(spark):
     for w in _words(TEXTS[0][1]):
         want.extend(segment_word(w, ranks))
     assert row["bpe_token_array"] == want
+
+
+def test_hypothesis_trainer_parity_and_roundtrip():
+    import pytest
+
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1,
+        max_size=8,
+    )
+    tables = st.lists(
+        st.tuples(word, st.integers(min_value=1, max_value=9)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(tables, st.integers(min_value=1, max_value=12))
+    def inner(tbl, k):
+        merges = learn_bpe_from_counts(tbl, k)
+        assert merges == _naive_learn(tbl, k)  # incremental == recount
+        ranks = _ranks(merges)
+        for w, _ in tbl:
+            seg = segment_word(w, ranks)
+            assert "".join(seg) == w + EOW  # lossless segmentation
+        # additivity: per-word segment lengths compose document counts
+        doc = " ".join(w for w, _ in tbl)
+        total = sum(len(segment_word(w, ranks)) for w, _ in tbl)
+        assert (
+            sum(len(segment_word(w, ranks)) for w in _words(doc)) == total
+        )
+
+    inner()

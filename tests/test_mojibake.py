@@ -110,3 +110,75 @@ def test_plan_is_pure_projection(spark):
     out = df.select(repair_mojibake(F.col("t")).alias("r"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_seeded_fuzz_repair_matches_python_twin(spark):
+    """300 seeded-random texts (clean / Latin-1 mojibake / cp1252
+    mojibake / undecodable junk) through the JVM repair Column vs an
+    independent pure-python twin of the same chain — one Spark job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.functions.mojibake import (
+        CP1252_CONTROLS,
+        CP1252_VISIBLE,
+        mojibake_signals,
+        repair_mojibake,
+    )
+
+    fold = str.maketrans(CP1252_VISIBLE, CP1252_CONTROLS)
+
+    def detected_py(t):
+        n = t.count("Ã") + t.count("Â") + t.count("â€")
+        nc = len(t)
+        ratio = round(n / nc, 6) if nc else 0.0
+        return n >= 2 and ratio > 0.005
+
+    def repair_py(t):
+        if t is None or not detected_py(t):
+            return t
+        folded = t.translate(fold)
+        if any(ord(c) > 0xFF for c in folded):
+            return t
+        try:
+            return folded.encode("latin-1").decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return t
+
+    rng = random.Random(42)
+    accents = "éàüñ«»’—…"
+    words = ["alpha", "beta", "café", "naïve", "x"]
+    rows = []
+    for i in range(300):
+        clean = " ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))
+        clean += "".join(rng.choice(accents) for _ in range(rng.randint(0, 4)))
+        kind = i % 4
+        if kind == 0:
+            t = clean
+        elif kind == 1:
+            t = clean.encode("utf-8").decode("latin-1")
+        elif kind == 2:
+            t = clean.encode("utf-8").decode("cp1252", errors="replace")
+            t = t.replace("�", "?")  # keep inputs FFFD-free
+        else:
+            t = "ÃÃ " + clean  # artifacts but broken sequence
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r["i"]: r["rep"]
+        for r in df.select(
+            "i", repair_mojibake(F.col("t")).alias("rep")
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == repair_py(t), (i, repr(t), repr(got[i]))
+    # and detection parity on the same corpus
+    flags = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i", mojibake_signals(F.col("t"))["is_mojibake"].alias("f")
+        ).collect()
+    }
+    for i, t in rows:
+        assert flags[i] == detected_py(t), (i, repr(t))
