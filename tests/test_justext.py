@@ -191,3 +191,39 @@ def test_extract_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_seeded_fuzz_blocks_match_replay(spark):
+    """200 seeded-random pages assembled from prose/short/nav/copyright/
+    entity/nested-tag fragments — Spark HOF pipeline vs the sequential
+    replay, one job."""
+    import random
+
+    rng = random.Random(7)
+    frags = [
+        lambda: f"<p>{PROSE}</p>",
+        lambda: f"<p>{PROSE[:rng.randint(30, 160)]}</p>",
+        lambda: "<p>tiny {}</p>".format(rng.randint(0, 9)),
+        lambda: '<div><a href="/x">one</a> <a href="/y">two links</a></div>',
+        lambda: "<div>© 2026 Corp</div>",
+        lambda: "<p>ents &amp; <b>bold</b> &lt;tag&gt;</p>",
+        lambda: "<script>var x = '<p>not a block</p>';</script>",
+        lambda: "<li>item {}</li>".format(rng.randint(0, 99)),
+        lambda: "no tags at all {}".format(rng.randint(0, 99)),
+    ]
+    pages = []
+    for i in range(200):
+        body = "".join(rng.choice(frags)() for _ in range(rng.randint(1, 7)))
+        pages.append((i, f"<html><body>{body}</body></html>"))
+    df = spark.createDataFrame(pages, ["doc_id", "html"])
+    got = sorted(
+        (r["doc_id"], r["pos"], r["block_text"], r["cf_class"],
+         r["block_class"])
+        for r in justext_blocks(df).collect()
+    )
+    want = sorted(
+        (doc_id, i, t, c, f)
+        for doc_id, html in pages
+        for i, t, c, f in _replay(html)
+    )
+    assert got == want
