@@ -4573,3 +4573,61 @@ def q91(spark, sf_dir):
     return out.select(
         "vec_id", "dim", "dim_ok", "has_nan", "is_zero", "l2_norm", "vec_valid"
     )
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def _q92_sql(bounds=(8, 16, 32, 64)) -> str:
+    b = list(bounds)
+    bucket = "CASE " + " ".join(
+        f"WHEN n <= {v} THEN {i}" for i, v in enumerate(b)
+    ) + f" ELSE {len(b)} END"
+    ceil = "CASE " + " ".join(
+        f"WHEN n <= {v} THEN {v}" for v in b
+    ) + " ELSE NULL END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(
+               regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\r]+'),
+               x -> x <> ''))::BIGINT AS n
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, n, ({bucket})::BIGINT AS len_bucket,
+             coalesce(({ceil}) - n, 0)::BIGINT AS pad
+      FROM t
+    )
+    SELECT len_bucket, count(*)::BIGINT AS n_rows,
+           sum(n)::BIGINT AS real_tokens,
+           sum(pad)::BIGINT AS pad_tokens,
+           round(sum(pad)::DOUBLE / (sum(pad) + sum(n)), 6) AS waste_frac
+    FROM a GROUP BY len_bucket
+    """
+
+
+@register("q92_length_buckets", _q92_sql())
+def q92(spark, sf_dir):
+    """Length-bucketed batching audit (operators/sampling.py
+    assign_length_buckets + padding_waste_report): docs assigned to
+    token-length buckets by pure CASE algebra (zero shuffle), then the
+    per-bucket padding-waste fractions that drive boundary tuning —
+    the standard batched-inference padding reducer."""
+    from soda_core_spark.operators.sampling import (
+        assign_length_buckets,
+        padding_waste_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "[ \t\n\r]+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+    staged = d.select("doc_id", n.alias("n_tokens"))
+    b = assign_length_buckets(staged, [8, 16, 32, 64])
+    return padding_waste_report(b)

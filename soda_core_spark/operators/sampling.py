@@ -455,3 +455,60 @@ def _token_budget_single_window(
         .where(F.col("__cum_tokens") <= budget_tokens)
         .drop("__cum_tokens")
     )
+
+
+def assign_length_buckets(
+    df: DataFrame,
+    boundaries: list[int],
+    token_col: str = "n_tokens",
+    bucket_col: str = "len_bucket",
+    pad_col: str = "pad_tokens",
+) -> DataFrame:
+    """Length-bucketed batching assignment — the standard padding-waste
+    reducer for batched training/inference: documents grouped with
+    similar-length peers pad only to their bucket's ceiling, not the
+    global max. ``boundaries`` are inclusive ceilings, ascending (e.g.
+    [128, 256, 512, 1024]); rows longer than the last ceiling land in
+    the overflow bucket ``len(boundaries)`` with ``pad_tokens`` 0 (they
+    pad to their own length at batch time — the caller decides whether
+    to truncate or split them first).
+
+    Pure row-local CASE algebra — zero shuffle; the per-bucket padding
+    audit is one partial-agg groupBy the caller runs when sizing
+    buckets (``padding_waste_report``)."""
+    if not boundaries or sorted(boundaries) != list(boundaries) or len(
+        set(boundaries)
+    ) != len(boundaries):
+        raise ValueError("boundaries must be ascending and distinct")
+    t = F.col(token_col)
+    bucket = F.lit(len(boundaries))
+    for i in range(len(boundaries) - 1, -1, -1):
+        bucket = F.when(t <= boundaries[i], F.lit(i)).otherwise(bucket)
+    ceil = F.lit(None).cast("long")
+    for i in range(len(boundaries) - 1, -1, -1):
+        ceil = F.when(t <= boundaries[i], F.lit(boundaries[i])).otherwise(ceil)
+    pad = F.coalesce(ceil - t, F.lit(0)).cast("long")
+    return df.withColumns(
+        {bucket_col: bucket.cast("long"), pad_col: pad}
+    )
+
+
+def padding_waste_report(
+    bucketed: DataFrame,
+    token_col: str = "n_tokens",
+    bucket_col: str = "len_bucket",
+    pad_col: str = "pad_tokens",
+) -> DataFrame:
+    """Per-bucket padding audit: rows, real tokens, pad tokens, and the
+    waste fraction pad/(pad+real) — the number you tune ``boundaries``
+    against. One partial-agg groupBy."""
+    return bucketed.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(token_col).cast("long").alias("real_tokens"),
+        F.sum(pad_col).cast("long").alias("pad_tokens"),
+        F.round(
+            F.sum(pad_col).cast("double")
+            / (F.sum(pad_col) + F.sum(token_col)).cast("double"),
+            6,
+        ).alias("waste_frac"),
+    )
