@@ -970,7 +970,8 @@ def _q21_sql() -> str:
     inject = (
         "'mail u' || doc_id::VARCHAR || '@example.com ssn 123-45-6789 "
         "ssn2 ١٢٣-٤٥-٦٧٨٩ "
-        "tel +1 (555) 123-4567 frakking ' || coalesce(text, '')"
+        "tel +1 (555) 123-4567 ip 10.0.0.1 ip6 2001:db8::aa "
+        "card 4111 1111 1111 1111 frakking ' || coalesce(text, '')"
     )
     inject = (
         f"translate({inject}, '{DIGIT_FOLD_FROM}', '{DIGIT_FOLD_TO}')"
@@ -1004,7 +1005,8 @@ def q21(spark, sf_dir):
         F.lit("mail u"),
         F.col("doc_id").cast("string"),
         F.lit("@example.com ssn 123-45-6789 ssn2 ١٢٣-٤٥-٦٧٨٩ "),
-        F.lit("tel +1 (555) 123-4567 frakking "),
+        F.lit("tel +1 (555) 123-4567 ip 10.0.0.1 ip6 2001:db8::aa "
+              "card 4111 1111 1111 1111 frakking "),
         F.coalesce(F.col("text"), F.lit("")),
     )
     return d.select(

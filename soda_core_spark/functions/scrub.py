@@ -35,6 +35,20 @@ SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
         "<PHONE>",
     ),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # IPv6: full 8-group form, or ::-compressed with at least one group
+    # on each side (the literal "::" is REQUIRED in the second branch —
+    # without it, clock times like 12:34:56 are valid hex groups and
+    # would be eaten). Leading/trailing "::" forms (::1, 2001:db8::) are
+    # a documented non-goal — unanchored bare-compression matching can't
+    # be made safe against ratios/ranges in prose with RE2-compatible
+    # syntax (no lookarounds).
+    (
+        "ipv6",
+        r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+        r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:"
+        r"[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\b",
+        "<IP6>",
+    ),
     (
         "credit_card",
         r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b",

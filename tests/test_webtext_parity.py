@@ -325,3 +325,26 @@ def test_line_dedup_ratio_multiline(spark):
     assert got[2] == 0.0
     assert got[3] == 0.0
     assert got[4] == 0.0
+
+
+def test_ipv6_rule_scrubs_addresses_not_clock_times():
+    import re
+
+    from soda_core_spark.functions.scrub import ALL_RULES
+
+    pat = dict((n, p) for n, p, _ in ALL_RULES)["ipv6"]
+    rx = re.compile(pat, re.ASCII)
+
+    def scrub(s):
+        return rx.sub("<IP6>", s)
+
+    # full form and ::-compressed forms scrub
+    assert scrub("x 2001:0db8:85a3:0000:0000:8a2e:0370:7334 y") == "x <IP6> y"
+    assert scrub("peer fe80:1::aa:b") == "peer <IP6>"
+    assert scrub("2001:db8::1 and 2001:db8:0:1::55") == "<IP6> and <IP6>"
+    # clock times / score ratios / ipv4 stay untouched
+    for s in ("at 12:34:56 sharp", "score 3:2", "range 08:00-17:30",
+              "ip 10.0.0.1"):
+        assert scrub(s) == s
+    # documented non-goals: loopback/leading-:: forms pass through
+    assert scrub("::1") == "::1"
