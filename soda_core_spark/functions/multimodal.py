@@ -124,6 +124,60 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: images stay on the hash fallback
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _defilter(arr: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Per-row PNG filter reconstruction (spec §9, filters 0-4) over a
+    (rows, stride+1) byte block — column 0 is the filter tag. Sub/
+    Average/Paeth are byte-sequential along the scanline, so those rows
+    reconstruct in a Python loop — exact, and fast enough for feature
+    extraction at thumbnail sizes."""
+    rows = arr.shape[0]
+    recon = np.zeros((rows, stride), dtype=np.uint8)
+    for y in range(rows):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        prev = (
+            recon[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        )
+        if f == 0:  # None
+            out = line
+        elif f == 2:  # Up — fully vectorized
+            out = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            out = line
+            for x in range(bpp, stride):
+                out[x] = (out[x] + out[x - bpp]) & 0xFF
+        elif f == 3:  # Average (floor of actual byte values — mod first)
+            out = line
+            for x in range(stride):
+                left = out[x - bpp] if x >= bpp else 0
+                out[x] = (out[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            out = line
+            for x in range(stride):
+                a = out[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (out[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter {f}")
+        recon[y] = (out & 0xFF).astype(np.uint8)
+    return recon
+
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a non-interlaced 8-bit PNG (grayscale/RGB/gray+alpha/RGBA/
@@ -160,8 +214,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) < 13:
         raise ValueError("missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if depth != 8 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
+    if depth != 8 or interlace not in (0, 1):
+        raise ValueError("only 8-bit PNG (interlace 0 or Adam7) supported")
     channels = _PNG_CHANNELS.get(color)
     if channels is None:
         raise ValueError(f"unsupported color type {color}")
@@ -172,7 +226,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("palette PNG without a valid PLTE chunk")
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     stride = w * channels
-    expected = (stride + 1) * h
+    if interlace == 0:
+        expected = (stride + 1) * h
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (pw * channels + 1)
     if expected > 256 * 1024 * 1024:
         raise ValueError(f"refusing image over 256 MiB decoded ({w}x{h})")
     # BOUNDED inflate: IDAT is attacker-controlled web bytes — a ~1 KB
@@ -187,41 +249,30 @@ def decode_png(payload: bytes) -> np.ndarray:
     # `expected` bytes with eof False and must still be rejected
     if len(raw) != expected or not dec.eof:
         raise ValueError("IDAT length does not match dimensions")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters = arr[:, 0]
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
-    for y in range(h):
-        f = int(filters[y])
-        line = arr[y, 1:].astype(np.int32)
-        prev = recon[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
-        if f == 0:  # None
-            out = line
-        elif f == 2:  # Up — fully vectorized
-            out = (line + prev) & 0xFF
-        elif f == 1:  # Sub
-            out = line
-            for x in range(bpp, stride):
-                out[x] = (out[x] + out[x - bpp]) & 0xFF
-        elif f == 3:  # Average (floor of actual byte values — mod first)
-            out = line
-            for x in range(stride):
-                left = out[x - bpp] if x >= bpp else 0
-                out[x] = (out[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            out = line
-            for x in range(stride):
-                a = out[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out[x] = (out[x] + pr) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter {f}")
-        recon[y] = (out & 0xFF).astype(np.uint8)
-    img = recon.reshape(h, w, channels)
+    raw_arr = np.frombuffer(raw, dtype=np.uint8)
+    if interlace == 0:
+        arr = raw_arr.reshape(h, stride + 1)
+        img = _defilter(arr, stride, channels).reshape(h, w, channels)
+    else:
+        # Adam7 (spec §8.2): seven independent sub-images, each filtered
+        # like a standalone image (prev row = previous row of the SAME
+        # pass), scattered back onto the strided pixel grid.
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            block = raw_arr[pos : pos + ph * (pstride + 1)].reshape(
+                ph, pstride + 1
+            )
+            pos += ph * (pstride + 1)
+            sub = _defilter(block, pstride, channels).reshape(
+                ph, pw, channels
+            )
+            img[y0::dy, x0::dx] = sub
     if palette is not None:
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(palette):
@@ -390,6 +441,32 @@ def make_png(img: np.ndarray, filters: Optional[list[int]] = None) -> bytes:
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_interlaced_png(
+    img: np.ndarray, filters: Optional[list[int]] = None
+) -> bytes:
+    """Encode an (H, W, 3|4|1-channel) uint8 array as a REAL
+    Adam7-interlaced 8-bit PNG (spec §8.2) — the encoder twin of the
+    interlaced decode path: each of the seven passes is extracted on its
+    strided grid and filtered as an independent sub-image."""
+    h, w, channels = img.shape
+    color = {3: 2, 4: 6, 1: 0}[channels]
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph <= 0 or pw <= 0:
+            continue
+        flat = sub.reshape(ph, pw * channels).astype(np.int32)
+        stream += _filter_scanlines(flat, channels, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
         + _png_chunk(b"IEND", b"")
     )
 

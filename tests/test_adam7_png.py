@@ -1,0 +1,53 @@
+"""Adam7-interlaced PNG decode (functions/multimodal.py)."""
+
+import numpy as np
+
+from soda_core_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    decode_png,
+    extract_features,
+    make_interlaced_png,
+    make_png,
+)
+
+
+def test_adam7_roundtrip_sizes_and_filters():
+    rng = np.random.default_rng(11)
+    # sizes straddling every pass-grid edge case (passes that vanish,
+    # single-pixel rows/cols, multiples of 8)
+    for h, w in [(1, 1), (1, 9), (9, 1), (2, 3), (5, 9), (8, 8), (13, 7),
+                 (16, 16), (33, 31)]:
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_png(make_interlaced_png(img)) == img).all(), (h, w)
+        for f in range(5):
+            assert (
+                decode_png(make_interlaced_png(img, filters=[f])) == img
+            ).all(), (h, w, f)
+    # RGBA and grayscale channel handling match the plain path
+    rgba = rng.integers(0, 256, size=(6, 5, 4)).astype(np.uint8)
+    assert (
+        decode_png(make_interlaced_png(rgba))
+        == decode_png(make_png(rgba))
+    ).all()
+    gray = rng.integers(0, 256, size=(6, 5, 1)).astype(np.uint8)
+    assert (
+        decode_png(make_interlaced_png(gray))
+        == decode_png(make_png(gray))
+    ).all()
+
+
+def test_adam7_feature_parity_e2e(spark):
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(12, 10, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            ("plain", "image", bytearray(make_png(img)), "image/png",
+             10, 12, None),
+            ("adam7", "image", bytearray(make_interlaced_png(img)),
+             "image/png", 10, 12, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows["adam7"]["decoder"] == "png"
+    assert rows["adam7"]["feature"] == rows["plain"]["feature"]
