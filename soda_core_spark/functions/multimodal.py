@@ -8,8 +8,9 @@ formats:
 * **P6 PPM images** — binary RGB, parsed header + ``np.frombuffer``
   (no PIL needed); features = 4×4 mean-pooled grayscale (16-dim),
 * **PNG images** — stdlib zlib inflate + per-row filter reconstruction
-  (spec §9 filters 0-4) for non-interlaced 8-bit gray/RGB/RGBA; same
-  features as PPM (identical pixels ⇒ identical features),
+  (spec §9 filters 0-4) for gray/RGB/gray+alpha/RGBA/palette at 8- and
+  16-bit depth, non-interlaced AND Adam7-interlaced; same features as
+  PPM (identical pixels ⇒ identical features),
 * **WAV PCM audio** — stdlib ``wave`` + numpy; features = 16-band RMS
   energy profile over the clip,
 * **codec formats** (JPEG/MP4/...) — genuinely need external codecs
@@ -120,8 +121,7 @@ def image_features(img: np.ndarray) -> np.ndarray:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: PNG color type → channel count (spec §11.2.2); palette (3) carries one
-#: index byte per pixel, mapped through PLTE after reconstruction; 16-bit
-#: images stay on the hash fallback
+#: index byte per pixel, mapped through PLTE after reconstruction
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 #: Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step)
@@ -180,8 +180,9 @@ def _defilter(arr: np.ndarray, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG (grayscale/RGB/gray+alpha/RGBA/
-    palette) into an (H, W, 3) uint8 array using only the stdlib: zlib
+    """Decode an 8/16-bit PNG (grayscale/RGB/gray+alpha/RGBA/palette,
+    non-interlaced or Adam7) into an (H, W, 3) uint8 array using only
+    the stdlib: zlib
     inflate of the concatenated IDAT stream + per-row filter
     reconstruction (PNG spec §9 filters 0-4: None/Sub/Up/Average/Paeth);
     indexed-color images (type 3, the most common web thumbnail class)
@@ -191,7 +192,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     Filters Sub/Average/Paeth are byte-sequential along the scanline, so
     those rows reconstruct in a Python loop — exact, and fast enough for
     feature extraction at thumbnail sizes; a production deployment drops
-    PIL into this slot with identical output. 16-bit and interlaced PNGs
+    PIL into this slot with identical output. 16-bit depth (high byte
+    kept) and Adam7 interlacing are both handled; only sub-8-bit depths
     raise (→ hash fallback in decode_features)."""
     if not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG")
@@ -214,18 +216,27 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) < 13:
         raise ValueError("missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if depth != 8 or interlace not in (0, 1):
-        raise ValueError("only 8-bit PNG (interlace 0 or Adam7) supported")
+    if depth not in (8, 16) or interlace not in (0, 1):
+        raise ValueError("only 8/16-bit PNG (interlace 0 or Adam7) supported")
     channels = _PNG_CHANNELS.get(color)
     if channels is None:
         raise ValueError(f"unsupported color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("palette PNG cannot be 16-bit (spec §11.2.2)")
+    # PNG filters operate on BYTES with bpp = channels × bytes-per-sample
+    # (spec §9: "bpp is defined as the number of bytes per complete
+    # pixel"); 16-bit samples are big-endian, so after reconstruction the
+    # high byte is the 8-bit value (floor of x/257 ≈ x>>8 — the standard
+    # downsample for feature extraction).
+    sample_bytes = depth // 8
     palette = None
     if color == 3:
         # spec §11.2.3: PLTE required for type 3, 1-256 RGB triples
         if plte is None or len(plte) == 0 or len(plte) % 3 != 0 or len(plte) > 768:
             raise ValueError("palette PNG without a valid PLTE chunk")
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-    stride = w * channels
+    bpp = channels * sample_bytes
+    stride = w * bpp
     if interlace == 0:
         expected = (stride + 1) * h
     else:
@@ -234,7 +245,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
-                expected += ph * (pw * channels + 1)
+                expected += ph * (pw * bpp + 1)
     if expected > 256 * 1024 * 1024:
         raise ValueError(f"refusing image over 256 MiB decoded ({w}x{h})")
     # BOUNDED inflate: IDAT is attacker-controlled web bytes — a ~1 KB
@@ -250,9 +261,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(raw) != expected or not dec.eof:
         raise ValueError("IDAT length does not match dimensions")
     raw_arr = np.frombuffer(raw, dtype=np.uint8)
+
+    def _to_pixels(block: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        if sample_bytes == 1:
+            return block.reshape(rows, cols, channels)
+        # big-endian 16-bit: the high byte of each sample
+        return block.reshape(rows, cols, channels, 2)[:, :, :, 0]
+
     if interlace == 0:
         arr = raw_arr.reshape(h, stride + 1)
-        img = _defilter(arr, stride, channels).reshape(h, w, channels)
+        img = _to_pixels(_defilter(arr, stride, bpp), h, w)
     else:
         # Adam7 (spec §8.2): seven independent sub-images, each filtered
         # like a standalone image (prev row = previous row of the SAME
@@ -264,15 +282,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * channels
+            pstride = pw * bpp
             block = raw_arr[pos : pos + ph * (pstride + 1)].reshape(
                 ph, pstride + 1
             )
             pos += ph * (pstride + 1)
-            sub = _defilter(block, pstride, channels).reshape(
-                ph, pw, channels
+            img[y0::dy, x0::dx] = _to_pixels(
+                _defilter(block, pstride, bpp), ph, pw
             )
-            img[y0::dy, x0::dx] = sub
     if palette is not None:
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(palette):
@@ -467,6 +484,30 @@ def make_interlaced_png(
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png16(
+    img16: np.ndarray, filters: Optional[list[int]] = None
+) -> bytes:
+    """Encode an (H, W, 3|4|1-channel) uint16 array as a REAL 16-bit
+    non-interlaced PNG (big-endian samples, spec §7.1) — the encoder
+    twin of the 16-bit decode path."""
+    h, w, channels = img16.shape
+    color = {3: 2, 4: 6, 1: 0}[channels]
+    be = np.ascontiguousarray(img16.astype(">u2"))
+    flat = (
+        np.frombuffer(be.tobytes(), dtype=np.uint8)
+        .reshape(h, w * channels * 2)
+        .astype(np.int32)
+    )
+    lines = _filter_scanlines(flat, channels * 2, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
         + _png_chunk(b"IEND", b"")
     )
 

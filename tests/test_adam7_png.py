@@ -51,3 +51,18 @@ def test_adam7_feature_parity_e2e(spark):
     rows = {r["media_id"]: r for r in extract_features(media).collect()}
     assert rows["adam7"]["decoder"] == "png"
     assert rows["adam7"]["feature"] == rows["plain"]["feature"]
+
+
+def test_16bit_png_decodes_high_bytes():
+    from soda_core_spark.functions.multimodal import make_png16
+
+    rng = np.random.default_rng(13)
+    img16 = rng.integers(0, 65536, size=(9, 7, 3)).astype(np.uint16)
+    want = (img16 >> 8).astype(np.uint8)
+    assert (decode_png(make_png16(img16)) == want).all()
+    for f in range(5):
+        assert (decode_png(make_png16(img16, filters=[f])) == want).all(), f
+    # 16-bit grayscale replicates like the 8-bit path
+    g16 = rng.integers(0, 65536, size=(4, 5, 1)).astype(np.uint16)
+    out = decode_png(make_png16(g16))
+    assert (out == np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)).all()
