@@ -13,10 +13,12 @@ provides:
   in JVM built-ins: fold the 27 visible Windows-1252 code points back
   to their C1-control positions (``translate``), byte-reverse the bad
   decode with ``encode(.., 'ISO-8859-1')`` → ``decode(.., 'UTF-8')``,
-  and keep the result only when the round trip is provably lossless
-  (no codepoint above 0xFF in the folded input — those cannot have
-  come from a Latin-1 decode — and no U+FFFD replacement in the
-  output). Unrepairable or clean rows pass through byte-identical.
+  and run the reversal only when it is provably safe: no codepoint
+  above 0xFF in the folded input (those cannot have come from a
+  Latin-1 decode) AND the folded bytes validate as structural UTF-8
+  via the RFC 3629 regex — Spark's ``decode`` THROWS on malformed
+  input, so validity is proven before the decode ever evaluates.
+  Unrepairable or clean rows pass through byte-identical.
 
 Scale shape: detection and repair are both single-projection column
 algebra — no UDF, no shuffle, no Python. ftfy itself is a per-row
