@@ -216,27 +216,33 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) < 13:
         raise ValueError("missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if depth not in (8, 16) or interlace not in (0, 1):
-        raise ValueError("only 8/16-bit PNG (interlace 0 or Adam7) supported")
+    if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
+        raise ValueError("unsupported PNG bit depth / interlace method")
     channels = _PNG_CHANNELS.get(color)
     if channels is None:
         raise ValueError(f"unsupported color type {color}")
     if depth == 16 and color == 3:
         raise ValueError("palette PNG cannot be 16-bit (spec §11.2.2)")
-    # PNG filters operate on BYTES with bpp = channels × bytes-per-sample
-    # (spec §9: "bpp is defined as the number of bytes per complete
-    # pixel"); 16-bit samples are big-endian, so after reconstruction the
-    # high byte is the 8-bit value (floor of x/257 ≈ x>>8 — the standard
-    # downsample for feature extraction).
-    sample_bytes = depth // 8
+    if depth < 8 and color not in (0, 3):
+        raise ValueError("sub-8-bit PNG is grayscale/palette only (§11.2.2)")
     palette = None
     if color == 3:
         # spec §11.2.3: PLTE required for type 3, 1-256 RGB triples
         if plte is None or len(plte) == 0 or len(plte) % 3 != 0 or len(plte) > 768:
             raise ValueError("palette PNG without a valid PLTE chunk")
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-    bpp = channels * sample_bytes
-    stride = w * bpp
+    # PNG filters operate on BYTES with bpp = the byte width of one
+    # complete pixel ROUNDED UP to at least one byte (spec §9); 16-bit
+    # samples are big-endian (high byte kept — the standard downsample);
+    # sub-8-bit samples pack most-significant-bit-first within each
+    # scanline byte (spec §7.2) and grayscale values scale by
+    # 255/(2^depth−1) to 8-bit.
+    bpp = max(1, channels * depth // 8)
+
+    def _row_bytes(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    stride = _row_bytes(w)
     if interlace == 0:
         expected = (stride + 1) * h
     else:
@@ -245,7 +251,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
-                expected += ph * (pw * bpp + 1)
+                expected += ph * (_row_bytes(pw) + 1)
     if expected > 256 * 1024 * 1024:
         raise ValueError(f"refusing image over 256 MiB decoded ({w}x{h})")
     # BOUNDED inflate: IDAT is attacker-controlled web bytes — a ~1 KB
@@ -263,10 +269,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     raw_arr = np.frombuffer(raw, dtype=np.uint8)
 
     def _to_pixels(block: np.ndarray, rows: int, cols: int) -> np.ndarray:
-        if sample_bytes == 1:
+        if depth == 8:
             return block.reshape(rows, cols, channels)
-        # big-endian 16-bit: the high byte of each sample
-        return block.reshape(rows, cols, channels, 2)[:, :, :, 0]
+        if depth == 16:
+            # big-endian: the high byte of each sample
+            return block.reshape(rows, cols, channels, 2)[:, :, :, 0]
+        # sub-8-bit (grayscale/palette, channels == 1): samples pack
+        # MSB-first within each byte (spec §7.2)
+        bits = np.unpackbits(block, axis=1)[:, : cols * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = bits.reshape(rows, cols, depth) @ weights
+        if color == 0:  # grayscale: scale to 8-bit (255/(2^d−1) is exact)
+            vals = vals * (255 // ((1 << depth) - 1))
+        return vals.astype(np.uint8).reshape(rows, cols, 1)
 
     if interlace == 0:
         arr = raw_arr.reshape(h, stride + 1)
@@ -282,7 +297,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * bpp
+            pstride = _row_bytes(pw)
             block = raw_arr[pos : pos + ph * (pstride + 1)].reshape(
                 ph, pstride + 1
             )
@@ -507,6 +522,40 @@ def make_png16(
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png_lowdepth(
+    samples: np.ndarray,
+    depth: int,
+    palette: Optional[np.ndarray] = None,
+    filters: Optional[list[int]] = None,
+) -> bytes:
+    """Encode an (H, W) uint8 sample array (values < 2^depth) as a REAL
+    1/2/4-bit PNG — grayscale (type 0) or, with ``palette`` (N, 3),
+    indexed (type 3); samples pack MSB-first per spec §7.2. The encoder
+    twin of the sub-8-bit decode path."""
+    if depth not in (1, 2, 4):
+        raise ValueError("depth must be 1, 2, or 4")
+    h, w = samples.shape
+    if int(samples.max(initial=0)) >= (1 << depth):
+        raise ValueError("sample out of range for depth")
+    bits = (
+        (samples[..., None].astype(np.uint8)
+         >> np.arange(depth - 1, -1, -1).astype(np.uint8))
+        & 1
+    ).reshape(h, w * depth)
+    packed = np.packbits(bits, axis=1).astype(np.int32)
+    lines = _filter_scanlines(packed, 1, filters)
+    color = 0 if palette is None else 3
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    chunks = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return (
+        chunks
         + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
         + _png_chunk(b"IEND", b"")
     )

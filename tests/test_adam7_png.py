@@ -66,3 +66,24 @@ def test_16bit_png_decodes_high_bytes():
     g16 = rng.integers(0, 65536, size=(4, 5, 1)).astype(np.uint16)
     out = decode_png(make_png16(g16))
     assert (out == np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)).all()
+
+
+def test_sub8bit_png_grayscale_and_palette():
+    from soda_core_spark.functions.multimodal import make_png_lowdepth
+
+    rng = np.random.default_rng(5)
+    for d in (1, 2, 4):
+        s = rng.integers(0, 1 << d, size=(7, 13)).astype(np.uint8)
+        want = np.repeat(
+            (s * (255 // ((1 << d) - 1)))[:, :, None], 3, axis=2
+        )
+        for f in range(5):
+            got = decode_png(make_png_lowdepth(s, d, filters=[f]))
+            assert (got == want).all(), (d, f)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(6, 9)).astype(np.uint8)
+    assert (decode_png(make_png_lowdepth(idx, 4, palette=pal)) == pal[idx]).all()
+    # 1-bit with a 2-entry palette (classic favicon mask shape)
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    m = rng.integers(0, 2, size=(16, 16)).astype(np.uint8)
+    assert (decode_png(make_png_lowdepth(m, 1, palette=pal2)) == pal2[m]).all()
