@@ -11,6 +11,9 @@ formats:
   (spec §9 filters 0-4) for gray/RGB/gray+alpha/RGBA/palette at 8- and
   16-bit depth, non-interlaced AND Adam7-interlaced; same features as
   PPM (identical pixels ⇒ identical features),
+* **GIF images** — GIF87a/89a first frame: GIF-variant LZW (bounded by
+  the descriptor's pixel count), global/local color tables, the 4-pass
+  interlace grid, extension skipping; same features as PPM/PNG,
 * **WAV PCM audio** — stdlib ``wave`` + numpy; features = 16-band RMS
   energy profile over the clip,
 * **codec formats** (JPEG/MP4/...) — genuinely need external codecs
@@ -373,6 +376,8 @@ def decode_features(payload: Optional[bytes], mime: Optional[str]) -> tuple[str,
             return "ppm", image_features(decode_ppm(p))
         if p.startswith(PNG_SIG):
             return "png", image_features(decode_png(p))
+        if p[:6] in GIF_SIGS:
+            return "gif", image_features(decode_gif(p))
         if p.startswith(b"RIFF") and (mime or "").startswith("audio"):
             samples, _rate = decode_wav(p)
             return "wav", audio_features(samples)
@@ -525,6 +530,227 @@ def make_png16(
         + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW (spec appendix F): variable code width starting at
+    ``min_code_size``+1, clear/end codes, table grows to 4095 entries.
+    Output is BOUNDED by ``max_pixels`` — the image descriptor fixes the
+    pixel count, so a crafted stream cannot balloon memory (the same
+    attacker-controlled-bytes discipline as the PNG bounded inflate)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset() -> int:
+        table.clear()
+        table.extend(bytes([i]) for i in range(clear))
+        table.append(b"")  # clear
+        table.append(b"")  # end
+        return min_code_size + 1
+
+    width = reset()
+    bitbuf = 0
+    nbits = 0
+    prev: Optional[bytes] = None
+    for byte in data:
+        bitbuf |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = bitbuf & ((1 << width) - 1)
+            bitbuf >>= width
+            nbits -= width
+            if code == clear:
+                width = reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                raise ValueError("LZW output exceeds image size")
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+#: GIF interlace pass grid (spec §20): (row_start, row_step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a into (H, W, 3) uint8 using
+    only the stdlib + numpy: header + color tables + sub-block
+    reassembly + the GIF-variant LZW above; interlaced frames reorder
+    rows through the four-pass grid (spec §20). Extensions (graphic
+    control, comments, application) are skipped by their block sizes.
+    Animation is out of scope by design — frame 1 is the web-corpus
+    feature-extraction contract (same policy a thumbnailer applies)."""
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
+            i += 10
+            lct = None
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                lct = np.frombuffer(
+                    payload[i : i + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                i += 3 * n
+            palette = lct if lct is not None else gct
+            if palette is None:
+                raise ValueError("GIF frame without a color table")
+            if iw * ih > 64 * 1024 * 1024:
+                raise ValueError("refusing GIF over 64 Mpixel")
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                sz = payload[i]
+                data += payload[i + 1 : i + 1 + sz]
+                i += 1 + sz
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("LZW stream shorter than image")
+            arr = np.asarray(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                ordered = np.zeros_like(arr)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    rows = range(start, ih, step)
+                    for r in rows:
+                        ordered[r] = arr[src]
+                        src += 1
+                arr = ordered
+            if int(arr.max(initial=0)) >= len(palette):
+                raise ValueError("palette index out of range")
+            frame = palette[arr]
+            # compose onto the logical screen if smaller (frame 1 policy:
+            # uncovered area is palette entry 0)
+            if (iw, ih, ix, iy) != (w, h, 0, 0):
+                screen = np.zeros((h, w, 3), dtype=np.uint8)
+                screen[:] = palette[0]
+                screen[iy : iy + ih, ix : ix + iw] = frame
+                return screen
+            return frame
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Minimal correct GIF LZW encoder (grows the table like the
+    decoder, emits clear upfront and end at the close) — the test twin
+    of :func:`_lzw_decode`."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    bitbuf = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = b""
+    for v in indices:
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prev = bytes([v])
+    if prev:
+        emit(table[prev])
+    emit(end)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def make_gif(
+    indices: np.ndarray, palette: np.ndarray, interlaced: bool = False
+) -> bytes:
+    """Encode an (H, W) uint8 index array + (N, 3) palette as a REAL
+    GIF89a (optionally interlaced) — the encoder twin of
+    :func:`decode_gif`."""
+    h, w = indices.shape
+    n = len(palette)
+    size_pow = max(1, (int(n) - 1).bit_length())
+    full = 1 << size_pow
+    pal = np.zeros((full, 3), dtype=np.uint8)
+    pal[:n] = palette
+    min_code = max(2, size_pow)
+    rows = indices
+    iflags = 0
+    if interlaced:
+        order = []
+        for start, step in _GIF_INTERLACE:
+            order.extend(range(start, h, step))
+        rows = indices[order]
+        iflags |= 0x40
+    stream = _lzw_encode([int(v) for v in rows.reshape(-1)], min_code)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_pow - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    out.append(min_code)
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def make_png_lowdepth(
