@@ -75,3 +75,6 @@ from soda_core_spark.operators.history import (  # noqa: F401
     register_metric_anomaly_check,
     register_metric_change_check,
 )
+from soda_core_spark.sources.metadata_checks import (  # noqa: F401
+    verify_contract_metadata_only,
+)

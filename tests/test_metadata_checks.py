@@ -1,0 +1,99 @@
+"""Metadata-only (parquet-footer) contract verification
+(sources/metadata_checks.py)."""
+
+from pyspark.sql import functions as F
+
+from soda_core_spark import verify_contract
+from soda_core_spark.plans.model import contract_from_dict
+from soda_core_spark.plans.results import CheckOutcome
+from soda_core_spark.sources.metadata_checks import (
+    parquet_footer_stats,
+    verify_contract_metadata_only,
+)
+
+
+def _write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else f"t{i}") for i in range(100)],
+        ["id", "text"],
+    )
+    p = str(tmp_path / "docs")
+    df.repartition(4).write.parquet(p)
+    return p, df
+
+
+CONTRACT = {
+    "dataset": "docs",
+    "checks": [{"row_count": {"must_be": 100}}],
+    "columns": [
+        {"name": "text", "checks": [{"missing": {"must_be": 20}}]},
+        {"name": "id", "checks": [{"duplicate": {"must_be": 0}}]},
+    ],
+}
+
+
+def test_footer_stats_exact(spark, tmp_path):
+    p, _df = _write(spark, tmp_path)
+    total, nulls = parquet_footer_stats(p)
+    assert total == 100
+    assert nulls["text"] == 20 and nulls["id"] == 0
+
+
+def test_metadata_only_matches_full_scan(spark, tmp_path):
+    p, df = _write(spark, tmp_path)
+    contract = contract_from_dict(CONTRACT)
+    meta = verify_contract_metadata_only(spark, contract, p)
+    full = verify_contract(spark, contract, df)
+    m = {r.identity: r for r in meta.check_results}
+    f = {r.identity: r for r in full.check_results}
+    for ident, fr in f.items():
+        mr = m[ident]
+        if mr.outcome != CheckOutcome.NOT_EVALUATED:
+            # footer-evaluable checks agree with the scan engine exactly
+            assert (mr.outcome, mr.metric_value) == (
+                fr.outcome,
+                fr.metric_value,
+            ), fr.check_type
+    # the duplicate check correctly defers to the scan engine
+    dup = [r for r in meta.check_results if r.check_type == "duplicate"][0]
+    assert dup.outcome == CheckOutcome.NOT_EVALUATED
+    assert "data scan" in dup.message
+
+
+def test_metadata_only_catches_violations(spark, tmp_path):
+    p, _df = _write(spark, tmp_path)
+    contract = contract_from_dict(
+        {
+            "dataset": "docs",
+            "checks": [{"row_count": {"must_be_greater_than": 1000}}],
+            "columns": [
+                {"name": "text", "checks": [{"missing": {"must_be": 0}}]}
+            ],
+        }
+    )
+    res = verify_contract_metadata_only(spark, contract, p)
+    assert all(
+        r.outcome == CheckOutcome.FAILED for r in res.check_results
+    )
+    assert res.status == "failed"
+
+
+def test_custom_missing_semantics_defer(spark, tmp_path):
+    p, _df = _write(spark, tmp_path)
+    contract = contract_from_dict(
+        {
+            "dataset": "docs",
+            "columns": [
+                {
+                    "name": "text",
+                    "checks": [
+                        {"missing": {"missing_values": ["t1"], "must_be": 21}}
+                    ],
+                }
+            ],
+        }
+    )
+    res = verify_contract_metadata_only(spark, contract, p)
+    r = res.check_results[0]
+    assert r.outcome == CheckOutcome.NOT_EVALUATED
+    assert r.metric_unavailable
