@@ -76,6 +76,64 @@ def parquet_footer_stats(path: str) -> tuple[int, dict[str, int | None]]:
     return total, nulls
 
 
+def parquet_footer_bounds(path: str) -> dict[str, tuple]:
+    """{column: (min, max)} from footers; a column is absent when any
+    row group lacks min-max statistics."""
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    bounds: dict[str, tuple | None] = {}
+    for f in files:
+        md = pq.read_metadata(f)
+        names = list(md.schema.names)
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = names[ci]
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    bounds[col] = None
+                    continue
+                cur = bounds.get(col)
+                if cur is None and col in bounds:
+                    continue
+                lo = st.min if cur is None else min(cur[0], st.min)
+                hi = st.max if cur is None else max(cur[1], st.max)
+                bounds[col] = (lo, hi)
+    return {c: b for c, b in bounds.items() if b is not None}
+
+
+def _bounds_only_invalid(check) -> tuple | None:
+    """(valid_min, valid_max) when the check's validity config is ONLY
+    numeric bounds (either side optional) — the subset footer min/max
+    can reason about; None otherwise."""
+    v = getattr(check, "validity", None)
+    if v is None:
+        return None
+    others = any(
+        getattr(v, k, None) is not None
+        for k in (
+            "valid_values",
+            "invalid_values",
+            "valid_format",
+            "invalid_format",
+            "valid_min_length",
+            "valid_max_length",
+            "valid_length",
+        )
+    )
+    lo = getattr(v, "valid_min", None)
+    hi = getattr(v, "valid_max", None)
+    if others or (lo is None and hi is None):
+        return None
+    if getattr(check, "filter", None) or getattr(check, "column_expression", None):
+        return None
+    return (lo, hi)
+
+
 def _plain_missing(check) -> bool:
     """True when the check's missing semantics are exactly SQL NULL —
     the one definition footer null counts measure."""
@@ -96,6 +154,7 @@ def verify_contract_metadata_only(
     standard result object; checks needing a data scan come back
     NOT_EVALUATED with an explanatory message."""
     total, nulls = parquet_footer_stats(path)
+    bounds = parquet_footer_bounds(path)
     results: list[CheckResult] = []
     for check in contract.all_checks():
         ident = check_identity(
@@ -120,6 +179,30 @@ def verify_contract_metadata_only(
                 value = 100.0 * nc / total if total else 0.0
             else:
                 value = float(nc)
+        elif check.type == "invalid" and _bounds_only_invalid(check):
+            lo, hi = _bounds_only_invalid(check)
+            b = bounds.get(check.column)
+            if b is None:
+                message = "footer min-max statistic unavailable"
+            else:
+                col_lo, col_hi = b
+                try:
+                    proven = (lo is None or float(col_lo) >= float(lo)) and (
+                        hi is None or float(col_hi) <= float(hi)
+                    )
+                except (TypeError, ValueError):
+                    proven = False
+                    message = "column bounds are not numeric"
+                if proven:
+                    # the bounds PROVE zero out-of-range values; footers
+                    # cannot COUNT violations, so anything else defers
+                    value = 0.0
+                    diagnostics["proof"] = f"bounds [{col_lo}, {col_hi}]"
+                elif message is None:
+                    message = (
+                        "bounds cannot prove zero invalid — requires a "
+                        "data scan"
+                    )
         else:
             message = "requires a data scan (run verify_contract)"
         if value is None:

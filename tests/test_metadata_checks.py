@@ -97,3 +97,44 @@ def test_custom_missing_semantics_defer(spark, tmp_path):
     r = res.check_results[0]
     assert r.outcome == CheckOutcome.NOT_EVALUATED
     assert r.metric_unavailable
+
+
+def test_bounds_proven_invalid(spark, tmp_path):
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                               ["id", "score"])
+    p = str(tmp_path / "b")
+    df.write.parquet(p)
+    contract = contract_from_dict(
+        {
+            "dataset": "docs",
+            "columns": [
+                {
+                    "name": "score",
+                    "checks": [
+                        # bounds [0, 49] prove zero invalid
+                        {"invalid": {"valid_min": 0, "valid_max": 100,
+                                     "must_be": 0, "qualifier": "wide"}},
+                        # bounds CANNOT prove this one — defer
+                        {"invalid": {"valid_min": 10, "valid_max": 100,
+                                     "must_be": 0, "qualifier": "narrow"}},
+                        # non-bounds validity always defers
+                        {"invalid": {"valid_values": [1.0],
+                                     "must_be": 0, "qualifier": "vals"}},
+                    ],
+                }
+            ],
+        }
+    )
+    res = verify_contract_metadata_only(spark, contract, p)
+    by_q = {}
+    for r in res.check_results:
+        for q in ("wide", "narrow", "vals"):
+            if q in r.identity or (r.name and q in r.name):
+                by_q[q] = r
+    # identities don't carry qualifier text; map by order instead
+    wide, narrow, vals = res.check_results
+    assert wide.outcome == CheckOutcome.PASSED and wide.metric_value == 0.0
+    assert "proof" in wide.diagnostics
+    assert narrow.outcome == CheckOutcome.NOT_EVALUATED
+    assert "cannot prove" in narrow.message
+    assert vals.outcome == CheckOutcome.NOT_EVALUATED
