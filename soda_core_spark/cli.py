@@ -139,6 +139,7 @@ def contract_verify_main(args: argparse.Namespace) -> int:
         print(f"cannot build Spark session: {e}", file=sys.stderr)
         return ExitCode.LOG_ERRORS
     datasets = {}
+    dataset_paths = {}
     for spec in args.dataset or []:
         if "=" not in spec:
             print(
@@ -147,11 +148,43 @@ def contract_verify_main(args: argparse.Namespace) -> int:
             )
             return ExitCode.LOG_ERRORS
         name, path = spec.split("=", 1)
+        dataset_paths[name.strip()] = path.strip()
         try:
             datasets[name.strip()] = spark.read.parquet(path.strip())
         except Exception as e:
             print(f"cannot read dataset {name.strip()!r}: {e}", file=sys.stderr)
             return ExitCode.LOG_ERRORS
+
+    if getattr(args, "metadata_only", False):
+        # footer-statistics fast path: no data scan, no executors — checks
+        # the footers cannot express come back NOT_EVALUATED/unavailable
+        # (expected in this mode, never exit 3)
+        from soda_core_spark.sources.metadata_checks import (
+            verify_contract_metadata_only,
+        )
+
+        any_failed = any_warned = False
+        for contract in contracts:
+            p = dataset_paths.get(contract.dataset)
+            if p is None:
+                print(
+                    f"--metadata-only needs -ds {contract.dataset}=PATH",
+                    file=sys.stderr,
+                )
+                return ExitCode.LOG_ERRORS
+            try:
+                res = verify_contract_metadata_only(spark, contract, p)
+            except Exception as e:
+                print(f"metadata verify failed: {e}", file=sys.stderr)
+                return ExitCode.LOG_ERRORS
+            print(res.summary())
+            any_failed |= res.status == "failed"
+            any_warned |= res.status == "warned"
+        if any_failed:
+            return ExitCode.CHECK_FAILURES
+        if any_warned:
+            return ExitCode.CHECK_WARNINGS
+        return ExitCode.OK
 
     session = verify_contracts(
         spark,
@@ -287,6 +320,13 @@ def _contract_main(argv: list[str]) -> int:
         default=None,
         help="append check results + measurements to parquet metrics tables "
         "under this directory (diagnostics-warehouse analogue)",
+    )
+    v.add_argument(
+        "--metadata-only",
+        action="store_true",
+        help="evaluate only footer-statistics-expressible checks "
+        "(row_count, NULL missing, bounds-proven invalid) from parquet "
+        "metadata — no data scan; other checks report NOT_EVALUATED",
     )
     v.set_defaults(_handler=contract_verify_main)
     args = p.parse_args(argv)

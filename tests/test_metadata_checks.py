@@ -138,3 +138,28 @@ def test_bounds_proven_invalid(spark, tmp_path):
     assert narrow.outcome == CheckOutcome.NOT_EVALUATED
     assert "cannot prove" in narrow.message
     assert vals.outcome == CheckOutcome.NOT_EVALUATED
+
+
+def test_cli_metadata_only(tmp_path, spark):
+    import yaml
+
+    from soda_core_spark.cli import main
+
+    p, _df = _write(spark, tmp_path)
+    cpath = tmp_path / "c.yml"
+    cpath.write_text(yaml.safe_dump(CONTRACT))
+    rc = main(
+        ["contract", "verify", "-c", str(cpath), "-ds", f"docs={p}",
+         "--metadata-only", "--use-active-session"]
+    )
+    assert rc == 0  # row_count + missing pass; duplicate deferred, not an error
+
+    bad = dict(CONTRACT)
+    bad["checks"] = [{"row_count": {"must_be": 1}}]
+    bpath = tmp_path / "b.yml"
+    bpath.write_text(yaml.safe_dump(bad))
+    rc2 = main(
+        ["contract", "verify", "-c", str(bpath), "-ds", f"docs={p}",
+         "--metadata-only", "--use-active-session"]
+    )
+    assert rc2 == 1  # footer-proven failure
