@@ -4633,3 +4633,83 @@ def q92(spark, sf_dir):
     staged = d.select("doc_id", n.alias("n_tokens"))
     b = assign_length_buckets(staged, [8, 16, 32, 64])
     return padding_waste_report(b)
+
+
+# ---------------------------------------------------------------------------
+# HTML head metadata + canonical dedup classes (functions/html.py)
+# ---------------------------------------------------------------------------
+
+
+def _q93_sql() -> str:
+    from soda_core_spark.functions.html import (
+        CANONICAL_PATTERN,
+        PUBLISHED_PATTERNS,
+    )
+
+    canon_pat = _duck_estr(CANONICAL_PATTERN)
+    pub_pat = _duck_estr(PUBLISHED_PATTERNS[0])
+    day = "lpad(((doc_id % 27) + 1)::VARCHAR, 2, '0')"
+    html = (
+        "'<html><head><link rel=\"canonical\" href=\"https://host' || "
+        "(doc_id % 17)::VARCHAR || '.example.com/canon/' || "
+        "(doc_id % 100)::VARCHAR || '\"/>' || "
+        "'<meta property=\"article:published_time\" content=\"2026-08-' || "
+        f"{day} || 'T08:15:00\"/></head><body><p>' || "
+        "coalesce(text, '') || '</p></body></html>'"
+    )
+    return f"""
+    WITH src AS (SELECT doc_id, {html} AS h FROM documents),
+    meta AS (
+      SELECT doc_id,
+             nullif(regexp_extract(h, {canon_pat}, 1), '') AS canonical_href,
+             try_cast(nullif(regexp_extract(h, {pub_pat}, 1), '')
+                      AS TIMESTAMP) AS published_ts
+      FROM src
+    )
+    SELECT canonical_href,
+           count(*)::BIGINT AS n_pages,
+           min(doc_id) AS survivor_doc,
+           max(published_ts) AS latest_pub
+    FROM meta WHERE canonical_href IS NOT NULL
+    GROUP BY canonical_href
+    """
+
+
+@register("q93_canonical_dedup", _q93_sql())
+def q93(spark, sf_dir):
+    """Canonical-link dedup classes (functions/html.py
+    with_html_metadata): pages declare their canonical URL in markup —
+    grouping on it collapses print/AMP/tracking variants BEFORE any
+    content hashing; per class: page count, min-id survivor, latest
+    published_time (head-metadata regexes, try_to_timestamp, zero
+    shuffle until the one groupBy)."""
+    from soda_core_spark.functions.html import with_html_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    day = F.lpad(((did % 27) + 1).cast("string"), 2, "0")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><link rel="canonical" href="https://host'),
+            (did % 17).cast("string"),
+            F.lit(".example.com/canon/"),
+            (did % 100).cast("string"),
+            F.lit('"/><meta property="article:published_time" '
+                  'content="2026-08-'),
+            day,
+            F.lit('T08:15:00"/></head><body><p>'),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    m = with_html_metadata(pages)
+    return (
+        m.where(F.col("canonical_href").isNotNull())
+        .groupBy("canonical_href")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.min("doc_id").alias("survivor_doc"),
+            F.max("published_ts").alias("latest_pub"),
+        )
+    )

@@ -148,3 +148,79 @@ def with_extracted_text(
     if link_density:
         cols[link_density] = F.when(src.isNotNull(), link_density_col(src))
     return df.withColumns(cols)
+
+
+#: metadata extraction patterns — Java/RE2 common subset (inline flags,
+#: non-greedy, classes; no lookaround), attribute order as emitted by
+#: the dominant CMSes (property/name/rel first, content/href second).
+CANONICAL_PATTERN = (
+    r'(?is)<link\s[^>]*rel="canonical"[^>]*href="([^"]+)"'
+)
+PUBLISHED_PATTERNS: tuple[str, ...] = (
+    # OpenGraph / article meta (WordPress, most news CMSes)
+    r'(?is)<meta\s[^>]*property="article:published_time"[^>]*'
+    r'content="([^"]+)"',
+    r'(?is)<meta\s[^>]*name="date"[^>]*content="([^"]+)"',
+    # HTML5 <time datetime=...>
+    r'(?is)<time\s[^>]*datetime="([^"]+)"',
+)
+OG_TITLE_PATTERN = (
+    r'(?is)<meta\s[^>]*property="og:title"[^>]*content="([^"]+)"'
+)
+META_DESCRIPTION_PATTERN = (
+    r'(?is)<meta\s[^>]*name="description"[^>]*content="([^"]+)"'
+)
+
+
+def _first_match(col: Column, patterns: tuple[str, ...]) -> Column:
+    out = None
+    for pat in patterns:
+        m = F.nullif(F.regexp_extract(col, pat, 1), F.lit(""))
+        out = m if out is None else F.coalesce(out, m)
+    return out
+
+
+def with_html_metadata(
+    df: DataFrame,
+    html_col: str = "html",
+    canonical_col: str = "canonical_href",
+    published_col: str = "published_ts",
+    og_title_col: str = "og_title",
+    description_col: str = "meta_description",
+) -> DataFrame:
+    """Page metadata from markup, pure JVM regexp — the other half of
+    extraction (functions/html.py does body text; this does the head):
+
+    * ``canonical_href`` — ``<link rel="canonical">``: the PAGE'S OWN
+      statement of its canonical URL, the strongest crawl-dedup signal
+      there is (dedup on it collapses print views, AMP pages, tracking
+      variants before any content hashing runs; pair with
+      ``operators/urls.url_dedup``),
+    * ``published_ts`` — first of article:published_time / meta date /
+      ``<time datetime>``, parsed with ``try_to_timestamp`` (ISO forms;
+      unparseable → NULL, never a failed row) — temporal filtering and
+      crawl-delta priority,
+    * ``og_title`` / ``meta_description`` — entity-decoded snippets for
+      retrieval/labeling.
+
+    Every extraction is one ``regexp_extract`` over the html column —
+    zero shuffle, zero Python; NULL html → NULL columns."""
+    src = F.col(html_col).cast("string")
+    canon = F.nullif(F.regexp_extract(src, CANONICAL_PATTERN, 1), F.lit(""))
+    pub_raw = _first_match(src, PUBLISHED_PATTERNS)
+    pub = F.try_to_timestamp(pub_raw)
+
+    def _decoded(pat: str) -> Column:
+        col = F.nullif(F.regexp_extract(src, pat, 1), F.lit(""))
+        for ent, lit in HTML_ENTITIES:
+            col = F.replace(col, F.lit(ent), F.lit(lit))
+        return col
+
+    return df.withColumns(
+        {
+            canonical_col: canon,
+            published_col: pub,
+            og_title_col: _decoded(OG_TITLE_PATTERN),
+            description_col: _decoded(META_DESCRIPTION_PATTERN),
+        }
+    )

@@ -150,3 +150,58 @@ def test_pipeline_html_fallback(spark):
     # donor text is keepable → the recovered row scores like the donor
     donor_row = fb.where(F.col("url") == pdf["url"][1]).first()
     assert row0b["keep"] == donor_row["keep"]
+
+
+# ---------------------------------------------------------------------------
+# head metadata extraction (with_html_metadata)
+# ---------------------------------------------------------------------------
+
+
+def test_html_metadata_extraction(spark):
+    import datetime as dt
+
+    from soda_core_spark.functions.html import with_html_metadata
+
+    rows = [
+        (
+            1,
+            '<html><head><link rel="canonical" href="https://ex.com/a"/>'
+            '<meta property="article:published_time" '
+            'content="2026-08-18T10:30:00"/>'
+            '<meta property="og:title" content="Cats &amp; Dogs"/>'
+            '<meta name="description" content="All about pets"/>'
+            "</head><body>x</body></html>",
+        ),
+        (
+            2,
+            # fallback chain: no article meta → <time datetime>
+            '<html><body><time datetime="2025-01-02T03:04:05">then</time>'
+            "</body></html>",
+        ),
+        (3, "<html><body>no metadata at all</body></html>"),
+        (4, '<meta name="date" content="not a date"/>'),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {r["doc_id"]: r for r in with_html_metadata(df).collect()}
+    assert got[1]["canonical_href"] == "https://ex.com/a"
+    assert got[1]["published_ts"] == dt.datetime(2026, 8, 18, 10, 30)
+    assert got[1]["og_title"] == "Cats & Dogs"
+    assert got[1]["meta_description"] == "All about pets"
+    assert got[2]["published_ts"] == dt.datetime(2025, 1, 2, 3, 4, 5)
+    assert got[2]["canonical_href"] is None
+    assert all(got[3][c] is None for c in
+               ("canonical_href", "published_ts", "og_title"))
+    assert got[4]["published_ts"] is None  # unparseable date → NULL
+    assert all(got[5][c] is None for c in
+               ("canonical_href", "published_ts", "og_title"))
+
+
+def test_html_metadata_is_shuffle_free(spark):
+    from soda_core_spark.functions.html import with_html_metadata
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], ["doc_id", "html"])
+    plan = (
+        with_html_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
