@@ -1,0 +1,88 @@
+"""Poll host health; run bench.py in the first healthy idle window.
+
+Guards (the r4 gated protocol, BENCH/JOURNAL.md):
+* memory probe >= 4 GB/s (fault-servicing throttle off),
+* CPU steal < 2% over a 3 s window (no hypervisor noisy neighbor),
+* no other java/pytest process alive (no concurrent-JVM contamination).
+
+Exits after one successful bench or when the deadline passes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+DEADLINE_S = int(os.environ.get("BENCH_WAIT_DEADLINE_S", "7200"))
+POLL_S = 60
+
+
+def probe_gbps() -> float:
+    b = np.empty(32_000_000)
+    t0 = time.time()
+    b[::512] = 1.0
+    return 32_000_000 * 8 / 512 / (time.time() - t0) / 1e9
+
+
+def steal_pct(window: float = 3.0) -> float:
+    def read():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return v, sum(v)
+
+    a, ta = read()
+    time.sleep(window)
+    b, tb = read()
+    return 100.0 * (b[7] - a[7]) / max(1, tb - ta)
+
+
+def other_jvms() -> bool:
+    out = subprocess.run(
+        ["pgrep", "-c", "-f", "java|pytest"], capture_output=True, text=True
+    )
+    try:
+        return int(out.stdout.strip() or "0") > 0
+    except ValueError:
+        return True
+
+
+def main() -> int:
+    start = time.time()
+    while time.time() - start < DEADLINE_S:
+        g = probe_gbps()
+        s = steal_pct()
+        busy = other_jvms()
+        print(
+            f"[{time.strftime('%H:%M:%S')}] probe={g:.2f} GB/s "
+            f"steal={s:.2f}% other_jvms={busy}",
+            flush=True,
+        )
+        if g >= 4.0 and s < 2.0 and not busy:
+            env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+            r = subprocess.run(
+                [sys.executable, "bench.py"],
+                cwd="/root/repo",
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = [
+                ln for ln in r.stdout.splitlines() if ln.startswith("{")
+            ]
+            if line:
+                with open("/root/repo/BENCH/r4_session5_bench.json", "w") as f:
+                    f.write(line[-1] + "\n")
+                print("bench captured:", line[-1][:200], flush=True)
+                return 0
+            print("bench produced no JSON; retrying", flush=True)
+        time.sleep(POLL_S)
+    print("deadline passed without a healthy idle window", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
