@@ -313,3 +313,43 @@ def test_snapshot_sink_stream_exactly_once(spark, tmp_path):
     sid = commit_stream_batch(table, dup, last + 1)
     assert sid is not None
     assert table.read().count() == 31
+
+
+def test_snapshot_sink_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Stop the stream after the first files, add more input, restart
+    with the SAME checkpoint: only the new files commit (offsets resume,
+    the batch-id ledger keeps replays out), rows land exactly once."""
+    from soda_core_spark.sources.snapshots import SnapshotTable
+    from soda_core_spark.streaming.snapshot_sink import (
+        start_snapshot_sink_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, f"a{i}") for i in range(10)], ["id", "text"]
+    ).coalesce(1).write.mode("append").parquet(inp)
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        q = start_snapshot_sink_stream(stream, table, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    assert table.read().count() == 10
+    n_snapshots_first = len(table.snapshots())
+
+    # second wave of input, same checkpoint
+    spark.createDataFrame(
+        [(i, f"b{i}") for i in range(100, 105)], ["id", "text"]
+    ).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+    got = sorted(r["id"] for r in table.read().collect())
+    assert got == list(range(10)) + list(range(100, 105))
+    # restart did NOT recommit the first wave
+    assert len(table.snapshots()) == n_snapshots_first + 1
