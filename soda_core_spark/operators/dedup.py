@@ -1078,6 +1078,40 @@ def per_group_cap(
 # ---------------------------------------------------------------------------
 
 
+def _reliable_checkpoint(df: DataFrame) -> DataFrame:
+    """Iteration-safe lineage + STATISTICS truncation (jstack-diagnosed
+    at sf0.1, see tests/test_cc_iteration_cost.py):
+
+    ``Dataset.checkpoint`` cuts the plan but deliberately PRESERVES the
+    origin plan's statistics on the resulting LogicalRDD. Catalyst's
+    size-only estimator computes a join's sizeInBytes as the PRODUCT of
+    its children's, and an un-materialized leaf defaults to
+    Long.MaxValue — so in a loop whose round holds ~4 self/edge joins,
+    the inherited stat is raised to the ~4th power EVERY round. The
+    BigInt's bit length grows geometrically, and from ~round 16 the
+    driver burns its time in BigInteger.multiply inside stats
+    estimation (0.6 s → 385 s/round, then OOM allocating the next
+    stat). Plain localCheckpoint inherits stats the same way.
+
+    The fix: materialize a cache FIRST — a materialized
+    InMemoryRelation carries REAL sizeInBytes — then checkpoint, so the
+    LogicalRDD inherits the real (small, constant) stats; unpersist the
+    scaffold cache. Costs one extra pass over a label-table-sized frame
+    per round, and keeps every round O(1) forever."""
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="soda_spark_ckpt_"))
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    out = cached.checkpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -1099,14 +1133,23 @@ def connected_components(
     O(log D) rounds instead of O(D) — a 10^6-long pathological chain is
     ~20 rounds, and real near-dup clusters (dense clumps) finish in 2-4.
 
-    Each round ends in ``localCheckpoint(eager=True)``: iterative
-    self-joins otherwise nest the logical plan exponentially (analyzer
-    OOM by ~iteration 15) — truncating lineage per round keeps the plan
-    constant-size and bounds driver memory. The driver loop holds one
-    changed-count per round (1-row aggregate; the data never leaves the
-    executors). On a real cluster set ``spark.checkpoint.dir`` and swap
-    in reliable ``checkpoint()`` if executor loss during the loop must
-    be survivable.
+    Each round ends in a RELIABLE ``checkpoint(eager=True)``: iterative
+    self-joins must have their lineage actually CUT each round, and on
+    Spark 4.x ``localCheckpoint`` is not enough — it truncates the
+    LOGICAL plan but keeps the physical dependency chain as the
+    recompute fallback, and once the ContextCleaner evicts an older
+    generation's blocks, every later round silently recomputes through
+    the whole retained chain: measured ~3× slower PER ROUND from
+    ~round 16 at sf0.1 (0.6 s → 385 s by round 22, then driver OOM
+    inside plan-stats estimation) while the logical plan stayed a
+    constant-size LogicalRDD. Reliable ``checkpoint()`` writes the
+    round's label table to the checkpoint dir and severs the chain for
+    real — constant work per round at any round count. A checkpoint
+    dir is auto-assigned under the JVM's temp dir when the session has
+    none (set ``spark.sparkContext.setCheckpointDir`` to durable
+    storage on a real cluster — that also buys executor-loss recovery).
+    The driver loop holds one changed-count per round (1-row aggregate;
+    the data never leaves the executors).
 
     soda-core has no graph machinery (SURVEY §1.1: no graphs); this is a
     training-pipeline extension like the pair generators above.
@@ -1117,14 +1160,14 @@ def connected_components(
         .union(edges.select(b.alias("s"), a.alias("d")))
         .where(F.col("s") != F.col("d"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = _reliable_checkpoint(sym)
     labels = (
         sym.groupBy("s")
         .agg(F.least(F.min("d"), F.first("s")).alias("label"))
         .select(F.col("s").alias("node"), "label")
-        .localCheckpoint(eager=True)
     )
+    labels = _reliable_checkpoint(labels)
     for _ in range(max_iterations):
         # (a) neighbor-min: candidate label from the edge list
         nbr = (
@@ -1158,15 +1201,13 @@ def connected_components(
                     F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        nxt = _reliable_checkpoint(nxt)
         changed = nxt.where(F.col("label") < F.col("old")).limit(1).count()
-        # release the previous generation promptly: localCheckpoint blocks
-        # are reclaimed by the ContextCleaner once the Dataset reference is
-        # gone, so peak storage stays ~2 label generations (reclamation is
-        # asynchronous — on a storage-tight cluster raise
-        # spark.cleaner.periodicGC.interval pressure or use reliable
-        # checkpoint() with a managed dir)
+        # previous generations' checkpoint files are reclaimed by the
+        # ContextCleaner once unreferenced (spark.cleaner.referenceTracking
+        # .cleanCheckpoints) or by checkpoint-dir housekeeping; peak live
+        # state is ~2 label generations
         del labels
         labels = nxt.drop("old")
         if not changed:

@@ -16,9 +16,10 @@ Scale shape:
   the graph is ~4 orders of magnitude smaller than the page graph before
   any iteration touches it;
 * PageRank iterates rank-join-aggregate on the host graph with
-  ``localCheckpoint`` lineage truncation per round (same discipline as
-  connected components, operators/dedup.py) — plans stay O(1) per round
-  instead of nesting.
+  RELIABLE checkpoint lineage truncation per round (same discipline as
+  connected components, operators/dedup.py — localCheckpoint retains
+  the physical chain and decays into exponential recompute) — work
+  stays O(1) per round instead of nesting.
 
 Every regex stays in the Java/RE2 common subset and the arithmetic is
 plain double algebra, so a DuckDB oracle replays extraction, degrees, and
@@ -137,9 +138,9 @@ def host_pagerank(
 
     Scale shape: the edge+weight frame is computed once and persisted;
     each iteration is one join + one groupBy on the host graph; ranks are
-    ``localCheckpoint``-ed every ``checkpoint_every`` rounds so the plan
-    and lineage stay bounded at high iteration counts (the connected-
-    components discipline). Ranks round to 12dp each iteration — drift
+    reliably checkpointed every ``checkpoint_every`` rounds so the plan
+    AND the physical lineage stay bounded at high iteration counts (the
+    connected-components discipline). Ranks round to 12dp each iteration — drift
     from shuffle-order float summation stays quantized away, so the
     trajectory is reproducible across partitionings AND engines (the
     DuckDB oracle unrolls the same iterations).
@@ -187,7 +188,14 @@ def host_pagerank(
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            # RELIABLE checkpoint — localCheckpoint retains the physical
+            # lineage as a recompute fallback, and ContextCleaner eviction
+            # then turns later iterations into exponential recompute (the
+            # measured connected_components failure mode, operators/
+            # dedup.py) — reliable checkpoint() severs the chain for real
+            from soda_core_spark.operators.dedup import _reliable_checkpoint
+
+            ranks = _reliable_checkpoint(ranks)
     return ranks
 
 
