@@ -64,3 +64,23 @@ def test_checkpointed_stats_stay_bounded(spark):
         # a Long.MaxValue power tower
         assert int(str(stats)) < 10**9, str(stats)[:80]
     assert df.count() == 100
+
+
+def test_pagerank_high_iteration_count_stays_linear(spark):
+    import random
+
+    from soda_core_spark.operators.linkgraph import host_pagerank
+
+    rng = random.Random(1)
+    edges = spark.createDataFrame(
+        [
+            (f"h{rng.randrange(200)}", f"h{rng.randrange(200)}",
+             rng.randrange(1, 5))
+            for _ in range(2000)
+        ],
+        ["src_host", "dst_host", "n_links"],
+    )
+    t0 = time.time()
+    out = host_pagerank(edges, iterations=25, checkpoint_every=5)
+    assert out.count() == 200
+    assert time.time() - t0 < 300  # broken stats would blow far past this
