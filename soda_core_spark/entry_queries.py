@@ -4713,3 +4713,114 @@ def q93(spark, sf_dir):
             F.max("published_ts").alias("latest_pub"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sentence-level perplexity trim (functions/perplexity.py)
+# ---------------------------------------------------------------------------
+
+
+def _q94_sql(threshold: float = 3.35) -> str:
+    from soda_core_spark.functions.perplexity import (
+        _ALPHABET,
+        _K,
+        _normalize,
+        _SEED_CORPUS,
+    )
+
+    seed_body = " ".join(_normalize(_SEED_CORPUS).split())
+    kv = _K * len(_ALPHABET)
+    deco = "coalesce(text, '') || '. wqjx vqzk xjwq. ok.'"
+    pre = f"regexp_replace({deco}, '[\\t\\n\\r]+', ' ', 'g')"
+    marked = (
+        f"regexp_replace({pre}, '([.!?]) ', '\\1' || chr(7), 'g')"
+    )
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(s),"
+        " '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    return f"""
+    WITH seed(body) AS (SELECT '{seed_body}'),
+    st AS (
+      SELECT unnest(list_transform(range(1, length(body) - 1),
+                                   i -> substr(body, i, 3))) AS t
+      FROM seed
+    ),
+    tri AS (SELECT t, count(*)::DOUBLE AS c FROM st GROUP BY t),
+    bi AS (SELECT substr(t, 1, 2) AS b, count(*)::DOUBLE AS c
+           FROM st GROUP BY substr(t, 1, 2)),
+    sent0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(lst)),
+                    j -> {{'i': j + 1, 's': lst[j + 1]}})) AS u
+      FROM (SELECT doc_id,
+                   list_filter(
+                     list_transform(
+                       regexp_split_to_array({marked}, chr(7)),
+                       x -> trim(x, ' ')),
+                     x -> x <> '') AS lst
+            FROM documents) x
+    ),
+    sent AS (
+      SELECT doc_id, u.i AS idx, u.s AS s, {norm} AS body FROM sent0
+    ),
+    dt AS (
+      SELECT doc_id, idx,
+             unnest(list_transform(range(1, length(body) - 1),
+                                   i -> substr(body, i, 3))) AS t
+      FROM sent WHERE length(body) >= 3
+    ),
+    lp AS (
+      SELECT dt.doc_id, dt.idx,
+             ln((coalesce(tri.c, 0) + {_K}) / (coalesce(bi.c, 0) + {kv}))
+               AS lp
+      FROM dt
+      LEFT JOIN tri ON dt.t = tri.t
+      LEFT JOIN bi ON substr(dt.t, 1, 2) = bi.b
+    ),
+    sc AS (
+      SELECT doc_id, idx, round(-avg(lp), 6) AS score
+      FROM lp GROUP BY doc_id, idx
+    ),
+    scored AS (
+      SELECT s.doc_id, s.idx, s.s,
+             coalesce(sc.score, 20.0) AS score
+      FROM sent s LEFT JOIN sc USING (doc_id, idx)
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*)::INTEGER AS n_sentences,
+             sum(CASE WHEN score <= {threshold} THEN 1 ELSE 0 END)
+               ::INTEGER AS n_kept,
+             md5(string_agg(s, ' ' ORDER BY idx)
+                 FILTER (WHERE score <= {threshold})) AS cleaned_md5
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_sentences, n_kept, cleaned_md5 FROM agg
+    """
+
+
+@register("q94_sentence_trim", _q94_sql())
+def q94(spark, sf_dir):
+    """Sentence-level perplexity surgery (functions/perplexity.py
+    sentence_trim_udf): trim the worst sentences instead of dropping the
+    document — each doc decorated with a high-perplexity junk sentence
+    and a sub-3-char fragment (both engines build the same bytes), each
+    sentence scored with the shared char-trigram LM, survivors rejoined;
+    the oracle re-trains the LM in SQL and replays the split/score/trim
+    per sentence (the q22 discipline at sentence granularity)."""
+    from soda_core_spark.functions.perplexity import sentence_trim_udf
+
+    d = _t(spark, sf_dir, "documents")
+    deco = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(". wqjx vqzk xjwq. ok."),
+    )
+    udf = sentence_trim_udf(3.35)
+    staged = d.select("doc_id", udf(deco).alias("r"))
+    return staged.select(
+        "doc_id",
+        F.col("r.n_sentences").alias("n_sentences"),
+        F.col("r.n_kept").alias("n_kept"),
+        F.md5(F.col("r.cleaned")).alias("cleaned_md5"),
+    )

@@ -288,3 +288,60 @@ def lm_table_from_rows(rows, k: float = _K) -> "np.ndarray":
         tri[ix[0] * _V * _V + ix[1] * _V + ix[2]] = r["cnt"]
         bi[ix[0] * _V + ix[1]] = r["ctx_cnt"]
     return np.log((tri + k) / (np.repeat(bi, _V) + k * _V))
+
+
+# ---------------------------------------------------------------------------
+# Sentence-level perplexity surgery
+# ---------------------------------------------------------------------------
+
+#: sentence boundary: terminator followed by one space; the marker trick
+#: keeps the terminator WITH its sentence so reconstruction is exact.
+_SENT_BOUNDARY = r"([.!?]) "
+_SENT_MARK = "\x07"
+
+
+def split_sentences(text: str) -> list[str]:
+    """Terminator-keeping sentence split (python twin of the SQL
+    formulation): newlines fold to spaces, '[.!?] ' marks a boundary,
+    empty segments drop. Space-strip only — the pre-fold leaves no other
+    whitespace, and exactness vs the oracle demands strip(' ')."""
+    import re as _re
+
+    pre = _re.sub(r"[\t\n\r]+", " ", text or "")
+    marked = _re.sub(_SENT_BOUNDARY, "\\1" + _SENT_MARK, pre)
+    return [s.strip(" ") for s in marked.split(_SENT_MARK) if s.strip(" ")]
+
+
+def sentence_trim_udf(threshold: float):
+    """Quality surgery at sentence granularity — trim the worst
+    sentences instead of dropping the document (the salvage step modern
+    pipelines run between scoring and discard): each sentence scores
+    with the SAME char-trigram LM as document perplexity
+    (:func:`doc_log_perplexity`, 6 dp-rounded), sentences above
+    ``threshold`` are cut (the <3-char sentinel 20.0 cuts fragments),
+    survivors re-join with single spaces.
+
+    Returns a pandas UDF producing
+    ``struct<cleaned:string, n_sentences:int, n_kept:int>`` — cleaned is
+    NULL when nothing survives. Row-local (zero shuffle); Arrow-batched;
+    numpy trigram gather per sentence."""
+    thr = float(threshold)
+
+    @pandas_udf("struct<cleaned:string, n_sentences:int, n_kept:int>")
+    def f(texts: pd.Series) -> pd.DataFrame:
+        cleaned, n_s, n_k = [], [], []
+        for t in texts:
+            sents = split_sentences(t)
+            kept = [
+                s
+                for s in sents
+                if round(doc_log_perplexity(s), 6) <= thr
+            ]
+            cleaned.append(" ".join(kept) if kept else None)
+            n_s.append(len(sents))
+            n_k.append(len(kept))
+        return pd.DataFrame(
+            {"cleaned": cleaned, "n_sentences": n_s, "n_kept": n_k}
+        )
+
+    return f

@@ -348,3 +348,50 @@ def test_ipv6_rule_scrubs_addresses_not_clock_times():
         assert scrub(s) == s
     # documented non-goals: loopback/leading-:: forms pass through
     assert scrub("::1") == "::1"
+
+
+def test_sentence_split_and_trim():
+    from soda_core_spark.functions.perplexity import (
+        doc_log_perplexity,
+        split_sentences,
+    )
+
+    assert split_sentences("One two. Three four! Five?") == [
+        "One two.", "Three four!", "Five?"
+    ]
+    # terminator without a following space is NOT a boundary
+    assert split_sentences("v1.2 is out. Done.") == ["v1.2 is out.", "Done."]
+    assert split_sentences("no terminators at all") == [
+        "no terminators at all"
+    ]
+    assert split_sentences(None) == [] and split_sentences("") == []
+    assert split_sentences("a\nb. c") == ["a b.", "c"]  # newline folds
+    # the trim policy's ingredients: junk scores above prose
+    assert doc_log_perplexity("wqjx vqzk xjwq") > 3.35
+    assert doc_log_perplexity("the quick brown fox jumps over it") < 3.35
+    assert doc_log_perplexity("ok") == 20.0
+
+
+def test_sentence_trim_udf_e2e(spark):
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.functions.perplexity import sentence_trim_udf
+
+    rows = [
+        (1, "The quick brown fox jumps over the dog. wqjx vqzk xjwq. "
+            "It was the best of times for all of us."),
+        (2, "wqjx vqzk xjwq. ok."),   # nothing survives
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        "doc_id", sentence_trim_udf(3.35)(F.col("text")).alias("r")
+    ).select("doc_id", "r.cleaned", "r.n_sentences", "r.n_kept")
+    got = {r["doc_id"]: (r["cleaned"], r["n_sentences"], r["n_kept"])
+           for r in out.collect()}
+    assert got[1] == (
+        "The quick brown fox jumps over the dog. "
+        "It was the best of times for all of us.", 3, 2,
+    )
+    assert got[2] == (None, 2, 0)
+    assert got[3] == (None, 0, 0)
