@@ -4824,3 +4824,66 @@ def q94(spark, sf_dir):
         F.col("r.n_kept").alias("n_kept"),
         F.md5(F.col("r.cleaned")).alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-document paragraph dedup (functions/rulepacks.py)
+# ---------------------------------------------------------------------------
+
+
+_Q95_SQL = """
+WITH deco AS (
+  SELECT doc_id,
+         substr(coalesce(text, ''), 1, 50) || chr(10) ||
+         coalesce(text, '') || chr(10) ||
+         substr(coalesce(text, ''), 1, 50) || chr(10) ||
+         'footer widget' || chr(10) || 'footer widget' AS t
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(t, chr(10)), x -> trim(x, ' ')),
+           x -> x <> '') AS paras
+  FROM deco
+),
+u AS (
+  SELECT doc_id, paras,
+         list_filter(paras, (x, i) -> list_position(paras, x) = i) AS uniq
+  FROM p
+)
+SELECT doc_id,
+       len(paras)::BIGINT AS n_paras,
+       len(uniq)::BIGINT AS n_unique,
+       md5(array_to_string(uniq, chr(10))) AS dedup_md5
+FROM u
+"""
+
+
+@register("q95_paragraph_dedup", _Q95_SQL)
+def q95(spark, sf_dir):
+    """Intra-document paragraph dedup (functions/rulepacks.py
+    dedup_paragraphs_from): repeated blocks inside one page collapse to
+    their first occurrence via array_position — zero shuffle, no corpus
+    pass. Each doc is decorated with a duplicated leading snippet and a
+    doubled footer (identical bytes both engines) so survivors and
+    order are meaningfully exercised."""
+    from soda_core_spark.functions.rulepacks import (
+        dedup_paragraphs_from,
+        paragraphs_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    snip = F.substring(base, 1, 50)
+    deco = F.concat_ws(
+        "\n", snip, base, snip, F.lit("footer widget"), F.lit("footer widget")
+    )
+    staged = d.select("doc_id", paragraphs_col(deco).alias("__paras"))
+    cols = dedup_paragraphs_from(F.col("__paras"))
+    return staged.select(
+        "doc_id",
+        cols["n_paras"].alias("n_paras"),
+        cols["n_unique"].alias("n_unique"),
+        F.md5(cols["dedup_text"]).alias("dedup_md5"),
+    )

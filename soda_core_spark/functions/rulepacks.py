@@ -469,3 +469,39 @@ def c4_line_clean(
     if drop_failed_pages:
         out = out.where(F.col("page_keep")).drop("page_keep")
     return out
+
+
+def paragraphs_col(text: Column) -> Column:
+    """Non-empty trimmed newline-separated paragraphs. STAGE this with
+    ``withColumn`` before feeding :func:`dedup_paragraphs_from` — HOFs
+    have no common-subexpression elimination, and the dedup predicate
+    references the array once per element (the with_signals idiom)."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), "\n"),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+
+
+def dedup_paragraphs_from(paras: Column) -> dict[str, Column]:
+    """Intra-document paragraph dedup — repeated blocks inside ONE page
+    (headers/footers/widgets re-rendered per section) collapse to their
+    first occurrence, order preserved: element j survives iff its FIRST
+    index in the array is j (``array_position`` + two-param index
+    lambda — pure row-local algebra, zero shuffle, no window, no corpus
+    pass; the corpus-level twin is boilerplate line removal,
+    operators/dedup.py).
+
+    ``paras`` should be a STAGED column (see :func:`paragraphs_col`).
+    Returns ``n_paras`` / ``n_unique`` (longs) and ``dedup_text``
+    (newline-rejoined survivors; no survivors → NULL)."""
+    uniq = F.filter(
+        paras, lambda p, i: F.array_position(paras, p) == i + 1
+    )
+    return {
+        "n_paras": F.size(paras).cast("long"),
+        "n_unique": F.size(uniq).cast("long"),
+        "dedup_text": F.when(F.size(uniq) > 0, F.array_join(uniq, "\n")),
+    }

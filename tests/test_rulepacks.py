@@ -218,3 +218,45 @@ def test_gopher_contract_fails_on_junk(spark):
     assert "failed" in vals.values(), vals
     # no engine errors: every rule expression must actually evaluate
     assert "not_evaluated" not in vals.values(), vals
+
+
+def test_paragraph_dedup_first_occurrence_order(spark):
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.functions.rulepacks import (
+        dedup_paragraphs_from,
+        paragraphs_col,
+    )
+
+    rows = [
+        (1, "header\nbody one\nheader\nbody two\nheader"),
+        (2, "only\n\n  \nonly"),       # blanks drop, dup collapses
+        (3, None),
+        (4, "a\nb\nc"),                 # nothing duplicated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    staged = df.select(
+        "doc_id", paragraphs_col(F.col("text")).alias("__p")
+    )
+    cols = dedup_paragraphs_from(F.col("__p"))
+    got = {
+        r["doc_id"]: (r["n"], r["u"], r["t"])
+        for r in staged.select(
+            "doc_id",
+            cols["n_paras"].alias("n"),
+            cols["n_unique"].alias("u"),
+            cols["dedup_text"].alias("t"),
+        ).collect()
+    }
+    assert got[1] == (5, 3, "header\nbody one\nbody two")
+    assert got[2] == (2, 1, "only")
+    assert got[3] == (0, 0, None)
+    assert got[4] == (3, 3, "a\nb\nc")
+    # zero shuffle, zero python
+    plan = (
+        staged.select(cols["dedup_text"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
