@@ -4887,3 +4887,71 @@ def q95(spark, sf_dir):
         cols["n_unique"].alias("n_unique"),
         F.md5(cols["dedup_text"]).alias("dedup_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment pairs (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+#: the shared shingles CTE re-rooted on the q96 corpus (docs + excerpts)
+_SHINGLES_CTE_CORPUS = _SHINGLES_CTE.replace("FROM documents", "FROM corpus")
+
+_Q96_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, substr(coalesce(text, ''), 1, 80)
+  FROM documents WHERE doc_id % 10 = 0
+),
+{_SHINGLES_CTE_CORPUS},
+sizes AS (SELECT id, len(shl)::BIGINT AS n_sh FROM sh),
+ex AS (SELECT id, unnest(shl) AS s FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, n_shared,
+         n_shared::DOUBLE / na.n_sh AS ca,
+         n_shared::DOUBLE / nb.n_sh AS cb,
+         na.n_sh AS n_a, nb.n_sh AS n_b
+  FROM inter
+  JOIN sizes na ON inter.id_a = na.id
+  JOIN sizes nb ON inter.id_b = nb.id
+)
+SELECT id_a, id_b, n_shared,
+       round(ca, 6) AS containment_a,
+       round(cb, 6) AS containment_b,
+       CASE WHEN ca > cb THEN id_a WHEN cb > ca THEN id_b
+            WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id
+FROM j WHERE greatest(ca, cb) >= 0.6
+"""
+
+
+@register("q96_containment_pairs", _Q96_SQL)
+def q96(spark, sf_dir):
+    """Asymmetric containment pairs (operators/dedup.py
+    ngram_containment_pairs): the excerpt/syndication detector — an
+    80-char excerpt row is injected for every 10th document (built
+    identically in both engines); its shingles are ~all contained in the
+    source, so the pair surfaces at containment ≥ 0.6 where Jaccard
+    would stay ≈ |excerpt|/|doc|. Exact mode for the oracle; the
+    posting-list cap is the default at scale."""
+    from soda_core_spark.operators.dedup import ngram_containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ex = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80).alias(
+                "text"
+            ),
+        )
+    )
+    corpus = d.unionByName(ex)
+    return ngram_containment_pairs(
+        corpus, n=3, threshold=0.6, max_doc_freq=None
+    )

@@ -695,6 +695,76 @@ def ngram_jaccard_all_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = _DEFAULT_MAX_DOC_FREQ,
+    hash_shingles: str | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs — the excerpt/syndication detector
+    Jaccard misses: a 200-word quote inside a 5000-word article has
+    Jaccard ≈ 0.04 but containment ≈ 1.0 on the quote's side
+    (``|A∩B| / |A|``, Broder's containment coefficient). News
+    syndication, quoted posts, and wrapper pages around a shared body
+    are exactly this shape.
+
+    Same inverted-index self-join and posting-cap scale guard as
+    :func:`ngram_jaccard_all_pairs` (a pair appears iff it shares a
+    shingle — never the quadratic space); output keeps BOTH directions
+    plus ``contained_id``, the side with the higher containment (ties →
+    the smaller document; the id a trim-or-drop policy acts on). Pairs
+    kept when max(containment_a, containment_b) ≥ ``threshold``."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
+        F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
+    )
+    sizes = base.select("id", F.size("shl").cast("long").alias("n_sh"))
+    ex = base.select("id", F.explode("shl").alias("s"))
+    if hash_shingles == "xxhash64":
+        ex = ex.select("id", F.xxhash64("s").alias("s"))
+    elif hash_shingles == "portable":
+        ex = ex.select("id", portable_token_hash(F.col("s")).alias("s"))
+    elif hash_shingles is not None:
+        raise ValueError(
+            f"hash_shingles must be None, 'xxhash64' or 'portable', got "
+            f"{hash_shingles!r}"
+        )
+    if max_doc_freq is not None:
+        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+        ex = (
+            ex.join(freq, "s").where(F.col("df_") <= max_doc_freq).drop("df_")
+        )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    ca = F.col("n_shared") / F.col("n_a")
+    cb = F.col("n_shared") / F.col("n_b")
+    contained = F.when(ca > cb, F.col("id_a")).when(cb > ca, F.col("id_b")).otherwise(
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a")).otherwise(F.col("id_b"))
+    )
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(F.greatest(ca, cb) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+            contained.alias("contained_id"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark_df: DataFrame,

@@ -1073,3 +1073,44 @@ def test_best_of_cluster_highest_beats_min_id(spark):
     }
     by_min_id = {r["doc_id"] for r in dedup_by_components(docs, comps).collect()}
     assert by_quality == {2} and by_min_id == {1}
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    from soda_core_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_all_pairs,
+    )
+
+    long = " ".join(f"w{i} common prose token" for i in range(60))
+    excerpt = " ".join(long.split()[:20])  # clean word-boundary excerpt
+    rows = [(1, long), (2, excerpt), (3, "completely different words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in ngram_containment_pairs(
+            df, threshold=0.9, max_doc_freq=None
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["containment_b"] == 1.0       # excerpt fully contained
+    assert r["contained_id"] == 2
+    assert r["containment_a"] < 0.2        # the source is NOT contained
+    # Jaccard at the same bar misses the relationship entirely
+    jac = ngram_jaccard_all_pairs(
+        df, threshold=0.9, max_doc_freq=None
+    ).collect()
+    assert not any(x["id_a"] == 1 and x["id_b"] == 2 for x in jac)
+
+
+def test_containment_tie_prefers_smaller_doc(spark):
+    from soda_core_spark.operators.dedup import ngram_containment_pairs
+
+    # identical texts: both containments 1.0 → contained_id = min id
+    # (equal sizes)
+    df = spark.createDataFrame(
+        [(7, "alpha beta gamma delta"), (9, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    r = ngram_containment_pairs(df, threshold=0.5, max_doc_freq=None).collect()
+    assert len(r) == 1 and r[0]["contained_id"] == 7
