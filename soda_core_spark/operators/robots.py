@@ -176,3 +176,70 @@ def robots_filter(
         pages, rules, host_col=host_col, path_col=path_col
     )
     return out.where(F.col("allowed")).drop("allowed")
+
+
+def parse_crawl_delay(body: str | None, user_agent: str = "*") -> float | None:
+    """``Crawl-delay`` for ``user_agent`` — the de-facto politeness
+    directive (not in RFC 9309 but honored by most crawlers): same group
+    semantics as :func:`parse_robots_txt` (exact agent beats '*');
+    returns seconds as float, None when absent/unparseable."""
+    if not body:
+        return None
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[float]]] = []
+    current_agents: list[str] | None = None
+    in_agent_run = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                current_agents = []
+                groups.append((current_agents, []))
+            in_agent_run = True
+            if current_agents is not None:
+                current_agents.append(val.lower())
+            continue
+        in_agent_run = False
+        if key == "crawl-delay" and groups:
+            try:
+                groups[-1][1].append(float(val))
+            except ValueError:
+                continue
+    exact: list[float] | None = None
+    wildcard: list[float] | None = None
+    for agents, delays in groups:
+        if ua in agents and exact is None and delays:
+            exact = delays
+        if "*" in agents and wildcard is None and delays:
+            wildcard = delays
+    chosen = exact if exact is not None else wildcard
+    return chosen[0] if chosen else None
+
+
+def crawl_delays(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    out_col: str = "crawl_delay_s",
+) -> DataFrame:
+    """Per-host politeness table: (host, crawl_delay_s) — the frontier
+    scheduler's rate-limit input. Arrow-batched parse (robots bodies
+    per HOST, not per page — the same tiny table robots_rules uses);
+    hosts without a delay directive carry NULL (scheduler default)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _parse(bodies: pd.Series) -> pd.Series:
+        return bodies.map(lambda b: parse_crawl_delay(b, user_agent))
+
+    return robots.select(
+        F.col(host_col).alias("host"),
+        _parse(F.col(body_col)).alias(out_col),
+    )
