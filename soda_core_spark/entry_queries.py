@@ -4955,3 +4955,122 @@ def q96(spark, sf_dir):
     return ngram_containment_pairs(
         corpus, n=3, threshold=0.6, max_doc_freq=None
     )
+
+
+# ---------------------------------------------------------------------------
+# per-rule drop attribution (operators/attribution.py)
+# ---------------------------------------------------------------------------
+
+
+def _q97_sql() -> str:
+    feats = _signal_feats_sql()
+    flags = {
+        "min_chars": "length(coalesce(text, '')) < 200",
+        "low_stopword": f"({feats['stopword_density']}) < 0.10",
+        "low_alnum": f"({feats['alnum_ratio']}) < 0.815",
+        "high_repetition": f"({feats['bigram_repetition']}) > 0.08",
+    }
+    names = list(flags)
+    cols = ", ".join(
+        f"CASE WHEN {expr} THEN 1 ELSE 0 END AS f_{n}"
+        for n, expr in flags.items()
+    )
+    tot = " + ".join(f"f_{n}" for n in names)
+    rows = []
+    for i, n in enumerate(names):
+        earlier = " + ".join(f"f_{m}" for m in names[:i]) or "0"
+        rows.append(f"""
+  SELECT '{n}' AS rule,
+         sum(f_{n})::BIGINT AS n_fail,
+         sum(CASE WHEN f_{n} = 1 AND tot = 1 THEN 1 ELSE 0 END)::BIGINT AS n_only_fail,
+         sum(CASE WHEN f_{n} = 1 AND ({earlier}) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_first_fail,
+         round(sum(f_{n})::DOUBLE / greatest(count(*), 1), 6) AS fail_rate
+  FROM f""")
+    union = "\n  UNION ALL\n".join(rows)
+    return f"WITH f AS (SELECT {cols}, ({tot}) AS tot FROM documents)\n{union}"
+
+
+@register("q97_rule_attribution", _q97_sql())
+def q97(spark, sf_dir):
+    """Per-rule drop attribution (operators/attribution.py): for each
+    heuristic rule — n_fail, n_only_fail (docs won back by deleting the
+    rule), n_first_fail (short-circuit cascade view), fail_rate. The
+    four rules reuse the already-oracled q11/q14/q15 signal
+    formulations; the whole table is ONE partial aggregation over one
+    corpus scan, unpivoted with inline() — rule count never multiplies
+    passes. soda-core analogue: per-check failed counts
+    (contract_verification_result), generalized to the overlap
+    structure a corpus-pipeline ablation report needs."""
+    from soda_core_spark.functions.text import (
+        alnum_ratio,
+        bigram_repetition,
+        stopword_density,
+        words_col,
+    )
+    from soda_core_spark.operators.attribution import rule_attribution
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    w = words_col(text)
+    rules = {
+        "min_chars": F.length(F.coalesce(text, F.lit(""))) < 200,
+        "low_stopword": stopword_density(w) < 0.10,
+        "low_alnum": alnum_ratio(text) < 0.815,
+        "high_repetition": bigram_repetition(w) > 0.08,
+    }
+    return rule_attribution(d, rules)
+
+
+# ---------------------------------------------------------------------------
+# learned host-reputation gate (operators/blocklist.py)
+# ---------------------------------------------------------------------------
+
+
+def _q98_sql() -> str:
+    s = _quality_score_sql()
+    return f"""
+WITH s AS (
+  SELECT doc_id, 'h' || floor(sqrt(doc_id))::BIGINT AS host, round({s}, 6) AS sc
+  FROM documents
+),
+v AS (
+  SELECT host, count(*)::BIGINT AS host_n_docs,
+         round(avg(sc), 6) AS host_mean_score
+  FROM s GROUP BY host
+)
+SELECT s.doc_id, s.host, v.host_n_docs, v.host_mean_score,
+       (v.host_n_docs >= 20 AND v.host_mean_score < 0.60) AS host_blocked
+FROM s JOIN v USING (host)
+"""
+
+
+@register("q98_host_reputation", _q98_sql())
+def q98(spark, sf_dir):
+    """Learned host-reputation gate (operators/blocklist.py
+    host_reputation_gate): per-host mean quality with a support floor —
+    hosts with >= 20 scored documents and mean score < 0.60 are blocked
+    wholesale, low-support hosts pass through (no evidence, no verdict).
+    Hosts derive deterministically from doc_id (host h owns the doc_id
+    range [h^2, (h+1)^2) -- sizes 2h+1, so BOTH gate branches are
+    exercised at every SF); scores reuse the q40 classifier. Verdicts are one tiny partial-agg groupBy broadcast
+    back — the corpus never shuffles."""
+    from soda_core_spark.functions.classifier import quality_score
+    from soda_core_spark.operators.blocklist import host_reputation_gate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), F.floor(F.sqrt(F.col("doc_id"))).cast("long").cast("string")
+        ).alias("host"),
+        "text",
+    )
+    gated = host_reputation_gate(
+        d,
+        quality_score(F.col("text")),
+        host_col="host",
+        min_support=20,
+        min_mean_score=0.60,
+    )
+    return gated.select(
+        "doc_id", "host", "host_n_docs", "host_mean_score", "host_blocked"
+    )

@@ -68,3 +68,43 @@ def blocklist_filter(
     return df.withColumns(
         {"block_reason": reason, "blocked": reason.isNotNull()}
     )
+
+
+def host_reputation_gate(
+    df: DataFrame,
+    score: Column,
+    host_col: str = "host",
+    min_support: int = 5,
+    min_mean_score: float = 0.5,
+) -> DataFrame:
+    """Learned host-level gate — the FineWeb/RefinedWeb curation move the
+    static blocklist can't make: score every document, aggregate to a
+    per-host mean, and drop ENTIRE hosts whose mean quality is low with
+    enough support (``n_docs >= min_support``). Low-support hosts are
+    never blocked (no evidence), matching how host-reputation lists are
+    actually curated; their documents pass through on their own merits.
+
+    Returns the input annotated with::
+
+        host_n_docs: bigint     -- documents observed for this row's host
+        host_mean_score: double -- per-host mean of round(score, 6), 6dp
+        host_blocked: boolean   -- gate verdict for the host
+
+    Scale shape: the verdict table is ONE partial-aggregation groupBy to
+    |hosts| rows (millions at web scale — still trivially small next to
+    the corpus), broadcast-joined back, so the corpus itself shuffles
+    zero times. The per-document score is rounded to 6dp BEFORE the mean
+    so engines' float-summation orders can't drift the aggregate (same
+    discipline as ccnet_quality_buckets).
+    """
+    scored = df.withColumn("__score6", F.round(score, 6))
+    verdicts = scored.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("host_n_docs"),
+        F.round(F.avg("__score6"), 6).alias("host_mean_score"),
+    )
+    verdicts = verdicts.withColumn(
+        "host_blocked",
+        (F.col("host_n_docs") >= min_support)
+        & (F.col("host_mean_score") < F.lit(float(min_mean_score))),
+    )
+    return scored.join(F.broadcast(verdicts), host_col, "left").drop("__score6")

@@ -1,0 +1,99 @@
+"""rule_attribution + host_reputation_gate: hand values, invariants,
+plan shape (one aggregation pass; broadcast verdict join)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from soda_core_spark.operators.attribution import rule_attribution
+from soda_core_spark.operators.blocklist import host_reputation_gate
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # n_chars, has_x: engineered so every overlap cell is known
+    rows = [
+        (1, 50, True),   # fails both
+        (2, 50, False),  # fails short only
+        (3, 500, True),  # fails has_x only
+        (4, 500, False), # clean
+        (5, 50, True),   # fails both
+        (6, 500, False), # clean
+    ]
+    return spark.createDataFrame(rows, "id int, n int, x boolean")
+
+
+def test_hand_values(docs):
+    out = rule_attribution(
+        docs, {"short": F.col("n") < 100, "flagged": F.col("x")}
+    )
+    rows = {r["rule"]: r for r in out.collect()}
+    assert rows["short"]["n_fail"] == 3
+    assert rows["short"]["n_only_fail"] == 1      # doc 2
+    assert rows["short"]["n_first_fail"] == 3     # declared first
+    assert rows["flagged"]["n_fail"] == 3
+    assert rows["flagged"]["n_only_fail"] == 1    # doc 3
+    assert rows["flagged"]["n_first_fail"] == 1   # doc 3 only (1,5 hit short first)
+    assert rows["short"]["fail_rate"] == 0.5
+    # cascade invariant: Σ n_first_fail == total dropped docs
+    assert rows["short"]["n_first_fail"] + rows["flagged"]["n_first_fail"] == 4
+
+
+def test_single_aggregation_pass(docs):
+    out = rule_attribution(
+        docs,
+        {
+            "a": F.col("n") < 100,
+            "b": F.col("x"),
+            "c": F.col("n") > 400,
+            "d": F.col("id") % 2 == 0,
+        },
+    )
+    plan = _plan(out)
+    # rule count must not multiply scans or aggregations
+    assert plan.count("HashAggregate") <= 2, plan  # partial + final
+    assert plan.count("Scan") <= 1, plan
+
+
+def test_empty_rules_rejected(docs):
+    with pytest.raises(ValueError):
+        rule_attribution(docs, {})
+
+
+@pytest.fixture(scope="module")
+def hosted(spark):
+    # host a: 3 docs, low score (supported+bad -> blocked)
+    # host b: 3 docs, high score (supported+good)
+    # host c: 1 doc, low score (unsupported -> never blocked)
+    rows = (
+        [("a", 0.1), ("a", 0.2), ("a", 0.3)]
+        + [("b", 0.9), ("b", 0.8), ("b", 0.7)]
+        + [("c", 0.0)]
+    )
+    return spark.createDataFrame(rows, "host string, sc double")
+
+
+def test_gate_verdicts(hosted):
+    out = host_reputation_gate(
+        hosted, F.col("sc"), host_col="host", min_support=2, min_mean_score=0.5
+    )
+    v = {r["host"]: r for r in out.collect()}
+    assert v["a"]["host_blocked"] is True
+    assert v["a"]["host_mean_score"] == 0.2
+    assert v["a"]["host_n_docs"] == 3
+    assert v["b"]["host_blocked"] is False
+    assert v["c"]["host_blocked"] is False  # support floor protects it
+    # every input row survives annotation (gate annotates, caller drops)
+    assert out.count() == 7
+
+
+def test_gate_broadcasts_verdicts(hosted):
+    out = host_reputation_gate(
+        hosted, F.col("sc"), host_col="host", min_support=2, min_mean_score=0.5
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
