@@ -74,7 +74,7 @@ def main() -> int:
                 ln for ln in r.stdout.splitlines() if ln.startswith("{")
             ]
             if line:
-                with open("/root/repo/BENCH/r4_session5_bench.json", "w") as f:
+                with open("/root/repo/BENCH/r4_session6_bench.json", "w") as f:
                     f.write(line[-1] + "\n")
                 print("bench captured:", line[-1][:200], flush=True)
                 return 0
