@@ -5074,3 +5074,83 @@ def q98(spark, sf_dir):
     return gated.select(
         "doc_id", "host", "host_n_docs", "host_mean_score", "host_blocked"
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document paragraph dedup (operators/dedup.py corpus_paragraph_dedup)
+# ---------------------------------------------------------------------------
+
+_Q99_SQL = """
+WITH deco AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) || chr(10) ||
+         'group header ' || (doc_id % 7)::VARCHAR || chr(10) || chr(10) ||
+         'released under license X' AS text
+  FROM documents
+),
+p0 AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(coalesce(text, ''), chr(10)),
+                          x -> trim(x)),
+           x -> x <> '') AS paras
+  FROM deco
+),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(paras) + 1),
+                               i -> {'pos': i, 'para': paras[i]}),
+                recursive := true)
+  FROM p0
+),
+f AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, pos) AS rn
+  FROM p
+)
+SELECT d.doc_id,
+       md5(coalesce(agg.t, '')) AS dedup_md5,
+       coalesce(agg.n_paras, 0)::BIGINT AS n_paras,
+       coalesce(agg.n_kept, 0)::BIGINT AS n_kept
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_paras,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+         string_agg(CASE WHEN rn = 1 THEN para END,
+                    chr(10) || chr(10) ORDER BY pos) AS t
+  FROM f GROUP BY doc_id
+) agg USING (doc_id)
+"""
+
+
+@register("q99_corpus_paragraph_dedup", _Q99_SQL)
+def q99(spark, sf_dir):
+    """Cross-document paragraph dedup (operators/dedup.py
+    corpus_paragraph_dedup): Dolma-style identity semantics — each
+    distinct paragraph survives only at its first (doc_id, position)
+    occurrence corpus-wide. The corpus is decorated with a per-class
+    shared header (doc_id % 7 -> first doc of each class keeps it) and a
+    global licence line (exactly ONE survivor corpus-wide), built
+    identically in both engines. First-owner resolution is a partial-agg
+    min(struct) groupBy, never a window — hot paragraphs combine
+    map-side. Oracle replays it with a row_number window (fine for
+    DuckDB; melts at scale, which is the point of the Spark shape)."""
+    from soda_core_spark.operators.dedup import corpus_paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    deco = F.concat_ws(
+        "\n\n",
+        F.coalesce(F.col("text"), F.lit("")),
+        F.concat(
+            F.lit("group header "), (F.col("doc_id") % 7).cast("string")
+        ),
+        F.lit("released under license X"),
+    )
+    out = corpus_paragraph_dedup(d.select("doc_id", deco.alias("text")))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_deduped")).alias("dedup_md5"),
+        "n_paras",
+        "n_kept",
+    )

@@ -1452,3 +1452,73 @@ def incremental_minhash_dedup(
         .distinct()
     )
     return new_df.join(hits, id_col, "left_anti")
+
+
+def corpus_paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document paragraph dedup — every distinct paragraph survives
+    ONLY at its first global occurrence (order = (document id, position));
+    later repeats — syndicated blurbs, licence blocks, quoted headers —
+    are dropped from the rebuilt text. This is Dolma's paragraph-dedup
+    mode and RefinedWeb's exact-substring pass at paragraph granularity.
+
+    vs the siblings: ``functions/rulepacks.dedup_paragraphs_from`` is
+    intra-document only (zero shuffle); :func:`remove_repeated_lines`
+    drops hot lines EVERYWHERE including the first copy (frequency
+    semantics); this keeps exactly one canonical copy corpus-wide
+    (identity semantics).
+
+    Shape for scale: first-owner resolution is ``groupBy(paragraph
+    key).agg(min(struct(id, pos)))`` — a PARTIAL aggregation, so a
+    paragraph repeated in millions of documents combines map-side
+    instead of flooding one reducer (the ``Window.partitionBy(key)``
+    row_number form melts on exactly the hot keys this operator exists
+    to kill). The flag join shuffles paragraphs once on their 16-byte
+    md5 key (AQE skew-join splits any residual hot key); the rebuild is
+    one id shuffle carrying only the document's own paragraphs. At the
+    10^12-document regime where even the owner table is expensive,
+    ``operators/bloom.py`` gives the approximate variant (drop probable
+    repeats, no owner table) — use it when "exactly one copy" may relax.
+
+    Returns (id, text_deduped, n_paras, n_kept); documents with no
+    paragraphs come back with empty text and zero counts.
+    """
+    from soda_core_spark.functions.rulepacks import paragraphs_col
+
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(paragraphs_col(F.col(text_col))).alias("pos", "para"),
+    ).withColumn("key", F.md5(F.col("para")))
+    owner = paras.groupBy("key").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("first")
+    )
+    flagged = paras.join(owner, "key").withColumn(
+        "is_first",
+        (F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos")),
+    )
+    kept_struct = F.when(
+        F.col("is_first"), F.struct(F.col("pos"), F.col("para"))
+    )
+    rebuilt = flagged.groupBy("id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+            ),
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+    )
+    # paragraph-less documents never reach posexplode; restore them with
+    # empty text so the operator is total over its input
+    ids = df.select(F.col(id_col).alias("id"))
+    out = ids.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+        F.coalesce(F.col("n_paras"), F.lit(0)).cast("long").alias("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+    return out
