@@ -5154,3 +5154,89 @@ def q99(spark, sf_dir):
         "n_paras",
         "n_kept",
     )
+
+
+# ---------------------------------------------------------------------------
+# filter-rule pack A/B diff (operators/attribution.py rule_pack_diff)
+# ---------------------------------------------------------------------------
+
+
+def _q100_sql() -> str:
+    feats = _signal_feats_sql()
+    pack_a = {
+        "min_chars": "length(coalesce(text, '')) < 200",
+        "low_stopword": f"({feats['stopword_density']}) < 0.10",
+        "low_alnum": f"({feats['alnum_ratio']}) < 0.815",
+        "high_repetition": f"({feats['bigram_repetition']}) > 0.08",
+    }
+    pack_b = {
+        "min_chars": "length(coalesce(text, '')) < 300",
+        "low_stopword": f"({feats['stopword_density']}) < 0.12",
+        "low_alnum": f"({feats['alnum_ratio']}) < 0.818",
+        "max_chars": "length(coalesce(text, '')) > 480",
+    }
+    names = list(pack_a) + [n for n in pack_b if n not in pack_a]
+    cols = []
+    for n in names:
+        ea = pack_a.get(n)
+        eb = pack_b.get(n)
+        cols.append(
+            f"CASE WHEN {ea} THEN 1 ELSE 0 END AS a_{n}"
+            if ea else f"0 AS a_{n}"
+        )
+        cols.append(
+            f"CASE WHEN {eb} THEN 1 ELSE 0 END AS b_{n}"
+            if eb else f"0 AS b_{n}"
+        )
+    any_a = "greatest(" + ", ".join(f"a_{n}" for n in names) + ")"
+    any_b = "greatest(" + ", ".join(f"b_{n}" for n in names) + ")"
+    rows = []
+    for n in names + ["__any__"]:
+        a = f"a_{n}" if n != "__any__" else any_a
+        b = f"b_{n}" if n != "__any__" else any_b
+        rows.append(f"""
+  SELECT '{n}' AS rule,
+         sum({a})::BIGINT AS n_fail_a,
+         sum({b})::BIGINT AS n_fail_b,
+         sum(CASE WHEN {a} = 0 AND {b} = 1 THEN 1 ELSE 0 END)::BIGINT AS n_newly_fail,
+         sum(CASE WHEN {a} = 1 AND {b} = 0 THEN 1 ELSE 0 END)::BIGINT AS n_newly_pass
+  FROM f""")
+    union = "\n  UNION ALL\n".join(rows)
+    return f"WITH f AS (SELECT {', '.join(cols)} FROM documents)\n{union}"
+
+
+@register("q100_rule_pack_diff", _q100_sql())
+def q100(spark, sf_dir):
+    """Rule-pack A/B diff (operators/attribution.py rule_pack_diff):
+    upgrade audit from the q97 pack (v1) to a v2 that tightens
+    min_chars/low_stopword/low_alnum, retires high_repetition, and
+    introduces max_chars. Per rule: fail counts under each version plus
+    newly-failing (v2 regressions to review) and newly-passing (docs won
+    back); the `__any__` row's flip columns are the upgrade's exact
+    keep->drop / drop->keep document counts. One partial-agg pass
+    regardless of pack sizes."""
+    from soda_core_spark.functions.text import (
+        alnum_ratio,
+        bigram_repetition,
+        stopword_density,
+        words_col,
+    )
+    from soda_core_spark.operators.attribution import rule_pack_diff
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    w = words_col(text)
+    n = F.length(F.coalesce(text, F.lit("")))
+    pack_a = {
+        "min_chars": n < 200,
+        "low_stopword": stopword_density(w) < 0.10,
+        "low_alnum": alnum_ratio(text) < 0.815,
+        "high_repetition": bigram_repetition(w) > 0.08,
+    }
+    pack_b = {
+        "min_chars": n < 300,
+        "low_stopword": stopword_density(w) < 0.12,
+        "low_alnum": alnum_ratio(text) < 0.818,
+        "max_chars": n > 480,
+    }
+    return rule_pack_diff(d, pack_a, pack_b)

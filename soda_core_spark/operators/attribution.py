@@ -83,3 +83,72 @@ def rule_attribution(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         for name in names
     ]
     return one.select(F.inline(F.array(*structs)))
+
+
+def rule_pack_diff(
+    df: DataFrame,
+    rules_a: dict[str, Column],
+    rules_b: dict[str, Column],
+) -> DataFrame:
+    """A/B audit of two filter-rule packs over the same corpus — the
+    table a pipeline upgrade review reads before v2 ships: per rule, how
+    many documents fail under each version and how many FLIP
+    (newly-failing = v2 regressions to re-review, newly-passing = docs
+    won back). The synthetic rule ``__any__`` treats each pack's
+    disjunction as one rule, so its flip columns are exactly the
+    keep→drop / drop→keep document counts of the upgrade.
+
+    Rules are matched by name; a rule absent from one pack counts as
+    never-failing there (its diff row shows the full introduction /
+    retirement cost). Same execution contract as
+    :func:`rule_attribution`: flags are codegen arithmetic, ONE partial
+    aggregation to a single counter row, ``inline`` unpivot — rule count
+    never multiplies corpus passes.
+
+    Returns one row per rule (union of pack names, declared order,
+    ``__any__`` last)::
+
+        rule, n_fail_a, n_fail_b, n_newly_fail, n_newly_pass
+    """
+    if not rules_a and not rules_b:
+        raise ValueError("rule_pack_diff needs at least one rule")
+    names = list(rules_a) + [n for n in rules_b if n not in rules_a]
+
+    def flag(pack: dict[str, Column], n: str) -> Column:
+        return F.when(pack[n], 1).otherwise(0) if n in pack else F.lit(0)
+
+    fa = {n: flag(rules_a, n) for n in names}
+    fb = {n: flag(rules_b, n) for n in names}
+    any_a: Column = F.lit(0)
+    for c in fa.values():
+        any_a = F.greatest(any_a, c)
+    any_b: Column = F.lit(0)
+    for c in fb.values():
+        any_b = F.greatest(any_b, c)
+    fa["__any__"], fb["__any__"] = any_a, any_b
+
+    aggs = []
+    for n in names + ["__any__"]:
+        a, b = fa[n], fb[n]
+        aggs += [
+            F.sum(a).alias(f"__a_{n}"),
+            F.sum(b).alias(f"__b_{n}"),
+            F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0)).alias(
+                f"__nf_{n}"
+            ),
+            F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0)).alias(
+                f"__np_{n}"
+            ),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(n).alias("rule"),
+            F.col(f"__a_{n}").cast("long").alias("n_fail_a"),
+            F.col(f"__b_{n}").cast("long").alias("n_fail_b"),
+            F.col(f"__nf_{n}").cast("long").alias("n_newly_fail"),
+            F.col(f"__np_{n}").cast("long").alias("n_newly_pass"),
+        )
+        for n in names + ["__any__"]
+    ]
+    return one.select(F.inline(F.array(*structs)))

@@ -97,3 +97,35 @@ def test_gate_broadcasts_verdicts(hosted):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rule_pack_diff_hand_values(docs):
+    from soda_core_spark.operators.attribution import rule_pack_diff
+
+    pack_a = {"short": F.col("n") < 100, "flagged": F.col("x")}
+    pack_b = {"short": F.col("n") < 600, "big": F.col("id") > 4}
+    out = rule_pack_diff(docs, pack_a, pack_b)
+    v = {r["rule"]: r for r in out.collect()}
+    # short: a fails {1,2,5}; b fails all 6 -> newly_fail {3,4,6}
+    assert (v["short"]["n_fail_a"], v["short"]["n_fail_b"]) == (3, 6)
+    assert (v["short"]["n_newly_fail"], v["short"]["n_newly_pass"]) == (3, 0)
+    # flagged retired in b: full win-back
+    assert (v["flagged"]["n_fail_a"], v["flagged"]["n_fail_b"]) == (3, 0)
+    assert v["flagged"]["n_newly_pass"] == 3
+    # big introduced in b: fails {5,6}
+    assert (v["big"]["n_fail_a"], v["big"]["n_fail_b"]) == (0, 2)
+    # __any__: a fails {1,2,3,5}; b fails all -> keep->drop = {4,6}
+    assert (v["__any__"]["n_fail_a"], v["__any__"]["n_fail_b"]) == (4, 6)
+    assert (v["__any__"]["n_newly_fail"], v["__any__"]["n_newly_pass"]) == (2, 0)
+    assert set(v) == {"short", "flagged", "big", "__any__"}
+
+
+def test_rule_pack_diff_single_pass(docs):
+    from soda_core_spark.operators.attribution import rule_pack_diff
+
+    out = rule_pack_diff(
+        docs, {"a": F.col("n") < 100}, {"b": F.col("x")}
+    )
+    plan = _plan(out)
+    assert plan.count("HashAggregate") <= 2, plan
+    assert plan.count("Scan") <= 1, plan
