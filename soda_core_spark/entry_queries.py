@@ -5240,3 +5240,61 @@ def q100(spark, sf_dir):
         "max_chars": n > 480,
     }
     return rule_pack_diff(d, pack_a, pack_b)
+
+
+# ---------------------------------------------------------------------------
+# dedup-yield report (operators/dedup.py cluster_size_histogram)
+# ---------------------------------------------------------------------------
+
+_Q101_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 10
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+reach AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+),
+comp AS (SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s),
+sizes AS (SELECT component, count(*)::BIGINT AS sz FROM comp GROUP BY component),
+hist AS (
+  SELECT sz::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters,
+         (sz * count(*))::BIGINT AS n_docs,
+         ((sz - 1) * count(*))::BIGINT AS n_dropped
+  FROM sizes GROUP BY sz
+)
+SELECT * FROM hist
+UNION ALL
+SELECT 1::BIGINT, count(*)::BIGINT, count(*)::BIGINT, 0::BIGINT
+FROM documents WHERE doc_id NOT IN (SELECT node FROM comp)
+"""
+
+
+@register("q101_dedup_yield", _Q101_SQL)
+def q101(spark, sf_dir):
+    """Dedup-yield report (operators/dedup.py cluster_size_histogram):
+    cluster-size histogram + exact keep-one-survivor yield over the q43
+    component graph (same deterministic edge surrogate, so both engines
+    cluster the identical graph). Σ n_docs = corpus size, Σ n_dropped =
+    documents the dedup removes — the first table any dedup run is asked
+    for. Text never moves: component sizes and the histogram are two
+    partial aggregations over id-width rows."""
+    from soda_core_spark.operators.dedup import (
+        cluster_size_histogram,
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    comps = connected_components(edges)
+    return cluster_size_histogram(comps, all_ids=d.select("doc_id"))

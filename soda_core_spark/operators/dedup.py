@@ -1522,3 +1522,49 @@ def corpus_paragraph_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
     return out
+
+
+def cluster_size_histogram(
+    components: DataFrame,
+    all_ids: Optional[DataFrame] = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup-yield report over a (node, component) table — the number
+    every dedup run gets asked for first: how big are the duplicate
+    clusters, how many documents does each size class hold, and how many
+    will the keep-one-survivor policy drop. With ``all_ids`` (the full
+    corpus id column) the report also counts singletons — documents in
+    no cluster — as the ``cluster_size = 1`` row, so ``sum(n_docs)``
+    equals the corpus and ``sum(n_dropped)`` is the exact dedup yield.
+
+    Shape for scale: two partial aggregations (component sizes, then the
+    size histogram — second input is |clusters| rows, third is trivial)
+    plus one anti-join for singletons; nothing touches document text.
+    """
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        ((F.col("sz") - 1) * F.col("n_clusters")).cast("long").alias(
+            "n_dropped"
+        ),
+    )
+    if all_ids is None:
+        return hist
+    singles = (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(components.select("node"), "node", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").cast("long").alias("n_clusters"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_dropped"),
+        )
+    )
+    return hist.unionByName(singles)

@@ -53,3 +53,20 @@ def test_no_window_in_plan(out):
     # row_number window over the paragraph key
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+
+def test_cluster_size_histogram_hand_values(spark):
+    from soda_core_spark.operators.dedup import cluster_size_histogram
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (7, 7), (8, 7)],
+        "node int, component int",
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id int")
+    v = {r["cluster_size"]: r for r in
+         cluster_size_histogram(comps, all_ids=ids).collect()}
+    assert (v[3]["n_clusters"], v[3]["n_docs"], v[3]["n_dropped"]) == (1, 3, 2)
+    assert (v[2]["n_clusters"], v[2]["n_docs"], v[2]["n_dropped"]) == (2, 4, 2)
+    assert (v[1]["n_clusters"], v[1]["n_dropped"]) == (3, 0)  # docs 6,9,10
+    assert sum(r["n_docs"] for r in v.values()) == 10
+    assert sum(r["n_dropped"] for r in v.values()) == 4
