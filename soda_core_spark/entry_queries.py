@@ -5298,3 +5298,40 @@ def q101(spark, sf_dir):
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     comps = connected_components(edges)
     return cluster_size_histogram(comps, all_ids=d.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# shard diversity audit (operators/profiling.py group_diversity)
+# ---------------------------------------------------------------------------
+
+_Q102_SQL = """
+WITH c AS (
+  SELECT doc_id % 8 AS shard, source, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT shard,
+       sum(c)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_keys,
+       round(ln(sum(c)::DOUBLE) - sum(c * ln(c::DOUBLE)) / sum(c), 6) AS entropy,
+       round(max(c)::DOUBLE / sum(c), 6) AS top_share,
+       (round(ln(sum(c)::DOUBLE) - sum(c * ln(c::DOUBLE)) / sum(c), 6) < 1.0)
+         AS low_diversity
+FROM c GROUP BY shard
+"""
+
+
+@register("q102_shard_diversity", _Q102_SQL)
+def q102(spark, sf_dir):
+    """Per-shard source-diversity audit (operators/profiling.py
+    group_diversity): Shannon entropy + top-key share of the source mix
+    inside each training shard — a shard dominated by one host trains
+    like an epoch of that host. Entropy uses the single-fold algebraic
+    form ln(n) - Σ c·ln(c)/n in BOTH engines (summation-order ulps only,
+    absorbed by 6dp rounding); two stacked partial aggregations, no
+    window. Shards derive from doc_id % 8 identically in both engines."""
+    from soda_core_spark.operators.profiling import group_diversity
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("shard"), "source"
+    )
+    return group_diversity(d, "shard", "source", min_entropy=1.0)

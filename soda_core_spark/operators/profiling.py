@@ -372,3 +372,40 @@ def corpus_report(
         F.expr(f"percentile(length({text_col}), 0.5)").alias("p50_chars"),
         F.max(n_chars).cast("long").alias("max_chars"),
     )
+
+
+def group_diversity(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    min_entropy: float = 1.0,
+) -> DataFrame:
+    """Per-group key-diversity audit — the data-mixing QA step for
+    packed training shards: a shard dominated by one host (a crawl burst,
+    a skewed partition key) trains like an epoch of that host. Per
+    group: document count, distinct keys, Shannon entropy of the key
+    distribution (nats) and the top key's share; ``low_diversity`` flags
+    groups under ``min_entropy``.
+
+    Entropy is computed as ``ln(n) - Σ c·ln(c) / n`` — one algebraic
+    form, written identically in the SQL oracle, so engines differ only
+    by summation-order ulps (absorbed by 6dp rounding). Shape for scale:
+    two stacked partial aggregations — (group, key) counts, then the
+    per-group fold; the second input is |groups × keys| rows, no text,
+    no window, no shuffle wider than the count table.
+    """
+    counts = df.groupBy(group_col, key_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    ent = F.round(
+        F.log(n.cast("double"))
+        - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+        6,
+    )
+    return counts.groupBy(group_col).agg(
+        n.cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        ent.alias("entropy"),
+        F.round(F.max("c") / n, 6).alias("top_share"),
+    ).withColumn("low_diversity", F.col("entropy") < F.lit(float(min_entropy)))

@@ -129,3 +129,25 @@ def test_rule_pack_diff_single_pass(docs):
     plan = _plan(out)
     assert plan.count("HashAggregate") <= 2, plan
     assert plan.count("Scan") <= 1, plan
+
+
+def test_group_diversity_hand_values(spark):
+    import math
+
+    from soda_core_spark.operators.profiling import group_diversity
+
+    rows = [("s1", "h1")] * 4 + [("s1", "h2")] * 4 + [("s2", "h1")] * 7 + [
+        ("s2", "h2")
+    ]
+    df = spark.createDataFrame(rows, "shard string, host string")
+    v = {r["shard"]: r for r in
+         group_diversity(df, "shard", "host", min_entropy=0.5).collect()}
+    assert v["s1"]["entropy"] == round(math.log(2), 6)  # uniform 2 keys
+    assert v["s1"]["top_share"] == 0.5
+    assert v["s1"]["low_diversity"] is False
+    # s2: p = 7/8, 1/8
+    h = -(7 / 8) * math.log(7 / 8) - (1 / 8) * math.log(1 / 8)
+    assert v["s2"]["entropy"] == round(h, 6)
+    assert v["s2"]["top_share"] == 0.875
+    assert v["s2"]["low_diversity"] is True
+    assert (v["s2"]["n_docs"], v["s2"]["n_keys"]) == (8, 2)
