@@ -1,0 +1,80 @@
+"""WARC record parsing: round-trip vs the encoder twin, gzip members,
+malformed-tail accounting, pure-python parser units."""
+
+import pytest
+
+from soda_core_spark.sources.warc import (
+    build_warc_bytes,
+    parse_warc_member,
+    parse_warc_records,
+    split_gzip_members,
+)
+
+
+def _recs():
+    return [
+        {"url": "https://a.example.com/x", "warc_ts": "2026-08-01T00:00:00Z",
+         "html": b"<html>alpha</html>"},
+        {"url": "https://b.example.com/y", "warc_ts": "2026-08-02T12:30:00Z",
+         "html": b"<html>beta \xe2\x9c\x93</html>"},
+    ]
+
+
+def test_member_roundtrip_plain():
+    buf = build_warc_bytes(_recs())
+    recs, bad = parse_warc_member(buf)
+    assert bad == 0 and len(recs) == 2
+    assert recs[0]["url"] == "https://a.example.com/x"
+    assert recs[0]["http_status"] == 200
+    assert recs[0]["payload"] == b"<html>alpha</html>"
+    assert recs[1]["payload"] == _recs()[1]["html"]
+    assert recs[1]["content_type"] == "text/html"
+
+
+def test_gzip_member_split():
+    buf = build_warc_bytes(_recs(), gzip_members=True)
+    members, bad = split_gzip_members(buf)
+    assert bad == 0 and len(members) == 2
+    # truncated final member is counted, earlier members survive
+    members, bad = split_gzip_members(buf[:-20])
+    assert bad == 1 and len(members) == 1
+
+
+def test_malformed_tail_counted():
+    buf = build_warc_bytes(_recs()) + b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"
+    recs, bad = parse_warc_member(buf)
+    assert len(recs) == 2 and bad == 1
+
+
+def test_spark_explode_roundtrip(spark):
+    from soda_core_spark.sources.webtext_gen import generate_web_pages
+
+    pdf = generate_web_pages(30, seed=11)
+    src = [
+        {"url": u, "warc_ts": str(t), "html": bytes(h)}
+        for u, t, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
+    ]
+    # 3 chunks of 10 records, mixed plain/gzip
+    chunks = []
+    for i in range(3):
+        part = src[i * 10 : (i + 1) * 10]
+        chunks.append((i, build_warc_bytes(part, gzip_members=i % 2 == 0)))
+    df = spark.createDataFrame(chunks, "chunk_id long, warc binary")
+    out = parse_warc_records(df).collect()
+    assert len(out) == 30
+    got = {r["url"]: r for r in out}
+    for s in src:
+        r = got[s["url"]]
+        assert bytes(r["payload"]) == s["html"]  # byte-identical ingest
+        assert r["http_status"] == 200
+        assert r["n_malformed"] == 0
+        assert r["warc_type"] == "response"
+
+
+def test_spark_empty_chunk_visible(spark):
+    df = spark.createDataFrame(
+        [(7, b"\x1f\x8bgarbage")], "chunk_id long, warc binary"
+    )
+    out = parse_warc_records(df).collect()
+    assert len(out) == 1
+    assert out[0]["url"] is None and out[0]["n_malformed"] >= 1
