@@ -50,19 +50,21 @@ def rule_attribution(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     for fl in flags[1:]:
         total = total + fl
 
+    # sums coalesce to 0 so an EMPTY corpus reports zeros, not NULLs
+    def _s(col: Column, alias: str) -> Column:
+        return F.coalesce(F.sum(col), F.lit(0)).alias(alias)
+
     aggs = [F.count(F.lit(1)).alias("__n_docs")]
     running_earlier: Column = F.lit(0)
     for name, fl in zip(names, flags):
-        aggs.append(F.sum(fl).alias(f"__fail_{name}"))
+        aggs.append(_s(fl, f"__fail_{name}"))
         aggs.append(
-            F.sum(F.when((fl == 1) & (total == 1), 1).otherwise(0)).alias(
-                f"__only_{name}"
-            )
+            _s(F.when((fl == 1) & (total == 1), 1).otherwise(0),
+               f"__only_{name}")
         )
         aggs.append(
-            F.sum(
-                F.when((fl == 1) & (running_earlier == 0), 1).otherwise(0)
-            ).alias(f"__first_{name}")
+            _s(F.when((fl == 1) & (running_earlier == 0), 1).otherwise(0),
+               f"__first_{name}")
         )
         running_earlier = running_earlier + fl
 
@@ -127,18 +129,18 @@ def rule_pack_diff(
         any_b = F.greatest(any_b, c)
     fa["__any__"], fb["__any__"] = any_a, any_b
 
+    def _s(col: Column, alias: str) -> Column:
+        # empty corpus -> zeros, not NULLs
+        return F.coalesce(F.sum(col), F.lit(0)).alias(alias)
+
     aggs = []
     for n in names + ["__any__"]:
         a, b = fa[n], fb[n]
         aggs += [
-            F.sum(a).alias(f"__a_{n}"),
-            F.sum(b).alias(f"__b_{n}"),
-            F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0)).alias(
-                f"__nf_{n}"
-            ),
-            F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0)).alias(
-                f"__np_{n}"
-            ),
+            _s(a, f"__a_{n}"),
+            _s(b, f"__b_{n}"),
+            _s(F.when((a == 0) & (b == 1), 1).otherwise(0), f"__nf_{n}"),
+            _s(F.when((a == 1) & (b == 0), 1).otherwise(0), f"__np_{n}"),
         ]
     one = df.agg(*aggs)
     structs = [

@@ -107,4 +107,9 @@ def host_reputation_gate(
         (F.col("host_n_docs") >= min_support)
         & (F.col("host_mean_score") < F.lit(float(min_mean_score))),
     )
-    return scored.join(F.broadcast(verdicts), host_col, "left").drop("__score6")
+    out = scored.join(F.broadcast(verdicts), host_col, "left").drop("__score6")
+    # a NULL host (malformed URL) matches no verdict row; the gate's
+    # answer for it is "no evidence -> not blocked", not NULL
+    return out.withColumn(
+        "host_blocked", F.coalesce(F.col("host_blocked"), F.lit(False))
+    )

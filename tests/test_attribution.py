@@ -151,3 +151,28 @@ def test_group_diversity_hand_values(spark):
     assert v["s2"]["top_share"] == 0.875
     assert v["s2"]["low_diversity"] is True
     assert (v["s2"]["n_docs"], v["s2"]["n_keys"]) == (8, 2)
+
+
+def test_empty_corpus_reports_zeros(spark):
+    from soda_core_spark.operators.attribution import rule_pack_diff
+
+    empty = spark.createDataFrame([], "id int, n int, x boolean")
+    rows = rule_attribution(empty, {"short": F.col("n") < 100}).collect()
+    assert rows[0]["n_fail"] == 0 and rows[0]["fail_rate"] == 0.0
+    rows = rule_pack_diff(
+        empty, {"a": F.col("n") < 100}, {"a": F.col("n") < 200}
+    ).collect()
+    assert all(r["n_fail_a"] == 0 and r["n_newly_fail"] == 0 for r in rows)
+
+
+def test_null_host_never_blocked(spark):
+    df = spark.createDataFrame(
+        [(None, 0.1), (None, 0.1), ("a", 0.1), ("a", 0.2)],
+        "host string, sc double",
+    )
+    out = host_reputation_gate(
+        df, F.col("sc"), host_col="host", min_support=2, min_mean_score=0.5
+    )
+    v = {r["host"]: r for r in out.collect()}
+    assert v[None]["host_blocked"] is False
+    assert v["a"]["host_blocked"] is True
