@@ -78,3 +78,36 @@ def test_spark_empty_chunk_visible(spark):
     out = parse_warc_records(df).collect()
     assert len(out) == 1
     assert out[0]["url"] is None and out[0]["n_malformed"] >= 1
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """WARC chunks arriving as a stream (the crawl-ingest shape):
+    readStream -> mapInPandas parse -> memory sink, exactly-once rows."""
+    from soda_core_spark.sources.webtext_gen import generate_web_pages
+
+    pdf = generate_web_pages(20, seed=13)
+    src = [
+        {"url": u, "warc_ts": str(t), "html": bytes(h)}
+        for u, t, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
+    ]
+    chunks = [
+        (i, build_warc_bytes(src[i * 10 : (i + 1) * 10], gzip_members=True))
+        for i in range(2)
+    ]
+    inp = str(tmp_path / "chunks")
+    spark.createDataFrame(chunks, "chunk_id long, warc binary").write.parquet(inp)
+
+    stream = spark.readStream.schema("chunk_id long, warc binary").parquet(inp)
+    parsed = parse_warc_records(stream)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("warc_ingest")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM warc_ingest").collect()
+    assert len(rows) == 20
+    got = {r["url"]: bytes(r["payload"]) for r in rows}
+    assert all(got[s["url"]] == s["html"] for s in src)
