@@ -78,3 +78,18 @@ from soda_core_spark.operators.history import (  # noqa: F401
 from soda_core_spark.sources.metadata_checks import (  # noqa: F401
     verify_contract_metadata_only,
 )
+from soda_core_spark.operators.attribution import (  # noqa: F401
+    rule_attribution,
+    rule_pack_diff,
+)
+from soda_core_spark.operators.blocklist import (  # noqa: F401
+    host_reputation_gate,
+)
+from soda_core_spark.operators.dedup import (  # noqa: F401
+    cluster_size_histogram,
+    corpus_paragraph_dedup,
+)
+from soda_core_spark.operators.profiling import group_diversity  # noqa: F401
+from soda_core_spark.packaging import build_pyfiles_zip  # noqa: F401
+from soda_core_spark.sources.tables import corrupt_file_audit  # noqa: F401
+from soda_core_spark.sources.warc import parse_warc_records  # noqa: F401
