@@ -5335,3 +5335,39 @@ def q102(spark, sf_dir):
         (F.col("doc_id") % 8).alias("shard"), "source"
     )
     return group_diversity(d, "shard", "source", min_entropy=1.0)
+
+
+# ---------------------------------------------------------------------------
+# crawl-health daily trend (operators/profiling.py daily_trend)
+# ---------------------------------------------------------------------------
+
+_Q103_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, sum_value,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS ma7_n,
+       (n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY day))::BIGINT
+         AS delta_n
+FROM daily
+"""
+
+
+@register("q103_daily_trend", _Q103_SQL)
+def q103(spark, sf_dir):
+    """Crawl-health daily trend (operators/profiling.py daily_trend):
+    per-type daily rollup with a 7-row moving average and day-over-day
+    delta — the dashboard table that catches a collapsing fetcher or an
+    exploding spam host. Partial-agg rollup first, window only over the
+    tiny |types × days| frame partitioned by type (no key sees more than
+    its own calendar)."""
+    from soda_core_spark.operators.profiling import daily_trend
+
+    e = _t(spark, sf_dir, "events")
+    out = daily_trend(e, "ts", "event_type", "value", ma_days=7)
+    # dates serialize differently across engines; compare as ISO strings
+    return out.withColumn("day", F.col("day").cast("string"))

@@ -409,3 +409,44 @@ def group_diversity(
         ent.alias("entropy"),
         F.round(F.max("c") / n, 6).alias("top_share"),
     ).withColumn("low_diversity", F.col("entropy") < F.lit(float(min_entropy)))
+
+
+def daily_trend(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    ma_days: int = 7,
+) -> DataFrame:
+    """Crawl-health trend rollup: per (key, day) — event count and value
+    sum, a ``ma_days``-row moving average of the count, and the
+    day-over-day delta. The table a crawl/ingest dashboard reads to spot
+    a collapsing fetcher or an exploding spam host before the corpus
+    ships.
+
+    Shape for scale: the daily rollup is one partial aggregation (the
+    corpus never reaches the window); the moving frame then runs over
+    |keys × days| rows partitioned BY KEY — each partition is a few
+    hundred rows per year, so the window stage is trivially parallel and
+    no key concentrates more than its own calendar. Missing days are a
+    gap in the frame (ROWS, not RANGE): the MA is over observed days,
+    matching how ops dashboards bucket sparse series.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
+    )
+    w = Window.partitionBy("key").orderBy("day")
+    ma = w.rowsBetween(-(ma_days - 1), 0)
+    return daily.select(
+        F.col("key").alias(key_col),
+        "day",
+        "n",
+        "sum_value",
+        F.round(F.avg("n").over(ma), 6).alias(f"ma{ma_days}_n"),
+        (F.col("n") - F.lag("n", 1).over(w)).cast("long").alias("delta_n"),
+    )

@@ -176,3 +176,26 @@ def test_null_host_never_blocked(spark):
     v = {r["host"]: r for r in out.collect()}
     assert v[None]["host_blocked"] is False
     assert v["a"]["host_blocked"] is True
+
+
+def test_daily_trend_hand_values(spark):
+    from soda_core_spark.operators.profiling import daily_trend
+
+    rows = [
+        ("f", "2026-01-01 10:00:00", 1.0),
+        ("f", "2026-01-01 11:00:00", 3.0),
+        ("f", "2026-01-02 10:00:00", 5.0),
+        ("f", "2026-01-04 10:00:00", 7.0),  # gap day: ROWS frame skips it
+        ("g", "2026-01-01 10:00:00", 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double"
+                               ).withColumn("ts", F.to_timestamp("ts"))
+    out = daily_trend(df, "ts", "k", "value", ma_days=2)
+    v = {(r["k"], str(r["day"])): r for r in out.collect()}
+    assert v[("f", "2026-01-01")]["n"] == 2
+    assert v[("f", "2026-01-01")]["sum_value"] == 4.0
+    assert v[("f", "2026-01-01")]["delta_n"] is None
+    assert v[("f", "2026-01-02")]["ma2_n"] == 1.5   # avg(2, 1)
+    assert v[("f", "2026-01-02")]["delta_n"] == -1
+    assert v[("f", "2026-01-04")]["ma2_n"] == 1.0   # avg(1, 1) over ROWS
+    assert v[("g", "2026-01-01")]["n"] == 1
