@@ -542,6 +542,26 @@ session:
 """
 
 
+
+def data_source_audit_main(args: argparse.Namespace) -> int:
+    """Driver-side parquet integrity audit (sources/tables.py
+    corrupt_file_audit): footer validation only, no Spark session — safe
+    to run against any corpus size before launching the real job. Exit
+    0 = clean, 1 = corrupt files found, 3 = audit could not run."""
+    from soda_core_spark.sources.tables import corrupt_file_audit
+
+    try:
+        name, _, path = args.dataset.partition("=")
+        report = corrupt_file_audit(path or name, sample=args.sample)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(json.dumps({"error": str(exc)}))
+        return int(ExitCode.LOG_ERRORS)
+    print(json.dumps({"dataset": name if path else args.dataset, **report}))
+    return int(ExitCode.CHECK_FAILURES) if report["n_corrupt"] else int(
+        ExitCode.OK
+    )
+
+
 def data_source_create_main(args: argparse.Namespace) -> int:
     """Write a data-source YAML template (reference `soda data-source
     create`, handlers/data_source.py:22-56: refuses existing files,
@@ -703,6 +723,17 @@ def _data_source_main(argv: list[str]) -> int:
     mt.add_argument("--cluster-id", default=None)
     mt.add_argument("--use-active-session", action="store_true")
     mt.set_defaults(_handler=data_source_metrics_main)
+
+    au = sub.add_parser(
+        "audit", help="Parquet footer integrity audit (no Spark session)"
+    )
+    au.add_argument(
+        "-ds", "--dataset", required=True,
+        help="NAME=PARQUET_DIR (or a bare directory path)",
+    )
+    au.add_argument("--sample", type=int, default=None,
+                    help="audit only the first N files")
+    au.set_defaults(_handler=data_source_audit_main)
 
     t = sub.add_parser("test", help="Test the Spark session + dataset bindings")
     t.add_argument(

@@ -65,3 +65,31 @@ def test_sampled_audit(broken_dataset):
     assert audit["sampled"] is True
     assert audit["n_audited"] == 1
     assert audit["n_files"] == 3
+
+
+def test_cli_data_source_audit(broken_dataset, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    path, victim = broken_dataset
+    out = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "data-source", "audit",
+         "-ds", f"pages={path}"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 1  # corrupt found -> check-failure exit code
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["dataset"] == "pages"
+    assert rep["n_corrupt"] == 1 and rep["corrupt_paths"] == [victim]
+
+    # clean dataset -> exit 0
+    from soda_core_spark.sources.webtext_gen import write_web_pages_parquet
+
+    clean = write_web_pages_parquet(str(tmp_path / "clean"), 100, seed=4)
+    out2 = subprocess.run(
+        [sys.executable, "-m", "soda_core_spark.cli", "data-source", "audit",
+         "-ds", clean],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out2.returncode == 0
