@@ -111,3 +111,58 @@ def test_streaming_warc_ingest(spark, tmp_path):
     assert len(rows) == 20
     got = {r["url"]: bytes(r["payload"]) for r in rows}
     assert all(got[s["url"]] == s["html"] for s in src)
+
+
+def test_seeded_fuzz_never_crashes_and_accounts_loss():
+    """300 seeded cases: random payload bytes (incl. CRLFs and fake WARC
+    magic inside bodies), random gzip/plain mix, random truncation.
+    The parser must never raise; intact prefixes parse byte-identically;
+    any truncation mid-stream is visible in the malformed count."""
+    import random
+
+    rng = random.Random(42)
+    for case in range(300):
+        n_rec = rng.randint(1, 5)
+        recs = []
+        for i in range(n_rec):
+            body = bytes(rng.randrange(256) for _ in range(rng.randint(0, 400)))
+            if rng.random() < 0.3:
+                body += b"\r\n\r\nWARC/1.0\r\n"  # magic inside a body
+            recs.append({
+                "url": f"https://h{rng.randrange(50)}.example/{i}",
+                "warc_ts": "2026-08-18T00:00:00Z",
+                "html": body,
+            })
+        gz = rng.random() < 0.5
+        # record/member byte boundaries: a cut exactly ON one is
+        # indistinguishable from a shorter valid stream (WARC has no
+        # end-of-stream framing) and is legitimately silent
+        bounds = {0}
+        buf = b""
+        for r in recs:
+            buf += build_warc_bytes([r], gzip_members=gz)
+            bounds.add(len(buf))
+        cut = rng.random() < 0.5
+        on_boundary = False
+        if cut:
+            pos = rng.randint(0, len(buf))
+            on_boundary = pos in bounds
+            buf = buf[:pos]
+        members, bad_gz = split_gzip_members(buf)
+        parsed, bad = [], bad_gz
+        for m in members:
+            r, b = parse_warc_member(m)
+            parsed.extend(r)
+            bad += b
+        assert len(parsed) <= n_rec
+        if not cut:
+            assert bad == 0 and len(parsed) == n_rec, f"case {case}"
+            for src_r, got in zip(recs, parsed):
+                assert got["payload"] == src_r["html"], f"case {case}"
+        else:
+            # whatever parsed must still be byte-faithful to its source
+            for src_r, got in zip(recs, parsed):
+                assert got["payload"] == src_r["html"], f"case {case}"
+            assert len(parsed) == n_rec or bad > 0 or on_boundary, (
+                f"case {case}: silent loss"
+            )
