@@ -199,3 +199,47 @@ def test_daily_trend_hand_values(spark):
     assert v[("f", "2026-01-02")]["delta_n"] == -1
     assert v[("f", "2026-01-04")]["ma2_n"] == 1.0   # avg(1, 1) over ROWS
     assert v[("g", "2026-01-01")]["n"] == 1
+
+
+def test_attribution_random_pandas_twin(spark):
+    """200-row random frame, 5 rules: every counter recomputed by an
+    independent pandas twin — the same oracle discipline as the
+    registry's DuckDB twins, in-process."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    pdf = pd.DataFrame({
+        "a": [rng.randint(0, 9) for _ in range(200)],
+        "b": [rng.random() for _ in range(200)],
+    })
+    df = spark.createDataFrame(pdf)
+    rules = {
+        "r1": F.col("a") < 3,
+        "r2": F.col("b") > 0.7,
+        "r3": (F.col("a") % 2) == 0,
+        "r4": F.col("b") < 0.1,
+        "r5": F.col("a") == 9,
+    }
+    flags = pd.DataFrame({
+        "r1": pdf.a < 3,
+        "r2": pdf.b > 0.7,
+        "r3": pdf.a % 2 == 0,
+        "r4": pdf.b < 0.1,
+        "r5": pdf.a == 9,
+    })
+    tot = flags.sum(axis=1)
+    got = {r["rule"]: r for r in rule_attribution(df, rules).collect()}
+    earlier = pd.Series(False, index=flags.index)
+    for name in flags.columns:
+        f = flags[name]
+        assert got[name]["n_fail"] == int(f.sum()), name
+        assert got[name]["n_only_fail"] == int((f & (tot == 1)).sum()), name
+        assert got[name]["n_first_fail"] == int((f & ~earlier).sum()), name
+        assert got[name]["fail_rate"] == round(f.sum() / 200, 6), name
+        earlier = earlier | f
+    # conservation: Σ first-fail = dropped docs
+    assert sum(got[n]["n_first_fail"] for n in flags.columns) == int(
+        (tot > 0).sum()
+    )
