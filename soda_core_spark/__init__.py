@@ -88,6 +88,12 @@ from soda_core_spark.operators.blocklist import (  # noqa: F401
 from soda_core_spark.operators.dedup import (  # noqa: F401
     cluster_size_histogram,
     corpus_paragraph_dedup,
+    mirror_hosts,
+)
+from soda_core_spark.functions.html import (  # noqa: F401
+    robots_meta_gate,
+    with_lang_mismatch,
+    with_robots_directives,
 )
 from soda_core_spark.operators.profiling import group_diversity  # noqa: F401
 from soda_core_spark.packaging import build_pyfiles_zip  # noqa: F401

@@ -5371,3 +5371,205 @@ def q103(spark, sf_dir):
     out = daily_trend(e, "ts", "event_type", "value", ma_days=7)
     # dates serialize differently across engines; compare as ISO strings
     return out.withColumn("day", F.col("day").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# robots meta directives (functions/html.py with_robots_directives)
+# ---------------------------------------------------------------------------
+
+_Q104_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head>' ||
+         CASE WHEN doc_id % 5 = 0
+                THEN '<meta name="robots" content="noindex"/>'
+              WHEN doc_id % 5 = 1
+                THEN '<meta name="robots" content="nofollow"/>'
+              WHEN doc_id % 5 = 2
+                THEN '<meta name="robots" content="none"/>'
+              WHEN doc_id % 5 = 3
+                THEN '<meta name="robots" content=" NoIndex ,archive"/>'
+              ELSE '' END ||
+         '</head><body><p>x</p></body></html>' AS html
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(
+             lower(regexp_extract(html,
+               '(?is)<meta\s[^>]*name="robots"[^>]*content="([^"]*)"', 1)),
+             ','),
+           x -> trim(x)) AS toks
+  FROM pages
+)
+SELECT doc_id,
+       coalesce(list_contains(toks, 'noindex'), false)
+         OR coalesce(list_contains(toks, 'none'), false) AS meta_noindex,
+       coalesce(list_contains(toks, 'nofollow'), false)
+         OR coalesce(list_contains(toks, 'none'), false) AS meta_nofollow
+FROM flags ORDER BY doc_id
+"""
+
+
+@register("q104_robots_meta", _Q104_SQL)
+def q104(spark, sf_dir):
+    """Page-level robots meta directive flags (functions/html.py
+    with_robots_directives): token-exact membership over the
+    comma-separated content list (split + trim + equality — prose
+    containing "noindexing" can never fire), ``none`` implies both
+    directives, absent markup means false (crawler semantics). The
+    page-level complement to the host-level RFC 9309 gate
+    (operators/robots.py); zero shuffle, zero Python. Fixture html
+    exercises every directive shape incl. mixed case + stray spaces."""
+    from soda_core_spark.functions.html import with_robots_directives
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    meta = F.when(
+        did % 5 == 0, F.lit('<meta name="robots" content="noindex"/>')
+    ).when(
+        did % 5 == 1, F.lit('<meta name="robots" content="nofollow"/>')
+    ).when(
+        did % 5 == 2, F.lit('<meta name="robots" content="none"/>')
+    ).when(
+        did % 5 == 3,
+        F.lit('<meta name="robots" content=" NoIndex ,archive"/>'),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head>"), meta,
+            F.lit("</head><body><p>x</p></body></html>"),
+        ).alias("html"),
+    )
+    return with_robots_directives(pages).select(
+        "doc_id", "meta_noindex", "meta_nofollow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# declared-vs-detected language mismatch (functions/html.py)
+# ---------------------------------------------------------------------------
+
+_Q105_SQL = r"""
+WITH pages AS (
+  SELECT doc_id, lang,
+         '<html' ||
+         CASE WHEN doc_id % 4 = 0 THEN ' lang="en-US"'
+              WHEN doc_id % 4 = 1 THEN ' lang="FR"'
+              WHEN doc_id % 4 = 2 THEN ' lang="zh-Hans"'
+              ELSE '' END ||
+         '><body></body></html>' AS html
+  FROM documents
+),
+ext AS (
+  SELECT doc_id, lang,
+         nullif(lower(regexp_extract(
+           nullif(regexp_extract(html,
+             '(?is)<html\s[^>]*lang="([^"]+)"', 1), ''),
+           '^([A-Za-z]+)', 1)), '') AS declared_lang
+  FROM pages
+)
+SELECT doc_id, declared_lang, lang,
+       CASE WHEN declared_lang IS NOT NULL AND lang IS NOT NULL
+            THEN declared_lang <> lower(lang) END AS lang_mismatch
+FROM ext ORDER BY doc_id
+"""
+
+
+@register("q105_lang_mismatch", _Q105_SQL)
+def q105(spark, sf_dir):
+    """Declared-vs-detected language disagreement (functions/html.py
+    with_lang_mismatch): the page's own ``<html lang>`` claim (BCP 47
+    primary subtag, case-folded) against the table's lang column.
+    Disagreement is a contract-able evidence signal, not a drop rule;
+    either side missing → NULL (signal unavailable), never a fake
+    mismatch. Pure column algebra over one regexp_extract."""
+    from soda_core_spark.functions.html import with_lang_mismatch
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    attr = F.when(did % 4 == 0, F.lit(' lang="en-US"')).when(
+        did % 4 == 1, F.lit(' lang="FR"')
+    ).when(did % 4 == 2, F.lit(' lang="zh-Hans"')).otherwise(F.lit(""))
+    pages = d.select(
+        "doc_id",
+        "lang",
+        F.concat(F.lit("<html"), attr, F.lit("><body></body></html>")).alias(
+            "html"
+        ),
+    )
+    return with_lang_mismatch(pages).select(
+        "doc_id", "declared_lang", "lang", "lang_mismatch"
+    )
+
+
+# ---------------------------------------------------------------------------
+# site-mirror detection (operators/dedup.py mirror_hosts)
+# ---------------------------------------------------------------------------
+
+_Q106_SQL = r"""
+WITH pages AS (
+  SELECT 'm' || (doc_id % 11)::VARCHAR || '.example.com' AS host,
+         md5(CASE WHEN doc_id % 2 = 0
+                  THEN 'shared content block ' || (doc_id % 37)::VARCHAR
+                  ELSE 'unique page ' || doc_id::VARCHAR END) AS fp
+  FROM documents
+),
+hf AS (SELECT DISTINCT host, fp FROM pages),
+tot AS (SELECT host, count(*)::BIGINT AS n_fps FROM hf GROUP BY host),
+elig AS (
+  SELECT fp FROM hf GROUP BY fp
+  HAVING count(*) >= 2 AND count(*) <= 64
+),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         count(*)::BIGINT AS shared_fps
+  FROM hf a JOIN hf b ON a.fp = b.fp AND a.host < b.host
+  JOIN elig e ON e.fp = a.fp
+  GROUP BY 1, 2
+)
+SELECT p.host_a, p.host_b, p.shared_fps,
+       ta.n_fps AS n_a, tb.n_fps AS n_b,
+       round(p.shared_fps / least(ta.n_fps, tb.n_fps)::DOUBLE, 6)
+         AS containment
+FROM pairs p
+JOIN tot ta ON ta.host = p.host_a
+JOIN tot tb ON tb.host = p.host_b
+WHERE p.shared_fps >= 2
+  AND round(p.shared_fps / least(ta.n_fps, tb.n_fps)::DOUBLE, 6) >= 0.2
+"""
+
+
+@register("q106_mirror_hosts", _Q106_SQL)
+def q106(spark, sf_dir):
+    """Site-mirror detection (operators/dedup.py mirror_hosts): host
+    pairs ranked by content containment |fps(a)∩fps(b)| /
+    min(|fps(a)|,|fps(b)|) over exact-dedup fingerprints — catches CDN
+    mirrors and scraper sites whose individual URLs are all unique.
+    Only (host, 16-byte fp) rows shuffle; the fingerprint self-join is
+    bounded by ``host_cap`` against boilerplate fps (the q33 posting-cap
+    discipline). Fixture: 11 hosts, even docs share 37 content blocks,
+    odd docs unique — partial overlap on every pair."""
+    from soda_core_spark.operators.dedup import mirror_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pages = d.select(
+        F.concat(
+            F.lit("https://m"), (did % 11).cast("string"),
+            F.lit(".example.com/p/"), did.cast("string"),
+        ).alias("url"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("shared content block "), (did % 37).cast("string")
+            ),
+        )
+        .otherwise(F.concat(F.lit("unique page "), did.cast("string")))
+        .alias("text"),
+    )
+    return mirror_hosts(
+        pages, min_shared=2, min_containment=0.2, host_cap=64
+    )

@@ -224,3 +224,102 @@ def with_html_metadata(
             description_col: _decoded(META_DESCRIPTION_PATTERN),
         }
     )
+
+
+ROBOTS_META_PATTERN = (
+    r'(?is)<meta\s[^>]*name="robots"[^>]*content="([^"]*)"'
+)
+HTML_LANG_PATTERN = r'(?is)<html\s[^>]*lang="([^"]+)"'
+
+
+def with_robots_directives(
+    df: DataFrame,
+    html_col: str = "html",
+    noindex_col: str = "meta_noindex",
+    nofollow_col: str = "meta_nofollow",
+) -> DataFrame:
+    """Per-page ``<meta name="robots">`` directive flags — the page-level
+    half of crawl compliance (``operators/robots.py`` gates on the
+    host-level robots.txt; this honours the page's own opt-out, which a
+    responsible corpus build excludes just like RFC 9309 disallows).
+
+    Directive matching is token-exact over the comma-separated content
+    list (split + trim + equality, the blocklist idiom — no substring
+    regex, so ``noindexing`` in prose can never fire a directive):
+    ``noindex`` / ``nofollow`` fire their own flag, ``none`` fires both
+    (robots meta spec). Pages with no robots meta (or NULL html) get
+    false — absence of markup is consent, matching crawler behaviour.
+
+    Pure column algebra over one ``regexp_extract``: zero shuffle, zero
+    Python, prunes to the html column at the scan."""
+    src = F.col(html_col).cast("string")
+    content = F.lower(F.regexp_extract(src, ROBOTS_META_PATTERN, 1))
+    toks = F.split(content, ",")
+
+    def _has(directive: str) -> Column:
+        return F.coalesce(
+            F.exists(toks, lambda t: F.trim(t) == directive), F.lit(False)
+        )
+
+    none = _has("none")
+    return df.withColumns(
+        {
+            noindex_col: _has("noindex") | none,
+            nofollow_col: _has("nofollow") | none,
+        }
+    )
+
+
+def robots_meta_gate(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages that declare ``noindex`` (directly or via ``none``) in
+    their robots meta tag; the filter composes with
+    ``operators/robots.robots_filter`` for full crawl compliance."""
+    flagged = with_robots_directives(df, html_col=html_col)
+    return flagged.where(~F.col("meta_noindex")).drop(
+        "meta_noindex", "meta_nofollow"
+    )
+
+
+def html_lang_col(html: Column) -> Column:
+    """Primary language subtag declared by the page itself
+    (``<html lang="en-US">`` → ``en``), lowercased; NULL when the
+    attribute is absent or empty. BCP 47 primary subtag = the leading
+    alpha run."""
+    raw = F.nullif(
+        F.regexp_extract(html.cast("string"), HTML_LANG_PATTERN, 1),
+        F.lit(""),
+    )
+    return F.nullif(
+        F.lower(F.regexp_extract(raw, r"^([A-Za-z]+)", 1)), F.lit("")
+    )
+
+
+def with_lang_mismatch(
+    df: DataFrame,
+    html_col: str = "html",
+    lang_col: str = "lang",
+    declared_col: str = "declared_lang",
+    mismatch_col: str = "lang_mismatch",
+) -> DataFrame:
+    """Declared-vs-detected language disagreement signal: the page's own
+    ``<html lang>`` claim against the table's ``lang`` column (detector
+    output or upstream label). A high mismatch rate flags a broken
+    detector, a mislabeled source, or boilerplate-dominated extractions
+    — a contract-able metric (``metric: avg(CASE WHEN lang_mismatch
+    THEN 1.0 ELSE 0.0 END)``), not a hard drop rule: pages routinely
+    lie in either direction, so disagreement is evidence, not verdict.
+
+    ``lang_mismatch`` is NULL (signal unavailable) unless BOTH sides are
+    present — the per-language stopword-pack discipline: a missing
+    input never counts as bad quality. Zero shuffle, zero Python."""
+    declared = html_lang_col(F.col(html_col))
+    detected = F.lower(F.col(lang_col))
+    return df.withColumns(
+        {
+            declared_col: declared,
+            mismatch_col: F.when(
+                declared.isNotNull() & detected.isNotNull(),
+                declared != detected,
+            ),
+        }
+    )

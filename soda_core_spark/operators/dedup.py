@@ -1568,3 +1568,107 @@ def cluster_size_histogram(
         )
     )
     return hist.unionByName(singles)
+
+
+def mirror_hosts(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    host_col: Optional[str] = None,
+    min_shared: int = 2,
+    min_containment: float = 0.5,
+    host_cap: int = 64,
+) -> DataFrame:
+    """Site-mirror detection: host pairs whose content overlaps so much
+    that one is (partly) a copy of the other — CDN mirrors, scraper
+    sites, parked duplicates. Exact URL/content dedup misses these when
+    each host's *pages* are individually unique URLs; the host-level
+    containment |fps(a) ∩ fps(b)| / min(|fps(a)|, |fps(b)|) is the
+    standard mirror score (Bharat & Broder, WWW 1999 use the same
+    host-pair evidence-counting shape).
+
+    Pipeline: (host, md5(normalized_text)) distinct pairs → per-host
+    fingerprint totals (partial agg) → fingerprints shared by 2..
+    ``host_cap`` hosts self-join within the fingerprint key → host-pair
+    shared counts (partial agg) → containment vs per-host totals.
+
+    Shape for scale: only (host, 16-byte fp) rows ever shuffle — text
+    never moves. The self-join is keyed on the fingerprint, so the only
+    quadratic hazard is a fingerprint present on MANY hosts (site-chrome
+    boilerplate that survived extraction); ``host_cap`` bounds that at
+    cap² pairs per fingerprint and drops the unbounded tail, which is
+    the correct call: a string on hundreds of hosts is boilerplate, not
+    mirror evidence. Results containment is rounded to 6dp so the
+    DuckDB oracle compares exactly.
+
+    ``host_col`` names a pre-extracted host column; otherwise the host
+    comes from ``url_col`` via ``operators/urls.url_host_col``. NULL
+    hosts (unparseable URLs) contribute nothing.
+    """
+    from soda_core_spark.operators.urls import url_host_col
+
+    host = (
+        F.col(host_col) if host_col is not None
+        else url_host_col(F.col(url_col))
+    )
+    hf = (
+        df.select(
+            host.alias("__host"),
+            F.md5(normalized_text(F.col(text_col))).alias("__fp"),
+        )
+        .where(F.col("__host").isNotNull() & F.col("__fp").isNotNull())
+        .distinct()
+    )
+    totals = hf.groupBy("__host").agg(F.count(F.lit(1)).alias("n_fps"))
+    eligible = (
+        hf.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__nh"))
+        .where((F.col("__nh") >= 2) & (F.col("__nh") <= host_cap))
+        .select("__fp")
+    )
+    shared = hf.join(eligible, "__fp")
+    pairs = (
+        shared.alias("a")
+        .join(shared.alias("b"), "__fp")
+        .where(F.col("a.__host") < F.col("b.__host"))
+        .groupBy(
+            F.col("a.__host").alias("host_a"),
+            F.col("b.__host").alias("host_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    out = (
+        pairs.join(
+            totals.select(
+                F.col("__host").alias("host_a"),
+                F.col("n_fps").alias("n_a"),
+            ),
+            "host_a",
+        )
+        .join(
+            totals.select(
+                F.col("__host").alias("host_b"),
+                F.col("n_fps").alias("n_b"),
+            ),
+            "host_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared_fps")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+                6,
+            ),
+        )
+        .where(
+            (F.col("shared_fps") >= min_shared)
+            & (F.col("containment") >= min_containment)
+        )
+        .select(
+            "host_a", "host_b", "shared_fps",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "containment",
+        )
+    )
+    return out
