@@ -99,3 +99,13 @@ from soda_core_spark.operators.profiling import group_diversity  # noqa: F401
 from soda_core_spark.packaging import build_pyfiles_zip  # noqa: F401
 from soda_core_spark.sources.tables import corrupt_file_audit  # noqa: F401
 from soda_core_spark.sources.warc import parse_warc_records  # noqa: F401
+from soda_core_spark.functions.readability import (  # noqa: F401
+    with_readability,
+)
+from soda_core_spark.functions.langid import (  # noqa: F401
+    paragraph_lang_profile,
+)
+from soda_core_spark.operators.linkgraph import host_hits  # noqa: F401
+from soda_core_spark.operators.urls import (  # noqa: F401
+    registered_domain_col,
+)

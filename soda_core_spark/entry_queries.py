@@ -5573,3 +5573,354 @@ def q106(spark, sf_dir):
     return mirror_hosts(
         pages, min_shared=2, min_containment=0.2, host_cap=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: readability, HITS, paragraph-level language segmentation,
+# registered-domain rollup
+# ---------------------------------------------------------------------------
+
+_Q107_SQL = r"""
+WITH deco AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN coalesce(text, '')
+           WHEN 1 THEN coalesce(text, '') || '. One more sentence here!'
+           WHEN 2 THEN coalesce(text, '') || '? Yes... maybe not?!'
+           ELSE 'Dr smith went home. ' || coalesce(text, '')
+         END AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(t, '[ \t\n\r]+'),
+                     x -> x <> '') AS toks
+  FROM deco
+),
+c AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(t, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         (len(regexp_extract_all(lower(t), '[aeiouy]+'))
+          + len(list_filter(toks,
+                x -> NOT regexp_matches(lower(x), '[aeiouy]+'))))::BIGINT
+           AS n_syllables
+  FROM w
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+               - 84.6 * (n_syllables::DOUBLE / n_words), 6) END
+         AS flesch_reading_ease,
+       CASE WHEN n_words > 0 THEN
+         round(0.39 * (n_words::DOUBLE / n_sentences)
+               + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6) END
+         AS fk_grade
+FROM c ORDER BY doc_id
+"""
+
+
+@register("q107_readability", _Q107_SQL)
+def q107(spark, sf_dir):
+    """Flesch Reading Ease + Flesch-Kincaid grade as pure JVM column
+    algebra (functions/readability.py): whitespace words, [.!?]+ runs as
+    sentences (floor 1), vowel-group syllables (floor 1/word) — the
+    sentence-structure quality prior the C4/Gopher rule families lack.
+    Docs are decorated with deterministic punctuation variants so the
+    sentence counter is actually exercised. Zero shuffle, zero Python."""
+    from soda_core_spark.functions.readability import with_readability
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    deco = (
+        F.when(F.col("doc_id") % 4 == 0, base)
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(base, F.lit(". One more sentence here!")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(base, F.lit("? Yes... maybe not?!")))
+        .otherwise(F.concat(F.lit("Dr smith went home. "), base))
+    )
+    staged = d.select("doc_id", deco.alias("t"))
+    return (
+        with_readability(staged, text_col="t")
+        .select(
+            "doc_id", "n_words", "n_sentences", "n_syllables",
+            "flesch_reading_ease", "fk_grade",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q108_sql(iterations: int = 3) -> str:
+    # unrolled weighted HITS with per-step 12dp rounding and
+    # max-normalization — mirrors operators/linkgraph.host_hits exactly:
+    # raw contribution rounds to 12dp, the max is taken over the ROUNDED
+    # column, the normalized value rounds to 12dp again.
+    steps = ["h0 AS (SELECT host, 1.0 AS hub FROM nodes)"]
+    for i in range(iterations):
+        steps.append(f"""
+    a{i + 1}r AS (
+      SELECT n.host, round(coalesce(t.c, 0.0), 12) AS authority
+      FROM nodes n LEFT JOIN (
+        SELECT w.dst_host, sum(h.hub * w.w) AS c
+        FROM w JOIN h{i} h ON w.src_host = h.host
+        GROUP BY w.dst_host
+      ) t ON n.host = t.dst_host
+    ),
+    a{i + 1}m AS (SELECT max(authority) AS m FROM a{i + 1}r),
+    a{i + 1} AS (
+      SELECT host, round(CASE WHEN m > 0 THEN authority / m
+                              ELSE 0.0 END, 12) AS authority
+      FROM a{i + 1}r CROSS JOIN a{i + 1}m
+    ),
+    h{i + 1}r AS (
+      SELECT n.host, round(coalesce(t.c, 0.0), 12) AS hub
+      FROM nodes n LEFT JOIN (
+        SELECT w.src_host, sum(a.authority * w.w) AS c
+        FROM w JOIN a{i + 1} a ON w.dst_host = a.host
+        GROUP BY w.src_host
+      ) t ON n.host = t.src_host
+    ),
+    h{i + 1}m AS (SELECT max(hub) AS m FROM h{i + 1}r),
+    h{i + 1} AS (
+      SELECT host, round(CASE WHEN m > 0 THEN hub / m
+                              ELSE 0.0 END, 12) AS hub
+      FROM h{i + 1}r CROSS JOIN h{i + 1}m
+    )""")
+    return f"""
+    WITH {_LINKS_CTE},
+    nodes AS (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM edges
+        UNION ALL SELECT dst_host FROM edges
+      )
+    ),
+    w AS (
+      SELECT src_host, dst_host,
+             n_links::DOUBLE
+               / (sum(n_links) OVER (PARTITION BY src_host))::DOUBLE AS w
+      FROM edges
+    ),
+    {",".join(steps)}
+    SELECT a.host, round(a.authority, 8) AS authority,
+           round(h.hub, 8) AS hub
+    FROM a{iterations} a JOIN h{iterations} h ON a.host = h.host
+    ORDER BY a.host
+    """
+
+
+@register("q108_host_hits", _q108_sql())
+def q108(spark, sf_dir):
+    """HITS hubs/authorities over the q62 host graph (3 iterations,
+    link-weighted, max-normalized) — the complementary prior to q63
+    PageRank: directories/aggregators score as hubs, content hosts as
+    authorities; link farms split the axes. Each iteration is two
+    join+groupBy passes on the HOST graph plus two broadcast 1-row max
+    aggregates; per-step 12dp rounding pins the trajectory cross-engine
+    (operators/linkgraph.py host_hits)."""
+    from soda_core_spark.operators.linkgraph import (
+        host_edges,
+        host_hits,
+        outlink_hosts,
+    )
+
+    lg = _lg_frame(spark, sf_dir)
+    edges = host_edges(outlink_hosts(lg))
+    out = host_hits(edges, iterations=3, weighted=True)
+    return out.select(
+        "host",
+        F.round("authority", 8).alias("authority"),
+        F.round("hub", 8).alias("hub"),
+    ).orderBy("host")
+
+
+def _q109_sql() -> str:
+    from soda_core_spark.functions.langid import LANGS, LANG_WORDS
+
+    counts = ",\n           ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ",".join(f"'{w}'" for w in sorted(LANG_WORDS[lang]))
+        + f"], x)))::BIGINT AS c_{lang}"
+        for lang in LANGS
+    )
+    fracs = ",\n           ".join(
+        f"CASE WHEN n > 0 THEN c_{lang}::DOUBLE / n ELSE 0.0 END AS f_{lang}"
+        for lang in LANGS
+    )
+    conf = "greatest(" + ", ".join(f"f_{lang}" for lang in LANGS) + ")"
+    pred = "CASE WHEN conf <= 0.0 THEN 'und' " + " ".join(
+        f"WHEN f_{lang} = conf THEN '{lang}'" for lang in LANGS
+    ) + " END"
+    return f"""
+    WITH staged AS (
+      SELECT doc_id,
+             concat_ws(chr(10) || chr(10), coalesce(text, ''),
+               CASE WHEN doc_id % 2 = 0 THEN '{_Q109_FR}' END,
+               CASE WHEN doc_id % 3 = 0 THEN '{_Q109_DE}' END) AS t2
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(t2, '\n\n+'),
+                                p -> trim(p) <> '')) AS para
+      FROM staged
+    ),
+    tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(para), '[ \t\n\r]+'),
+                         x -> x <> '') AS toks
+      FROM paras
+    ),
+    sc AS (
+      SELECT doc_id, len(toks)::BIGINT AS n,
+           {counts}
+      FROM tk
+    ),
+    fr2 AS (
+      SELECT doc_id, n,
+           {fracs}
+      FROM sc
+    ),
+    agg AS (SELECT doc_id, {conf} AS conf, * EXCLUDE (doc_id, n) FROM fr2),
+    pr AS (SELECT doc_id, {pred} AS plang FROM agg),
+    cnt AS (
+      SELECT doc_id, plang, count(*)::BIGINT AS c
+      FROM pr GROUP BY doc_id, plang
+    ),
+    rk AS (
+      SELECT doc_id, plang, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, plang ASC) AS rn,
+             sum(c) OVER (PARTITION BY doc_id) AS tot
+      FROM cnt
+    )
+    SELECT doc_id, tot::BIGINT AS n_paragraphs, plang AS dominant_lang,
+           (tot - c)::BIGINT AS n_other,
+           round((tot - c)::DOUBLE / tot, 6) AS other_fraction
+    FROM rk WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+_Q109_FR = (
+    "le la les de des un une et est que qui dans pour pas sur avec"
+)
+_Q109_DE = (
+    "der die das und ist ich nicht mit ein eine zu den von sie er es"
+)
+
+
+@register("q109_paragraph_langs", _q109_sql())
+def q109(spark, sf_dir):
+    """Paragraph-level language segmentation (functions/langid.py
+    paragraph_lang_profile) — the multilingual-page detector: docs gain
+    deterministic French/German paragraphs, per-paragraph JVM langid
+    rolls up to dominant language + minority-paragraph fraction. One
+    groupBy(doc, lang) with map-side combine, argmax via a unique
+    (count, priority) struct key — no window over the corpus."""
+    from soda_core_spark.functions.langid import paragraph_lang_profile
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    staged = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            base,
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_Q109_FR)),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_Q109_DE)),
+        ).alias("t2"),
+    )
+    return paragraph_lang_profile(staged, text_col="t2").orderBy("doc_id")
+
+
+def _q110_sql() -> str:
+    from soda_core_spark.operators.urls import MULTI_LABEL_SUFFIXES
+
+    suffixes = ",".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return f"""
+    WITH hosts AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'a' || (doc_id % 7)::VARCHAR || '.shop.co.uk'
+               WHEN 1 THEN 'b' || (doc_id % 5)::VARCHAR || '.shop.co.uk'
+               WHEN 2 THEN 'www.example' || (doc_id % 3)::VARCHAR || '.com'
+               WHEN 3 THEN 'example' || (doc_id % 3)::VARCHAR || '.com'
+               WHEN 4 THEN 'deep.sub.site' || (doc_id % 2)::VARCHAR
+                           || '.com.au'
+               ELSE 'localhost'
+             END AS host
+      FROM documents
+    ),
+    rd AS (
+      SELECT doc_id, host,
+             CASE
+               WHEN len(string_split(host, '.')) >= 3
+                    AND list_contains([{suffixes}],
+                      string_split(host, '.')[len(string_split(host, '.')) - 1]
+                      || '.' ||
+                      string_split(host, '.')[len(string_split(host, '.'))])
+                 THEN string_split(host, '.')[len(string_split(host, '.')) - 2]
+                      || '.' ||
+                      string_split(host, '.')[len(string_split(host, '.')) - 1]
+                      || '.' ||
+                      string_split(host, '.')[len(string_split(host, '.'))]
+               WHEN len(string_split(host, '.')) >= 2
+                 THEN string_split(host, '.')[len(string_split(host, '.')) - 1]
+                      || '.' ||
+                      string_split(host, '.')[len(string_split(host, '.'))]
+               ELSE host
+             END AS registered_domain
+      FROM hosts
+    )
+    SELECT registered_domain,
+           count(*)::BIGINT AS n_pages,
+           count(DISTINCT host)::BIGINT AS n_hosts
+    FROM rd GROUP BY registered_domain ORDER BY registered_domain
+    """
+
+
+@register("q110_registered_domains", _q110_sql())
+def q110(spark, sf_dir):
+    """eTLD+1 rollup (operators/urls.py registered_domain_col): hosts
+    collapse to their registered domain before per-site accounting, so a
+    site sharding itself across subdomains (a1.shop.co.uk, b2.shop.co.uk)
+    is ONE registrant for caps/reputation/dedup. Pure label-array column
+    algebra + one groupBy; the suffix table is module data (full PSL is
+    a data swap). Fixture exercises multi-label ccTLD suffixes, www
+    subdomains, bare domains, and single-label hosts."""
+    from soda_core_spark.operators.urls import registered_domain_col
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hosts = d.select(
+        "doc_id",
+        F.when(did % 6 == 0,
+               F.concat(F.lit("a"), (did % 7).cast("string"),
+                        F.lit(".shop.co.uk")))
+        .when(did % 6 == 1,
+              F.concat(F.lit("b"), (did % 5).cast("string"),
+                       F.lit(".shop.co.uk")))
+        .when(did % 6 == 2,
+              F.concat(F.lit("www.example"), (did % 3).cast("string"),
+                       F.lit(".com")))
+        .when(did % 6 == 3,
+              F.concat(F.lit("example"), (did % 3).cast("string"),
+                       F.lit(".com")))
+        .when(did % 6 == 4,
+              F.concat(F.lit("deep.sub.site"), (did % 2).cast("string"),
+                       F.lit(".com.au")))
+        .otherwise(F.lit("localhost"))
+        .alias("host"),
+    )
+    return (
+        hosts.withColumn(
+            "registered_domain", registered_domain_col(F.col("host"))
+        )
+        .groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+        .orderBy("registered_domain")
+    )

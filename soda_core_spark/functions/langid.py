@@ -234,3 +234,72 @@ def lang_stopword_density(lowered_words: Column, lang: Column) -> Column:
             F.when(lang == L, d) if result is None else result.when(lang == L, d)
         )
     return result.otherwise(F.lit(None).cast("double"))
+
+
+def paragraph_lang_profile(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Paragraph-level language segmentation — the multilingual-document
+    detector. Document-level language ID (q20) misclassifies or hides
+    mixed-language pages (boilerplate in one language wrapping content in
+    another, quote blocks, spam keyword walls); per-paragraph ID exposes
+    them: a page whose paragraphs disagree with its dominant language
+    above a threshold is routed to review/splitting rather than keep/drop
+    (the CCNet/RedPajama per-segment LID pattern).
+
+    Returns one row per document: ``n_paragraphs``, ``dominant_lang``
+    (most-frequent paragraph prediction; ties resolve to the
+    lexicographically first language — deterministic cross-engine),
+    ``n_other`` (paragraphs predicted as any other language, 'und'
+    included), ``other_fraction`` (6 dp).
+
+    Shape for scale: paragraphs posexplode from the page (linear, no
+    corpus state), prediction is the same JVM-codegen membership scoring
+    as :func:`langid_jvm_from_words` (zero Python, zero Arrow), and the
+    rollup is ONE groupBy(doc, lang) with map-side partial aggregation
+    followed by a per-doc ``max_by`` over a (count, priority) struct —
+    the struct key is unique per language so the argmax is exact, no
+    window, no second shuffle wider than one row per (doc, lang).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    paras = F.filter(F.split(text, "\\n\\n+"), lambda p: F.trim(p) != "")
+    exploded = df.select(
+        F.col(id_col), F.explode(paras).alias("__para")
+    )
+    wl = F.filter(
+        F.split(F.lower(F.col("__para")), "[ \\t\\n\\r]+"),
+        lambda w: w != "",
+    )
+    pred = langid_jvm_from_words(wl)["langid_pred"]
+    counts = (
+        exploded.select(F.col(id_col), pred.alias("__plang"))
+        .groupBy(id_col, "__plang")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    # unique argmax key: count first, then lexicographically-FIRST lang
+    # wins ties — encoded as a priority that rises as the lang sorts
+    # earlier ('und' sorts after all real packs by construction)
+    order = list(LANGS) + ["und"]
+    pri = F.lit(0)
+    for i, lang in enumerate(order):
+        pri = F.when(F.col("__plang") == lang, F.lit(len(order) - i)).otherwise(pri)
+    key = F.struct(F.col("__cnt").alias("c"), pri.alias("p"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__cnt").cast("long").alias("n_paragraphs"),
+        F.max_by("__plang", key).alias("dominant_lang"),
+        F.max(key).alias("__maxkey"),
+    )
+    dom_cnt = F.col("__maxkey.c")
+    return per_doc.select(
+        id_col,
+        "n_paragraphs",
+        "dominant_lang",
+        (F.col("n_paragraphs") - dom_cnt).cast("long").alias("n_other"),
+        F.round(
+            (F.col("n_paragraphs") - dom_cnt).cast("double")
+            / F.col("n_paragraphs").cast("double"),
+            6,
+        ).alias("other_fraction"),
+    )

@@ -274,3 +274,109 @@ def top_host_anchors(anchors: DataFrame, k: int = 5) -> DataFrame:
     return counts.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= int(k))
+
+
+def host_hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    weighted: bool = True,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Hub/authority scores via HITS (Kleinberg 1999) over the weighted
+    host graph — the complementary prior to :func:`host_pagerank`:
+    PageRank finds globally-endorsed hosts, HITS separates *directories/
+    aggregators* (high hub — they link to many good authorities) from
+    *content hosts* (high authority — linked by many good hubs). Link
+    farms score high on one axis but not both, so the (hub, authority)
+    pair is a stronger spam feature than either alone.
+
+    Per iteration (mutual recursion, hubs seeded at 1.0):
+
+        auth'(v) = Σ_{u→v} hub(u)·w(u→v)   then  auth'' = auth' / max(auth')
+        hub'(u)  = Σ_{u→v} auth''(v)·w(u→v) then  hub''  = hub'  / max(hub')
+
+    with w = n_links / Σ n_links per source when ``weighted`` else 1.
+    Max-normalization (not the textbook L2) is deliberate: ``max`` over a
+    double set is exact under ANY summation/partition order, so the only
+    order-sensitive step is the per-node Σ — quantized away by the same
+    12 dp per-step rounding the PageRank trajectory uses. The q108 DuckDB
+    oracle unrolls identical iterations and matches bit-for-bit.
+
+    Scale shape: the weight frame is computed once and persisted; each
+    iteration is two (join + groupBy) passes over the HOST graph plus two
+    1-row max aggregates broadcast back (no global sort, no collect);
+    reliable checkpoints every ``checkpoint_every`` rounds bound lineage
+    exactly as in :func:`host_pagerank` / connected components — but the
+    default here is EVERY round, not every 5: each HITS round references
+    the previous frame from two join sides plus a max aggregate, so the
+    un-truncated plan tree grows ~4× per round (measured: a 3-round
+    3-join-deep plan OOM'd a 1 GiB driver during planning; checkpointed,
+    the same job runs in seconds). The checkpoint is host-grain — tiny
+    relative to any corpus.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    if weighted:
+        tot = edges.groupBy("src_host").agg(
+            F.sum("n_links").cast("double").alias("__out_total")
+        )
+        w = edges.join(tot, "src_host").select(
+            "src_host",
+            "dst_host",
+            (F.col("n_links") / F.col("__out_total")).alias("w"),
+        )
+    else:
+        w = edges.select("src_host", "dst_host", F.lit(1.0).alias("w"))
+    w = w.persist()
+
+    def _max_normalized(df: DataFrame, col: str) -> DataFrame:
+        # 1-row aggregate, broadcast back — max is summation-order exact
+        m = df.agg(F.max(col).alias("__m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            "host",
+            F.round(
+                F.when(F.col("__m") > 0, F.col(col) / F.col("__m")).otherwise(
+                    F.lit(0.0)
+                ),
+                12,
+            ).alias(col),
+        )
+
+    hubs = nodes.select("host", F.lit(1.0).alias("hub"))
+    auths = None
+    for i in range(iterations):
+        a_c = (
+            w.join(hubs, w.src_host == hubs.host)
+            .select("dst_host", (F.col("hub") * F.col("w")).alias("c"))
+            .groupBy("dst_host")
+            .agg(F.sum("c").alias("c"))
+        )
+        auths = nodes.join(
+            a_c, nodes.host == a_c.dst_host, "left"
+        ).select(
+            "host",
+            F.round(F.coalesce(F.col("c"), F.lit(0.0)), 12).alias("authority"),
+        )
+        auths = _max_normalized(auths, "authority")
+        h_c = (
+            w.join(auths, w.dst_host == auths.host)
+            .select("src_host", (F.col("authority") * F.col("w")).alias("c"))
+            .groupBy("src_host")
+            .agg(F.sum("c").alias("c"))
+        )
+        hubs = nodes.join(h_c, nodes.host == h_c.src_host, "left").select(
+            "host",
+            F.round(F.coalesce(F.col("c"), F.lit(0.0)), 12).alias("hub"),
+        )
+        hubs = _max_normalized(hubs, "hub")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            from soda_core_spark.operators.dedup import _reliable_checkpoint
+
+            hubs = _reliable_checkpoint(hubs)
+            auths = _reliable_checkpoint(auths)
+    return auths.join(hubs, "host")

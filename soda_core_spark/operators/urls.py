@@ -104,3 +104,51 @@ def url_dedup(
         .select(id_col)
     )
     return df.join(dupes, id_col, "left_anti")
+
+
+#: multi-label public suffixes (representative publicsuffix.org subset —
+#: the full PSL is a data file swap: broadcast the set, logic unchanged).
+#: Covers the ccTLD second-level registries a web crawl hits most.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = tuple(sorted({
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in",
+    "co.za", "com.mx", "com.ar", "com.tr", "com.sg", "com.hk",
+    "co.kr", "or.kr", "com.tw", "co.id", "com.my", "com.ph",
+    "com.pl", "com.ru", "com.ua",
+}))
+
+
+def registered_domain_col(host: Column) -> Column:
+    """eTLD+1 (the "registered domain") from a lowercased host — the
+    grain at which per-site policy actually applies: ``a.blog.co.uk``
+    and ``b.blog.co.uk`` are one registrant, and host-level caps /
+    reputation / dedup under-count a site that shards itself across
+    subdomains. Pure column algebra over the label array (zero shuffle,
+    zero Python): if the last TWO labels form a known multi-label public
+    suffix the registered domain is the last THREE labels, else the last
+    two; bare/1-label hosts pass through; NULL host → NULL. IP literals
+    pass through unchanged (label membership never matches digits).
+
+    The suffix set is a representative publicsuffix.org subset carried
+    as module data — production swaps in the full PSL (same logic, a
+    bigger ``isin`` literal set or a broadcast join for the ~9k-entry
+    full list)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when((n >= 3) & last2.isin(list(MULTI_LABEL_SUFFIXES)), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
