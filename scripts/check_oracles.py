@@ -24,7 +24,11 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str)
+            # missing arrives as None from Spark and NaN from DuckDB —
+            # unify BEFORE stringifying or 'None' != 'nan' false-fails
+            # (the driver's comparator is NULL-safe: q47 was green with
+            # NULL strings in round 3)
+            pdf[c] = pdf[c].where(pdf[c].notna(), None).astype(str)
         elif "float" in str(pdf[c].dtype):
             pdf[c] = pdf[c].astype("float64").round(9)
         elif "datetime" in str(pdf[c].dtype):

@@ -109,3 +109,11 @@ from soda_core_spark.operators.linkgraph import host_hits  # noqa: F401
 from soda_core_spark.operators.urls import (  # noqa: F401
     registered_domain_col,
 )
+from soda_core_spark.operators.urls import (  # noqa: F401
+    crawl_trap_hosts,
+    path_template_col,
+)
+from soda_core_spark.operators.profiling import zipf_fit  # noqa: F401
+from soda_core_spark.operators.attribution import (  # noqa: F401
+    decision_kappa,
+)

@@ -5924,3 +5924,170 @@ def q110(spark, sf_dir):
         )
         .orderBy("registered_domain")
     )
+
+
+_Q111_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 < 2
+           THEN 'https://t' || (doc_id % 4)::VARCHAR || '.example.com/cal/'
+                || (doc_id % 12)::VARCHAR || '/' || (doc_id % 28)::VARCHAR
+           ELSE 'https://t' || (doc_id % 4)::VARCHAR || '.example.com/p/'
+                || substr(md5(doc_id::VARCHAR), 1, 6)
+         END AS url
+  FROM documents
+),
+pairs AS (
+  SELECT lower(regexp_extract(url,
+           '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)', 2))
+           AS host,
+         regexp_replace(
+           CASE WHEN regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)', 3)
+             = '' THEN '/'
+           ELSE regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)', 3)
+           END, '[0-9]+', 'N', 'g') AS tmpl
+  FROM pages
+),
+per_host AS (
+  SELECT host, count(*)::BIGINT AS n_pages,
+         count(DISTINCT tmpl)::BIGINT AS n_templates
+  FROM pairs WHERE host IS NOT NULL AND host <> '' GROUP BY host
+)
+SELECT host, n_pages, n_templates,
+       round(n_templates::DOUBLE / n_pages, 6) AS template_ratio,
+       (round(n_templates::DOUBLE / n_pages, 6) <= 0.05) AS is_trap
+FROM per_host WHERE n_pages >= 50 ORDER BY host
+"""
+
+
+@register("q111_crawl_traps", _Q111_SQL)
+def q111(spark, sf_dir):
+    """Crawl-trap detection (operators/urls.py crawl_trap_hosts): hosts
+    whose distinct PATH-TEMPLATE count (digit runs collapsed) is tiny
+    relative to their page count — calendars/session-ids/faceted traps.
+    Fixture: two hosts emit one '/cal/N/N' template across all pages
+    (traps), two emit md5-derived diverse paths (clean). Two stacked
+    partial aggs over (host, template); page text never shuffles."""
+    from soda_core_spark.operators.urls import crawl_trap_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pages = d.select(
+        F.when(
+            did % 4 < 2,
+            F.concat(
+                F.lit("https://t"), (did % 4).cast("string"),
+                F.lit(".example.com/cal/"), (did % 12).cast("string"),
+                F.lit("/"), (did % 28).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://t"), (did % 4).cast("string"),
+                F.lit(".example.com/p/"),
+                F.substring(F.md5(did.cast("string")), 1, 6),
+            )
+        )
+        .alias("url"),
+    )
+    return crawl_trap_hosts(
+        pages, min_pages=50, max_template_ratio=0.05
+    ).orderBy("host")
+
+
+_Q112_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '[ \t\n\r]+'),
+           x -> x <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 300),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM top
+),
+fit AS (
+  SELECT count(*)::BIGINT AS n_terms_fit,
+         covar_pop(ln(n::DOUBLE), ln(rank::DOUBLE)) AS cxy,
+         var_pop(ln(rank::DOUBLE)) AS vx,
+         var_pop(ln(n::DOUBLE)) AS vy
+  FROM ranked WHERE rank >= 5
+)
+SELECT n_terms_fit,
+       round(cxy / vx, 6) AS zipf_slope,
+       round(cxy * cxy / (vx * vy), 6) AS zipf_r2
+FROM fit
+"""
+
+
+@register("q112_zipf_fit", _Q112_SQL)
+def q112(spark, sf_dir):
+    """Zipf's-law corpus sanity (operators/profiling.py zipf_fit): OLS
+    slope/R² of ln(freq)~ln(rank) over the top-300 terms (head ranks <5
+    dropped) — natural text slopes near −1; template-dominated or
+    synthetic corpora bend it. One token groupBy + distributed top-k;
+    the rank window runs over ≤300 rows, never the vocabulary."""
+    from soda_core_spark.operators.profiling import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, text_col="text", top_k=300, min_rank=5)
+
+
+_Q113_SQL = """
+WITH flags AS (
+  SELECT (n_chars >= 400) AS a,
+         (len(list_filter(regexp_split_to_array(coalesce(text, ''),
+              '[ \t\n\r]+'), x -> x <> '')) >= 80) AS b
+  FROM documents
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+         sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+         sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+         sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
+  FROM flags
+)
+SELECT n,
+       round((n11 + n00)::DOUBLE / n, 6) AS po,
+       round(((n11 + n10)::DOUBLE / n) * ((n11 + n01)::DOUBLE / n)
+             + (1 - (n11 + n10)::DOUBLE / n)
+               * (1 - (n11 + n01)::DOUBLE / n), 6) AS pe,
+       CASE WHEN ((n11 + n10)::DOUBLE / n) * ((n11 + n01)::DOUBLE / n)
+                 + (1 - (n11 + n10)::DOUBLE / n)
+                   * (1 - (n11 + n01)::DOUBLE / n) < 1.0
+         THEN round((((n11 + n00)::DOUBLE / n)
+                     - (((n11 + n10)::DOUBLE / n) * ((n11 + n01)::DOUBLE / n)
+                        + (1 - (n11 + n10)::DOUBLE / n)
+                          * (1 - (n11 + n01)::DOUBLE / n)))
+                    / (1 - (((n11 + n10)::DOUBLE / n)
+                            * ((n11 + n01)::DOUBLE / n)
+                            + (1 - (n11 + n10)::DOUBLE / n)
+                              * (1 - (n11 + n01)::DOUBLE / n))), 6)
+       END AS kappa
+FROM agg
+"""
+
+
+@register("q113_decision_kappa", _Q113_SQL)
+def q113(spark, sf_dir):
+    """Cohen's kappa between two keep-rule variants (operators/
+    attribution.py decision_kappa) — chance-corrected agreement as the
+    one-number upgrade-CI gate beside q100's flip table. Fixture: a
+    char-length rule vs a word-count rule over documents. One fused
+    aggregate (count + four CASE sums), one-row shuffle."""
+    from soda_core_spark.operators.attribution import decision_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), "[ \\t\\n\\r]+"),
+        lambda w: w != "",
+    )
+    flags = d.select(
+        (F.col("n_chars") >= 400).alias("a"),
+        (F.size(words) >= 80).alias("b"),
+    )
+    return decision_kappa(flags, "a", "b")

@@ -154,3 +154,42 @@ def rule_pack_diff(
         for n in names + ["__any__"]
     ]
     return one.select(F.inline(F.array(*structs)))
+
+
+def decision_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two boolean decision columns (e.g. two rule
+    packs' keep flags) — chance-corrected agreement, the right summary
+    when both packs keep most documents and raw agreement is inflated:
+    κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement and p_e
+    the agreement expected from the marginals.
+
+    Complements :func:`rule_pack_diff` (which lists the flips): kappa is
+    the one-number gate for "is pack B still measuring the same thing as
+    pack A" in upgrade CI. One fused aggregate pass (count + 4 CASE
+    sums — the soda fused-metrics shape), no shuffle wider than one row.
+    Returns ``(n, po, pe, kappa)`` at 6 dp; NULL kappa when p_e = 1
+    (both packs constant — agreement is undefined, not perfect)."""
+    a = F.col(col_a).cast("boolean")
+    b = F.col(col_b).cast("boolean")
+    one = F.lit(1)
+    agg = df.agg(
+        F.count(one).cast("long").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("long").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pa1 = (F.col("n11") + F.col("n10")) / n
+    pb1 = (F.col("n11") + F.col("n01")) / n
+    pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+    kappa = F.when(pe < 1.0, (po - pe) / (1 - pe))
+    return agg.select(
+        F.col("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -450,3 +450,64 @@ def daily_trend(
         F.round(F.avg("n").over(ma), 6).alias(f"ma{ma_days}_n"),
         (F.col("n") - F.lag("n", 1).over(w)).cast("long").alias("delta_n"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 500,
+    min_rank: int = 10,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies — a one-row
+    corpus-sanity statistic: natural text follows ln(freq) ≈ a + s·ln(rank)
+    with slope s ≈ −1; template/boilerplate-dominated or synthetic corpora
+    bend the curve (|s| far from 1, poor fit). Used as a drift tripwire
+    next to PSI: cheap, model-free, and sensitive to generator bugs that
+    per-document signals miss.
+
+    Computes term counts (one groupBy with map-side combine over
+    (token) — the only corpus-wide shuffle), takes the ``top_k`` terms by
+    count via TakeOrdered (distributed top-k, NO global sort/window over
+    the vocabulary), assigns ranks on that tiny frame, drops ranks below
+    ``min_rank`` (the flat head distorts the power-law region — standard
+    practice), and fits OLS ln(freq)~ln(rank) in closed form:
+    slope = covar_pop/var_pop on the ≤``top_k``-row frame.
+
+    Returns one row: ``(n_terms_fit, zipf_slope, zipf_r2)`` rounded to
+    6 dp; ties in counts rank deterministically by token (both engines).
+    """
+    from pyspark.sql import Window
+
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[ \\t\\n\\r]+"),
+            lambda w: w != "",
+        )
+    ).alias("tok")
+    counts = df.select(toks).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(int(top_k))
+    # rank window over ≤ top_k rows — bounded, not corpus-wide
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("tok"))
+        ).cast("long"),
+    ).where(F.col("rank") >= int(min_rank))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    fit = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_fit"),
+        F.covar_pop("y", "x").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("y").alias("vy"),
+    )
+    slope = F.col("cxy") / F.col("vx")
+    r2 = (F.col("cxy") * F.col("cxy")) / (F.col("vx") * F.col("vy"))
+    return fit.select(
+        "n_terms_fit",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(r2, 6).alias("zipf_r2"),
+    )

@@ -152,3 +152,65 @@ def registered_domain_col(host: Column) -> Column:
         .when(n >= 2, last2)
         .otherwise(host)
     )
+
+
+def path_template_col(url: Column) -> Column:
+    """URL path with digit runs collapsed to ``N`` and query/fragment
+    dropped — the shape key for crawl-trap detection. Two URLs that
+    differ only in numeric path segments (``/2024/01/03/``,
+    ``/page/7341``) share one template; NULL for unparseable URLs."""
+    path = F.regexp_extract(url, _URL_RE, 3)
+    host = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(host != "", F.regexp_replace(path, "[0-9]+", "N"))
+
+
+def crawl_trap_hosts(
+    df: DataFrame,
+    url_col: str = "url",
+    min_pages: int = 100,
+    max_template_ratio: float = 0.05,
+) -> DataFrame:
+    """Crawl-trap / URL-explosion detection: hosts whose page count is
+    huge relative to their count of distinct PATH TEMPLATES (digit runs
+    collapsed). Calendars, session-id paths, and faceted-search traps
+    emit millions of URLs from a handful of templates; genuine sites
+    grow templates with pages. The standard crawler defense (Heritrix's
+    path-regularity heuristics) recast as one aggregate.
+
+    Returns ``(host, n_pages, n_templates, template_ratio, is_trap)``
+    for every host with ``n_pages >= min_pages``; ``is_trap`` fires when
+    templates/pages ≤ ``max_template_ratio``.
+
+    Shape for scale: one groupBy(host) with map-side partial aggregation
+    over (host, template) pairs — count-distinct is exact via a two-level
+    groupBy (host+template first, then host), never a corpus window; only
+    the template string (short) shuffles, never page text. A pathological
+    host is ONE hot reducer key — the same skew class AQE handles for the
+    per-host cap."""
+    host = url_host_col(F.col(url_col))
+    tmpl = path_template_col(F.col(url_col))
+    pairs = (
+        df.select(host.alias("host"), tmpl.alias("tmpl"))
+        .where(F.col("host").isNotNull())
+        .groupBy("host", "tmpl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_host = pairs.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("n_templates"),
+    )
+    ratio = F.round(
+        F.col("n_templates").cast("double") / F.col("n_pages").cast("double"),
+        6,
+    )
+    return (
+        per_host.where(F.col("n_pages") >= int(min_pages))
+        .select(
+            "host",
+            "n_pages",
+            "n_templates",
+            ratio.alias("template_ratio"),
+            (ratio <= float(max_template_ratio)).alias("is_trap"),
+        )
+    )

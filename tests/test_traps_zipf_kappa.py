@@ -1,0 +1,100 @@
+"""Round-4 operators: crawl-trap detection, Zipf fit, decision kappa."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_crawl_trap_flags_low_template_host(spark):
+    from soda_core_spark.operators.urls import crawl_trap_hosts
+
+    rows = [(f"https://trap.example/cal/{i % 3}/{i % 5}",) for i in range(40)]
+    rows += [(f"https://ok.example/a{'x' * (i % 7)}/p{'y' * (i % 5)}",)
+             for i in range(40)]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r.host: r for r in crawl_trap_hosts(
+        df, min_pages=10, max_template_ratio=0.1).collect()}
+    assert out["trap.example"].is_trap
+    assert out["trap.example"].n_templates == 1  # all digits collapse
+    assert not out["ok.example"].is_trap
+    assert out["ok.example"].n_templates > 10
+
+
+def test_crawl_trap_min_pages_gate_and_null_urls(spark):
+    from soda_core_spark.operators.urls import crawl_trap_hosts
+
+    rows = [("https://small.example/p/1",)] * 5 + [(None,), ("not a url",)]
+    df = spark.createDataFrame(rows, "url string")
+    assert crawl_trap_hosts(df, min_pages=10).count() == 0
+
+
+def test_path_template_collapses_digits(spark):
+    from soda_core_spark.operators.urls import path_template_col
+
+    df = spark.createDataFrame(
+        [("https://h.example/2024/01/post-99?x=1",)], "url string"
+    )
+    assert df.select(
+        path_template_col(F.col("url")).alias("t")
+    ).collect()[0].t == "/N/N/post-N"
+
+
+def test_zipf_fit_on_exact_power_law(spark):
+    """Frequencies n(rank) = round(1000 / rank) follow slope ≈ −1."""
+    from soda_core_spark.operators.profiling import zipf_fit
+
+    rows = []
+    for rank in range(1, 41):
+        tok = f"w{rank:03d}"
+        rows += [(tok + " ") * max(1, round(1000 / rank))]
+    df = spark.createDataFrame([(r,) for r in rows], "text string")
+    row = zipf_fit(df, top_k=40, min_rank=1).collect()[0]
+    assert row.n_terms_fit == 40
+    assert row.zipf_slope == pytest.approx(-1.0, abs=0.02)
+    assert row.zipf_r2 > 0.999
+
+
+def test_zipf_min_rank_drops_head(spark):
+    from soda_core_spark.operators.profiling import zipf_fit
+
+    df = spark.createDataFrame(
+        [("a a a a b b c d",)], "text string"
+    )
+    row = zipf_fit(df, top_k=10, min_rank=2).collect()[0]
+    assert row.n_terms_fit == 3  # b, c, d — 'a' (rank 1) dropped
+
+
+def test_decision_kappa_hand_values(spark):
+    from soda_core_spark.operators.attribution import decision_kappa
+
+    # 2x2 table: n11=40, n00=40, n10=10, n01=10 → po=0.8, pe=0.5, κ=0.6
+    rows = ([(True, True)] * 40 + [(False, False)] * 40
+            + [(True, False)] * 10 + [(False, True)] * 10)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    row = decision_kappa(df, "a", "b").collect()[0]
+    assert row.n == 100
+    assert row.po == pytest.approx(0.8)
+    assert row.pe == pytest.approx(0.5)
+    assert row.kappa == pytest.approx(0.6)
+
+
+def test_decision_kappa_constant_packs_null(spark):
+    from soda_core_spark.operators.attribution import decision_kappa
+
+    df = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    row = decision_kappa(df, "a", "b").collect()[0]
+    assert row.kappa is None  # pe = 1 → undefined, not perfect
+
+
+def test_decision_kappa_independent_near_zero(spark):
+    """Independent decisions with matched marginals → κ ≈ 0."""
+    from soda_core_spark.operators.attribution import decision_kappa
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.random() < 0.5, rng.random() < 0.5) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    row = decision_kappa(df, "a", "b").collect()[0]
+    assert abs(row.kappa) < 0.05
