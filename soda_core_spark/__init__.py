@@ -117,3 +117,6 @@ from soda_core_spark.operators.profiling import zipf_fit  # noqa: F401
 from soda_core_spark.operators.attribution import (  # noqa: F401
     decision_kappa,
 )
+from soda_core_spark.functions.embeddings_qc import (  # noqa: F401
+    group_coherence,
+)

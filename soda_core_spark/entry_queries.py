@@ -6091,3 +6091,58 @@ def q113(spark, sf_dir):
         (F.size(words) >= 80).alias("b"),
     )
     return decision_kappa(flags, "a", "b")
+
+
+_Q114_SQL = """
+WITH ex AS (
+  -- parallel unnests zip positionally (DuckDB has no WITH ORDINALITY)
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS ord
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+cent AS (
+  SELECT label, ord, round(avg(x::DOUBLE), 12) AS c
+  FROM ex GROUP BY label, ord
+),
+dots AS (
+  SELECT e.vec_id, e.label,
+         sum(e.x::DOUBLE * c.c) AS dot,
+         sum(e.x::DOUBLE * e.x::DOUBLE) AS nv2,
+         sum(c.c * c.c) AS nc2
+  FROM ex e JOIN cent c ON e.label = c.label AND e.ord = c.ord
+  GROUP BY e.vec_id, e.label
+),
+cosd AS (
+  SELECT label,
+         CASE WHEN nv2 > 0 AND nc2 > 0
+           THEN round(round(dot / (sqrt(nv2) * sqrt(nc2)), 6)
+                      * 1000000.0)::BIGINT END AS ic
+  FROM dots
+)
+-- integer-sum aggregation: means of 6dp-quantized doubles land on half
+-- boundaries often enough that 1-ulp drift flips the rounded digit;
+-- summing the exact scaled integers makes both engines divide the same
+-- values (functions/embeddings_qc.py group_coherence, same contract)
+SELECT label AS "group", count(*)::BIGINT AS n_vecs,
+       round(sum(ic)::DOUBLE / count(ic)::DOUBLE / 1000000.0, 6)
+         AS coherence,
+       round(min(ic)::DOUBLE / 1000000.0, 6) AS min_cos
+FROM cosd GROUP BY label ORDER BY label
+"""
+
+
+@register("q114_group_coherence", _Q114_SQL)
+def q114(spark, sf_dir):
+    """Per-group embedding coherence (functions/embeddings_qc.py
+    group_coherence): mean/min cosine to the group centroid — the
+    mixed-or-mislabeled-source detector scalar checks can't see.
+    Centroids via posexplode + partial-agg (12 dp pinned), broadcast
+    back, dot as a per-row zip_with fold — no dims×rows shuffle."""
+    from soda_core_spark.functions.embeddings_qc import group_coherence
+
+    e = _t(spark, sf_dir, "embeddings")
+    return group_coherence(e, vec_col="embedding", group_col="label").orderBy(
+        "group"
+    )

@@ -65,3 +65,98 @@ def with_embedding_diagnostics(
         "vec_valid",
         F.col("dim_ok") & ~F.col("has_nan") & ~F.col("is_zero"),
     )
+
+
+def group_coherence(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding coherence: mean and min cosine of each vector
+    to its group centroid. The corpus-curation read: a source/cluster
+    whose documents embed incoherently (low mean, very low min) is mixed
+    or mislabeled — scraped garbage, concatenated feeds, a broken
+    encoder for one shard — and per-scalar checks can't see it.
+
+    Returns ``(group, n_vecs, coherence, min_cos)`` with cosines at 6 dp.
+
+    Shape for scale, and the determinism contract:
+
+    * centroids via posexplode → groupBy(group, dim) avg — map-side
+      partial aggregation; the (groups × dims) frame is tiny and each
+      component rounds to 12 dp so the cross-engine trajectory is pinned
+      (the PageRank discipline);
+    * centroid arrays rebuilt in dim order and BROADCAST back — the dot
+      product runs as a per-row zip_with fold (no dims×rows shuffle);
+    * per-row cosine rounds to 6 dp, then aggregates as the EXACT
+      integer ``round(cos · 10⁶)``: a mean of 6 dp-quantized doubles
+      lands exactly on half-boundaries often enough that 1-ulp
+      summation-order drift flips the rounded digit cross-engine
+      (observed on real data); summing integers makes the group
+      aggregate exact, and the single final division is the same double
+      op on both engines.
+
+    Zero-norm vectors and zero-norm centroids yield NULL cosine (0/0 is
+    undefined, not coherent) and drop from the aggregate via avg/min
+    NULL-skipping on both engines."""
+    g = F.col(group_col)
+    v = F.col(vec_col)
+    ex = df.where(v.isNotNull()).select(
+        g.alias("__g"), F.posexplode(v).alias("__pos", "__x")
+    )
+    cent = (
+        ex.groupBy("__g", "__pos")
+        .agg(F.round(F.avg(F.col("__x").cast("double")), 12).alias("__c"))
+        .groupBy("__g")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__c"))
+                ),
+                lambda s: s["__c"],
+            ).alias("__cent")
+        )
+    )
+    joined = df.where(v.isNotNull()).join(
+        F.broadcast(cent), g == F.col("__g")
+    )
+    prod = F.zip_with(
+        v, F.col("__cent"), lambda a, b: a.cast("double") * b
+    )
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.col("__cent"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    cos = F.when((nv > 0) & (nc > 0), F.round(dot / (nv * nc), 6))
+    ic = F.round(cos * F.lit(1000000.0)).cast("long")
+    agg = (
+        joined.select(g.alias("group"), ic.alias("__ic"))
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count("__ic").cast("long").alias("__n_cos"),
+            F.sum("__ic").alias("__sum_ic"),
+            F.min("__ic").alias("__min_ic"),
+        )
+    )
+    return agg.select(
+        "group",
+        "n_vecs",
+        F.round(
+            F.col("__sum_ic").cast("double")
+            / F.col("__n_cos").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("coherence"),
+        F.round(
+            F.col("__min_ic").cast("double") / F.lit(1000000.0), 6
+        ).alias("min_cos"),
+    )

@@ -98,3 +98,33 @@ def test_decision_kappa_independent_near_zero(spark):
     df = spark.createDataFrame(rows, "a boolean, b boolean")
     row = decision_kappa(df, "a", "b").collect()[0]
     assert abs(row.kappa) < 0.05
+
+
+def test_group_coherence_hand_values(spark):
+    from soda_core_spark.functions.embeddings_qc import group_coherence
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("a", [0.0, 1.0]),  # centroid (.5,.5): cos = 1/sqrt(2) each
+        ("b", [3.0, 4.0]),  # own centroid → cos = 1
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    out = {r.group: r for r in group_coherence(df).collect()}
+    assert out["a"].n_vecs == 2
+    assert out["a"].coherence == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert out["a"].min_cos == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert out["b"].coherence == pytest.approx(1.0, abs=1e-6)
+
+
+def test_group_coherence_zero_vector_null_cos(spark):
+    from soda_core_spark.functions.embeddings_qc import group_coherence
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("a", [0.0, 0.0]),  # zero norm → NULL cosine, still counted in n
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    row = group_coherence(df).collect()[0]
+    assert row.n_vecs == 2
+    # centroid (.5, 0); only the unit vector contributes: cos = 1
+    assert row.coherence == pytest.approx(1.0, abs=1e-6)
