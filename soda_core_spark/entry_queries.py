@@ -6146,3 +6146,52 @@ def q114(spark, sf_dir):
     return group_coherence(e, vec_col="embedding", group_col="label").orderBy(
         "group"
     )
+
+
+_Q115_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[ \t\n\r]+'), x -> x <> '') AS toks
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, len(toks)::BIGINT AS n,
+         len(list_filter(toks, x ->
+           list_contains(['join', 'slow', 'spark'], x)))::BIGINT AS lex_hits,
+         -- weights are multiples of 0.25 (exact doubles), so the weight
+         -- sum is order-independent and exact on both engines
+         len(list_filter(toks, x -> x = 'slow'))::DOUBLE * 2.5
+         + len(list_filter(toks, x -> x = 'join'))::DOUBLE * 1.0
+         + len(list_filter(toks, x -> x = 'spark'))::DOUBLE * 0.5
+           AS wsum
+  FROM w
+)
+SELECT doc_id, lex_hits,
+       round(wsum, 6) AS lex_weight,
+       CASE WHEN n > 0 THEN round(wsum * 1000.0 / n, 6)
+            ELSE 0.0 END AS lex_score
+FROM sc ORDER BY doc_id
+"""
+
+
+@register("q115_lexicon_score", _Q115_SQL)
+def q115(spark, sf_dir):
+    """Weighted-lexicon scoring (operators/blocklist.py lexicon_score):
+    the graded form of the q47 binary term blocklist — severity-weighted
+    token hits per 1000 tokens. Lexicon rides as one map literal (CASE
+    tree after codegen — no join, no Python); per-row fold over the
+    shared token array. Exact cross-engine: weights are multiples of
+    0.25, so the weight sum is order-independent in IEEE doubles."""
+    from soda_core_spark.operators.blocklist import lexicon_score
+
+    d = _t(spark, sf_dir, "documents")
+    out = lexicon_score(
+        d,
+        weights={"slow": 2.5, "join": 1.0, "spark": 0.5},
+        text_col="text",
+        per_tokens=1000,
+    )
+    return out.select(
+        "doc_id", "lex_hits", "lex_weight", "lex_score"
+    ).orderBy("doc_id")

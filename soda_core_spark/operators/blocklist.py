@@ -113,3 +113,58 @@ def host_reputation_gate(
     return out.withColumn(
         "host_blocked", F.coalesce(F.col("host_blocked"), F.lit(False))
     )
+
+
+def lexicon_score(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    per_tokens: int = 1000,
+) -> DataFrame:
+    """Weighted-lexicon scoring — the graded form of the binary term
+    blocklist: each lexicon token carries a severity weight (the
+    UT1/"badwords" lists ship tiers; production policy wants "soft porn
+    vocabulary scores 1, slur scores 10"), and the document score is the
+    weight-sum of matching tokens normalized per ``per_tokens`` tokens,
+    so long documents aren't penalized for length. A threshold on the
+    score replaces the all-or-nothing term trip.
+
+    Matching is token-exact on the engine tokenization contract
+    (lowercased whitespace tokens — shared with with_signals/BM25/
+    blocklist_filter, so the no-substring-firing guarantee can't drift).
+    Adds ``lex_hits`` (count of matching tokens, multiplicity included),
+    ``lex_weight`` (weight sum, 6 dp) and ``lex_score`` (weight sum per
+    ``per_tokens`` tokens, 6 dp; 0.0 for token-less docs).
+
+    Shape for scale: the lexicon rides into the task as ONE map literal
+    (a CASE tree after codegen — no join, no shuffle, no Python); the
+    whole scorer is a per-row array fold over the already-materialized
+    token array. Lexicons beyond literal-size sanity (~10k entries)
+    should switch to the broadcast-join form of the q47 host probe."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {token: weight} map")
+    from itertools import chain
+
+    from soda_core_spark.functions.text import words_col
+
+    pairs = sorted((t.lower(), float(w)) for t, w in weights.items())
+    lex = F.create_map(
+        *chain.from_iterable((F.lit(t), F.lit(w)) for t, w in pairs)
+    )
+    words = words_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    df = df.withColumn("__lw", words)
+    w = F.col("__lw")
+    n = F.size(w)
+    per_tok_w = F.transform(w, lambda t: F.coalesce(lex[t], F.lit(0.0)))
+    hits = F.size(F.filter(per_tok_w, lambda x: x > 0)).cast("long")
+    wsum = F.aggregate(per_tok_w, F.lit(0.0), lambda acc, x: acc + x)
+    score = F.when(
+        n > 0,
+        F.round(wsum * F.lit(float(per_tokens)) / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("lex_hits", hits)
+        .withColumn("lex_weight", F.round(wsum, 6))
+        .withColumn("lex_score", score)
+        .drop("__lw")
+    )

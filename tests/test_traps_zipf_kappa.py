@@ -128,3 +128,42 @@ def test_group_coherence_zero_vector_null_cos(spark):
     assert row.n_vecs == 2
     # centroid (.5, 0); only the unit vector contributes: cos = 1
     assert row.coherence == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lexicon_score_hand_values(spark):
+    from soda_core_spark.operators.blocklist import lexicon_score
+
+    df = spark.createDataFrame(
+        [(1, "Bad bad word ok"), (2, "clean text here"), (3, None)],
+        "id int, text string",
+    )
+    out = {
+        r.id: r
+        for r in lexicon_score(
+            df, {"bad": 2.0, "word": 0.5}, per_tokens=100
+        ).collect()
+    }
+    # doc 1: 4 tokens, hits bad×2 + word×1 → weight 4.5, score 4.5*100/4
+    assert out[1].lex_hits == 3
+    assert out[1].lex_weight == pytest.approx(4.5)
+    assert out[1].lex_score == pytest.approx(112.5)
+    assert out[2].lex_hits == 0 and out[2].lex_score == 0.0
+    assert out[3].lex_hits == 0 and out[3].lex_score == 0.0
+
+
+def test_lexicon_score_token_exact_no_substring(spark):
+    from soda_core_spark.operators.blocklist import lexicon_score
+
+    df = spark.createDataFrame(
+        [(1, "class assessment")], "id int, text string"
+    )
+    row = lexicon_score(df, {"ass": 5.0}).collect()[0]
+    assert row.lex_hits == 0  # no substring firing
+
+
+def test_lexicon_score_rejects_empty(spark):
+    from soda_core_spark.operators.blocklist import lexicon_score
+
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    with pytest.raises(ValueError):
+        lexicon_score(df, {})
