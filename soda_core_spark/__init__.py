@@ -121,3 +121,4 @@ from soda_core_spark.functions.embeddings_qc import (  # noqa: F401
     group_coherence,
 )
 from soda_core_spark.operators.blocklist import lexicon_score  # noqa: F401
+from soda_core_spark.operators.dedup import lsh_recall_audit  # noqa: F401

@@ -6195,3 +6195,79 @@ def q115(spark, sf_dir):
     return out.select(
         "doc_id", "lex_hits", "lex_weight", "lex_score"
     ).orderBy("doc_id")
+
+
+def _q116_sql() -> str:
+    # exact ground truth: inverted-index shared-shingle candidates (a
+    # pair has Jaccard > 0 iff it shares a shingle — complete, never
+    # quadratic), verified at 0.5; LSH side: the q18 signature → band →
+    # candidate → verify pipeline verbatim (16 hashes / 4 bands,
+    # portable md5 mode); recall = 1 − |exact \ lsh| / |exact|.
+    return f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT id, unnest(shl) AS s FROM sh),
+    exact_cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+    ),
+    exact_pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM exact_cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b
+      WHERE len(list_intersect(sa.shl, sb.shl))::DOUBLE
+              / len(list_distinct(sa.shl || sb.shl)) >= 0.5
+    ),
+    sig AS (
+      SELECT id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+      FROM ex CROSS JOIN (SELECT unnest(range(16)) AS i) r
+      GROUP BY id, i
+    ),
+    band AS (
+      SELECT id, md5((i // 4)::VARCHAR || ',' ||
+                     string_agg(m, ',' ORDER BY i)) AS bk
+      FROM sig GROUP BY id, (i // 4)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM band a JOIN band b ON a.bk = b.bk AND a.id < b.id
+    ),
+    lsh_pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b
+      WHERE len(list_intersect(sa.shl, sb.shl))::DOUBLE
+              / len(list_distinct(sa.shl || sb.shl)) >= 0.5
+    ),
+    missed AS (
+      SELECT id_a, id_b FROM exact_pairs
+      EXCEPT SELECT id_a, id_b FROM lsh_pairs
+    )
+    SELECT
+      (SELECT count(*) FROM exact_pairs)::BIGINT AS n_exact_pairs,
+      (SELECT count(*) FROM lsh_pairs)::BIGINT AS n_lsh_pairs,
+      (SELECT count(*) FROM missed)::BIGINT AS n_missed,
+      CASE WHEN (SELECT count(*) FROM exact_pairs) > 0
+        THEN round(1.0 - (SELECT count(*) FROM missed)::DOUBLE
+                         / (SELECT count(*) FROM exact_pairs), 6)
+        ELSE 1.0 END AS recall
+    """
+
+
+@register("q116_lsh_recall_audit", _q116_sql())
+def q116(spark, sf_dir):
+    """LSH dedup-quality audit (operators/dedup.py lsh_recall_audit):
+    measured recall of MinHash banding (16 hashes / 4 bands, portable
+    md5) against exact inverted-index Jaccard ground truth at 0.5 —
+    the parameter-upgrade CI number ("are we missing 0.1 % or 8 % of
+    dups?"); precision is 1 by construction (both legs verify exact).
+    One left-anti pair join + a 1-row aggregate on top of the two
+    library operators; sample upstream at 100 TB (docstring)."""
+    from soda_core_spark.operators.dedup import lsh_recall_audit
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_recall_audit(
+        d, jaccard_threshold=0.5, num_hashes=16, bands=4,
+        portable_hash=True,
+    )

@@ -1672,3 +1672,86 @@ def mirror_hosts(
         )
     )
     return out
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Dedup-quality audit: the recall of MinHash+LSH banding against
+    EXACT shingle-Jaccard ground truth on the same corpus (or a
+    deterministic hash sample of it — compose with
+    ``sampling.deterministic_hash_sample`` upstream for the 100 TB run).
+
+    Banded MinHash is probabilistic: a true near-dup pair whose
+    signatures never collide in any band is silently missed, and the
+    miss rate moves with (num_hashes, bands, threshold) in ways the
+    S-curve formula only approximates. Production dedup needs the
+    measured number ("are we missing 0.1 % or 8 % of dups at these
+    parameters?") BEFORE committing a full-corpus pass — this audit is
+    that measurement, runnable per-batch as upgrade CI for parameter
+    changes.
+
+    Precision needs no audit: both pipelines verify candidates against
+    exact Jaccard, so every reported pair is a true pair by
+    construction — the only free error mode is recall.
+
+    Returns ONE row: ``n_exact_pairs`` (inverted-index exact pairs ≥
+    threshold, posting cap OFF — ground truth must be complete),
+    ``n_lsh_pairs``, ``n_missed`` (exact pairs the banding never
+    surfaced), ``recall`` (6 dp; 1.0 on a dup-free corpus).
+
+    Shape for scale: both pair sets reuse the library operators
+    (inverted-index self-join; hash-once signatures + band join); the
+    audit adds ONE left-anti join on (id_a, id_b) pairs and a 1-row
+    aggregate. The exact side is the expensive leg — hence the
+    sample-upstream prescription, which preserves an unbiased recall
+    estimate because sampling docs uniformly subsamples true pairs."""
+    exact = ngram_jaccard_all_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=3,
+        threshold=jaccard_threshold,
+        max_doc_freq=None,  # ground truth: no posting cap
+        hash_shingles=None,  # raw shingle strings join fine at audit scale
+    ).select("id_a", "id_b")
+    lsh = minhash_near_duplicates(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=3,
+        jaccard_threshold=jaccard_threshold,
+        portable_hash=portable_hash,
+    ).select("id_a", "id_b")
+    missed = exact.join(lsh, ["id_a", "id_b"], "left_anti")
+    counts = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).crossJoin(
+        lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
+    ).crossJoin(
+        missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed"))
+    )
+    return counts.select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        "n_missed",
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("n_missed").cast("double")
+                / F.col("n_exact_pairs").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
+    )

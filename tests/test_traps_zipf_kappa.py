@@ -167,3 +167,46 @@ def test_lexicon_score_rejects_empty(spark):
     df = spark.createDataFrame([(1, "x")], "id int, text string")
     with pytest.raises(ValueError):
         lexicon_score(df, {})
+
+
+def test_lsh_recall_audit_detects_banding_misses(spark):
+    """One wide band (AND over all 16 hashes) misses moderate-Jaccard
+    pairs; the audit must measure that, and many narrow bands must
+    recover it."""
+    from soda_core_spark.operators.dedup import lsh_recall_audit
+
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    did = 0
+    for p in range(12):
+        base = rng.sample(vocab, 40)
+        # pair with ~0.55-0.65 shingle overlap: share a long prefix run
+        var = base[:30] + rng.sample(vocab, 10)
+        rows.append((did, " ".join(base))); did += 1
+        rows.append((did, " ".join(var))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    strict = lsh_recall_audit(
+        df, jaccard_threshold=0.4, num_hashes=16, bands=1
+    ).collect()[0]
+    wide = lsh_recall_audit(
+        df, jaccard_threshold=0.4, num_hashes=16, bands=8
+    ).collect()[0]
+    assert strict.n_exact_pairs > 0
+    assert strict.n_exact_pairs == wide.n_exact_pairs  # same ground truth
+    assert strict.recall < 1.0 and strict.n_missed > 0
+    assert wide.recall > strict.recall
+
+
+def test_lsh_recall_audit_clean_corpus(spark):
+    from soda_core_spark.operators.dedup import lsh_recall_audit
+
+    rows = [(i, f"unique document number {i} with words w{i} x{i} y{i} z{i}")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = lsh_recall_audit(df, jaccard_threshold=0.9).collect()[0]
+    assert row.n_exact_pairs == 0
+    assert row.recall == 1.0
