@@ -168,3 +168,43 @@ def test_topk_cosine_broadcasts_queries(spark):
 
     plan = _plan(REGISTRY["q17_topk_cosine"][0](spark, SF))
     assert "Broadcast" in plan, plan
+
+
+def test_lexicon_score_zero_shuffle_zero_python(spark):
+    """The weighted lexicon rides as a map literal: scoring must stay a
+    per-row projection — no Exchange, no Python eval node."""
+    from soda_core_spark.operators.blocklist import lexicon_score
+
+    df = spark.range(100).withColumn(
+        "text", F.concat(F.lit("alpha beta gamma doc "), F.col("id"))
+    )
+    plan = lexicon_score(df, {"alpha": 1.0, "beta": 0.25})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_crawl_trap_shuffles_templates_not_text(spark):
+    """Only (host, template) rows may shuffle — the page text column
+    must be pruned before the first Exchange."""
+    from soda_core_spark.operators.urls import crawl_trap_hosts
+
+    df = spark.range(100).select(
+        F.concat(F.lit("https://h.example/p/"), F.col("id")).alias("url"),
+        F.concat(F.lit("BIGTEXT "), F.col("id")).alias("text"),
+    )
+    plan = crawl_trap_hosts(df, min_pages=1)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_readability_zero_shuffle(spark):
+    from soda_core_spark.functions.readability import with_readability
+
+    df = spark.range(50).withColumn(
+        "text", F.concat(F.lit("the cat sat. on a mat for doc "), F.col("id"))
+    )
+    plan = with_readability(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
