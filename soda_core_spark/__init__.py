@@ -122,3 +122,6 @@ from soda_core_spark.functions.embeddings_qc import (  # noqa: F401
 )
 from soda_core_spark.operators.blocklist import lexicon_score  # noqa: F401
 from soda_core_spark.operators.dedup import lsh_recall_audit  # noqa: F401
+from soda_core_spark.sources.layout import (  # noqa: F401
+    write_partitioned_idempotent,
+)

@@ -192,3 +192,37 @@ def write_zordered(
         else staged.repartitionByRange("__z")
     )
     part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def write_partitioned_idempotent(
+    df: "DataFrame",
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Idempotent partitioned overwrite — the parquet-level resumability
+    pattern for daily/batch corpus builds (the honest substitute for
+    Iceberg's ``overwritePartitions`` while this sandbox ships no
+    Iceberg jars; with jars it becomes ``writeTo(...).overwritePartitions()``
+    and the call sites don't change).
+
+    ``partitionOverwriteMode=dynamic`` (set per-WRITE via the writer
+    option, not session-wide — concurrent writers keep their own
+    semantics) makes ``mode("overwrite")`` replace ONLY the partitions
+    present in ``df``: re-running one day's job after a mid-write crash
+    replaces exactly that day's directories and leaves every other day
+    untouched. Spark's default STATIC overwrite would delete the whole
+    table root first — the classic footgun this wrapper exists to
+    prevent (pinned by test).
+
+    Scale notes: each task writes its own partition directories straight
+    to the final location (no global move barrier); pair with a
+    ``repartition(*partition_cols)`` upstream when the incoming frame
+    has many tasks × partitions fan-out (small-files explosion),
+    NOT inside this function — the caller knows the fan-out, this
+    function must not add a shuffle behind the caller's back."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

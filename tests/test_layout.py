@@ -127,3 +127,43 @@ def test_zorder_roundtrip_and_validation(spark, tmp_path):
     assert "__z" not in back.columns
     with pytest.raises(ValueError, match=">= 2"):
         write_zordered(df, p, ["x"])
+
+
+def test_partitioned_overwrite_is_partition_scoped(spark, tmp_path):
+    """Re-running one day replaces only that day's partition; Spark's
+    default static overwrite would wipe the other days."""
+    from soda_core_spark.sources.layout import write_partitioned_idempotent
+
+    path = str(tmp_path / "corpus")
+    df1 = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")],
+        "id long, day string, v string",
+    )
+    write_partitioned_idempotent(df1, path, ["day"])
+    # crash-replay of day d2 with corrected rows
+    df2 = spark.createDataFrame(
+        [(30, "d2", "c2"), (31, "d2", "c3")], "id long, day string, v string"
+    )
+    write_partitioned_idempotent(df2, path, ["day"])
+    got = {
+        (r.id, r.day, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "d1", "a"), (2, "d1", "b"), (30, "d2", "c2"),
+                   (31, "d2", "c3")}
+
+
+def test_static_overwrite_footgun_contrast(spark, tmp_path):
+    """Document WHY the wrapper exists: static mode drops day d1."""
+    path = str(tmp_path / "corpus2")
+    df1 = spark.createDataFrame(
+        [(1, "d1", "a"), (3, "d2", "c")], "id long, day string, v string"
+    )
+    df1.write.mode("overwrite").partitionBy("day").parquet(path)
+    df2 = spark.createDataFrame(
+        [(30, "d2", "c2")], "id long, day string, v string"
+    )
+    df2.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("day").parquet(path)
+    days = {r.day for r in spark.read.parquet(path).collect()}
+    assert days == {"d2"}  # d1 gone — the behavior the wrapper prevents
