@@ -125,3 +125,7 @@ from soda_core_spark.operators.dedup import lsh_recall_audit  # noqa: F401
 from soda_core_spark.sources.layout import (  # noqa: F401
     write_partitioned_idempotent,
 )
+from soda_core_spark.operators.filter_rules import (  # noqa: F401
+    EXTENDED_SIGNAL_RULES,
+    with_extended_signals,
+)

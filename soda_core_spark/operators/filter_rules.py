@@ -100,3 +100,42 @@ def to_contract(
             + [{"row_count": {"must_be_greater_than": 0}}],
         }
     )
+
+
+#: extended pack: the round-4 signal families (readability, weighted
+#: lexicon) as OPT-IN rules. Deliberately NOT in DEFAULT_WEBTEXT_RULES —
+#: the default pack's keep/drop decisions are golden-pinned
+#: (tests/fixtures_golden_decisions.json); changing defaults is a data
+#: migration, done via rule_pack_diff (q100) + a new golden pin, never a
+#: silent edit. Thresholds follow the calibration discipline above:
+#: away from the generator's float boundaries.
+EXTENDED_SIGNAL_RULES: tuple[FilterRule, ...] = (
+    FilterRule(
+        "readability_floor",
+        "lang = 'en' AND flesch_reading_ease IS NOT NULL "
+        "AND flesch_reading_ease < -200.0",
+        "unreadable token salad (FRE far below natural-prose range)",
+    ),
+    FilterRule(
+        "lexicon_score",
+        "lex_score > 50.0",
+        "severity-weighted lexicon density (UT1-tier policy score)",
+    ),
+)
+
+
+def with_extended_signals(
+    df,
+    text_col: str = "text",
+    lexicon: dict[str, float] | None = None,
+):
+    """Attach the EXTENDED_SIGNAL_RULES input columns (readability +
+    weighted lexicon) to a frame that already carries the base signals.
+    Kept separate from ``with_signals`` so the default pipeline's plan
+    (and its golden decisions) are untouched unless a deployment opts
+    in."""
+    from soda_core_spark.functions.readability import with_readability
+    from soda_core_spark.operators.blocklist import lexicon_score
+
+    out = with_readability(df, text_col=text_col)
+    return lexicon_score(out, lexicon or {"spam": 5.0}, text_col=text_col)

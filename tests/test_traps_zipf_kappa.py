@@ -210,3 +210,53 @@ def test_lsh_recall_audit_clean_corpus(spark):
     row = lsh_recall_audit(df, jaccard_threshold=0.9).collect()[0]
     assert row.n_exact_pairs == 0
     assert row.recall == 1.0
+
+
+def test_extended_rule_pack_through_check_engine(spark):
+    """EXTENDED_SIGNAL_RULES compile to failed_rows checks and evaluate
+    over a frame with the extended signals attached; the default pack is
+    untouched (golden-pin discipline)."""
+    from soda_core_spark.operators.filter_rules import (
+        DEFAULT_WEBTEXT_RULES,
+        EXTENDED_SIGNAL_RULES,
+        to_contract,
+        with_extended_signals,
+    )
+    from soda_core_spark.operators.engine import verify_contract
+
+    assert not set(EXTENDED_SIGNAL_RULES) & set(DEFAULT_WEBTEXT_RULES)
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the and is of to in a for with this text reads fine."),
+            (2, "en", "spam spam spam spam"),  # lexicon density trips
+        ],
+        "doc_id long, lang string, text string",
+    )
+    staged = with_extended_signals(df, lexicon={"spam": 20.0})
+    contract = to_contract(EXTENDED_SIGNAL_RULES, dataset="ext_pages",
+                           max_fail_percent=40.0)
+    result = verify_contract(spark, contract, staged)
+    by_name = {c.name: c for c in result.check_results}
+    lex = by_name["rule_lexicon_score"]
+    # doc 2: 4 tokens all 'spam' → lex_score 20*4*1000/4 = 20000 > 50;
+    # 1 of 2 rows = 50% > 40% threshold → check fails
+    assert lex.metric_value == 50.0
+    assert lex.outcome.name in ("FAIL", "FAILED")
+    assert by_name["rule_readability_floor"].outcome.name in ("PASS", "PASSED")
+
+
+def test_extended_signals_preserve_n_words_contract(spark):
+    """with_readability recomputes n_words under the same tokenization
+    contract — values must equal the base-signal column it replaces."""
+    from soda_core_spark.functions.text import with_signals
+    from soda_core_spark.operators.filter_rules import with_extended_signals
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "one  two\nthree four")],
+        "doc_id long, text string",
+    )
+    base = with_signals(df)
+    before = {r.doc_id: r.n_words for r in base.select("doc_id", "n_words").collect()}
+    after_df = with_extended_signals(base.drop("__words", "__wl", "__lines"))
+    after = {r.doc_id: r.n_words for r in after_df.select("doc_id", "n_words").collect()}
+    assert before == after
