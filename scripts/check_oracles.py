@@ -2,7 +2,9 @@
 entry in Spark and its oracle_sql() twin in DuckDB on the same parquet
 tables; compare row count, column names, and order-insensitive values.
 
-Usage: python scripts/check_oracles.py [sf_dir]
+Usage: python scripts/check_oracles.py [sf_dir] [name-substring ...]
+Optional name substrings restrict the run to matching registry queries
+(e.g. ``q116 q114`` while iterating on new operators).
 """
 
 from __future__ import annotations
@@ -40,7 +42,7 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), ignore_index=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     from __spark_entry__ import oracle_sql, queries
@@ -61,6 +63,11 @@ def main(sf_dir: str) -> int:
         )
 
     qs, oracles = queries(), oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in only)}
+        if not qs:
+            print(f"no registry query matches {only}")
+            return 1
     failures = 0
     for name, fn in qs.items():
         try:
@@ -101,4 +108,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
