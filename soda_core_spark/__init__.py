@@ -129,3 +129,7 @@ from soda_core_spark.operators.filter_rules import (  # noqa: F401
     EXTENDED_SIGNAL_RULES,
     with_extended_signals,
 )
+from soda_core_spark.operators.urls import url_dedup_latest  # noqa: F401
+from soda_core_spark.operators.dedup import (  # noqa: F401
+    minhash_calibration,
+)

@@ -6271,3 +6271,204 @@ def q116(spark, sf_dir):
         d, jaccard_threshold=0.5, num_hashes=16, bands=4,
         portable_hash=True,
     )
+
+
+_Q117_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         'https://site.example/p/' || (doc_id % 100)::VARCHAR AS url,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE ('2024-01-' || lpad(((doc_id * 13) % 28 + 1)::VARCHAR,
+                                       2, '0'))::TIMESTAMP END AS warc_ts
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, url, warc_ts,
+         row_number() OVER (
+           PARTITION BY url
+           ORDER BY coalesce(warc_ts, TIMESTAMP '1970-01-01') DESC,
+                    doc_id DESC
+         ) AS rn
+  FROM pages
+)
+SELECT doc_id, url, warc_ts FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register("q117_url_dedup_latest", _Q117_SQL)
+def q117(spark, sf_dir):
+    """Recrawl survivor policy (operators/urls.py url_dedup_latest):
+    newest capture per canonical URL wins (timestamp, id tiebreak;
+    NULL ts loses to any dated capture). One hash shuffle on the
+    canonical key + max_by over a unique struct — no corpus window,
+    page text never shuffles. Fixture: 100 URL groups × ~5 recrawls
+    with deterministic dates and NULL-ts rows."""
+    from soda_core_spark.operators.urls import url_dedup_latest
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site.example/p/"), (did % 100).cast("string")
+        ).alias("url"),
+        F.when(
+            did % 11 != 0,
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad(((did * 13) % 28 + 1).cast("string"), 2, "0"),
+            ).cast("timestamp"),
+        ).alias("warc_ts"),
+    )
+    return url_dedup_latest(pages).orderBy("doc_id")
+
+
+def _q118_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    return f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT id, unnest(shl) AS s FROM sh),
+    sig AS (
+      SELECT id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+      FROM ex CROSS JOIN (SELECT unnest(range({num_hashes})) AS i) r
+      GROUP BY id, i
+    ),
+    band AS (
+      SELECT id, md5((i // {rows})::VARCHAR || ',' ||
+                     string_agg(m, ',' ORDER BY i)) AS bk
+      FROM sig GROUP BY id, (i // {rows})
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM band a JOIN band b ON a.bk = b.bk AND a.id < b.id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::BIGINT AS k
+      FROM cand c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b
+    ),
+    ex2 AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.shl, sb.shl))::DOUBLE
+               / len(list_distinct(sa.shl || sb.shl)) AS jac
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b
+    ),
+    binned AS (
+      SELECT least(floor(e2.jac * 10), 9)::BIGINT AS jaccard_bin,
+             e.k, round(e2.jac * 1000000.0)::BIGINT AS j6
+      FROM est e JOIN ex2 e2 ON e.id_a = e2.id_a AND e.id_b = e2.id_b
+    )
+    SELECT jaccard_bin, count(*)::BIGINT AS n_pairs,
+           round(sum(k)::DOUBLE / (count(*) * {num_hashes}), 6)
+             AS avg_estimate,
+           round(sum(j6)::DOUBLE / count(*) / 1000000.0, 6) AS avg_exact
+    FROM binned GROUP BY jaccard_bin ORDER BY jaccard_bin
+    """
+
+
+@register("q118_minhash_calibration", _q118_sql())
+def q118(spark, sf_dir):
+    """MinHash estimator calibration (operators/dedup.py
+    minhash_calibration): per exact-Jaccard decile, mean signature
+    estimate beside mean exact Jaccard over the banding's candidate
+    pairs — the measured error bar that justifies (or rejects) trusting
+    the 16-hash estimate in place of exact verification. Integer-sum
+    aggregation throughout (q114 discipline): match counts and
+    round(J·10⁶) sum exactly, one division at the end."""
+    from soda_core_spark.operators.dedup import minhash_calibration
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_calibration(
+        d, num_hashes=16, bands=4, portable_hash=True
+    ).orderBy("jaccard_bin")
+
+
+_Q119_SQL = """
+WITH RECURSIVE pages AS (
+  SELECT doc_id,
+         'https://m' || (doc_id % 11)::VARCHAR || '.example.com/p/'
+           || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 2 = 0
+           THEN 'shared content block ' || (doc_id % 37)::VARCHAR
+           ELSE 'unique page ' || doc_id::VARCHAR END AS text
+  FROM documents
+),
+fp AS (
+  SELECT DISTINCT lower(regexp_extract(url,
+           '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)', 2))
+           AS host,
+         md5(text) AS f
+  FROM pages WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+sizes AS (SELECT host, count(*)::BIGINT AS n FROM fp GROUP BY host),
+elig AS (
+  SELECT f FROM fp GROUP BY f HAVING count(*) >= 2 AND count(*) <= 64
+),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS n_shared
+  FROM fp a JOIN fp b ON a.f = b.f AND a.host < b.host
+  JOIN elig e ON e.f = a.f
+  GROUP BY a.host, b.host
+),
+mirror_edges AS (
+  SELECT s.host_a, s.host_b
+  FROM shared s JOIN sizes na ON na.host = s.host_a
+                JOIN sizes nb ON nb.host = s.host_b
+  WHERE s.n_shared >= 2
+    AND round(s.n_shared::DOUBLE / least(na.n, nb.n), 6) >= 0.2
+),
+sym AS (
+  SELECT host_a AS s, host_b AS d FROM mirror_edges
+  UNION SELECT host_b, host_a FROM mirror_edges
+),
+reach AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+)
+SELECT s AS node, LEAST(s, MIN(d)) AS component
+FROM reach GROUP BY s ORDER BY node
+"""
+
+
+@register("q119_mirror_clusters", _Q119_SQL)
+def q119(spark, sf_dir):
+    """Mirror-host CLUSTERS: q106's pairwise containment evidence closed
+    into site families via connected components (a CDN with 5 mirrors
+    yields 10 pairs but ONE cluster — policy applies per family, e.g.
+    keep one mirror, down-weight the rest). Pure composition of two
+    library operators (operators/dedup.py mirror_hosts →
+    connected_components, string labels); the oracle recomputes the
+    same fixed point as a recursive reachability closure."""
+    from soda_core_spark.operators.dedup import (
+        connected_components,
+        mirror_hosts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pages = d.select(
+        F.concat(
+            F.lit("https://m"), (did % 11).cast("string"),
+            F.lit(".example.com/p/"), did.cast("string"),
+        ).alias("url"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("shared content block "), (did % 37).cast("string")
+            ),
+        )
+        .otherwise(F.concat(F.lit("unique page "), did.cast("string")))
+        .alias("text"),
+    )
+    pairs = mirror_hosts(
+        pages, min_shared=2, min_containment=0.2, host_cap=64
+    ).select(
+        F.col("host_a").alias("id_a"), F.col("host_b").alias("id_b")
+    )
+    return connected_components(pairs).orderBy("node")

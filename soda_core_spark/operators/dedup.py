@@ -1755,3 +1755,112 @@ def lsh_recall_audit(
         .otherwise(F.lit(1.0))
         .alias("recall"),
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """MinHash estimator calibration over the banding's own candidate
+    pairs: per exact-Jaccard decile bin, the mean signature ESTIMATE
+    (matching-component fraction) beside the mean EXACT Jaccard. The
+    q116 audit measures which pairs banding *surfaces*; this measures
+    whether the signature *statistic* is trustworthy at a given
+    ``num_hashes`` — a 16-hash signature estimates J with sd
+    ≈ sqrt(J(1−J)/16) ≈ 0.12, and THIS table is the measured version of
+    that error bar, the number that justifies (or rejects) using the
+    estimate in place of exact verification at scale.
+
+    Returns ``(jaccard_bin, n_pairs, avg_estimate, avg_exact)``, bin =
+    min(floor(10·J_exact), 9), both averages at 6 dp.
+
+    Determinism contract (cross-engine exact): the estimate per pair is
+    the INTEGER match count k (summed exactly; divided once by
+    n·num_hashes at the end), and exact Jaccard aggregates as
+    ``round(J·10⁶)`` integers — the q114 integer-sum discipline, so no
+    mean ever depends on float summation order. Scale shape: signatures
+    hash-once via the shared explode→min-agg stage; candidates come from
+    the same 16-byte band join as the dedup path; signature vectors
+    re-attach by two id-joins (num_hashes values per side, once per
+    pair)."""
+    rows = num_hashes // bands
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sh = shingles_col(t, shingle_n)
+    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
+        F.col(id_col).alias("id"), sh.alias("sh")
+    )
+    exploded = base.select("id", F.explode("sh").alias("s"))
+    if portable_hash:
+        sig_cols = [
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s")))
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        sig_cols = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    sig = exploded.groupBy("id").agg(*sig_cols)
+    banded = _band_keys_of(base, num_hashes, bands, portable_hash)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(sig_a, "id_a").join(sig_b, "id_b").join(sh_a, "id_a").join(
+        sh_b, "id_b"
+    )
+    est_k = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ).cast("long")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = inter / union
+    binned = j.select(
+        F.least(F.floor(jac * 10), F.lit(9)).cast("long").alias("jaccard_bin"),
+        est_k.alias("__k"),
+        F.round(jac * F.lit(1000000.0)).cast("long").alias("__j6"),
+    )
+    agg = binned.groupBy("jaccard_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__k").alias("__sk"),
+        F.sum("__j6").alias("__sj"),
+    )
+    return agg.select(
+        "jaccard_bin",
+        "n_pairs",
+        F.round(
+            F.col("__sk").cast("double")
+            / (F.col("n_pairs") * num_hashes).cast("double"),
+            6,
+        ).alias("avg_estimate"),
+        F.round(
+            F.col("__sj").cast("double")
+            / F.col("n_pairs").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_exact"),
+    )

@@ -214,3 +214,46 @@ def crawl_trap_hosts(
             (ratio <= float(max_template_ratio)).alias("is_trap"),
         )
     )
+
+
+def url_dedup_latest(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Keep the NEWEST crawl per canonical URL — the recrawl survivor
+    policy: when one page was fetched in several crawl snapshots, the
+    freshest capture supersedes the rest (stale price pages, edited
+    articles, removed boilerplate). Complements :func:`url_dedup`
+    (min-id = stable/reproducible survivor) — the policies differ
+    exactly when content changed between fetches, which is when the
+    choice matters.
+
+    Survivor per key = max by (timestamp, id): the id tiebreak makes the
+    survivor deterministic when one snapshot carries a URL twice.
+    Same scale shape as url_dedup: ONE hash shuffle on the canonical
+    key, ``max_by`` with a unique struct key (no window over the
+    corpus), left-anti to drop the superseded rows — page text never
+    shuffles. NULL timestamps sort before every real timestamp (a dated
+    capture beats an undated one); unparseable URLs all survive (NULL
+    keys never merge)."""
+    tagged = df.withColumn("__cu", canonical_url_col(F.col(url_col)))
+    # NULL ts must lose to any real ts: coalesce to the epoch floor
+    key = F.struct(
+        F.coalesce(
+            F.col(ts_col), F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("t"),
+        F.col(id_col).alias("i"),
+    )
+    surviv = (
+        tagged.where(F.col("__cu").isNotNull())
+        .groupBy("__cu")
+        .agg(F.max_by(F.col(id_col), key).alias(id_col))
+    )
+    dupes = (
+        tagged.where(F.col("__cu").isNotNull())
+        .join(surviv.select(id_col), id_col, "left_anti")
+        .select(id_col)
+    )
+    return df.join(dupes, id_col, "left_anti")

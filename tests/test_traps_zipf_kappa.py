@@ -260,3 +260,56 @@ def test_extended_signals_preserve_n_words_contract(spark):
     after_df = with_extended_signals(base.drop("__words", "__wl", "__lines"))
     after = {r.doc_id: r.n_words for r in after_df.select("doc_id", "n_words").collect()}
     assert before == after
+
+
+def test_url_dedup_latest_prefers_newest_then_id(spark):
+    from soda_core_spark.operators.urls import url_dedup_latest
+
+    rows = [
+        # same canonical URL, later ts wins
+        (1, "https://a.example/p", "2024-01-01 00:00:00"),
+        (2, "https://a.example/p", "2024-02-01 00:00:00"),
+        # tie on ts → higher id wins (deterministic)
+        (3, "https://b.example/p", "2024-03-01 00:00:00"),
+        (4, "https://b.example/p", "2024-03-01 00:00:00"),
+        # NULL ts loses to dated capture even with higher id
+        (9, "https://c.example/p", None),
+        (5, "https://c.example/p", "2024-01-15 00:00:00"),
+        # unparseable URLs all survive
+        (6, "not a url", None),
+        (7, "not a url", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    kept = {r.doc_id for r in url_dedup_latest(df).collect()}
+    assert kept == {2, 4, 5, 6, 7}
+
+
+def test_minhash_calibration_exact_dups_bin9(spark):
+    """Exact duplicates land in bin 9 with estimate = exact = 1.0;
+    estimator means stay within the binomial error bar of the exact
+    means on moderate-overlap pairs."""
+    from soda_core_spark.operators.dedup import minhash_calibration
+
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    rows, did = [], 0
+    for _ in range(10):  # exact dup pairs
+        words = " ".join(rng.sample(vocab, 30))
+        rows += [(did, words), (did + 1, words)]; did += 2
+    for _ in range(10):  # moderate overlap
+        base = rng.sample(vocab, 40)
+        rows += [(did, " ".join(base)),
+                 (did + 1, " ".join(base[:28] + rng.sample(vocab, 12)))]
+        did += 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.jaccard_bin: r for r in minhash_calibration(
+        df, num_hashes=16, bands=8).collect()}
+    assert out[9].avg_exact == 1.0 and out[9].avg_estimate == 1.0
+    mid = [r for b, r in out.items() if b < 9]
+    assert mid, "moderate-overlap pairs must appear below bin 9"
+    for r in mid:
+        assert abs(r.avg_estimate - r.avg_exact) < 0.25  # 16-hash error bar
