@@ -133,3 +133,7 @@ from soda_core_spark.operators.urls import url_dedup_latest  # noqa: F401
 from soda_core_spark.operators.dedup import (  # noqa: F401
     minhash_calibration,
 )
+from soda_core_spark.operators.urls import (  # noqa: F401
+    URL_CLASS_RULES,
+    url_class_col,
+)

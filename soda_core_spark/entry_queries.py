@@ -6472,3 +6472,88 @@ def q119(spark, sf_dir):
         F.col("host_a").alias("id_a"), F.col("host_b").alias("id_b")
     )
     return connected_components(pairs).orderBy("node")
+
+
+def _q120_sql() -> str:
+    from soda_core_spark.operators.urls import URL_CLASS_RULES
+
+    when_chain = " ".join(
+        f"WHEN regexp_matches(path, '{pat}') THEN '{cls}'"
+        for cls, pat in URL_CLASS_RULES
+    )
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+             'https://s' || (doc_id % 5)::VARCHAR || '.example.com' ||
+             CASE doc_id % 10
+               WHEN 0 THEN '/feed/'
+               WHEN 1 THEN '/tag/spark/'
+               WHEN 2 THEN '/category/data/'
+               WHEN 3 THEN '/page/' || (doc_id % 40)::VARCHAR || '/'
+               WHEN 4 THEN '/2024/01/a-story'
+               WHEN 5 THEN '/api/v1/items'
+               WHEN 6 THEN '/img/' || doc_id::VARCHAR || '.png'
+               WHEN 7 THEN '/login'
+               WHEN 8 THEN '/articles/deep-dive-' || doc_id::VARCHAR
+               ELSE '/about'
+             END AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)',
+               3)) AS path
+      FROM pages
+    ),
+    classed AS (
+      SELECT doc_id,
+             CASE {when_chain} ELSE 'content' END AS url_class
+      FROM (SELECT doc_id,
+                   CASE WHEN path = '' THEN '/' ELSE path END AS path
+            FROM parsed)
+    )
+    SELECT url_class, count(*)::BIGINT AS n_pages
+    FROM classed GROUP BY url_class ORDER BY url_class
+    """
+
+
+@register("q120_url_classes", _q120_sql())
+def q120(spark, sf_dir):
+    """URL-type classification rollup (operators/urls.py url_class_col):
+    feeds/APIs/media/auth = non-content, tag/category/pagination/search
+    = link-farm listings, date archives overlap articles — the
+    fetch-avoidance prior computed from the URL alone. First matching
+    rule wins; the ordered rule table is shared with the oracle as
+    data. Pure regex column algebra + one groupBy."""
+    from soda_core_spark.operators.urls import url_class_col
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 10 == 0, F.lit("/feed/"))
+        .when(did % 10 == 1, F.lit("/tag/spark/"))
+        .when(did % 10 == 2, F.lit("/category/data/"))
+        .when(did % 10 == 3,
+              F.concat(F.lit("/page/"), (did % 40).cast("string"), F.lit("/")))
+        .when(did % 10 == 4, F.lit("/2024/01/a-story"))
+        .when(did % 10 == 5, F.lit("/api/v1/items"))
+        .when(did % 10 == 6,
+              F.concat(F.lit("/img/"), did.cast("string"), F.lit(".png")))
+        .when(did % 10 == 7, F.lit("/login"))
+        .when(did % 10 == 8,
+              F.concat(F.lit("/articles/deep-dive-"), did.cast("string")))
+        .otherwise(F.lit("/about"))
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://s"), (did % 5).cast("string"),
+            F.lit(".example.com"), path,
+        ).alias("url")
+    )
+    return (
+        pages.withColumn("url_class", url_class_col(F.col("url")))
+        .groupBy("url_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+        .orderBy("url_class")
+    )

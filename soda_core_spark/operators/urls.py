@@ -257,3 +257,42 @@ def url_dedup_latest(
         .select(id_col)
     )
     return df.join(dupes, id_col, "left_anti")
+
+
+#: (class, path regex) — first match wins, evaluated in this order.
+#: Java/RE2-safe subset so the DuckDB oracle replays the table verbatim.
+URL_CLASS_RULES: tuple[tuple[str, str], ...] = (
+    ("feed", r"(^|/)(feed|rss|atom)(\.xml)?(/|$)"),
+    ("api", r"(^|/)(api|graphql|wp-json)(/|$)"),
+    ("media", r"\.(jpg|jpeg|png|gif|webp|svg|mp4|mp3|pdf|zip|css|js)$"),
+    ("pagination", r"(^|/)page/[0-9]+(/|$)"),
+    ("tag", r"(^|/)(tag|tags|label|labels)(/|$)"),
+    ("category", r"(^|/)(category|categories|topics?)(/|$)"),
+    ("search", r"(^|/)(search|find)(/|$)"),
+    ("auth", r"(^|/)(login|signin|signup|register|account)(/|$)"),
+    ("date_archive", r"(^|/)[0-9]{4}/[0-9]{2}(/|$)"),
+)
+
+
+def url_class_col(url: Column) -> Column:
+    """Coarse URL-type classification from the path — the crawl-curation
+    prior: feeds/APIs/media/auth pages are non-content by construction,
+    tag/category/pagination/search pages are low-value link farms
+    (near-duplicate listings of the same titles), date archives overlap
+    their articles. Training-corpus builders drop or down-weight these
+    BEFORE fetching text, which is why the signal must come from the URL
+    alone. First matching rule wins (rules ordered most- to
+    least-specific); anything else is ``content``; NULL for unparseable
+    URLs. Pure regex column algebra — zero shuffle, zero Python, and the
+    rule table is shared with the q120 oracle as data."""
+    host = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    path = F.lower(F.regexp_extract(url, _URL_RE, 3))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    expr = None
+    for cls, pat in URL_CLASS_RULES:
+        cond = path.rlike(pat)
+        expr = F.when(cond, F.lit(cls)) if expr is None else expr.when(
+            cond, F.lit(cls)
+        )
+    expr = expr.otherwise(F.lit("content"))
+    return F.when(host != "", expr)

@@ -313,3 +313,28 @@ def test_minhash_calibration_exact_dups_bin9(spark):
     assert mid, "moderate-overlap pairs must appear below bin 9"
     for r in mid:
         assert abs(r.avg_estimate - r.avg_exact) < 0.25  # 16-hash error bar
+
+
+def test_url_class_first_match_and_edges(spark):
+    from soda_core_spark.operators.urls import url_class_col
+
+    cases = [
+        ("https://h.example/feed/", "feed"),
+        ("https://h.example/feed.xml", "feed"),
+        ("https://h.example/tag/x/", "tag"),
+        # first-match ordering: media beats date_archive on an image
+        # under a dated path
+        ("https://h.example/2024/01/shot.png", "media"),
+        ("https://h.example/2024/01/a-story", "date_archive"),
+        ("https://h.example/page/7/", "pagination"),
+        ("https://h.example/pages/7/", "content"),  # no substring firing
+        ("https://h.example/", "content"),
+        ("https://h.example", "content"),  # empty path → '/'
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.c for r in df.withColumn(
+        "c", url_class_col(F.col("url"))).collect()}
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
