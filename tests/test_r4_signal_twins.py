@@ -126,3 +126,129 @@ def test_lexicon_python_twin(spark):
         assert g[0] == want[0], (i, repr(text))
         assert g[1] == pytest.approx(want[1], abs=1e-9), (i, repr(text))
         assert g[2] == pytest.approx(want[2], abs=1e-6), (i, repr(text))
+
+
+def _py_paragraph_profile(text, lang_words, langs):
+    paras = [p for p in re.split(r"\n\n+", text or "") if p.strip() != ""]
+    counts = {}
+    for p in paras:
+        toks = [w for w in re.split(r"[ \t\n\r]+", p.lower()) if w != ""]
+        fracs = {
+            lang: (sum(1 for t in toks if t in lang_words[lang]) / len(toks)
+                   if toks else 0.0)
+            for lang in langs
+        }
+        conf = max(fracs.values())
+        pred = "und" if conf <= 0.0 else min(
+            l for l, f in fracs.items() if f == conf
+        )
+        counts[pred] = counts.get(pred, 0) + 1
+    if not counts:
+        return None
+    n = sum(counts.values())
+    dom = min(
+        (l for l in counts),
+        key=lambda l: (-counts[l], l),
+    )
+    other = n - counts[dom]
+    return n, dom, other, round(other / n, 6)
+
+
+def test_paragraph_lang_profile_python_twin(spark):
+    from soda_core_spark.functions.langid import (
+        LANGS,
+        LANG_WORDS,
+        paragraph_lang_profile,
+    )
+
+    rng = random.Random(41)
+    frags = {
+        "en": "the and is of to in that it was for",
+        "de": "der die das und ist ich nicht mit ein eine",
+        "fr": "le la les de des un une et est que",
+        "noise": "zz9 qqq k2k 777 xx yy",
+    }
+    rows = []
+    for i in range(80):
+        paras = [
+            frags[rng.choice(list(frags))]
+            for _ in range(rng.randint(1, 5))
+        ]
+        rows.append((i, "\n\n".join(paras)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paragraphs, r.dominant_lang, r.n_other,
+                   r.other_fraction)
+        for r in paragraph_lang_profile(df).collect()
+    }
+    for i, text in rows:
+        want = _py_paragraph_profile(text, LANG_WORDS, LANGS)
+        assert got[i][:3] == want[:3], (i, repr(text), got[i], want)
+        assert got[i][3] == pytest.approx(want[3], abs=1e-6)
+
+
+def test_group_coherence_numpy_twin(spark):
+    import numpy as np
+
+    from soda_core_spark.functions.embeddings_qc import group_coherence
+
+    rng = random.Random(43)
+    rows = []
+    for i in range(90):
+        g = f"g{i % 4}"
+        vec = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        rows.append((g, vec))
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    got = {r.group: r for r in group_coherence(df).collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(np.array(v, dtype=np.float32))
+    for g, vecs in by_g.items():
+        cent = np.round(np.mean([v.astype(np.float64) for v in vecs],
+                                axis=0), 12)
+        coss = []
+        for v in vecs:
+            vd = v.astype(np.float64)
+            nv, nc = np.sqrt((vd * vd).sum()), np.sqrt((cent * cent).sum())
+            if nv > 0 and nc > 0:
+                coss.append(round(float(vd @ cent) / (nv * nc), 6))
+        want_mean = round(sum(round(c * 1e6) for c in coss)
+                          / len(coss) / 1e6, 6)
+        assert got[g].n_vecs == len(vecs)
+        assert got[g].coherence == pytest.approx(want_mean, abs=2e-6), g
+        assert got[g].min_cos == pytest.approx(min(coss), abs=2e-6), g
+
+
+def test_url_ops_seeded_fuzz_never_throw(spark):
+    """Random byte-ish strings through every URL operator: no exceptions,
+    outputs NULL or well-formed (crash-free ingestion contract)."""
+    from soda_core_spark.operators.urls import (
+        canonical_url_col,
+        path_template_col,
+        registered_domain_col,
+        url_class_col,
+        url_host_col,
+    )
+
+    rng = random.Random(47)
+    alphabet = string.printable
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 40))))
+            for i in range(300)]
+    rows += [(300, None), (301, "https://"), (302, "://x"), (303, "a" * 500)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = df.select(
+        "id",
+        canonical_url_col(F.col("url")).alias("cu"),
+        url_host_col(F.col("url")).alias("h"),
+        path_template_col(F.col("url")).alias("t"),
+        url_class_col(F.col("url")).alias("c"),
+        registered_domain_col(F.col("url")).alias("rd"),
+    ).collect()
+    assert len(out) == len(rows)
+    classes = {"feed", "api", "media", "pagination", "tag", "category",
+               "search", "auth", "date_archive", "content", None}
+    for r in out:
+        assert r.c in classes
+        if r.cu is not None:
+            assert "://" in r.cu
