@@ -6557,3 +6557,109 @@ def q120(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
         .orderBy("url_class")
     )
+
+
+_Q121_SQL = """
+WITH t AS (
+  SELECT lang,
+         length(coalesce(text, ''))::BIGINT AS n_chars,
+         (len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))
+          + length(regexp_replace(coalesce(text, ''),
+              '[A-Za-z0-9 \\t\\n\\r]', '', 'g')))::BIGINT AS n_tok
+  FROM documents
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_tok)::BIGINT AS total_tokens,
+       CASE WHEN sum(n_tok) > 0
+         THEN round(sum(n_chars)::DOUBLE / sum(n_tok), 6) END AS fertility
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@register("q121_tokenizer_fertility", _Q121_SQL)
+def q121(spark, sf_dir):
+    """Tokenizer fertility per language: chars per (BPE-ish) token — the
+    budgeting constant that converts a byte budget into a token budget
+    per language, and the signal that flags scripts the tokenizer
+    fragments (fertility collapse = cost blow-up for that language).
+    Exact integer sums (summation-order free), ONE division per group,
+    reusing the q32 token-count expression (functions/text.py)."""
+    from soda_core_spark.functions.text import token_count_bpe_ish
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(
+        "lang",
+        F.length(text).cast("long").alias("n_chars"),
+        token_count_bpe_ish(text).cast("long").alias("n_tok"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    return agg.select(
+        "lang", "n_docs", "total_chars", "total_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(
+                F.col("total_chars").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ),
+        ).alias("fertility"),
+    ).orderBy("lang")
+
+
+_Q122_SQL = """
+WITH caps AS (
+  SELECT doc_id,
+         'https://site.example/p/' || (doc_id % 80)::VARCHAR AS url,
+         md5(CASE WHEN doc_id % 80 < 20
+                  THEN 'stable content ' || (doc_id % 80)::VARCHAR
+                  ELSE 'changing content ' || doc_id::VARCHAR END) AS fp
+  FROM documents
+)
+SELECT url,
+       count(*)::BIGINT AS n_captures,
+       count(DISTINCT fp)::BIGINT AS n_versions,
+       (count(DISTINCT fp) > 1) AS is_unstable
+FROM caps GROUP BY url ORDER BY url
+"""
+
+
+@register("q122_unstable_pages", _Q122_SQL)
+def q122(spark, sf_dir):
+    """Unstable-page detection (recrawl-policy input): per canonical
+    URL, captures vs distinct content fingerprints — n_versions = 1 is
+    a static page (recrawl less), > 1 changes every fetch (news/feeds/
+    rotating boilerplate: recrawl more, or dedup-by-URL instead of by
+    content). Pairs with q117's survivor policy. One groupBy over
+    (url, 16-byte fp); text never shuffles. Fixture: 80 URL groups,
+    a quarter stable, the rest changing per capture."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    caps = d.select(
+        F.concat(
+            F.lit("https://site.example/p/"), (did % 80).cast("string")
+        ).alias("url"),
+        F.md5(
+            F.when(
+                did % 80 < 20,
+                F.concat(F.lit("stable content "), (did % 80).cast("string")),
+            ).otherwise(
+                F.concat(F.lit("changing content "), did.cast("string"))
+            )
+        ).alias("fp"),
+    )
+    return (
+        caps.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+            F.countDistinct("fp").cast("long").alias("n_versions"),
+        )
+        .withColumn("is_unstable", F.col("n_versions") > 1)
+        .orderBy("url")
+    )
