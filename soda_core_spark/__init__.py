@@ -137,3 +137,6 @@ from soda_core_spark.operators.urls import (  # noqa: F401
     URL_CLASS_RULES,
     url_class_col,
 )
+from soda_core_spark.operators.calibration import (  # noqa: F401
+    calibrate_drop_thresholds,
+)

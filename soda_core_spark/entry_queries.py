@@ -6663,3 +6663,58 @@ def q122(spark, sf_dir):
         .withColumn("is_unstable", F.col("n_versions") > 1)
         .orderBy("url")
     )
+
+
+_Q123_SQL = """
+WITH s AS (
+  SELECT n_chars::DOUBLE AS a, ((n_chars * 7) % 101)::DOUBLE AS b
+  FROM documents
+),
+t AS (
+  SELECT round(quantile_cont(a, 0.05), 6) AS ta,
+         round(quantile_cont(b, 0.95), 6) AS tb,
+         count(*)::BIGINT AS n
+  FROM s
+)
+SELECT 'short_doc' AS rule_name, 'a' AS signal, 'low' AS direction,
+       t.ta AS threshold,
+       (SELECT sum(CASE WHEN s.a < t.ta THEN 1 ELSE 0 END)
+        FROM s)::BIGINT AS n_dropped,
+       round((SELECT sum(CASE WHEN s.a < t.ta THEN 1 ELSE 0 END)
+              FROM s)::DOUBLE / t.n, 6) AS realized_drop
+FROM t
+UNION ALL
+SELECT 'noisy_doc', 'b', 'high', t.tb,
+       (SELECT sum(CASE WHEN s.b > t.tb THEN 1 ELSE 0 END)
+        FROM s)::BIGINT,
+       round((SELECT sum(CASE WHEN s.b > t.tb THEN 1 ELSE 0 END)
+              FROM s)::DOUBLE / t.n, 6)
+FROM t
+ORDER BY rule_name
+"""
+
+
+@register("q123_threshold_calibration", _Q123_SQL)
+def q123(spark, sf_dir):
+    """Quantile-based rule-threshold auto-calibration (operators/
+    calibration.py calibrate_drop_thresholds): per signal, the exact
+    interpolated percentile that targets a 5% drop plus the REALIZED
+    drop at that cut (ties/discreteness make them differ — both are
+    published). Two corpus scans total for any number of signals
+    (one fused percentile agg, one fused count agg); complements q73's
+    sweep (q73 evaluates given thresholds against labels; this derives
+    thresholds from the corpus itself)."""
+    from soda_core_spark.operators.calibration import (
+        calibrate_drop_thresholds,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        F.col("n_chars").cast("double").alias("a"),
+        ((F.col("n_chars") * 7) % 101).cast("double").alias("b"),
+    )
+    return calibrate_drop_thresholds(
+        s,
+        {"a": ("low", "short_doc"), "b": ("high", "noisy_doc")},
+        target_drop=0.05,
+    ).orderBy("rule_name")

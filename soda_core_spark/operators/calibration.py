@@ -118,3 +118,79 @@ def threshold_sweep(
             ).alias("f1"),
         )
     )
+
+
+def calibrate_drop_thresholds(
+    df: DataFrame,
+    signals: dict[str, tuple[str, str]],
+    target_drop: float = 0.05,
+) -> DataFrame:
+    """Set each rule's knob from the data: per signal, the exact
+    quantile threshold that would drop ``target_drop`` of the corpus,
+    plus the REALIZED drop at that threshold (ties and discreteness make
+    realized ≠ target — publishing both is the point: FineWeb/CCNet-style
+    pipelines pick operating points as corpus quantiles, then must report
+    what the cut actually removes).
+
+    ``signals`` maps signal column → (direction, rule_name) where
+    direction is ``"low"`` (small values are bad: drop < threshold —
+    e.g. alnum_ratio) or ``"high"`` (large values are bad: drop >
+    threshold — e.g. repetition). Returns one row per signal:
+    ``(rule_name, signal, direction, threshold, n_dropped, realized_drop)``
+    with threshold at 6 dp and realized_drop at 6 dp.
+
+    Shape for scale: ONE aggregate pass computes every signal's exact
+    interpolated percentile (Spark SQL ``percentile`` — a partial-agg
+    sort-free sketch-merge per signal), then ONE more fused aggregate
+    counts all realized drops — two corpus scans total for any number of
+    signals, no window, no collect of data rows. NULL signal values are
+    ignored by the percentile and never dropped by the count (a missing
+    signal must not silently delete a document)."""
+    if not signals:
+        raise ValueError("signals must be non-empty")
+    if not 0.0 < target_drop < 1.0:
+        raise ValueError(f"target_drop must be in (0,1), got {target_drop}")
+    for col, (direction, _name) in signals.items():
+        if direction not in ("low", "high"):
+            raise ValueError(f"{col}: direction must be 'low'|'high'")
+    pct_aggs = []
+    for col, (direction, _name) in signals.items():
+        p = target_drop if direction == "low" else 1.0 - target_drop
+        pct_aggs.append(
+            F.round(
+                F.percentile(F.col(col).cast("double"), F.lit(p)), 6
+            ).alias(f"__t_{col}")
+        )
+    thresholds = df.agg(*pct_aggs).collect()[0].asDict()
+    total = df.count()
+    cnt_aggs = []
+    for col, (direction, _name) in signals.items():
+        t = thresholds[f"__t_{col}"]
+        cond = (
+            F.col(col).cast("double") < F.lit(t)
+            if direction == "low"
+            else F.col(col).cast("double") > F.lit(t)
+        )
+        cnt_aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"__n_{col}")
+        )
+    counts = df.agg(*cnt_aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    rows = [
+        (
+            name,
+            col,
+            direction,
+            float(thresholds[f"__t_{col}"])
+            if thresholds[f"__t_{col}"] is not None
+            else None,
+            int(counts[f"__n_{col}"] or 0),
+            round((counts[f"__n_{col}"] or 0) / total, 6) if total else 0.0,
+        )
+        for col, (direction, name) in signals.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule_name string, signal string, direction string, "
+        "threshold double, n_dropped long, realized_drop double",
+    )

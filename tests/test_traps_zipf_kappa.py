@@ -338,3 +338,53 @@ def test_url_class_first_match_and_edges(spark):
         "c", url_class_col(F.col("url"))).collect()}
     for url, want in cases:
         assert got[url] == want, (url, got[url], want)
+
+
+def test_calibrate_drop_thresholds_directions(spark):
+    from soda_core_spark.operators.calibration import (
+        calibrate_drop_thresholds,
+    )
+
+    # 100 rows, score = 0..99: 10% low cut → threshold ≈ 9.9, drops 10
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "s double"
+    )
+    out = {r.rule_name: r for r in calibrate_drop_thresholds(
+        df, {"s": ("low", "low_rule")}, target_drop=0.1).collect()}
+    r = out["low_rule"]
+    assert r.direction == "low"
+    assert 9.0 <= r.threshold <= 10.0
+    assert r.n_dropped == 10 and r.realized_drop == pytest.approx(0.1)
+
+    out = {r.rule_name: r for r in calibrate_drop_thresholds(
+        df, {"s": ("high", "hi_rule")}, target_drop=0.1).collect()}
+    r = out["hi_rule"]
+    assert 89.0 <= r.threshold <= 91.0
+    assert r.n_dropped == 10
+
+
+def test_calibrate_drop_thresholds_nulls_never_drop(spark):
+    from soda_core_spark.operators.calibration import (
+        calibrate_drop_thresholds,
+    )
+
+    rows = [(float(i),) for i in range(50)] + [(None,)] * 10
+    df = spark.createDataFrame(rows, "s double")
+    r = calibrate_drop_thresholds(
+        df, {"s": ("low", "r")}, target_drop=0.2).collect()[0]
+    # percentile ignores NULLs; NULL rows are never counted as dropped
+    assert r.n_dropped == 10  # 20% of the 50 non-null values
+
+
+def test_calibrate_drop_thresholds_guards(spark):
+    from soda_core_spark.operators.calibration import (
+        calibrate_drop_thresholds,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "s double")
+    with pytest.raises(ValueError):
+        calibrate_drop_thresholds(df, {}, 0.1)
+    with pytest.raises(ValueError):
+        calibrate_drop_thresholds(df, {"s": ("low", "r")}, 1.5)
+    with pytest.raises(ValueError):
+        calibrate_drop_thresholds(df, {"s": ("sideways", "r")}, 0.1)
