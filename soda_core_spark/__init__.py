@@ -140,3 +140,4 @@ from soda_core_spark.operators.urls import (  # noqa: F401
 from soda_core_spark.operators.calibration import (  # noqa: F401
     calibrate_drop_thresholds,
 )
+from soda_core_spark.sources.tables import read_documents_jsonl  # noqa: F401

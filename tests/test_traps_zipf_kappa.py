@@ -388,3 +388,41 @@ def test_calibrate_drop_thresholds_guards(spark):
         calibrate_drop_thresholds(df, {"s": ("low", "r")}, 1.5)
     with pytest.raises(ValueError):
         calibrate_drop_thresholds(df, {"s": ("sideways", "r")}, 0.1)
+
+
+def test_jsonl_ingestion_loss_accounting(spark, tmp_path):
+    """Every input line is either a doc or a counted reject — nothing
+    silently dropped (the WARC-discipline contract at line grain)."""
+    import json as _json
+
+    from soda_core_spark.sources.tables import read_documents_jsonl
+
+    p = tmp_path / "dump.jsonl"
+    lines = [
+        _json.dumps({"id": "a", "text": "hello", "lang": "en"}),
+        _json.dumps({"id": "b", "text": "welt", "lang": "de"}),
+        '{"id": "c", "text": "truncated',           # unparseable
+        _json.dumps({"text": "no id here"}),        # missing_id
+        "not json at all",                          # unparseable
+        _json.dumps({"id": "d", "url": "https://x.example"}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    docs, rejects = read_documents_jsonl(spark, str(p))
+    assert {r.id for r in docs.collect()} == {"a", "b", "d"}
+    rej = rejects.collect()
+    assert docs.count() + len(rej) == len(lines)
+    reasons = sorted(r.reason for r in rej)
+    assert reasons == ["missing_id", "unparseable", "unparseable"]
+    assert all(r.raw for r in rej)  # offending line carried into lineage
+
+
+def test_jsonl_ingestion_rejects_bad_schema(spark):
+    from soda_core_spark.sources.tables import read_documents_jsonl
+
+    from pyspark.sql import types as T
+
+    with pytest.raises(ValueError):
+        read_documents_jsonl(
+            spark, "/nonexistent",
+            schema=T.StructType([T.StructField("text", T.StringType())]),
+        )
