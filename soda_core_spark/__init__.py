@@ -141,3 +141,4 @@ from soda_core_spark.operators.calibration import (  # noqa: F401
     calibrate_drop_thresholds,
 )
 from soda_core_spark.sources.tables import read_documents_jsonl  # noqa: F401
+from soda_core_spark.functions.multimodal import decode_bmp  # noqa: F401

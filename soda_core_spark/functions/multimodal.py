@@ -378,6 +378,8 @@ def decode_features(payload: Optional[bytes], mime: Optional[str]) -> tuple[str,
             return "png", image_features(decode_png(p))
         if p[:6] in GIF_SIGS:
             return "gif", image_features(decode_gif(p))
+        if p.startswith(b"BM"):
+            return "bmp", image_features(decode_bmp(p))
         if p.startswith(b"RIFF") and (mime or "").startswith("audio"):
             samples, _rate = decode_wav(p)
             return "wav", audio_features(samples)
@@ -888,3 +890,85 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
             dur = int(rng.integers(1000, 60000))
         rows.append((f"m{i:05d}", kind, payload, mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed Windows BMP (BITMAPINFOHEADER or later,
+    8-bit paletted / 24-bit BGR / 32-bit BGRX, BI_RGB only) to an (h, w,
+    3) uint8 RGB array — stdlib/numpy only, like the PPM/PNG/GIF/WAV
+    decoders. BMP is the remaining uncompressed raster format a web
+    crawl actually yields (favicon dumps, legacy clipart, scanner
+    output). Spec: the Windows BMP file structure (public,
+    BITMAPFILEHEADER + BITMAPINFOHEADER).
+
+    Guards (same bounded-decode discipline as the PNG inflate cap):
+    dimension product capped at 64 MP; rejects compressed variants
+    (BI_RLE*, BI_BITFIELDS) and <8-bit depths → hash fallback upstream.
+    Rows are 4-byte aligned and stored bottom-up unless height < 0
+    (top-down), both handled."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression})")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported bit depth {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0 or width * height > 64_000_000:
+        raise ValueError("bad/huge dimensions")
+    palette = None
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)
+        palette = pal[:, [2, 1, 0]]  # BGRX → RGB
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    need = data_off + row_bytes * height
+    if len(payload) < need:
+        raise ValueError("truncated pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        idx = rows[:, :width]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[idx]
+    ch = bpp // 8
+    px = rows[:, : width * ch].reshape(height, width, ch)
+    return px[:, :, [2, 1, 0]]  # BGR(X) → RGB
+
+
+def make_bmp(img: np.ndarray, top_down: bool = False) -> bytes:
+    """Encoder twin for round-trip tests: (h, w, 3) uint8 RGB → 24-bit
+    BI_RGB BMP bytes (bottom-up unless ``top_down``)."""
+    import struct
+
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pix = bytearray()
+    rows = img if top_down else img[::-1]
+    for r in range(h):
+        row = rows[r][:, [2, 1, 0]].tobytes()  # RGB → BGR
+        pix += row + b"\x00" * (row_bytes - len(row))
+    data_off = 54
+    size = data_off + len(pix)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(pix), 2835, 2835, 0, 0,
+    )
+    return hdr + info + bytes(pix)
