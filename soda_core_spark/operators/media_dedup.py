@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from soda_core_spark.functions.multimodal import (
+    GIF_SIGS,
     PNG_SIG,
+    decode_bmp,
+    decode_gif,
     decode_png,
     decode_ppm,
     decode_wav,
@@ -72,6 +75,10 @@ def _fingerprint_one(payload: bytes | None) -> tuple[int, bool]:
             return dhash_image(decode_ppm(p)), True
         if p.startswith(PNG_SIG):
             return dhash_image(decode_png(p)), True
+        if p[:6] in GIF_SIGS:
+            return dhash_image(decode_gif(p)), True
+        if p.startswith(b"BM"):
+            return dhash_image(decode_bmp(p)), True
     except Exception:
         pass  # malformed media → byte-hash fallback, never a crashed task
     # undecodable: exact-byte-dup semantics only (distinct content never

@@ -72,3 +72,22 @@ def test_bmp_dispatch_and_fallback():
     assert dec == "bmp" and feat.shape
     dec, _ = decode_features(b"BMgarbage-not-a-real-bmp", "image/bmp")
     assert dec == "hash-fallback"  # malformed → counted fallback, no crash
+
+
+def test_media_dedup_catches_bmp_png_twins(spark):
+    """The same pixels as BMP and PNG must land in one perceptual
+    near-dup pair (dhash is format-independent once decode works)."""
+    from soda_core_spark.functions.multimodal import make_png
+    from soda_core_spark.operators.media_dedup import (
+        dhash_images,
+        image_near_duplicates,
+    )
+
+    img = _img(16, 16, seed=5)
+    rows = [("a", bytes(make_bmp(img))), ("b", bytes(make_png(img)))]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    fps = {r.media_id: r for r in dhash_images(df).collect()}
+    assert fps["a"].decoded and fps["b"].decoded
+    assert fps["a"].dhash == fps["b"].dhash
+    pairs = image_near_duplicates(df, max_hamming=2).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {("a", "b")}
