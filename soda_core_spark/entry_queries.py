@@ -6718,3 +6718,100 @@ def q123(spark, sf_dir):
         {"a": ("low", "short_doc"), "b": ("high", "noisy_doc")},
         target_drop=0.05,
     ).orderBy("rule_name")
+
+
+def _q124_sql() -> str:
+    from soda_core_spark.functions.langid import LANGS
+
+    langs = ",".join(f"'{l}'" for l in LANGS)
+    return f"""
+    WITH staged AS (
+      SELECT coalesce(text, '') AS t, lang,
+             length(trim(coalesce(text, ''))) > 0 AS nonempty,
+             lang IN ({langs}) AS lang_known,
+             length(coalesce(text, '')) >= 200 AS long_enough,
+             md5(lower(regexp_replace(trim(coalesce(text, '')),
+                 '[ \\t\\n\\r]+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS s0,
+             sum(CASE WHEN nonempty THEN 1 ELSE 0 END)::BIGINT AS s1,
+             sum(CASE WHEN nonempty AND lang_known
+                      THEN 1 ELSE 0 END)::BIGINT AS s2,
+             sum(CASE WHEN nonempty AND lang_known AND long_enough
+                      THEN 1 ELSE 0 END)::BIGINT AS s3,
+             count(DISTINCT CASE WHEN nonempty AND lang_known
+                                      AND long_enough
+                                 THEN fp END)::BIGINT AS s4
+      FROM staged
+    )
+    SELECT u.stage_idx, u.stage, u.n_docs,
+           round(u.n_docs::DOUBLE / nullif(a.s0, 0), 6) AS retention
+    FROM agg a CROSS JOIN LATERAL (
+      VALUES (0::BIGINT, 'total', a.s0),
+             (1::BIGINT, 'non_empty', a.s1),
+             (2::BIGINT, 'lang_known', a.s2),
+             (3::BIGINT, 'min_length', a.s3),
+             (4::BIGINT, 'exact_dedup_survivors', a.s4)
+    ) AS u(stage_idx, stage, n_docs)
+    ORDER BY u.stage_idx
+    """
+
+
+@register("q124_corpus_funnel", _q124_sql())
+def q124(spark, sf_dir):
+    """Corpus-build funnel in ONE scan: total → non-empty → known
+    language → min length → exact-dedup survivors, each with retention
+    vs input — THE pipeline observability artifact ("where did my
+    documents go"). All five stage counts come from a single fused
+    aggregate (CASE sums + one conditional count-distinct over 16-byte
+    fingerprints); the stage table is then exploded from that one row —
+    no second scan, no union of five filters."""
+    from soda_core_spark.functions.langid import LANGS
+    from soda_core_spark.operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    nonempty = F.length(F.trim(t)) > 0
+    lang_known = F.col("lang").isin(list(LANGS))
+    long_enough = F.length(t) >= 200
+    fp = F.md5(normalized_text(t))
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        F.sum(F.when(nonempty, 1).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(nonempty & lang_known, 1).otherwise(0))
+        .cast("long").alias("s2"),
+        F.sum(F.when(nonempty & lang_known & long_enough, 1).otherwise(0))
+        .cast("long").alias("s3"),
+        F.countDistinct(
+            F.when(nonempty & lang_known & long_enough, fp)
+        ).cast("long").alias("s4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"s{i}").alias("n_docs"),
+            )
+            for i, name in enumerate(
+                ["total", "non_empty", "lang_known", "min_length",
+                 "exact_dedup_survivors"]
+            )
+        ]
+    )
+    return (
+        agg.select(F.explode(stages).alias("u"), F.col("s0"))
+        .select(
+            F.col("u.stage_idx").alias("stage_idx"),
+            F.col("u.stage").alias("stage"),
+            F.col("u.n_docs").alias("n_docs"),
+            F.round(
+                F.col("u.n_docs").cast("double")
+                / F.when(F.col("s0") > 0, F.col("s0").cast("double")),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("stage_idx")
+    )
