@@ -6815,3 +6815,95 @@ def q124(spark, sf_dir):
         )
         .orderBy("stage_idx")
     )
+
+
+def _q125_sql() -> str:
+    # Per-source scrub burden: PII injected into every THIRD document
+    # (doc_id % 3 == 0) so sources carry different burdens through their
+    # doc-id composition; hit counting reuses the q21 rule/fold
+    # machinery verbatim (rules shared as data).
+    from soda_core_spark.functions.scrub import (
+        ALL_RULES,
+        DIGIT_FOLD_FROM,
+        DIGIT_FOLD_TO,
+    )
+
+    inject = (
+        "'mail u' || doc_id::VARCHAR || '@example.com ssn 123-45-6789 "
+        "tel +1 (555) 123-4567 ip 10.0.0.1 ' || coalesce(text, '')"
+    )
+    text2 = (
+        f"CASE WHEN doc_id % 3 = 0 THEN translate({inject}, "
+        f"'{DIGIT_FOLD_FROM}', '{DIGIT_FOLD_TO}') "
+        "ELSE coalesce(text, '') END"
+    )
+    hit_terms = []
+    for _name, pat, _repl in ALL_RULES:
+        p = pat.replace("'", "''")
+        hit_terms.append(f"len(regexp_extract_all(text2, '{p}'))")
+    hits = " + ".join(hit_terms)
+    return f"""
+    WITH t AS (SELECT doc_id, source, {text2} AS text2 FROM documents),
+    per_doc AS (
+      SELECT source,
+             ({hits})::BIGINT AS hits,
+             len(list_filter(regexp_split_to_array(text2, '[ \\t\\n\\r]+'),
+                             x -> x <> ''))::BIGINT AS toks
+      FROM t
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_with_pii,
+           sum(hits)::BIGINT AS total_hits,
+           CASE WHEN sum(toks) > 0
+             THEN round(sum(hits)::DOUBLE * 1000 / sum(toks), 6) END
+             AS hits_per_1000_tokens
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+@register("q125_scrub_burden", _q125_sql())
+def q125(spark, sf_dir):
+    """Per-source PII scrub burden: docs with PII, total hits, hits per
+    1000 tokens — the policy dashboard that decides which sources need
+    scrubbing review vs a blanket pass. Hit counting is the SAME
+    vectorized pandas UDF the scrubber uses (pii_count_udf, fold
+    included), so the rollup can never disagree with the scrub itself;
+    the rollup is one fused groupBy over exact integer sums."""
+    from soda_core_spark.functions.scrub import pii_count_udf
+    from soda_core_spark.functions.text import words_col
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    injected = F.concat(
+        F.lit("mail u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ssn 123-45-6789 "
+              "tel +1 (555) 123-4567 ip 10.0.0.1 "),
+        base,
+    )
+    text2 = F.when(F.col("doc_id") % 3 == 0, injected).otherwise(base)
+    per_doc = d.select(
+        "source",
+        pii_count_udf(text2).alias("hits"),
+        F.size(words_col(text2)).cast("long").alias("toks"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("long").alias("docs_with_pii"),
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.sum("toks").alias("__toks"),
+    )
+    return agg.select(
+        "source", "n_docs", "docs_with_pii", "total_hits",
+        F.when(
+            F.col("__toks") > 0,
+            F.round(
+                F.col("total_hits").cast("double") * 1000
+                / F.col("__toks").cast("double"),
+                6,
+            ),
+        ).alias("hits_per_1000_tokens"),
+    ).orderBy("source")
