@@ -5848,13 +5848,16 @@ def _q110_sql() -> str:
                WHEN 3 THEN 'example' || (doc_id % 3)::VARCHAR || '.com'
                WHEN 4 THEN 'deep.sub.site' || (doc_id % 2)::VARCHAR
                            || '.com.au'
-               ELSE 'localhost'
+               ELSE CASE WHEN doc_id % 2 = 0 THEN 'localhost'
+                         ELSE '10.' || (doc_id % 4)::VARCHAR || '.0.1' END
              END AS host
       FROM documents
     ),
     rd AS (
       SELECT doc_id, host,
              CASE
+               WHEN regexp_matches(host, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+                 THEN host
                WHEN len(string_split(host, '.')) >= 3
                     AND list_contains([{suffixes}],
                       string_split(host, '.')[len(string_split(host, '.')) - 1]
@@ -5888,7 +5891,8 @@ def q110(spark, sf_dir):
     is ONE registrant for caps/reputation/dedup. Pure label-array column
     algebra + one groupBy; the suffix table is module data (full PSL is
     a data swap). Fixture exercises multi-label ccTLD suffixes, www
-    subdomains, bare domains, and single-label hosts."""
+    subdomains, bare domains, single-label hosts, and IPv4 literal
+    hosts (which pass through unchanged — no registrant hierarchy)."""
     from soda_core_spark.operators.urls import registered_domain_col
 
     d = _t(spark, sf_dir, "documents")
@@ -5910,7 +5914,10 @@ def q110(spark, sf_dir):
         .when(did % 6 == 4,
               F.concat(F.lit("deep.sub.site"), (did % 2).cast("string"),
                        F.lit(".com.au")))
-        .otherwise(F.lit("localhost"))
+        .when(did % 2 == 0, F.lit("localhost"))
+        .otherwise(
+            F.concat(F.lit("10."), (did % 4).cast("string"), F.lit(".0.1"))
+        )
         .alias("host"),
     )
     return (
@@ -6044,12 +6051,15 @@ WITH flags AS (
   FROM documents
 ),
 agg AS (
+  -- mirror decision_kappa's NULL policy: NULL-flag rows carry no
+  -- agreement evidence and are excluded from n and all four cells
   SELECT count(*)::BIGINT AS n,
          sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
          sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
          sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
          sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
   FROM flags
+  WHERE a IS NOT NULL AND b IS NOT NULL
 )
 SELECT n,
        round((n11 + n00)::DOUBLE / n, 6) AS po,

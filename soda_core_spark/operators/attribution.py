@@ -170,11 +170,16 @@ def decision_kappa(
     pack A" in upgrade CI. One fused aggregate pass (count + 4 CASE
     sums — the soda fused-metrics shape), no shuffle wider than one row.
     Returns ``(n, po, pe, kappa)`` at 6 dp; NULL kappa when p_e = 1
-    (both packs constant — agreement is undefined, not perfect)."""
+    (both packs constant — agreement is undefined, not perfect).
+
+    NULL policy: rows where EITHER decision column is NULL are excluded
+    entirely — from ``n`` as well as the 2×2 cells — because an
+    unscored document carries no agreement evidence; counting it in n
+    but in no cell would deflate p_o and p_e and bias kappa."""
     a = F.col(col_a).cast("boolean")
     b = F.col(col_b).cast("boolean")
     one = F.lit(1)
-    agg = df.agg(
+    agg = df.where(a.isNotNull() & b.isNotNull()).agg(
         F.count(one).cast("long").alias("n"),
         F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n11"),
         F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n10"),

@@ -132,7 +132,10 @@ def lexicon_score(
     Matching is token-exact on the engine tokenization contract
     (lowercased whitespace tokens — shared with with_signals/BM25/
     blocklist_filter, so the no-substring-firing guarantee can't drift).
-    Adds ``lex_hits`` (count of matching tokens, multiplicity included),
+    Adds ``lex_hits`` (count of tokens PRESENT in the lexicon,
+    multiplicity included, regardless of weight sign — zero- and
+    negative-weight entries count as hits exactly as they contribute
+    to the weight sum),
     ``lex_weight`` (weight sum, 6 dp) and ``lex_score`` (weight sum per
     ``per_tokens`` tokens, 6 dp; 0.0 for token-less docs).
 
@@ -156,7 +159,10 @@ def lexicon_score(
     w = F.col("__lw")
     n = F.size(w)
     per_tok_w = F.transform(w, lambda t: F.coalesce(lex[t], F.lit(0.0)))
-    hits = F.size(F.filter(per_tok_w, lambda x: x > 0)).cast("long")
+    # membership, not weight sign: a zero- or negative-weight lexicon
+    # entry is still a hit (it contributes to lex_weight/lex_score, so
+    # it must count here too — no undocumented asymmetry)
+    hits = F.size(F.filter(w, lambda t: lex[t].isNotNull())).cast("long")
     wsum = F.aggregate(per_tok_w, F.lit(0.0), lambda acc, x: acc + x)
     score = F.when(
         n > 0,

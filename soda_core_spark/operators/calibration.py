@@ -153,7 +153,9 @@ def calibrate_drop_thresholds(
     for col, (direction, _name) in signals.items():
         if direction not in ("low", "high"):
             raise ValueError(f"{col}: direction must be 'low'|'high'")
-    pct_aggs = []
+    # count(*) rides the percentile aggregate — keeps this a true
+    # two-scan operator (percentile pass + realized-drop pass)
+    pct_aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
     for col, (direction, _name) in signals.items():
         p = target_drop if direction == "low" else 1.0 - target_drop
         pct_aggs.append(
@@ -162,7 +164,7 @@ def calibrate_drop_thresholds(
             ).alias(f"__t_{col}")
         )
     thresholds = df.agg(*pct_aggs).collect()[0].asDict()
-    total = df.count()
+    total = int(thresholds.pop("__total"))
     cnt_aggs = []
     for col, (direction, _name) in signals.items():
         t = thresholds[f"__t_{col}"]

@@ -136,7 +136,9 @@ def host_pagerank(
     normalized-with-redistribution variant is a drop-in replacement and
     changes only the per-iteration tail below.
 
-    Scale shape: the edge+weight frame is computed once and persisted;
+    Scale shape: the edge+weight frame is computed once and persisted
+    for the iterations, then unpersisted before return (result is
+    checkpointed at host grain first — no leaked executor cache);
     each iteration is one join + one groupBy on the host graph; ranks are
     reliably checkpointed every ``checkpoint_every`` rounds so the plan
     AND the physical lineage stay bounded at high iteration counts (the
@@ -196,6 +198,12 @@ def host_pagerank(
             from soda_core_spark.operators.dedup import _reliable_checkpoint
 
             ranks = _reliable_checkpoint(ranks)
+    from soda_core_spark.operators.dedup import _reliable_checkpoint
+
+    # same lifecycle as host_hits: checkpoint the tiny host-grain result
+    # so the persisted weight frame can be released here, not leaked
+    ranks = _reliable_checkpoint(ranks)
+    w.unpersist()
     return ranks
 
 
@@ -302,7 +310,10 @@ def host_hits(
     12 dp per-step rounding the PageRank trajectory uses. The q108 DuckDB
     oracle unrolls identical iterations and matches bit-for-bit.
 
-    Scale shape: the weight frame is computed once and persisted; each
+    Scale shape: the weight frame is computed once and persisted for the
+    duration of the iterations, then unpersisted before return (the
+    result is checkpointed at host grain first, so the returned frame
+    carries no dependency on the cache — no leaked executor memory); each
     iteration is two (join + groupBy) passes over the HOST graph plus two
     1-row max aggregates broadcast back (no global sort, no collect);
     reliable checkpoints every ``checkpoint_every`` rounds bound lineage
@@ -379,4 +390,11 @@ def host_hits(
 
             hubs = _reliable_checkpoint(hubs)
             auths = _reliable_checkpoint(auths)
-    return auths.join(hubs, "host")
+    from soda_core_spark.operators.dedup import _reliable_checkpoint
+
+    # materialize the final host-grain frame (tiny) so the persisted
+    # weight scaffold can be released HERE instead of leaking to the
+    # caller — the returned frame no longer references `w`
+    out = _reliable_checkpoint(auths.join(hubs, "host"))
+    w.unpersist()
+    return out

@@ -132,7 +132,9 @@ def registered_domain_col(host: Column) -> Column:
     zero Python): if the last TWO labels form a known multi-label public
     suffix the registered domain is the last THREE labels, else the last
     two; bare/1-label hosts pass through; NULL host → NULL. IP literals
-    pass through unchanged (label membership never matches digits).
+    (IPv4 dotted-quad or bracketed/colon IPv6) pass through unchanged —
+    an IP host has no registrant hierarchy, and truncating one to its
+    last two octets would collapse unrelated hosts into one key.
 
     The suffix set is a representative publicsuffix.org subset carried
     as module data — production swaps in the full PSL (same logic, a
@@ -147,8 +149,10 @@ def registered_domain_col(host: Column) -> Column:
         ".", F.element_at(labels, -3), F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.contains(":")
     return (
-        F.when((n >= 3) & last2.isin(list(MULTI_LABEL_SUFFIXES)), last3)
+        F.when(is_ip, host)
+        .when((n >= 3) & last2.isin(list(MULTI_LABEL_SUFFIXES)), last3)
         .when(n >= 2, last2)
         .otherwise(host)
     )

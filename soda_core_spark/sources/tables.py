@@ -174,13 +174,33 @@ def corrupt_file_audit(path: str, sample: Optional[int] = None) -> dict:
     }
 
 
+class JsonlIngest:
+    """Result of :func:`read_documents_jsonl`: ``docs`` + ``rejects``
+    views over ONE persisted parse, plus the cache lifecycle the tuple
+    form couldn't express. Unpacks as ``docs, rejects = ...`` for
+    compatibility; call :meth:`unpersist` once both outputs are
+    materialized (counted / written) to release the executor cache —
+    the frames stay valid afterwards, they just recompute from the raw
+    bytes on any further action."""
+
+    def __init__(self, docs: DataFrame, rejects: DataFrame,
+                 cached: DataFrame) -> None:
+        self.docs, self.rejects, self._cached = docs, rejects, cached
+
+    def __iter__(self):
+        return iter((self.docs, self.rejects))
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self._cached.unpersist(blocking)
+
+
 def read_documents_jsonl(
     spark: SparkSession,
     path: str,
     schema: Optional[T.StructType] = None,
     id_field: str = "id",
     text_field: str = "text",
-) -> tuple[DataFrame, DataFrame]:
+) -> "JsonlIngest":
     """JSONL corpus ingestion with loss accounting — JSONL (one JSON doc
     per line) is the interchange format LLM corpora actually ship in
     (Dolma, RedPajama, FineWeb exports), and real dumps contain
@@ -190,7 +210,9 @@ def read_documents_jsonl(
     default behavior is exactly that silent drop when the corrupt
     column isn't materialized).
 
-    Returns ``(docs, rejects)``:
+    Returns a :class:`JsonlIngest` (unpacks as ``docs, rejects``; call
+    ``.unpersist()`` after materializing both outputs to release the
+    shared parse cache):
 
     * ``docs`` — rows that parsed AND carry a non-null ``id_field``;
     * ``rejects`` — one row per malformed or id-less line, with
@@ -244,4 +266,4 @@ def read_documents_jsonl(
         .otherwise(F.lit("missing_id"))
         .alias("reason"),
     )
-    return ok, rejects
+    return JsonlIngest(ok, rejects, raw)

@@ -104,7 +104,7 @@ def test_registered_domain_python_twin(spark):
 def _py_lexicon(text, weights, per_tokens):
     toks = [w for w in re.split(r"[ \t\n\r]+", (text or "").lower())
             if w != ""]
-    hits = sum(1 for t in toks if weights.get(t, 0.0) > 0)
+    hits = sum(1 for t in toks if t in weights)  # membership, not sign
     wsum = sum(weights.get(t, 0.0) for t in toks)
     score = (round(wsum * per_tokens / len(toks), 6) if toks else 0.0)
     return hits, round(wsum, 6), score

@@ -182,7 +182,9 @@ def test_registered_domain_cases(spark):
         ("deep.sub.site.com.au", "site.com.au"),
         ("localhost", "localhost"),
         ("co.uk", "co.uk"),  # bare suffix: only 2 labels → passthrough
-        ("192.168.0.1", "0.1"),  # IP literal: numeric labels never match
+        ("192.168.0.1", "192.168.0.1"),  # IPv4 literal passes through
+        ("10.0.0.1", "10.0.0.1"),  # distinct IPs must stay distinct keys
+        ("[2001:db8::1]", "[2001:db8::1]"),  # IPv6 literal passes through
         (None, None),
     ]
     df = spark.createDataFrame(

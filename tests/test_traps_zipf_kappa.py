@@ -79,6 +79,21 @@ def test_decision_kappa_hand_values(spark):
     assert row.kappa == pytest.approx(0.6)
 
 
+def test_decision_kappa_null_rows_excluded(spark):
+    """Rows with a NULL decision drop out of n AND the 2x2 cells —
+    otherwise p_o/p_e deflate and kappa is biased on nullable flags."""
+    from soda_core_spark.operators.attribution import decision_kappa
+
+    rows = ([(True, True)] * 40 + [(False, False)] * 40
+            + [(True, False)] * 10 + [(False, True)] * 10
+            + [(None, True)] * 7 + [(True, None)] * 5 + [(None, None)] * 3)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    row = decision_kappa(df, "a", "b").collect()[0]
+    assert row.n == 100  # the 15 NULL-bearing rows are excluded
+    assert row.po == pytest.approx(0.8)
+    assert row.kappa == pytest.approx(0.6)
+
+
 def test_decision_kappa_constant_packs_null(spark):
     from soda_core_spark.operators.attribution import decision_kappa
 
@@ -149,6 +164,23 @@ def test_lexicon_score_hand_values(spark):
     assert out[1].lex_score == pytest.approx(112.5)
     assert out[2].lex_hits == 0 and out[2].lex_score == 0.0
     assert out[3].lex_hits == 0 and out[3].lex_score == 0.0
+
+
+def test_lexicon_score_zero_and_negative_weights_still_hits(spark):
+    """lex_hits counts lexicon MEMBERSHIP — a zero- or negative-weight
+    entry contributes to lex_weight/lex_score, so it must also count
+    as a hit (no hidden weight-sign asymmetry)."""
+    from soda_core_spark.operators.blocklist import lexicon_score
+
+    df = spark.createDataFrame(
+        [(1, "neutral good bad other")], "id int, text string"
+    )
+    row = lexicon_score(
+        df, {"neutral": 0.0, "good": -1.0, "bad": 2.0}, per_tokens=100
+    ).collect()[0]
+    assert row.lex_hits == 3  # all three lexicon tokens, any sign
+    assert row.lex_weight == pytest.approx(1.0)  # 0.0 - 1.0 + 2.0
+    assert row.lex_score == pytest.approx(25.0)  # 1.0 * 100 / 4
 
 
 def test_lexicon_score_token_exact_no_substring(spark):
@@ -407,13 +439,19 @@ def test_jsonl_ingestion_loss_accounting(spark, tmp_path):
         _json.dumps({"id": "d", "url": "https://x.example"}),
     ]
     p.write_text("\n".join(lines) + "\n")
-    docs, rejects = read_documents_jsonl(spark, str(p))
+    ingest = read_documents_jsonl(spark, str(p))
+    docs, rejects = ingest  # result still unpacks like the old tuple
     assert {r.id for r in docs.collect()} == {"a", "b", "d"}
     rej = rejects.collect()
     assert docs.count() + len(rej) == len(lines)
     reasons = sorted(r.reason for r in rej)
     assert reasons == ["missing_id", "unparseable", "unparseable"]
     assert all(r.raw for r in rej)  # offending line carried into lineage
+    # lifecycle: caller can now release the shared parse cache, and the
+    # outputs stay valid (recompute from raw bytes) afterwards
+    ingest.unpersist(blocking=True)
+    assert ingest._cached.storageLevel.useMemory is False
+    assert docs.count() == 3
 
 
 def test_jsonl_ingestion_rejects_bad_schema(spark):
