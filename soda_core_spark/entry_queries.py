@@ -4153,25 +4153,106 @@ def q84(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# BPE tokenizer (functions/bpe.py) — no SQL oracle (driver-side merge
-# loop is not SQL-expressible); pinned by the python replay + naive-
-# recount trainer parity in tests/test_bpe.py. Driver records rows-only.
+# BPE tokenizer (functions/bpe.py). The registry entry applies a FIXED,
+# import-time-learned merge table (so the oracle is sf-independent);
+# the distributed training half is oracled separately as
+# q126_bpe_training_table, and full corpus-trained end-to-end runs stay
+# pinned by tests/test_bpe.py's python-replay parity.
 # ---------------------------------------------------------------------------
 
+#: Fixed BPE training table: the deterministic generator's full
+#: document vocabulary with fixed synthetic frequencies (a literal —
+#: NOT data-derived at runtime, so the learned merges are identical at
+#: every scale factor and the oracle can embed them as constants).
+_Q85_TRAIN_FREQS: list[tuple[str, int]] = [
+    (w, 1000 - 13 * i)
+    for i, w in enumerate([
+        "spark", "window", "merge", "table", "column", "vector", "stream",
+        "value", "data", "small", "join", "filter", "big", "group", "hash",
+        "customer", "sort", "order", "slow", "line", "part", "fast", "row",
+        "the", "agg", "key", "query", "a", "scan", "batch", "dup",
+    ])
+]
 
-@register("q85_bpe_token_count", None)
+_Q85_NUM_MERGES = 60  # partial coverage: some words fully merge, some don't
+
+
+def _q85_merges() -> list[tuple[str, str]]:
+    from soda_core_spark.functions.bpe import learn_bpe_from_counts
+
+    return learn_bpe_from_counts(_Q85_TRAIN_FREQS, _Q85_NUM_MERGES)
+
+
+def _q85_sql() -> str:
+    """Greedy BPE segmentation as a recursive CTE. Each recursion step
+    merges the LEFTMOST occurrence of the minimal-rank pair present —
+    provably identical to the operator's pass-based all-occurrence
+    left-to-right loop, because any pair CREATED by merging (a,b)
+    involves the new symbol ab and was therefore learned after (a,b),
+    i.e. always has a higher rank: the current best pair stays best
+    until exhausted, and one-at-a-time order equals pass order. The
+    ' '-joined pair key is collision-proof: symbols come from
+    whitespace-split words, so no symbol ever contains a space. The
+    terminal state per word is its unique minimal-length row, so
+    tokens(word) = min(len(syms))."""
+    merges = _q85_merges()
+    keys = ", ".join(
+        "'" + (a + " " + b).replace("'", "''") + "'" for a, b in merges
+    )
+    vals = ", ".join(str(i) for i in range(len(merges)))
+    rankmap = f"map([{keys}], [{vals}])"
+    return f"""
+    WITH RECURSIVE dw AS (
+      SELECT DISTINCT unnest(list_filter(regexp_split_to_array(
+             coalesce(text,''), '[ \t\n\r]+'), x -> x <> '')) AS word
+      FROM documents
+    ),
+    seg AS (
+      SELECT word, list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+      FROM dw
+      UNION ALL
+      SELECT word,
+             syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+      FROM (
+        SELECT word, syms,
+               (list_sort(list_filter(list_transform(range(1, len(syms)),
+                  j -> {{'r': ({rankmap})[syms[j] || ' ' || syms[j+1]][1],
+                         'i': j}}),
+                  x -> x.r IS NOT NULL)))[1].i AS bi
+        FROM seg
+      ) WHERE bi IS NOT NULL
+    ),
+    wtok AS (
+      SELECT word, min(len(syms))::BIGINT AS n_tok FROM seg GROUP BY word
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             coalesce(text,''), '[ \t\n\r]+'), x -> x <> '')) AS word
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT t.doc_id, sum(w.n_tok)::BIGINT AS s
+      FROM toks t JOIN wtok w USING(word) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(p.s, 0)::BIGINT AS bpe_tokens
+    FROM documents d LEFT JOIN per_doc p USING(doc_id)
+    """
+
+
+@register("q85_bpe_token_count", _q85_sql())
 def q85(spark, sf_dir):
-    """Tokenizer-accurate token counts: BPE merges trained on the
-    corpus's exact word-frequency table (one groupBy — the sufficient
-    statistic, not a sample; driver loop bounded by max_words), applied
-    via an Arrow-batched mapInPandas with a per-batch word cache
-    (functions/bpe.py). Deterministic end to end: training ties pinned,
-    so re-runs and re-partitionings yield identical counts."""
-    from soda_core_spark.functions.bpe import bpe_token_counts, train_bpe
+    """Tokenizer-accurate token counts: a fixed import-time-learned BPE
+    merge table (ties pinned — bit-reproducible) applied via the
+    Arrow-batched mapInPandas with a per-batch word cache
+    (functions/bpe.py bpe_token_counts). The merge table is learned
+    from a literal word-frequency table so it is identical at every
+    scale factor; the DISTRIBUTED training table (the exact sufficient
+    statistic) is oracled separately as q126_bpe_training_table, and
+    corpus-trained end-to-end runs are pinned by tests/test_bpe.py."""
+    from soda_core_spark.functions.bpe import bpe_token_counts
 
     d = _t(spark, sf_dir, "documents")
-    merges = train_bpe(d, num_merges=200)
-    return bpe_token_counts(d, merges)
+    return bpe_token_counts(d, _q85_merges())
 
 
 # ---------------------------------------------------------------------------
@@ -6917,3 +6998,50 @@ def q125(spark, sf_dir):
             ),
         ).alias("hits_per_1000_tokens"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# BPE training table (functions/bpe.py corpus_word_counts) — the
+# distributed half of the tokenizer: the exact word-frequency
+# sufficient statistic the merge loop trains on.
+# ---------------------------------------------------------------------------
+
+_Q126_SQL = """
+SELECT w AS word, n
+FROM (
+  SELECT w, count(*)::BIGINT AS n
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+           '[ \t\n\r]+'), x -> x <> '')) AS w
+    FROM documents
+  )
+  GROUP BY w
+  ORDER BY n DESC, w
+  LIMIT 500
+)
+"""
+
+
+@register("q126_bpe_training_table", _Q126_SQL)
+def q126(spark, sf_dir):
+    """The BPE trainer's distributed sufficient statistic
+    (functions/bpe.py corpus_word_counts): distinct words with exact
+    corpus frequencies, capped to the top-N types by (count desc, word)
+    — one explode + map-side partial-agg groupBy + deterministic
+    TakeOrdered. Zipf's law puts ~all token mass in the head, so the
+    cap bounds the driver-side merge loop at any corpus size. This
+    oracles the training half of the tokenizer; q85 oracles the apply
+    half with a fixed merge table."""
+    from soda_core_spark.functions.text import words_col
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.explode(
+        words_col(F.coalesce(F.col("text"), F.lit("")))
+    ).alias("word")
+    return (
+        d.select(w)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(500)
+    )
