@@ -142,3 +142,8 @@ from soda_core_spark.operators.calibration import (  # noqa: F401
 )
 from soda_core_spark.sources.tables import read_documents_jsonl  # noqa: F401
 from soda_core_spark.functions.multimodal import decode_bmp  # noqa: F401
+from soda_core_spark.operators.semdedup import (  # noqa: F401
+    derive_k,
+    kmeans_fit_assign,
+    semdedup,
+)
