@@ -48,6 +48,11 @@ def build_session(app_name: str = "soda_core_spark", cpus: str | None = None):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # TIMESTAMP_MICROS (not Spark's legacy INT96 default): INT96
+        # columns carry NO footer min/max statistics, which silently
+        # disables the metadata-only freshness fast path on tables this
+        # engine writes; micros is also the modern cross-engine format
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -173,7 +178,9 @@ def contract_verify_main(args: argparse.Namespace) -> int:
                 )
                 return ExitCode.LOG_ERRORS
             try:
-                res = verify_contract_metadata_only(spark, contract, p)
+                res = verify_contract_metadata_only(
+                    spark, contract, p, data_timestamp=data_timestamp
+                )
             except Exception as e:
                 print(f"metadata verify failed: {e}", file=sys.stderr)
                 return ExitCode.LOG_ERRORS

@@ -811,6 +811,76 @@ def spark_type_canonical(dt: T.DataType) -> str:
     return _SPARK_TO_CANONICAL.get(type(dt), dt.simpleString())
 
 
+def schema_diff(
+    check: CheckSpec,
+    contract_columns,
+    actual_fields,
+    primary_keys,
+) -> tuple[int, dict]:
+    """The schema-check diff itself — declared contract columns vs an
+    actual field list (missing / extra / type mismatch / order /
+    primary key) — shared by the scan path (``ctx.df.schema.fields``)
+    and the metadata-only path (parquet footer schema converted to a
+    StructType), so the two can never disagree on semantics. Returns
+    ``(problems, diagnostics)``."""
+    declared = [(c.name, c) for c in contract_columns]
+    actual = {f.name: f.dataType for f in actual_fields}
+    actual_order = [f.name for f in actual_fields]
+
+    missing_cols = [n for n, _ in declared if n not in actual]
+    declared_names = {n for n, _ in declared}
+    extra_cols = (
+        [] if check.allow_extra_columns
+        else [n for n in actual_order if n not in declared_names]
+    )
+    type_mismatches = {}
+    for n, spec in declared:
+        if spec.data_type is not None and n in actual:
+            if not _declared_type_matches(spec, actual[n]):
+                type_mismatches[n] = {
+                    "expected": spec.data_type,
+                    "actual": actual[n].simpleString(),
+                }
+    order_mismatch = False
+    if not check.allow_other_column_order:
+        declared_seq = [n for n, _ in declared if n in actual]
+        actual_seq = [n for n in actual_order if n in declared_names]
+        order_mismatch = declared_seq != actual_seq
+
+    # primary key: declared `primary_key: true` columns vs the
+    # source's introspected key (Iceberg identifier fields; reference
+    # ColumnMetadata.is_primary_key + MetadataPrimaryKeysQuery).
+    # primary_keys None = source doesn't introspect (parquet,
+    # views) → record the declaration, compare nothing — the
+    # reference's own semantics for non-introspecting sources.
+    declared_pk = sorted(n for n, c in declared if c.is_primary_key)
+    pk_mismatch = None
+    if declared_pk and primary_keys is not None:
+        actual_pk = sorted(primary_keys)
+        if declared_pk != actual_pk:
+            pk_mismatch = {"expected": declared_pk, "actual": actual_pk}
+
+    problems = (
+        len(missing_cols) + len(extra_cols) + len(type_mismatches)
+        + (1 if order_mismatch else 0)
+        + (1 if pk_mismatch else 0)
+    )
+    diagnostics = {
+        "missingColumns": missing_cols,
+        "extraColumns": extra_cols,
+        "typeMismatches": type_mismatches,
+        "orderMismatch": order_mismatch,
+    }
+    if declared_pk:
+        diagnostics["declaredPrimaryKey"] = declared_pk
+        diagnostics["primaryKeyIntrospection"] = (
+            "unavailable" if primary_keys is None else "compared"
+        )
+    if pk_mismatch:
+        diagnostics["primaryKeyMismatch"] = pk_mismatch
+    return problems, diagnostics
+
+
 def plan_schema(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     """schema_check.py:83-262 — pure-Python diff of declared contract
     columns vs ``df.schema`` (missing / extra / type mismatch / order);
@@ -818,62 +888,10 @@ def plan_schema(check: CheckSpec, ctx: CheckContext) -> CheckPlan:
     StructType for free."""
 
     def evaluate(values: dict[str, Any], ctx: CheckContext) -> CheckResult:
-        declared = [(c.name, c) for c in ctx.contract.columns]
-        actual_fields = ctx.df.schema.fields
-        actual = {f.name: f.dataType for f in actual_fields}
-        actual_order = [f.name for f in actual_fields]
-
-        missing_cols = [n for n, _ in declared if n not in actual]
-        declared_names = {n for n, _ in declared}
-        extra_cols = (
-            [] if check.allow_extra_columns
-            else [n for n in actual_order if n not in declared_names]
+        problems, diagnostics = schema_diff(
+            check, ctx.contract.columns, ctx.df.schema.fields,
+            ctx.primary_keys,
         )
-        type_mismatches = {}
-        for n, spec in declared:
-            if spec.data_type is not None and n in actual:
-                if not _declared_type_matches(spec, actual[n]):
-                    type_mismatches[n] = {
-                        "expected": spec.data_type,
-                        "actual": actual[n].simpleString(),
-                    }
-        order_mismatch = False
-        if not check.allow_other_column_order:
-            declared_seq = [n for n, _ in declared if n in actual]
-            actual_seq = [n for n in actual_order if n in declared_names]
-            order_mismatch = declared_seq != actual_seq
-
-        # primary key: declared `primary_key: true` columns vs the
-        # source's introspected key (Iceberg identifier fields; reference
-        # ColumnMetadata.is_primary_key + MetadataPrimaryKeysQuery).
-        # ctx.primary_keys None = source doesn't introspect (parquet,
-        # views) → record the declaration, compare nothing — the
-        # reference's own semantics for non-introspecting sources.
-        declared_pk = sorted(n for n, c in declared if c.is_primary_key)
-        pk_mismatch = None
-        if declared_pk and ctx.primary_keys is not None:
-            actual_pk = sorted(ctx.primary_keys)
-            if declared_pk != actual_pk:
-                pk_mismatch = {"expected": declared_pk, "actual": actual_pk}
-
-        problems = (
-            len(missing_cols) + len(extra_cols) + len(type_mismatches)
-            + (1 if order_mismatch else 0)
-            + (1 if pk_mismatch else 0)
-        )
-        diagnostics = {
-            "missingColumns": missing_cols,
-            "extraColumns": extra_cols,
-            "typeMismatches": type_mismatches,
-            "orderMismatch": order_mismatch,
-        }
-        if declared_pk:
-            diagnostics["declaredPrimaryKey"] = declared_pk
-            diagnostics["primaryKeyIntrospection"] = (
-                "unavailable" if ctx.primary_keys is None else "compared"
-            )
-        if pk_mismatch:
-            diagnostics["primaryKeyMismatch"] = pk_mismatch
         res = _base_result(
             ctx,
             check,

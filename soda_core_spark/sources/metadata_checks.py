@@ -19,6 +19,17 @@ Semantics are deliberately conservative:
   filter / column_expression — exact from footer ``null_count`` when
   every row group carries it; any row group without the statistic →
   NOT_EVALUATED (never a guess).
+* ``freshness`` with no filter / column_expression — exact from the
+  footer MAX of the timestamp column (parquet min/max statistics for
+  timestamps are never truncated, unlike strings), with the identical
+  now − max(ts) unit-floor arithmetic as the scan path; any row group
+  without the statistic → NOT_EVALUATED.
+* ``schema`` — exact from the footer file schema converted to the same
+  ``StructType`` the scan would produce; the diff is the scan engine's
+  own :func:`~soda_core_spark.operators.checks.schema_diff`, so the two
+  paths cannot disagree. Multiple files must agree on their schema or
+  the check is NOT_EVALUATED (a mixed-schema directory has no single
+  answer without a scan's mergeSchema decision).
 * every other check type (or a missing check with custom semantics) →
   NOT_EVALUATED with a "requires a data scan" message — run the full
   engine for those; the result object says exactly which checks still
@@ -32,7 +43,10 @@ it would pass a full scan when the statistics cover it.
 from __future__ import annotations
 
 import glob
+import math
 import os
+from datetime import datetime, timezone
+from typing import Optional
 
 from pyspark.sql import SparkSession
 
@@ -134,6 +148,42 @@ def _bounds_only_invalid(check) -> tuple | None:
     return (lo, hi)
 
 
+def parquet_footer_schema(path: str):
+    """The files' Spark ``StructField`` list from footers only (no
+    scan), via the same arrow→Spark type mapping the scan reader uses.
+    Returns ``None`` when the directory's files disagree on schema —
+    a mixed directory has no single footer answer (the scan path's
+    result there depends on its merge policy, so guessing would break
+    the equal-to-full-scan guarantee)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    arrow_schema = None
+    for f in files:
+        s = pq.read_metadata(f).schema.to_arrow_schema()
+        if arrow_schema is None:
+            arrow_schema = s
+        elif not s.equals(arrow_schema):
+            return None
+    return list(from_arrow_schema(arrow_schema).fields)
+
+
+def _plain_freshness(check) -> bool:
+    """True when the footer MAX can stand in for the scan's MAX: no
+    filter, no column_expression (both would change which rows count)."""
+    return (
+        not getattr(check, "filter", None)
+        and not getattr(check, "column_expression", None)
+    )
+
+
 def _plain_missing(check) -> bool:
     """True when the check's missing semantics are exactly SQL NULL —
     the one definition footer null counts measure."""
@@ -147,14 +197,21 @@ def _plain_missing(check) -> bool:
 
 
 def verify_contract_metadata_only(
-    spark: SparkSession, contract: Contract, path: str
+    spark: SparkSession,
+    contract: Contract,
+    path: str,
+    data_timestamp: Optional[datetime] = None,
 ) -> ContractVerificationResult:
     """Evaluate the metadata-expressible subset of ``contract`` against
     the parquet footers at ``path`` (file or directory). Returns the
     standard result object; checks needing a data scan come back
-    NOT_EVALUATED with an explanatory message."""
+    NOT_EVALUATED with an explanatory message. ``data_timestamp`` is
+    freshness's "now" (same contract as the scan engine's): when a
+    freshness check's footer max IS available but the timestamp is not,
+    the check FAILS outright — the scan path's own semantics."""
     total, nulls = parquet_footer_stats(path)
     bounds = parquet_footer_bounds(path)
+    footer_fields = parquet_footer_schema(path)
     results: list[CheckResult] = []
     for check in contract.all_checks():
         ident = check_identity(
@@ -166,9 +223,75 @@ def verify_contract_metadata_only(
         )
         value = None
         message = None
+        forced_outcome = None
         diagnostics: dict = {"source": "parquet-footer"}
         if check.type == "row_count" and not getattr(check, "filter", None):
             value = float(total)
+        elif check.type == "schema":
+            if footer_fields is None:
+                message = (
+                    "files disagree on footer schema — requires a data "
+                    "scan (mergeSchema decides)"
+                )
+            else:
+                from soda_core_spark.operators.checks import schema_diff
+
+                problems, sdiag = schema_diff(
+                    check, contract.columns, footer_fields, None
+                )
+                value = float(problems)
+                diagnostics.update(sdiag)
+                # PASS iff every diff category is empty — the scan
+                # path's rule, not a numeric threshold
+                forced_outcome = (
+                    CheckOutcome.PASSED if problems == 0
+                    else (
+                        CheckOutcome.WARNED
+                        if check.level == "warn"
+                        else CheckOutcome.FAILED
+                    )
+                )
+        elif check.type == "freshness" and _plain_freshness(check):
+            b = bounds.get(check.column)
+            if b is None:
+                message = "footer min-max statistic unavailable"
+            elif not isinstance(b[1], datetime):
+                message = (
+                    f"column {check.column!r} footer max is not a timestamp"
+                )
+            else:
+                max_ts = b[1]
+                if max_ts.tzinfo is None:
+                    max_ts = max_ts.replace(tzinfo=timezone.utc)
+                now = data_timestamp
+                if now is not None and now.tzinfo is None:
+                    now = now.replace(tzinfo=timezone.utc)
+                if now is None:
+                    # scan-path semantics (freshness_check.py:208-209):
+                    # max is known, "now" is not → FAILED outright
+                    forced_outcome = CheckOutcome.FAILED
+                    message = (
+                        "freshness not computable: missing max timestamp "
+                        "or data_timestamp"
+                    )
+                    diagnostics["maxTimestamp"] = max_ts.isoformat()
+                else:
+                    from soda_core_spark.operators.checks import (
+                        _FRESHNESS_DIVISORS,
+                    )
+
+                    delta_s = (now - max_ts).total_seconds()
+                    value = float(
+                        math.floor(delta_s / _FRESHNESS_DIVISORS[check.unit])
+                    )
+                    diagnostics.update(
+                        {
+                            "maxTimestamp": max_ts.isoformat(),
+                            "now": now.isoformat(),
+                            "freshnessMs": int(delta_s * 1000),
+                            "unit": check.unit,
+                        }
+                    )
         elif check.type == "missing" and _plain_missing(check):
             nc = nulls.get(check.column) if check.column else None
             if check.column not in nulls:
@@ -205,7 +328,9 @@ def verify_contract_metadata_only(
                     )
         else:
             message = "requires a data scan (run verify_contract)"
-        if value is None:
+        if forced_outcome is not None:
+            outcome = forced_outcome
+        elif value is None:
             outcome = CheckOutcome.NOT_EVALUATED
         elif check.threshold.passes(value):
             outcome = CheckOutcome.PASSED
