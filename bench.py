@@ -170,6 +170,17 @@ def main() -> int:
         timings[name] = round(best_q, 3)
 
     total = round(sum(timings.values()), 3)
+    probe_after = host_probe_gbps()
+    steal_after = host_steal_pct()
+    # one adjudicable field: the run is "healthy" iff BOTH probes clear
+    # the same gates the builder's gated measurement scripts use
+    # (fresh-page ≥ 4 GB/s, steal ≤ 1 %) before AND after the timed
+    # section. healthy=false means absolute numbers from this run must
+    # not be compared against healthy-window rounds.
+    healthy = (
+        min(probe_before, probe_after) >= 4.0
+        and max(steal_before, steal_after) <= 1.0
+    )
     print(
         json.dumps(
             {
@@ -182,14 +193,15 @@ def main() -> int:
                 "pipeline_docs": res.n_input,
                 "pipeline_kept": res.n_kept,
                 "cpus": cpus,
-                # host-health flags: fresh-page fault-service GB/s before
+                "healthy": healthy,
+                # host-health detail: fresh-page fault-service GB/s before
                 # and after the timed section (healthy ≥ ~0.5; degraded
                 # windows explain slow absolute numbers — do not compare
                 # rounds across different regimes)
                 "host_probe_gbps": probe_before,
-                "host_probe_gbps_after": host_probe_gbps(),
+                "host_probe_gbps_after": probe_after,
                 "host_steal_pct": steal_before,
-                "host_steal_pct_after": host_steal_pct(),
+                "host_steal_pct_after": steal_after,
             }
         )
     )
