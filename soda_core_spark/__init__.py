@@ -147,3 +147,9 @@ from soda_core_spark.operators.semdedup import (  # noqa: F401
     kmeans_fit_assign,
     semdedup,
 )
+from soda_core_spark.operators.profiling import corpus_concentration  # noqa: F401
+from soda_core_spark.operators.similarity import (  # noqa: F401
+    decontaminate_embeddings,
+)
+from soda_core_spark.operators.dedup import boilerplate_ngrams  # noqa: F401
+from soda_core_spark.operators.attribution import fleiss_kappa  # noqa: F401

@@ -7045,3 +7045,213 @@ def q126(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("word"))
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus concentration (operators/profiling.py corpus_concentration)
+# ---------------------------------------------------------------------------
+
+_Q127_SQL = """
+WITH g AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'src0' ELSE source END AS g
+  FROM documents
+),
+c AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY g),
+t AS (
+  SELECT coalesce(sum(c), 0)::BIGINT AS topn_c
+  FROM (SELECT c FROM c ORDER BY c DESC, g LIMIT 3)
+),
+a AS (
+  SELECT sum(c)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_groups,
+         sum(c * c)::DOUBLE AS sq,
+         max(c)::DOUBLE AS top1
+  FROM c
+)
+SELECT n_docs, n_groups,
+       round(sq / (n_docs::DOUBLE * n_docs::DOUBLE), 6) AS hhi,
+       round(1.0 / (sq / (n_docs::DOUBLE * n_docs::DOUBLE)), 6)
+         AS effective_groups,
+       round(top1 / n_docs::DOUBLE, 6) AS top1_share,
+       round(topn_c::DOUBLE / n_docs::DOUBLE, 6) AS topn_share
+FROM a CROSS JOIN t
+"""
+
+
+@register("q127_corpus_concentration", _Q127_SQL)
+def q127(spark, sf_dir):
+    """Herfindahl–Hirschman corpus concentration over sources
+    (operators/profiling.py corpus_concentration): HHI, effective group
+    count (1/HHI), top-1 and top-3 shares in one |groups|-row groupBy +
+    one fused fold. Fixture folds every third document into 'src0' so
+    the distribution is deliberately skewed (a uniform fixture would
+    test nothing)."""
+    from soda_core_spark.operators.profiling import corpus_concentration
+
+    d = _t(spark, sf_dir, "documents")
+    skewed = d.select(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("src0"))
+        .otherwise(F.col("source"))
+        .alias("g")
+    )
+    return corpus_concentration(skewed, "g", top_n=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+def _q128_sql(dim: int = 64, tau: float = 0.8) -> str:
+    dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        " j -> c.e[j] * b.e[j]), (x, y) -> x + y)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    c AS (SELECT * FROM v WHERE vec_id % 7 <> 0),
+    b AS (SELECT * FROM v WHERE vec_id % 7 = 0),
+    scored AS (
+      SELECT c.vec_id,
+             round({dot} / ({nrm.format(v='c.e')} * {nrm.format(v='b.e')}),
+                   4) AS cs,
+             b.vec_id AS bid
+      FROM c CROSS JOIN b
+    ),
+    best AS (
+      SELECT vec_id,
+             max(cs) AS max_bench_cosine,
+             min(bid) FILTER (WHERE cs = (
+               SELECT max(cs) FROM scored s2 WHERE s2.vec_id = scored.vec_id
+             )) AS nearest_bench_id
+      FROM scored GROUP BY vec_id
+    )
+    SELECT vec_id, max_bench_cosine,
+           nearest_bench_id::BIGINT AS nearest_bench_id,
+           (max_bench_cosine >= {tau}) AS contaminated
+    FROM best
+    """
+
+
+@register("q128_embedding_decontamination", _q128_sql())
+def q128(spark, sf_dir):
+    """Embedding-space benchmark decontamination (operators/
+    similarity.py decontaminate_embeddings): flag corpus vectors whose
+    4dp-rounded cosine to ANY broadcast benchmark vector reaches the
+    threshold — the semantic complement of q34's n-gram
+    decontamination. Fixture: every 7th embedding is the 'benchmark',
+    the rest are the corpus. No corpus shuffle: benchmark broadcast,
+    per-row reduction in one partial aggregation."""
+    from soda_core_spark.operators.similarity import decontaminate_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 7 != 0)
+    bench = e.where(F.col("vec_id") % 7 == 0)
+    return decontaminate_embeddings(corpus, bench, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram census (operators/dedup.py boilerplate_ngrams)
+# ---------------------------------------------------------------------------
+
+_Q129_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[ \t\n\r]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gl
+  FROM toks
+),
+x AS (SELECT unnest(gl) AS ngram FROM grams)
+SELECT ngram, count(*)::BIGINT AS doc_frequency
+FROM x
+GROUP BY ngram
+HAVING count(*) >= 5
+ORDER BY doc_frequency DESC, ngram
+LIMIT 50
+"""
+
+
+@register("q129_boilerplate_ngrams", _Q129_SQL)
+def q129(spark, sf_dir):
+    """Corpus-wide boilerplate shingle census (operators/dedup.py
+    boilerplate_ngrams): the exact 3-token spans recurring across the
+    most documents — the discovery step feeding span removal (Lee et
+    al. 2022). Shingles are built and deduplicated per document with
+    pure array algebra before the explode, so only distinct (gram, doc)
+    pairs shuffle; the report is a bounded TakeOrdered."""
+    from soda_core_spark.operators.dedup import boilerplate_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_ngrams(d, n=3, min_doc_frequency=5, top=50)
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa (operators/attribution.py fleiss_kappa)
+# ---------------------------------------------------------------------------
+
+_Q130_SQL = """
+WITH flags AS (
+  SELECT (n_chars >= 400) AS a,
+         (len(list_filter(regexp_split_to_array(coalesce(text, ''),
+              '[ \t\n\r]+'), x -> x <> '')) >= 80) AS b,
+         (n_chars >= 250) AS c
+  FROM documents
+),
+votes AS (
+  SELECT (a::INT + b::INT + c::INT) AS k FROM flags
+  WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(k)::DOUBLE AS sk,
+         sum((k::DOUBLE * (k - 1)::DOUBLE
+              + (3 - k)::DOUBLE * (2 - k)::DOUBLE) / 6.0) AS sp
+  FROM votes
+)
+SELECT n, 3 AS m,
+       round(sk / (n * 3), 6) AS p_true,
+       round(sp / n, 6) AS p_bar,
+       round((sk / (n * 3)) * (sk / (n * 3))
+             + (1 - sk / (n * 3)) * (1 - sk / (n * 3)), 6) AS pe_bar,
+       CASE WHEN (sk / (n * 3)) * (sk / (n * 3))
+                 + (1 - sk / (n * 3)) * (1 - sk / (n * 3)) < 1.0
+         THEN round((sp / n - ((sk / (n * 3)) * (sk / (n * 3))
+                               + (1 - sk / (n * 3)) * (1 - sk / (n * 3))))
+                    / (1 - ((sk / (n * 3)) * (sk / (n * 3))
+                            + (1 - sk / (n * 3)) * (1 - sk / (n * 3)))), 6)
+       END AS kappa
+FROM agg
+"""
+
+
+@register("q130_fleiss_kappa", _Q130_SQL)
+def q130(spark, sf_dir):
+    """Fleiss' kappa across THREE keep-rule variants (operators/
+    attribution.py fleiss_kappa) — the multi-rater generalization of
+    q113's pairwise Cohen kappa for rule-pack panels. One fused
+    aggregate; NULL-vote rows excluded from every sum (the
+    decision_kappa NULL policy)."""
+    from soda_core_spark.operators.attribution import fleiss_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), "[ \\t\\n\\r]+"),
+        lambda w: w != "",
+    )
+    flags = d.select(
+        (F.col("n_chars") >= 400).alias("a"),
+        (F.size(words) >= 80).alias("b"),
+        (F.col("n_chars") >= 250).alias("c"),
+    )
+    return fleiss_kappa(flags, ["a", "b", "c"])

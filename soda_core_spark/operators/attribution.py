@@ -198,3 +198,59 @@ def decision_kappa(
         F.round(pe, 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def fleiss_kappa(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Fleiss' kappa over m >= 2 boolean decision columns — the
+    multi-rater generalization of :func:`decision_kappa`: when THREE or
+    more rule packs / model versions / annotators each emit a keep flag,
+    pairwise kappas don't summarize "do they measure the same thing";
+    Fleiss' chance-corrected agreement over the full panel does
+    (Fleiss 1971).
+
+    Per document with votes k of m for "true":
+    ``P_i = (k(k-1) + (m-k)(m-k-1)) / (m(m-1))``; κ = (P̄ − P̄_e)/(1 − P̄_e)
+    with ``P̄_e = p² + (1−p)²`` from the pooled true-share p. Returns one
+    row ``(n, m, p_true, p_bar, pe_bar, kappa)`` at 6 dp; NULL kappa
+    when P̄_e = 1 (all raters constant — undefined, not perfect).
+
+    NULL policy (same as :func:`decision_kappa`): a document where ANY
+    rater abstains (NULL) is excluded from n and every sum — a partial
+    panel carries no m-rater agreement evidence.
+
+    One fused aggregate pass over the corpus (the soda fused-metrics
+    shape): the per-row vote count k folds into Σk and ΣP_i, nothing
+    wider than one row ever shuffles."""
+    m = len(cols)
+    if m < 2:
+        raise ValueError(f"fleiss_kappa needs >= 2 columns, got {m}")
+    bs = [F.col(c).cast("boolean") for c in cols]
+    present = bs[0].isNotNull()
+    for b in bs[1:]:
+        present = present & b.isNotNull()
+    k = bs[0].cast("int")
+    for b in bs[1:]:
+        k = k + b.cast("int")
+    mm = float(m * (m - 1))
+    p_i = (
+        k.cast("double") * (k - 1).cast("double")
+        + (F.lit(m) - k).cast("double") * (F.lit(m - 1) - k).cast("double")
+    ) / F.lit(mm)
+    agg = df.where(present).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(k), F.lit(0)).cast("double").alias("__sk"),
+        F.coalesce(F.sum(p_i), F.lit(0.0)).alias("__sp"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("__sk") / (n * m)
+    p_bar = F.col("__sp") / n
+    pe = p * p + (1 - p) * (1 - p)
+    kappa = F.when(pe < 1.0, (p_bar - pe) / (1 - pe))
+    return agg.select(
+        "n",
+        F.lit(m).alias("m"),
+        F.round(p, 6).alias("p_true"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("pe_bar"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -1864,3 +1864,61 @@ def minhash_calibration(
             6,
         ).alias("avg_exact"),
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 8,
+    min_doc_frequency: int = 3,
+    top: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact n-token shingle census: the shingles that recur
+    across the MOST documents — cookie banners, nav bars, license
+    blurbs, chain letters — i.e. the boilerplate that motivates exact
+    substring deduplication (Lee et al. 2022, arXiv:2107.06499: memorized
+    duplicated spans dominate LM regurgitation). The census is the
+    DISCOVERY step: it tells you what to feed the span-removal pass
+    (``trim_repeated_spans``) and how much mass each boilerplate string
+    holds.
+
+    Returns up to ``top`` rows ``(ngram, doc_frequency)`` with
+    ``doc_frequency >= min_doc_frequency``, ordered (doc_frequency desc,
+    ngram) — a deterministic bounded report, not a corpus-sized frame.
+
+    Shape for scale: shingles are built per row with pure array algebra
+    (tokenize once, ``transform`` over start positions, ``slice`` +
+    ``concat_ws``), deduplicated WITHIN the document (``array_distinct``
+    — doc frequency counts each document once) BEFORE the explode, so
+    the shuffle carries distinct (gram, doc) pairs only; the groupBy is
+    partial-aggregated and the final report is a bounded TakeOrdered.
+    At extreme scale, pre-hash grams to 64-bit for the count pass and
+    re-join the top hashes for display — same two-pass trade as the
+    paragraph-dedup key path."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from soda_core_spark.functions.text import words_col
+
+    toks = words_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    t = F.col("__toks")
+    # guard: sequence(1, 0) DESCENDS in Spark (step defaults to -1 when
+    # start > stop), so a doc shorter than n tokens must yield [] here,
+    # not [1, 0] (which would slice from index 0 and throw)
+    starts = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    )
+    pairs = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.explode(grams).alias("ngram"))
+    )
+    return (
+        pairs.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_frequency"))
+        .where(F.col("doc_frequency") >= int(min_doc_frequency))
+        .orderBy(F.col("doc_frequency").desc(), F.col("ngram"))
+        .limit(int(top))
+    )

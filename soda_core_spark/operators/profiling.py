@@ -511,3 +511,52 @@ def zipf_fit(
         F.round(slope, 6).alias("zipf_slope"),
         F.round(r2, 6).alias("zipf_r2"),
     )
+
+
+def corpus_concentration(
+    df: DataFrame,
+    group_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Corpus-level concentration of documents over a grouping key
+    (host, registered domain, source) — the Herfindahl–Hirschman index
+    (HHI = Σ share_i², the antitrust-economics standard) plus its
+    reciprocal, the *effective number of groups* (1/HHI: a corpus with
+    HHI 0.01 behaves like 100 equal sources no matter how many it
+    nominally has), and the top-1 / top-``top_n`` shares. The question
+    this answers — "is my trillion-document crawl secretly an epoch of
+    five CDNs?" — is the corpus-wide complement of
+    :func:`group_diversity`'s per-shard entropy audit.
+
+    Returns ONE row: ``(n_docs, n_groups, hhi, effective_groups,
+    top1_share, topn_share)`` at 6 dp.
+
+    Shape for scale: one partial-aggregated groupBy to |groups| rows,
+    then one fused fold over that count table (the Σc² and Σc ride one
+    aggregate; the top-``top_n`` sum comes from a bounded TakeOrdered —
+    deterministic tie-break by (count desc, group) — never a global
+    sort). The corpus itself shuffles once, to |groups| rows."""
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = (
+        counts.orderBy(F.col("c").desc(), F.col("g"))
+        .limit(int(top_n))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("topn_c"))
+    )
+    agg = counts.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("__sq"),
+        F.max("c").cast("double").alias("__top1"),
+    )
+    n = F.col("n_docs").cast("double")
+    hhi = F.col("__sq") / (n * n)
+    return agg.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_groups",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.lit(1.0) / hhi, 6).alias("effective_groups"),
+        F.round(F.col("__top1") / n, 6).alias("top1_share"),
+        F.round(F.col("topn_c").cast("double") / n, 6).alias("topn_share"),
+    )

@@ -547,3 +547,62 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: Optional[str] = None,
+    bench_vec_col: Optional[str] = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of the n-gram path (``operators/dedup.py``
+    decontaminate): a training document is contaminated when its
+    embedding's cosine to ANY benchmark/eval embedding reaches
+    ``threshold``, catching paraphrased or reformatted eval leakage that
+    exact n-grams miss (the Phi/GPT-4 technical-report methodology).
+
+    Returns one row per corpus vector: ``(vec_id, max_bench_cosine,
+    nearest_bench_id, contaminated)``. Cosines are rounded to 4 dp
+    before the threshold compare (the SemDeDup boundary-pinning rule);
+    ``nearest_bench_id`` ties break to the LOWEST benchmark id, so the
+    report is reproducible across engines and partitionings.
+
+    Shape for scale: the benchmark side is BROADCAST — eval suites are
+    thousands of vectors, the corpus is the 10^12 side and streams
+    through one partition-local pass (no corpus shuffle, no window; the
+    per-corpus-row reduction over benchmark candidates happens inside
+    one partial aggregation). For benchmark sets too big to broadcast,
+    pre-bucket both sides with ``srp_bucket`` and run this per bucket —
+    the same escalation path as ``lsh_topk``."""
+    b = benchmark.select(
+        F.col(bench_id_col or id_col).alias("__bid"),
+        F.col(bench_vec_col or vec_col).alias("__bv"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv")
+    )
+    scored = c.join(F.broadcast(b)).select(
+        id_col,
+        F.round(cosine(F.col("__cv"), F.col("__bv")), 4).alias("__cs"),
+        F.col("__bid"),
+    )
+    # max_by struct: highest cosine first, then LOWEST bench id — one
+    # fused aggregate, deterministic under any partitioning
+    best = scored.groupBy(id_col).agg(
+        F.max("__cs").alias("max_bench_cosine"),
+        F.max(
+            F.struct(F.col("__cs").alias("s"), (-F.col("__bid")).alias("nb"))
+        ).alias("__best"),
+    )
+    return best.select(
+        id_col,
+        "max_bench_cosine",
+        (-F.col("__best.nb")).cast("long").alias("nearest_bench_id"),
+        (F.col("max_bench_cosine") >= F.lit(float(threshold))).alias(
+            "contaminated"
+        ),
+    )
