@@ -22,6 +22,7 @@ driver records.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import duckdb
@@ -104,6 +105,9 @@ def main(sf_dir: str, only: list[str] | None = None,
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
+        # default 1g driver heap OOMs on the sf1.0 (6M-lineitem) sweep;
+        # override with SPARK_GRAFT_MEM for bigger synthetic scales
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -153,3 +153,7 @@ from soda_core_spark.operators.similarity import (  # noqa: F401
 )
 from soda_core_spark.operators.dedup import boilerplate_ngrams  # noqa: F401
 from soda_core_spark.operators.attribution import fleiss_kappa  # noqa: F401
+from soda_core_spark.operators.calibration import (  # noqa: F401
+    classifier_reliability,
+)
+from soda_core_spark.operators.sampling import mixture_plan  # noqa: F401

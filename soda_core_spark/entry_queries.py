@@ -7255,3 +7255,123 @@ def q130(spark, sf_dir):
         (F.col("n_chars") >= 250).alias("c"),
     )
     return fleiss_kappa(flags, ["a", "b", "c"])
+
+
+# ---------------------------------------------------------------------------
+# Classifier reliability / ECE (operators/calibration.py)
+# ---------------------------------------------------------------------------
+
+_Q131_SQL = """
+WITH pts AS (
+  SELECT round((doc_id % 100) / 100.0, 6) AS s,
+         (((doc_id * 7) % 100) < (doc_id % 100)) AS y
+  FROM documents
+),
+b AS (
+  SELECT least(floor(s * 10), 9)::INT AS bin, s, y::INT AS y
+  FROM pts WHERE s IS NOT NULL AND y IS NOT NULL
+),
+g AS (
+  SELECT bin, count(*)::BIGINT AS n,
+         sum(s) / count(*) AS ms,
+         sum(y)::DOUBLE / count(*) AS pr
+  FROM b GROUP BY bin
+),
+t AS (SELECT sum(n)::DOUBLE AS nn, sum(n * abs(pr - ms)) AS gap FROM g)
+SELECT bin, n,
+       round(ms, 6) AS mean_score,
+       round(pr, 6) AS positive_rate,
+       round(abs(pr - ms), 6) AS abs_gap,
+       round(gap / nn, 6) AS ece
+FROM g CROSS JOIN t ORDER BY bin
+"""
+
+
+@register("q131_classifier_reliability", _Q131_SQL)
+def q131(spark, sf_dir):
+    """Reliability diagram + expected calibration error (operators/
+    calibration.py classifier_reliability): per score bin, mean
+    predicted score vs empirical positive rate, plus the Σ(n/N)·|gap|
+    ECE scalar — the gate between a distilled quality classifier (q72)
+    and using its scores as sampling weights. One groupBy to <=10 bins
+    + a broadcast 1-row fold. Fixture: a deterministic score ramp with
+    a label whose positive rate tracks the score."""
+    from soda_core_spark.operators.calibration import classifier_reliability
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    score = F.round((did % 100) / F.lit(100.0), 6)
+    label = ((did * 7) % 100) < (did % 100)
+    return classifier_reliability(
+        d.select(score.alias("s"), label.alias("y")),
+        F.col("s"), F.col("y"), n_bins=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture planning (operators/sampling.py mixture_plan)
+# ---------------------------------------------------------------------------
+
+_Q132_SQL = """
+WITH inv AS (
+  SELECT source, sum(n_chars)::BIGINT AS available_tokens
+  FROM documents GROUP BY source
+),
+w(source, weight) AS (
+  VALUES ('src0', round(0.5, 6)), ('src1', round(0.3, 6)),
+         ('extinct', round(0.2, 6))
+),
+j AS (
+  SELECT coalesce(i.source, w.source) AS source,
+         round(coalesce(w.weight, 0.0), 6) AS weight,
+         coalesce(i.available_tokens, 0)::BIGINT AS available_tokens
+  FROM inv i FULL OUTER JOIN w ON i.source = w.source
+),
+c AS (
+  SELECT source, weight, available_tokens,
+         weight * 200000.0 AS target,
+         available_tokens::DOUBLE AS avail
+  FROM j
+),
+p AS (
+  SELECT *,
+         CASE WHEN avail > 0 THEN target / avail END AS raw_epochs,
+         coalesce(CASE WHEN avail > 0 THEN target / avail END > 4.0,
+                  false) AS capped
+  FROM c
+)
+SELECT source, weight, available_tokens,
+       round(target, 6) AS target_tokens,
+       round(CASE WHEN capped THEN 4.0 * avail
+                  WHEN avail > 0 THEN target ELSE 0.0 END, 6)
+         AS planned_tokens,
+       round(CASE WHEN avail > 0 THEN
+               least((CASE WHEN capped THEN 4.0 * avail
+                           WHEN avail > 0 THEN target ELSE 0.0 END) / avail,
+                     1.0)
+             ELSE 0.0 END, 6) AS sampling_rate,
+       round(raw_epochs, 6) AS epochs,
+       capped
+FROM p ORDER BY source
+"""
+
+
+@register("q132_mixture_plan", _Q132_SQL)
+def q132(spark, sf_dir):
+    """Training-mixture planning table (operators/sampling.py
+    mixture_plan): per-source token inventory vs target mixture weights
+    — target/planned tokens, sampling rate, EPOCH count, and the
+    max-epochs upsampling cap (The Pile's epochs column as an
+    operator). Fixture: 50%/30% on two real sources plus 20% on an
+    extinct one; the 200k budget forces the epoch cap on the real
+    sources. One groupBy to |sources| rows + literal weight table."""
+    from soda_core_spark.operators.sampling import mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    inv = d.select("source", F.col("n_chars").alias("n_tokens"))
+    return mixture_plan(
+        inv,
+        weights={"src0": 0.5, "src1": 0.3, "extinct": 0.2},
+        token_budget=200_000,
+        max_epochs=4.0,
+    )

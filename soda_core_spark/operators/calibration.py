@@ -196,3 +196,64 @@ def calibrate_drop_thresholds(
         "rule_name string, signal string, direction string, "
         "threshold double, n_dropped long, realized_drop double",
     )
+
+
+def classifier_reliability(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    probability-score column against a boolean label — the QA step
+    between :func:`~soda_core_spark.operators.training.
+    distill_quality_classifier` and using its scores as sampling
+    weights: a distilled quality model that says 0.9 must be RIGHT
+    ~90 % of the time, or temperature sampling on its scores silently
+    reweights the corpus (Guo et al. 2017, arXiv:1706.04599).
+
+    Scores are rounded to 6 dp then bucketed into ``n_bins`` equal-width
+    bins (``floor(score·n)``, top edge clamped into the last bin — the
+    ``threshold_sweep`` exact-bucketing rule). Returns one row per
+    non-empty bin plus the scalar ECE repeated on each row (so the
+    report stays ONE frame)::
+
+        bin, n, mean_score, positive_rate, abs_gap, ece
+
+    with ``ece = Σ_b (n_b/N)·|positive_rate_b − mean_score_b|`` at 6 dp.
+
+    Shape for scale: one partial-aggregated groupBy to ≤ ``n_bins``
+    rows, one 1-row fold broadcast back — the corpus shuffles only to
+    the bin table."""
+    s6 = F.round(score.cast("double"), 6)
+    b = F.least(F.floor(s6 * n_bins).cast("int"), F.lit(n_bins - 1))
+    y = label.cast("boolean").cast("int")
+    bins = (
+        df.select(b.alias("bin"), s6.alias("__s"), y.alias("__y"))
+        .where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum("__s") / F.count(F.lit(1))).alias("__ms"),
+            (F.sum("__y") / F.count(F.lit(1))).alias("__pr"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n").cast("double").alias("__N"),
+        F.sum(
+            F.col("n").cast("double")
+            * F.abs(F.col("__pr") - F.col("__ms"))
+        ).alias("__gap"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("__ms"), 6).alias("mean_score"),
+            F.round(F.col("__pr"), 6).alias("positive_rate"),
+            F.round(F.abs(F.col("__pr") - F.col("__ms")), 6).alias("abs_gap"),
+            F.round(F.col("__gap") / F.col("__N"), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )

@@ -512,3 +512,81 @@ def padding_waste_report(
             6,
         ).alias("waste_frac"),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Training-mixture planning: given per-source token inventories and
+    target mixture weights, the table every corpus recipe publishes
+    (The Pile's epochs column, LLaMA's sampling proportions): how many
+    tokens each source contributes to a ``token_budget``-token run, the
+    sampling rate that achieves it, and the EPOCH count where the
+    target demands more tokens than the source holds (upsampling).
+    Sources in the data but not in ``weights`` get weight 0 (excluded,
+    reported); weights are renormalized over the sources present.
+
+    Returns one row per source in ``weights`` ∪ data::
+
+        source, weight, available_tokens, target_tokens,
+        planned_tokens, sampling_rate, epochs, capped
+
+    ``epochs = target/available`` (NULL when the source is absent from
+    the data); ``capped`` marks sources clipped by ``max_epochs`` — the
+    repeat ceiling after which published recipes redistribute or accept
+    a smaller run. ``planned_tokens`` is the post-cap allocation; its
+    sum is the achievable budget under the cap.
+
+    Shape for scale: ONE partial-aggregated groupBy to |sources| rows;
+    the weight table rides as literals; everything downstream is
+    arithmetic on that tiny frame. All ratios at 6 dp."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    spark = df.sparkSession
+    inv = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.coalesce(F.sum(F.col(token_col)), F.lit(0))
+        .cast("long")
+        .alias("available_tokens")
+    )
+    wdf = spark.createDataFrame(
+        [(s, float(w) / wsum) for s, w in sorted(weights.items())],
+        "source string, weight double",
+    )
+    j = inv.join(F.broadcast(wdf), "source", "full_outer").select(
+        "source",
+        F.round(F.coalesce(F.col("weight"), F.lit(0.0)), 6).alias("weight"),
+        F.coalesce(F.col("available_tokens"), F.lit(0))
+        .cast("long")
+        .alias("available_tokens"),
+    )
+    target = F.col("weight") * F.lit(float(token_budget))
+    avail = F.col("available_tokens").cast("double")
+    raw_epochs = F.when(avail > 0, target / avail)
+    capped = F.coalesce(raw_epochs > F.lit(float(max_epochs)), F.lit(False))
+    planned = F.when(
+        capped, F.lit(float(max_epochs)) * avail
+    ).otherwise(F.when(avail > 0, target).otherwise(F.lit(0.0)))
+    return j.select(
+        "source",
+        "weight",
+        "available_tokens",
+        F.round(target, 6).alias("target_tokens"),
+        F.round(planned, 6).alias("planned_tokens"),
+        F.round(
+            F.when(avail > 0, F.least(planned / avail, F.lit(1.0)))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("sampling_rate"),
+        F.round(raw_epochs, 6).alias("epochs"),
+        capped.alias("capped"),
+    ).orderBy("source")

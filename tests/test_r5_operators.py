@@ -169,3 +169,71 @@ def test_fleiss_kappa_m2_matches_cohen_direction(spark):
     fk = fleiss_kappa(df, ["a", "b"]).collect()[0]
     ck = decision_kappa(df, "a", "b").collect()[0]
     assert fk.kappa == pytest.approx(ck.kappa, abs=1e-6)
+
+
+def test_classifier_reliability_hand_values(spark):
+    from soda_core_spark.operators.calibration import classifier_reliability
+
+    # bin 0-0.5: 4 rows score .2, 1 positive (rate .25, gap .05)
+    # bin .5-1: 4 rows score .8, 4 positive (rate 1.0, gap .2)
+    rows = ([(0.2, True)] + [(0.2, False)] * 3 + [(0.8, True)] * 4)
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r.bin: r for r in classifier_reliability(
+        df, F.col("s"), F.col("y"), n_bins=2).collect()}
+    assert out[0].n == 4 and out[0].positive_rate == pytest.approx(0.25)
+    assert out[0].abs_gap == pytest.approx(0.05)
+    assert out[1].positive_rate == pytest.approx(1.0)
+    assert out[1].abs_gap == pytest.approx(0.2)
+    # ECE = (4/8)*.05 + (4/8)*.2 = 0.125, same scalar on every row
+    assert out[0].ece == pytest.approx(0.125)
+    assert out[1].ece == out[0].ece
+
+
+def test_classifier_reliability_top_edge_and_nulls(spark):
+    from soda_core_spark.operators.calibration import classifier_reliability
+
+    rows = [(1.0, True), (0.999, True), (None, True), (0.5, None)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = classifier_reliability(df, F.col("s"), F.col("y"),
+                                 n_bins=10).collect()
+    assert len(out) == 1  # NULL score / NULL label rows dropped
+    assert out[0].bin == 9  # score 1.0 clamps into the last bin
+    assert out[0].n == 2
+
+
+def test_mixture_plan_epochs_and_cap(spark):
+    from soda_core_spark.operators.sampling import mixture_plan
+
+    rows = [("web", 100), ("code", 100), ("books", 10)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {r.source: r for r in mixture_plan(
+        df, {"web": 0.5, "books": 0.5}, token_budget=100,
+        max_epochs=2.0).collect()}
+    web, books, code = out["web"], out["books"], out["code"]
+    # web: target 50 of 100 available → rate .5, epochs .5, uncapped
+    assert web.target_tokens == pytest.approx(50.0)
+    assert web.sampling_rate == pytest.approx(0.5)
+    assert web.epochs == pytest.approx(0.5) and not web.capped
+    # books: target 50 of 10 available → 5 epochs, capped at 2 → 20 toks
+    assert books.epochs == pytest.approx(5.0) and books.capped
+    assert books.planned_tokens == pytest.approx(20.0)
+    assert books.sampling_rate == pytest.approx(1.0)
+    # code: in data, not in weights → weight 0, nothing planned
+    assert code.weight == 0.0 and code.planned_tokens == 0.0
+
+
+def test_mixture_plan_renormalizes_and_reports_absent_source(spark):
+    from soda_core_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame([("a", 1000)], "source string, n_tokens long")
+    out = {r.source: r for r in mixture_plan(
+        df, {"a": 2.0, "ghost": 2.0}, token_budget=100).collect()}
+    assert out["a"].weight == pytest.approx(0.5)  # 2.0/4.0
+    g = out["ghost"]
+    assert g.available_tokens == 0 and g.planned_tokens == 0.0
+    assert g.epochs is None and not g.capped
+
+    with pytest.raises(ValueError):
+        mixture_plan(df, {}, token_budget=100)
+    with pytest.raises(ValueError):
+        mixture_plan(df, {"a": 1.0}, token_budget=0)
