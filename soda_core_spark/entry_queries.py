@@ -7144,14 +7144,16 @@ def q128(spark, sf_dir):
     4dp-rounded cosine to ANY broadcast benchmark vector reaches the
     threshold — the semantic complement of q34's n-gram
     decontamination. Fixture: every 7th embedding is the 'benchmark',
-    the rest are the corpus. No corpus shuffle: benchmark broadcast,
-    per-row reduction in one partial aggregation."""
+    the rest are the corpus. The registry pins the JVM join form (its
+    fold order is the oracle's, bit-exact); the zero-shuffle Arrow
+    default is pinned against it by tests/test_r5_operators.py."""
     from soda_core_spark.operators.similarity import decontaminate_embeddings
 
     e = _t(spark, sf_dir, "embeddings")
     corpus = e.where(F.col("vec_id") % 7 != 0)
     bench = e.where(F.col("vec_id") % 7 == 0)
-    return decontaminate_embeddings(corpus, bench, threshold=0.8)
+    return decontaminate_embeddings(corpus, bench, threshold=0.8,
+                                    method="join")
 
 
 # ---------------------------------------------------------------------------

@@ -549,6 +549,9 @@ def ivf_topk(
     )
 
 
+#: above this benchmark size the join path's corpus-sized shuffle and
+#: |c|·|b| intermediate rows dominate; the Arrow path computes each
+#: row's max in-batch with zero shuffle
 def decontaminate_embeddings(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -557,6 +560,7 @@ def decontaminate_embeddings(
     vec_col: str = "embedding",
     bench_id_col: Optional[str] = None,
     bench_vec_col: Optional[str] = None,
+    method: str = "arrow",
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic
     complement of the n-gram path (``operators/dedup.py``
@@ -571,13 +575,21 @@ def decontaminate_embeddings(
     ``nearest_bench_id`` ties break to the LOWEST benchmark id, so the
     report is reproducible across engines and partitionings.
 
-    Shape for scale: the benchmark side is BROADCAST — eval suites are
-    thousands of vectors, the corpus is the 10^12 side and streams
-    through one partition-local pass (no corpus shuffle, no window; the
-    per-corpus-row reduction over benchmark candidates happens inside
-    one partial aggregation). For benchmark sets too big to broadcast,
-    pre-bucket both sides with ``srp_bucket`` and run this per bucket —
-    the same escalation path as ``lsh_topk``."""
+    Two physical forms, identical results (pinned by
+    tests/test_r5_operators.py):
+
+    * ``method="arrow"`` (default): the benchmark ships to executors
+      ONCE as a Spark broadcast of a normalized numpy matrix; each Arrow
+      batch computes its rows' max cosine + argmax with one matmul —
+      ZERO shuffle, no |c|·|b| intermediate rows. At 10^12 corpus rows
+      this is the only shape that works: the join form below would
+      shuffle a corpus-sized aggregate (~tens of TB).
+    * ``method="join"``: broadcast-join + map-side-combined groupBy —
+      pure JVM (no Python workers), the DuckDB-oracle twin, right for
+      modest corpora or Python-less clusters.
+
+    For benchmark sets too big to broadcast, pre-bucket both sides with
+    ``srp_bucket`` and run per bucket — the ``lsh_topk`` escalation."""
     b = benchmark.select(
         F.col(bench_id_col or id_col).alias("__bid"),
         F.col(bench_vec_col or vec_col).alias("__bv"),
@@ -585,6 +597,10 @@ def decontaminate_embeddings(
     c = corpus.select(
         F.col(id_col), F.col(vec_col).alias("__cv")
     )
+    if method == "arrow":
+        return _decontaminate_arrow(c, b, threshold, id_col)
+    if method != "join":
+        raise ValueError(f"method must be arrow|join: {method}")
     scored = c.join(F.broadcast(b)).select(
         id_col,
         F.round(cosine(F.col("__cv"), F.col("__bv")), 4).alias("__cs"),
@@ -606,3 +622,64 @@ def decontaminate_embeddings(
             "contaminated"
         ),
     )
+
+
+def _decontaminate_arrow(
+    c: DataFrame, b: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Zero-shuffle decontamination: benchmark as a broadcast numpy
+    matrix, per-batch max-cosine + argmax via one matmul. The cosine is
+    rounded to 4 dp BEFORE the max/argmax (like the join path rounds
+    before its aggregate), and the argmax scans rounded values for the
+    FIRST maximum over benchmark rows sorted by id — the same
+    lowest-bench-id tie-break as the join path\'s max_by struct."""
+    import numpy as np
+
+    rows = b.orderBy("__bid").collect()  # eval suites: thousands of rows
+    if not rows:
+        raise ValueError("benchmark must be non-empty")
+    bids = np.asarray([r["__bid"] for r in rows], dtype=np.int64)
+    M = np.asarray([r["__bv"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    norms[norms == 0] = 1.0  # zero bench vector → cosine 0, not NaN
+    Mn = M / norms[:, None]
+    sc = c.sparkSession.sparkContext
+    bc = sc.broadcast((bids, Mn))
+    from pyspark.sql import types as T
+
+    id_field = c.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("max_bench_cosine", T.DoubleType()),
+            T.StructField("nearest_bench_id", T.LongType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+    tau = float(threshold)
+
+    def run(batches):
+        import pandas as pd
+
+        ids, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__cv"]]
+            )
+            en = np.sqrt((E * E).sum(axis=1))
+            en[en == 0] = 1.0
+            cs = np.round((E / en[:, None]) @ mat.T, 4)  # (n, |b|)
+            best = np.argmax(cs, axis=1)  # first max = lowest bench id
+            mx = cs[np.arange(len(pdf)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "max_bench_cosine": mx,
+                    "nearest_bench_id": ids[best],
+                    "contaminated": mx >= tau,
+                }
+            )
+
+    return c.mapInPandas(run, out_schema)

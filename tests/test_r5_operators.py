@@ -237,3 +237,48 @@ def test_mixture_plan_renormalizes_and_reports_absent_source(spark):
         mixture_plan(df, {}, token_budget=100)
     with pytest.raises(ValueError):
         mixture_plan(df, {"a": 1.0}, token_budget=0)
+
+
+def test_embedding_decontamination_arrow_join_parity(spark):
+    """The zero-shuffle Arrow path and the JVM join path must agree:
+    same flags, same nearest ids, same 4dp cosines (both round before
+    comparing, and random fixtures don't sit on rounding boundaries)."""
+    import random
+
+    from soda_core_spark.operators.similarity import decontaminate_embeddings
+
+    rng = random.Random(123)
+    mk = lambda i: [round(rng.uniform(-1, 1), 6) for _ in range(16)]  # noqa
+    corpus = spark.createDataFrame(
+        [(i, mk(i)) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, mk(i)) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {r.vec_id: (r.max_bench_cosine, r.nearest_bench_id, r.contaminated)
+         for r in decontaminate_embeddings(corpus, bench, threshold=0.5,
+                                           method="arrow").collect()}
+    j = {r.vec_id: (r.max_bench_cosine, r.nearest_bench_id, r.contaminated)
+         for r in decontaminate_embeddings(corpus, bench, threshold=0.5,
+                                           method="join").collect()}
+    assert a == j
+
+
+def test_embedding_decontamination_arrow_zero_shuffle(spark):
+    """The Arrow path's plan must contain NO shuffle exchange — that is
+    its entire reason to exist at 10^12 rows."""
+    from soda_core_spark.operators.similarity import decontaminate_embeddings
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    bench = spark.createDataFrame(
+        [(9, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    out = decontaminate_embeddings(corpus, bench, method="arrow")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    r = out.collect()[0]
+    assert r.nearest_bench_id == 9
