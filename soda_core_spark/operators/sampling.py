@@ -542,9 +542,11 @@ def mixture_plan(
     a smaller run. ``planned_tokens`` is the post-cap allocation; its
     sum is the achievable budget under the cap.
 
-    Shape for scale: ONE partial-aggregated groupBy to |sources| rows;
-    the weight table rides as literals; everything downstream is
-    arithmetic on that tiny frame. All ratios at 6 dp."""
+    Shape for scale: ONE partial-aggregated groupBy collapses the
+    corpus to |sources| rows; the weight table is a literal frame; the
+    full-outer join between them (full outer cannot broadcast) touches
+    only those source-grain frames, and everything downstream is
+    arithmetic on them. All ratios at 6 dp."""
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
     if not weights:

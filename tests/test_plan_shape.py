@@ -208,3 +208,43 @@ def test_readability_zero_shuffle(spark):
     plan = with_readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_corpus_concentration_no_python_broadcast_fold(spark):
+    """HHI report: codegen only (no Python nodes), and the bounded
+    top-N aggregate joins back via broadcast, never a shuffle of the
+    1-row frames against each other."""
+    from soda_core_spark.operators.profiling import corpus_concentration
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(corpus_concentration(d, "source", top_n=3))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_boilerplate_ngrams_no_python_partial_agg(spark):
+    """Shingle census: array algebra only (no Python); the doc-frequency
+    groupBy must partial-aggregate before its exchange so only distinct
+    (gram, doc)-collapsed counts shuffle."""
+    from soda_core_spark.operators.dedup import boilerplate_ngrams
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(boilerplate_ngrams(d, n=3, min_doc_frequency=2, top=10))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # partial_count before the exchange = map-side combine is in place
+    assert "partial_count" in plan
+
+
+def test_mixture_plan_corpus_reduces_before_join(spark):
+    """The corpus must collapse to |sources| rows via partial
+    aggregation BEFORE any join: the full-outer weight join (full outer
+    cannot broadcast — both sides need null-extension) may legitimately
+    sort-merge, but only over source-grain frames, never corpus rows."""
+    from soda_core_spark.operators.sampling import mixture_plan
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", F.col("n_chars").alias("n_tokens")
+    )
+    plan = _plan(mixture_plan(d, {"src0": 1.0}, token_budget=1000))
+    assert "partial_sum" in plan  # map-side combine to |sources| rows
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
