@@ -124,8 +124,19 @@ def embedding_near_duplicates(
     ``n_planes=0`` is the exact all-pairs baseline (only for small/test
     corpora — O(n²)). With ``n_planes>0`` candidates come from SRP
     buckets: the join shuffles on bucket id and only intra-bucket pairs
-    are scored — the scale path (recall < 1, tunable via n_planes)."""
+    are scored — the scale path (recall < 1, tunable via n_planes).
+
+    The exact path repartitions its stream side to the session's
+    default parallelism first: the non-equi self-join is a
+    BroadcastNestedLoopJoin whose task count is otherwise the SCAN
+    split count — a corpus in one parquet file would grind the O(n²)
+    pair work through 1-2 tasks while the rest of the cluster idles
+    (measured: the sf1.0 sweep's one straggler)."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_planes <= 0:
+        base = base.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     if n_planes > 0:
         planes = _random_planes(dim, n_planes, seed)
         base = base.withColumn("bucket", srp_bucket(F.col("v"), planes))
