@@ -7377,3 +7377,123 @@ def q132(spark, sf_dir):
         token_budget=200_000,
         max_epochs=4.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC of a quality score vs a reference keep label
+# (operators/calibration.py classifier_auc)
+# ---------------------------------------------------------------------------
+
+_Q133_SQL = """
+WITH pts AS (
+  SELECT round(nw / (nw + 100.0), 6) AS s, (n_chars >= 400) AS y
+  FROM (
+    SELECT len(list_filter(regexp_split_to_array(coalesce(text, ''),
+               '[ \t\n\r]+'), w -> w <> ''))::DOUBLE AS nw,
+           n_chars
+    FROM documents
+  )
+),
+g AS (
+  SELECT s, sum(y::INT)::BIGINT AS np, sum((NOT y)::INT)::BIGINT AS nn
+  FROM pts WHERE s IS NOT NULL AND y IS NOT NULL GROUP BY s
+),
+c AS (
+  SELECT np, nn,
+         np::HUGEINT * (2 * coalesce(sum(nn) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::HUGEINT
+           + nn::HUGEINT) AS u2
+  FROM g
+),
+f AS (
+  SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+         count(*)::BIGINT AS n_distinct_scores, sum(u2) AS u2
+  FROM c
+)
+SELECT n_pos, n_neg, n_distinct_scores,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+         THEN round(u2::DOUBLE
+                    / (2::HUGEINT * n_pos::HUGEINT * n_neg::HUGEINT)::DOUBLE,
+                    6)
+       END AS auc
+FROM f
+"""
+
+
+@register("q133_classifier_auc", _Q133_SQL)
+def q133(spark, sf_dir):
+    """Mann-Whitney ROC-AUC (operators/calibration.py classifier_auc)
+    of a saturating word-count quality score against the n_chars>=400
+    reference keep label — "does the cheap signal ORDER documents the
+    way the reference rule decides them?". Integer U statistic in
+    decimal(38,0) (exact past bigint at 10^12 docs), ONE double
+    division at the end; the only window runs over the bounded
+    distinct-score frame, never the corpus. Fixture deliberately
+    correlates the signals through text length, with heavy score ties
+    exercising the ½-tie term."""
+    from soda_core_spark.operators.calibration import classifier_auc
+
+    d = _t(spark, sf_dir, "documents")
+    nw = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "[ \\t\\n\\r]+"),
+            lambda w: w != "",
+        )
+    ).cast("double")
+    return classifier_auc(
+        d.select(nw.alias("__nw"), F.col("n_chars")),
+        F.round(F.col("__nw") / (F.col("__nw") + F.lit(100.0)), 6),
+        F.col("n_chars") >= 400,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank agreement between two quality signals
+# (operators/profiling.py spearman_correlation)
+# ---------------------------------------------------------------------------
+
+_Q134_SQL = """
+WITH rows_ AS (
+  SELECT n_chars::DOUBLE AS x,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+             '[ \t\n\r]+'), w -> w <> ''))::DOUBLE AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL
+),
+r AS (
+  SELECT rank() OVER (ORDER BY x)
+           + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY y)
+           + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+  FROM rows_
+)
+SELECT count(*)::BIGINT AS n, round(corr(rx, ry), 6) AS spearman_rho
+FROM r
+"""
+
+
+@register("q134_signal_correlation", _Q134_SQL)
+def q134(spark, sf_dir):
+    """Spearman rank correlation (operators/profiling.py
+    spearman_correlation) between character count and word count — the
+    redundancy check run before admitting a new signal to a rule pack
+    (rho ~ 1 means the new signal re-orders nothing). Average-rank tie
+    handling; ranks come from distinct-value count tables joined back,
+    NOT a corpus-wide per-row window (the oracle's naive per-row rank
+    window is the small-SF twin of that bounded plan)."""
+    from soda_core_spark.operators.profiling import spearman_correlation
+
+    d = _t(spark, sf_dir, "documents")
+    nw = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "[ \\t\\n\\r]+"),
+            lambda w: w != "",
+        )
+    ).cast("double")
+    return spearman_correlation(
+        d.where(F.col("n_chars").isNotNull()).select(
+            F.col("n_chars").alias("x_chars"), nw.alias("y_words")
+        ),
+        "x_chars",
+        "y_words",
+    )

@@ -560,3 +560,78 @@ def corpus_concentration(
         F.round(F.col("__top1") / n, 6).alias("top1_share"),
         F.round(F.col("topn_c").cast("double") / n, 6).alias("topn_share"),
     )
+
+def spearman_correlation(
+    df: DataFrame,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Spearman rank correlation between two per-document quality
+    signals — "do these two filters ORDER the corpus the same way?"
+    (rank agreement, invariant to any monotone recalibration of either
+    signal). The continuous complement to the boolean-decision
+    agreement checks (``decision_kappa`` / ``fleiss_kappa``): run it
+    before adding a new quality score to a rule pack — a signal with
+    ρ ≈ 1 against an existing one adds cost but no information, and a
+    distilled student should show ρ ≈ 1 against its teacher.
+
+    Standard tie handling: Pearson correlation over AVERAGE ranks
+    (``avg_rank = |values below| + (tie_size + 1)/2``).
+
+    Shape for scale — NO corpus-wide per-row rank window:
+
+    1. per signal, one partial-aggregated groupBy → one row per
+       DISTINCT value;
+    2. the cumulative count runs over that bounded distinct-value
+       frame (quality scores at 6 dp ⇒ ≤ 10^6 + 1 rows — the
+       ``classifier_auc`` bounded-window rule);
+    3. rank tables join back to the rows on the value key (AQE
+       broadcasts them when small), then ONE ``corr`` aggregate.
+
+    Average ranks are half-integers — exact in doubles to 2^52 — so
+    the only float work is the final correlation fold; rounded to 6 dp
+    for cross-engine stability. Rows where either signal is NULL are
+    excluded entirely (kappa NULL policy). Returns one row
+    ``(n, spearman_rho)``; ``rho`` is NULL when fewer than 2 rows or
+    either signal is constant."""
+    from pyspark.sql import Window
+
+    rows = df.select(
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def avg_ranks(col: str, out: str) -> DataFrame:
+        counts = rows.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        below = F.coalesce(F.sum("__c").over(w), F.lit(0)).cast("double")
+        return counts.select(
+            col,
+            (below + (F.col("__c").cast("double") + 1.0) / 2.0).alias(out),
+        )
+
+    ranked = (
+        rows.join(avg_ranks("__x", "__rx"), "__x")
+        .join(avg_ranks("__y", "__ry"), "__y")
+    )
+    # corr() itself raises DIVIDE_BY_ZERO under ANSI mode on a constant
+    # signal; build it from guarded covar/var components instead
+    # (population vs sample normalization cancels in the ratio)
+    fold = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.covar_pop("__rx", "__ry").alias("__cxy"),
+        F.var_pop("__rx").alias("__vx"),
+        F.var_pop("__ry").alias("__vy"),
+    )
+    return fold.select(
+        "n",
+        F.round(
+            F.when(
+                (F.col("__vx") > 0) & (F.col("__vy") > 0),
+                F.col("__cxy") / F.sqrt(F.col("__vx") * F.col("__vy")),
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
