@@ -147,13 +147,18 @@ from soda_core_spark.operators.semdedup import (  # noqa: F401
     kmeans_fit_assign,
     semdedup,
 )
-from soda_core_spark.operators.profiling import corpus_concentration  # noqa: F401
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    corpus_concentration,
+    spearman_correlation,
+    vocab_divergence,
+)
 from soda_core_spark.operators.similarity import (  # noqa: F401
     decontaminate_embeddings,
 )
 from soda_core_spark.operators.dedup import boilerplate_ngrams  # noqa: F401
 from soda_core_spark.operators.attribution import fleiss_kappa  # noqa: F401
 from soda_core_spark.operators.calibration import (  # noqa: F401
+    classifier_auc,
     classifier_reliability,
 )
 from soda_core_spark.operators.sampling import mixture_plan  # noqa: F401

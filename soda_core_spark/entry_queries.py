@@ -7497,3 +7497,68 @@ def q134(spark, sf_dir):
         "x_chars",
         "y_words",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source vocabulary divergence (operators/profiling.py
+# vocab_divergence)
+# ---------------------------------------------------------------------------
+
+_Q135_SQL = """
+WITH gt AS (
+  SELECT source AS g, tok, count(*)::BIGINT AS c
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(
+               lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> ''))
+             AS tok
+    FROM documents
+  ) GROUP BY source, tok
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, sum(c) AS tc FROM gt GROUP BY tok)
+  ORDER BY tc DESC, tok LIMIT 1000
+),
+folded AS (
+  SELECT g,
+         CASE WHEN v.tok IS NOT NULL THEN gt.tok ELSE '<oov>' END AS vt,
+         sum(c)::BIGINT AS c
+  FROM gt LEFT JOIN vocab v ON gt.tok = v.tok
+  GROUP BY 1, 2
+),
+totals AS (SELECT g, sum(c)::BIGINT AS t FROM folded GROUP BY g),
+cells AS (SELECT DISTINCT vt FROM folded),
+grid AS (
+  SELECT totals.g, cells.vt, totals.t, coalesce(f.c, 0)::BIGINT AS c
+  FROM totals CROSS JOIN cells
+  LEFT JOIN folded f ON f.g = totals.g AND f.vt = cells.vt
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.t AS ta, b.t AS tb,
+         a.c::DOUBLE / a.t AS pa, b.c::DOUBLE / b.t AS pb,
+         a.c AS ca, b.c AS cb
+  FROM grid a JOIN grid b ON a.vt = b.vt AND a.g < b.g
+)
+SELECT ga AS group_a, gb AS group_b,
+       max(ta)::BIGINT AS n_tokens_a, max(tb)::BIGINT AS n_tokens_b,
+       round(sum(
+         (CASE WHEN ca > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+        + CASE WHEN cb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END)
+         / 2.0), 6) AS jsd
+FROM pairs GROUP BY ga, gb ORDER BY ga, gb
+"""
+
+
+@register("q135_vocab_divergence", _Q135_SQL)
+def q135(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/profiling.py vocab_divergence) over the
+    global top-1000 vocabulary + an <oov> bucket — the corpus-mixing
+    diagnostic run before blending crawls (PSI's inter-source
+    complement). One corpus-wide (source, token) groupBy; every later
+    step is bounded by |sources|·1001 rows."""
+    from soda_core_spark.operators.profiling import vocab_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_divergence(d, group_col="source", text_col="text",
+                            top_k=1000)

@@ -635,3 +635,100 @@ def spearman_correlation(
             6,
         ).alias("spearman_rho"),
     )
+
+def vocab_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of corpus sources — "how far apart do these slices
+    speak?". The inter-source complement to
+    :func:`population_stability_index` (PSI tracks ONE feature drifting
+    over time; JSD compares whole vocabularies across slices) and the
+    standard diagnostic before mixing crawls: a source pair at
+    JSD ≈ ln 2 shares essentially no vocabulary, one at ≈ 0 is
+    redundant. Lin 1991 (IEEE Trans. IT 37:1); symmetric, bounded, no
+    unbounded KL terms.
+
+    Vocabulary is the global top-``top_k`` tokens by corpus count
+    (deterministic tie-break by token); everything else folds into one
+    ``<oov>`` bucket so every source's distribution sums to exactly 1
+    over ``top_k + 1`` cells and a token missing from one source is an
+    honest 0, not a dropped term (0-probability terms contribute 0 —
+    the JSD mixture keeps every log finite).
+
+    Shape for scale: ONE corpus-wide shuffle (the (group, token) count
+    groupBy with map-side combine); the vocabulary comes from a bounded
+    TakeOrdered over the token-marginal table; every later step —
+    grid completion, the pair self-join on the vocab key, the JSD fold
+    — runs on |groups|·(top_k+1) rows. Probabilities stay rational
+    (count/total) until the log fold; rounded to 6 dp. Returns one row
+    per unordered pair ``(group_a, group_b, n_tokens_a, n_tokens_b,
+    jsd)``, ordered by the pair."""
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[ \\t\\n\\r]+"),
+            lambda w: w != "",
+        )
+    ).alias("tok")
+    gt = (
+        df.select(F.col(group_col).alias("g"), toks)
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vocab = (
+        gt.groupBy("tok")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("tok"))
+        .limit(int(top_k))
+        .select("tok")
+    )
+    # fold out-of-vocabulary mass into one bucket, re-aggregate
+    folded = (
+        gt.join(F.broadcast(vocab.withColumn("__iv", F.lit(True))),
+                "tok", "left")
+        .select(
+            "g",
+            F.when(F.col("__iv").isNotNull(), F.col("tok"))
+            .otherwise(F.lit("<oov>")).alias("v"),
+            "c",
+        )
+        .groupBy("g", "v")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    totals = folded.groupBy("g").agg(F.sum("c").cast("long").alias("t"))
+    # complete grid: every (group, vocab-cell) — bounded, broadcast-sized
+    cells = folded.select("v").distinct()
+    grid = (
+        totals.crossJoin(F.broadcast(cells))
+        .join(folded, ["g", "v"], "left")
+        .select(
+            "g", "v", "t",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pa = F.col("a.c").cast("double") / F.col("a.t").cast("double")
+    pb = F.col("b.c").cast("double") / F.col("b.t").cast("double")
+    m = (pa + pb) / 2.0
+    term = (
+        F.when(F.col("a.c") > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("b.c") > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    ) / 2.0
+    return (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(
+            F.col("a.g").alias("group_a"),
+            F.col("b.g").alias("group_b"),
+        )
+        .agg(
+            F.max(F.col("a.t")).cast("long").alias("n_tokens_a"),
+            F.max(F.col("b.t")).cast("long").alias("n_tokens_b"),
+            F.round(F.sum(term), 6).alias("jsd"),
+        )
+        .orderBy("group_a", "group_b")
+    )

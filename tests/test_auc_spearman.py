@@ -165,3 +165,128 @@ def test_spearman_random_twin(spark):
     # both engines fold doubles in different orders; 6-dp twin may sit
     # on a rounding boundary — allow the last printed digit to differ
     assert abs(r["spearman_rho"] - twin) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# vocab_divergence
+# ---------------------------------------------------------------------------
+
+import math
+
+from soda_core_spark.operators.profiling import vocab_divergence
+
+
+def _jsd_twin(docs, top_k):
+    """Python twin: global top-k vocab + <oov>, pairwise JSD."""
+    from collections import Counter
+
+    per = {}
+    total = Counter()
+    for g, text in docs:
+        toks = [w for w in text.lower().split() if w]
+        per.setdefault(g, Counter()).update(toks)
+        total.update(toks)
+    vocab = set(
+        t for t, _ in sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :top_k
+        ]
+    )
+    folded = {
+        g: Counter(
+            {(t if t in vocab else "<oov>"): 0 for t in []}
+        )
+        for g in per
+    }
+    for g, cnt in per.items():
+        f = Counter()
+        for t, c in cnt.items():
+            f[t if t in vocab else "<oov>"] += c
+        folded[g] = f
+    cells = set()
+    for f in folded.values():
+        cells |= set(f)
+    out = {}
+    for ga in sorted(folded):
+        for gb in sorted(folded):
+            if ga >= gb:
+                continue
+            ta = sum(folded[ga].values())
+            tb = sum(folded[gb].values())
+            s = 0.0
+            for v in cells:
+                pa = folded[ga].get(v, 0) / ta
+                pb = folded[gb].get(v, 0) / tb
+                m = (pa + pb) / 2.0
+                if pa > 0:
+                    s += pa * math.log(pa / m) / 2.0
+                if pb > 0:
+                    s += pb * math.log(pb / m) / 2.0
+            out[(ga, gb)] = (ta, tb, round(s, 6))
+    return out
+
+
+def _run_jsd(spark, docs, top_k):
+    df = spark.createDataFrame(docs, ["source", "text"])
+    rows = vocab_divergence(df, "source", "text", top_k=top_k).collect()
+    return {
+        (r["group_a"], r["group_b"]): (
+            r["n_tokens_a"],
+            r["n_tokens_b"],
+            r["jsd"],
+        )
+        for r in rows
+    }
+
+
+def test_jsd_identical_sources_zero(spark):
+    docs = [("a", "x y z x"), ("b", "x y z x")]
+    got = _run_jsd(spark, docs, top_k=10)
+    assert got[("a", "b")][2] == 0.0
+
+
+def test_jsd_disjoint_sources_ln2(spark):
+    docs = [("a", "x x y"), ("b", "p q q")]
+    got = _run_jsd(spark, docs, top_k=10)
+    assert got[("a", "b")][2] == round(math.log(2.0), 6)
+
+
+def test_jsd_oov_fold_and_twin(spark):
+    # top_k=2 forces real <oov> mass; three sources → three pairs
+    docs = [
+        ("a", "the cat sat on the mat"),
+        ("a", "the dog sat"),
+        ("b", "the the the cat runs far away"),
+        ("c", "zebra quark boson lepton"),
+    ]
+    got = _run_jsd(spark, docs, top_k=2)
+    want = _jsd_twin(docs, top_k=2)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert abs(got[k][2] - want[k][2]) <= 1e-6, k
+
+
+def test_jsd_random_twin(spark):
+    rng = random.Random(777)
+    words = [f"w{i}" for i in range(30)]
+    docs = []
+    for g in ("s0", "s1", "s2"):
+        bias = int(g[1]) * 7
+        for _ in range(20):
+            n = rng.randrange(3, 15)
+            docs.append(
+                (
+                    g,
+                    " ".join(
+                        words[(rng.randrange(0, 30) + bias) % 30]
+                        for _ in range(n)
+                    ),
+                )
+            )
+    got = _run_jsd(spark, docs, top_k=10)
+    want = _jsd_twin(docs, top_k=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2]
+        assert abs(got[k][2] - want[k][2]) <= 1e-6
+        assert 0.0 <= got[k][2] <= round(math.log(2.0), 6)
