@@ -149,8 +149,10 @@ from soda_core_spark.operators.semdedup import (  # noqa: F401
 )
 from soda_core_spark.operators.profiling import (  # noqa: F401
     corpus_concentration,
+    robust_anomaly_days,
     spearman_correlation,
     vocab_divergence,
+    vocabulary_novelty,
 )
 from soda_core_spark.operators.similarity import (  # noqa: F401
     decontaminate_embeddings,

@@ -7562,3 +7562,114 @@ def q135(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return vocab_divergence(d, group_col="source", text_col="text",
                             top_k=1000)
+
+
+# ---------------------------------------------------------------------------
+# First-seen vocabulary curve (operators/profiling.py vocabulary_novelty)
+# ---------------------------------------------------------------------------
+
+_Q136_SQL = """
+WITH base AS (
+  SELECT (DATE '2026-01-01' + ((doc_id % 12)::INT) * INTERVAL 1 DAY)::DATE
+           AS day,
+         unnest(list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> ''))
+           AS tok
+  FROM documents
+),
+dt AS (SELECT DISTINCT day, tok FROM base),
+daily AS (
+  SELECT day, count(*)::BIGINT AS distinct_tokens FROM dt GROUP BY day
+),
+firsts AS (SELECT tok, min(day) AS day FROM dt GROUP BY tok),
+news AS (SELECT day, count(*)::BIGINT AS new_tokens FROM firsts GROUP BY day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       d.distinct_tokens,
+       coalesce(n.new_tokens, 0)::BIGINT AS new_tokens,
+       round(coalesce(n.new_tokens, 0)::DOUBLE / d.distinct_tokens, 6)
+         AS novelty_rate,
+       sum(coalesce(n.new_tokens, 0))
+         OVER (ORDER BY d.day)::BIGINT AS cum_vocab
+FROM daily d LEFT JOIN news n USING (day)
+ORDER BY day
+"""
+
+
+@register("q136_vocabulary_novelty", _Q136_SQL)
+def q136(spark, sf_dir):
+    """First-seen vocabulary curve (operators/profiling.py
+    vocabulary_novelty): per crawl day, distinct tokens, never-seen-
+    before tokens, novelty rate, and the cumulative vocabulary — the
+    Heaps-law monitor that catches a spam campaign or encoding
+    regression the day it lands. Fixture: 12 hash-derived crawl days
+    over documents. Two bounded groupBys (day+token dedup, first-seen
+    per token); the window runs over |days| rows."""
+    from soda_core_spark.operators.profiling import vocabulary_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    days = d.select(
+        F.date_add(
+            F.lit("2026-01-01").cast("date"),
+            (F.col("doc_id") % 12).cast("int"),
+        ).alias("day"),
+        "text",
+    )
+    return vocabulary_novelty(days, day_col="day", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) anomaly days (operators/profiling.py
+# robust_anomaly_days)
+# ---------------------------------------------------------------------------
+
+_Q137_SQL = """
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY key),
+cal AS (
+  SELECT key, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM spans
+),
+dense AS (
+  SELECT c.key, c.day, coalesce(d.n, 0)::BIGINT AS n
+  FROM cal c LEFT JOIN daily d ON d.key = c.key AND d.day = c.day
+),
+med AS (SELECT key, quantile_cont(n::DOUBLE, 0.5) AS med FROM dense GROUP BY key),
+mad AS (
+  SELECT dense.key,
+         quantile_cont(abs(dense.n::DOUBLE - med.med), 0.5) AS mad
+  FROM dense JOIN med ON dense.key = med.key
+  GROUP BY dense.key
+)
+SELECT dense.key, strftime(dense.day, '%Y-%m-%d') AS day, dense.n,
+       round(med.med, 6) AS med,
+       round(mad.mad, 6) AS mad,
+       CASE WHEN mad.mad > 0
+            THEN round(0.6745 * (dense.n::DOUBLE - med.med) / mad.mad, 6)
+       END AS robust_z,
+       CASE WHEN mad.mad > 0
+            THEN abs(0.6745 * (dense.n::DOUBLE - med.med) / mad.mad) > 3.5
+            ELSE dense.n::DOUBLE <> med.med
+       END AS is_anomaly
+FROM dense
+JOIN med ON dense.key = med.key
+JOIN mad ON dense.key = mad.key
+ORDER BY dense.key, dense.day
+"""
+
+
+@register("q137_anomaly_days", _Q137_SQL)
+def q137(spark, sf_dir):
+    """Median/MAD modified-z anomaly days per event type
+    (operators/profiling.py robust_anomaly_days): the robust
+    crawl-health monitor a one-day flood can't drag its own baseline
+    on, with per-key calendar densification so a SILENT day (collapsed
+    fetcher, n=0) is scored rather than invisible. Corpus collapses to
+    |keys x days| in one partial agg; exact median + MAD over that tiny
+    frame."""
+    from soda_core_spark.operators.profiling import robust_anomaly_days
+
+    e = _t(spark, sf_dir, "events")
+    return robust_anomaly_days(e, "ts", "event_type", threshold=3.5)

@@ -732,3 +732,155 @@ def vocab_divergence(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def vocabulary_novelty(
+    df: DataFrame,
+    day_col: str = "day",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-seen vocabulary curve: per crawl day, how many distinct
+    tokens the corpus used that day and how many of them had NEVER been
+    seen on an earlier day. A healthy crawl's novelty rate decays
+    smoothly (Heaps' law); a spike means a spam campaign, an encoding
+    regression, or a new-source onboarding dumped fresh vocabulary into
+    the mix — caught the day it happens, not after training. Complements
+    :func:`vocab_divergence` (space: which sources differ) with the time
+    axis (when did the vocabulary move).
+
+    Shape for scale: tokens dedup to (day, token) pairs in ONE
+    corpus-wide groupBy with map-side combine (a token repeated a
+    million times on one day crosses the shuffle once); first-seen is a
+    second groupBy keyed on token. Everything after runs on |days| rows;
+    the cumulative window is a single bounded calendar frame. Returns
+    one row per day: ``(day, distinct_tokens, new_tokens, novelty_rate,
+    cum_vocab)`` with ``day`` as an ISO string (cross-engine-stable),
+    ordered by day.
+    """
+    from pyspark.sql import Window
+
+    toks = F.explode(
+        F.filter(
+            F.split(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                "[ \\t\\n\\r]+",
+            ),
+            lambda w: w != "",
+        )
+    ).alias("tok")
+    dt = (
+        df.select(F.col(day_col).cast("date").alias("day"), toks)
+        .distinct()
+    )
+    daily = dt.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens")
+    )
+    news = (
+        dt.groupBy("tok")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_tokens"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    new_c = F.coalesce(F.col("new_tokens"), F.lit(0)).cast("long")
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            F.col("day"),
+            "distinct_tokens",
+            new_c.alias("new_tokens"),
+            F.round(
+                new_c.cast("double")
+                / F.col("distinct_tokens").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .withColumn(
+            "cum_vocab", F.sum("new_tokens").over(w).cast("long")
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "distinct_tokens",
+            "new_tokens",
+            "novelty_rate",
+            "cum_vocab",
+        )
+        .orderBy("day")
+    )
+
+
+def robust_anomaly_days(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Median/MAD anomaly detection over per-key daily event counts —
+    "which days did this host/type behave abnormally?". Mean/stddev
+    anomaly scoring (operators/history.py metric z-scores) is itself
+    dragged by the outliers it hunts; the modified z-score
+    0.6745·(n−median)/MAD (Iglewicz & Hoaglin 1993, threshold 3.5) is
+    the standard robust alternative — a one-day spam flood can't
+    inflate its own baseline.
+
+    The per-key calendar is DENSIFIED between that key's first and last
+    observed day: a silent day scores n=0 — a collapsed fetcher is
+    exactly the anomaly you want flagged, and an operator that only
+    scores days that produced rows can never see it. Days outside a
+    key's own observed span are not invented.
+
+    NULL policy (documented, not accidental): when MAD = 0 (more than
+    half the days sit exactly on the median) the score divides by zero
+    — ``robust_z`` is NULL and ``is_anomaly`` degrades to the exact
+    test ``n <> median``, so a constant-rate key flags any deviation
+    and never divides by zero.
+
+    Shape for scale: the corpus collapses to |keys × days| rows in one
+    partial-aggregated groupBy; densification explodes a bounded
+    per-key ``sequence(min_day, max_day)`` calendar; median and MAD are
+    two grouped exact percentiles over that tiny frame. Returns one row
+    per (key, day): ``(key, day, n, med, mad, robust_z, is_anomaly)``,
+    day as ISO string, ordered by (key, day).
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cal = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "key",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    dense = cal.join(daily, ["key", "day"], "left").select(
+        "key", "day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    med = dense.groupBy("key").agg(
+        F.percentile(F.col("n").cast("double"), F.lit(0.5)).alias("med")
+    )
+    with_med = dense.join(med, "key")
+    mad = with_med.groupBy("key").agg(
+        F.percentile(
+            F.abs(F.col("n").cast("double") - F.col("med")), F.lit(0.5)
+        ).alias("mad")
+    )
+    z = F.lit(0.6745) * (F.col("n").cast("double") - F.col("med")) / F.col(
+        "mad"
+    )
+    return (
+        with_med.join(mad, "key")
+        .select(
+            F.col("key"),
+            F.col("day").cast("string").alias("day"),
+            "n",
+            F.round(F.col("med"), 6).alias("med"),
+            F.round(F.col("mad"), 6).alias("mad"),
+            F.when(F.col("mad") > 0, F.round(z, 6)).alias("robust_z"),
+            F.when(F.col("mad") > 0, F.abs(z) > F.lit(float(threshold)))
+            .otherwise(F.col("n").cast("double") != F.col("med"))
+            .alias("is_anomaly"),
+        )
+        .orderBy("key", "day")
+    )
