@@ -157,7 +157,10 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
 from soda_core_spark.operators.similarity import (  # noqa: F401
     decontaminate_embeddings,
 )
-from soda_core_spark.operators.dedup import boilerplate_ngrams  # noqa: F401
+from soda_core_spark.operators.dedup import (  # noqa: F401
+    boilerplate_ngrams,
+    winnow_fingerprints,
+)
 from soda_core_spark.operators.attribution import fleiss_kappa  # noqa: F401
 from soda_core_spark.operators.calibration import (  # noqa: F401
     classifier_auc,

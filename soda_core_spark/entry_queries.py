@@ -7673,3 +7673,80 @@ def q137(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return robust_anomaly_days(e, "ts", "event_type", threshold=3.5)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (operators/dedup.py winnow_fingerprints)
+# ---------------------------------------------------------------------------
+
+_Q138_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[ \t\n\r]+'),
+                     x -> x <> '') AS wds
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(wds) >= 5 THEN
+           list_transform(range(1, len(wds) - 3),
+                          i -> array_to_string(wds[i:i+4], ' '))
+         ELSE []::VARCHAR[] END AS grams
+  FROM w
+),
+ex AS (
+  SELECT doc_id, gi - 1 AS pos, grams[gi] AS gram
+  FROM g, unnest(range(1, len(grams) + 1)) AS t(gi)
+),
+hx AS (
+  SELECT doc_id, pos, {_P_HASH_SQL.format(v='gram')} AS h
+  FROM ex
+),
+sel AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS mg
+  FROM hx
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM sel
+  WHERE pos <= mg - 4 OR (mg < 4 AND pos = 0)
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS nfp FROM fps GROUP BY doc_id),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 1000),
+cand AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM hot)),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_fps
+  FROM cand a JOIN cand b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT pr.doc_a, pr.doc_b, pr.shared_fps,
+       ta.nfp AS fp_a, tb.nfp AS fp_b,
+       round(pr.shared_fps::DOUBLE / least(ta.nfp, tb.nfp), 6)
+         AS containment
+FROM pr
+JOIN tot ta ON ta.doc_id = pr.doc_a
+JOIN tot tb ON tb.doc_id = pr.doc_b
+WHERE pr.shared_fps >= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("q138_winnow_pairs", _Q138_SQL)
+def q138(spark, sf_dir):
+    """Winnowing shared-passage pairs (operators/dedup.py
+    winnow_fingerprints; Schleimer-Wilkerson-Aiken 2003): k=5-token
+    grams, w=4 window minima, portable hash — documents sharing any
+    passage of >= w+k-1 = 8 tokens are GUARANTEED to collide on a
+    fingerprint while only ~2/(w+1) of positions are stored. The
+    quote/license/plagiarism detector that MinHash's whole-doc
+    similarity misses. Oracle rebuilds the same window minima with
+    DuckDB window functions over the same md5-derived 60-bit hashes."""
+    from soda_core_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(
+        d, k=5, w=4, min_shared=2, max_doc_freq=1000, hash="portable"
+    )

@@ -1922,3 +1922,127 @@ def boilerplate_ngrams(
         .orderBy(F.col("doc_frequency").desc(), F.col("ngram"))
         .limit(int(top))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    max_doc_freq: int | None = 1000,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): per document, hash every
+    ``k``-token gram, slide a ``w``-hash window over the gram-hash
+    stream, keep each window's MINIMUM, and join documents on shared
+    selected fingerprints. The property MinHash/SimHash can't offer:
+    a GUARANTEE — any common token run of length ≥ ``w + k - 1`` shares
+    at least one selected fingerprint (every length-w window inside the
+    run selects from the same hash stream), while only ~``2/(w+1)`` of
+    positions are ever stored. MinHash answers "are these documents
+    similar overall?"; winnowing answers "do they share any passage
+    longer than t?" — the plagiarism / license-text / quote-detection
+    primitive, positional and whole-doc-size-independent.
+
+    Documents shorter than ``w + k - 1`` tokens still emit one
+    fingerprint (the minimum over their full hash stream) so short
+    exact duplicates remain joinable; token-less documents emit none.
+
+    ``max_doc_freq`` is the standard posting cap (see
+    :func:`ngram_jaccard_all_pairs`): a fingerprint in f documents
+    creates f² join rows, and a boilerplate fingerprint across 10^8
+    pages is a join bomb — capped postings drop out of the pair join
+    (lowering shared counts for pairs that relied on them), pass
+    ``None`` for exact/oracle runs on bounded corpora. ``hash``:
+    ``"xxhash64"`` (production) or ``"portable"`` (md5-derived 60-bit,
+    engine-reproducible — oracle parity INCLUDING collisions).
+
+    Shape for scale: gram hashing is a linear posexplode (no per-doc
+    arrays on the heap — a 10^6-token page is 10^6 rows, not one 8 MB
+    array element); window minima via ONE window function partitioned
+    by doc id (shuffle key uniform, per-group size bounded by document
+    length, never corpus size); the pair stage is the inverted-index
+    self-join on selected fingerprints with the cap. Returns
+    ``(doc_a, doc_b, shared_fps, fp_a, fp_b, containment)`` where
+    ``containment = shared / min(fp_a, fp_b)``, ordered by the pair.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(t), "[ \\t\\n\\r]+"), lambda x: x != "")
+    m = F.size(words)
+    grams = F.when(
+        m >= k,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hx = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), grams.alias("g"))
+        .select("id", F.posexplode("g").alias("pos", "gram"))
+    )
+    if hash == "portable":
+        hx = hx.select("id", "pos", portable_token_hash(F.col("gram")).alias("h"))
+    elif hash == "xxhash64":
+        hx = hx.select("id", "pos", F.xxhash64("gram").alias("h"))
+    else:
+        raise ValueError(f"winnow_fingerprints: unknown hash {hash!r}")
+    frame = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    per_doc = Window.partitionBy("id")
+    sel = (
+        hx.withColumn("wmin", F.min("h").over(frame))
+        .withColumn("mg", F.count(F.lit(1)).over(per_doc))
+        .where(
+            (F.col("pos") <= F.col("mg") - w)
+            | ((F.col("mg") < w) & (F.col("pos") == 0))
+        )
+    )
+    fps = sel.select("id", F.col("wmin").alias("fp")).distinct()
+    # per-doc totals ride along as a window count (already partitioned by
+    # the distinct's shuffle) instead of a separate aggregate branch +
+    # two joins back; the posting filter mirrors ngram_jaccard's freq join
+    fps = fps.withColumn(
+        "nfp", F.count(F.lit(1)).over(Window.partitionBy("id")).cast("long")
+    )
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    cand = fps.join(freq, "fp").where(F.col("nd") >= 2)
+    if max_doc_freq is not None:
+        cand = cand.where(F.col("nd") <= int(max_doc_freq))
+    cand = cand.drop("nd")
+    a, b = cand.alias("a"), cand.alias("b")
+    shared = F.col("shared_fps")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_fps"),
+            F.max(F.col("a.nfp")).alias("fp_a"),
+            F.max(F.col("b.nfp")).alias("fp_b"),
+        )
+        .where(shared >= int(min_shared))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            "fp_a",
+            "fp_b",
+            F.round(
+                shared.cast("double")
+                / F.least(F.col("fp_a"), F.col("fp_b")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
