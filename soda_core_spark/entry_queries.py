@@ -7750,3 +7750,360 @@ def q138(spark, sf_dir):
     return winnow_fingerprints(
         d, k=5, w=4, min_shared=2, max_doc_freq=1000, hash="portable"
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of blocked near-dup candidates
+# (operators/dedup.py levenshtein_verify_pairs)
+# ---------------------------------------------------------------------------
+
+_Q139_SQL = """
+WITH norm AS (
+  SELECT doc_id, lang,
+         lower(regexp_replace(trim(coalesce(text, '')),
+                              '[ \t\n\r]+', ' ', 'g')) AS nt
+  FROM documents
+),
+blocked AS (
+  SELECT doc_id, lang, substring(nt, 1, 16) AS blk,
+         substring(nt, 1, 200) AS body
+  FROM norm
+),
+capped AS (
+  SELECT doc_id, lang, blk, body, strlen(body)::BIGINT AS blen
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang, blk ORDER BY doc_id) AS rn
+    FROM blocked
+  ) WHERE rn <= 50
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.body, b.body)::BIGINT AS lev,
+         round(1.0 - levenshtein(a.body, b.body)::DOUBLE
+               / greatest(a.blen, b.blen, 1), 6) AS similarity
+  FROM capped a JOIN capped b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE abs(a.blen - b.blen)::DOUBLE <= 0.2 * greatest(a.blen, b.blen)
+)
+SELECT doc_a, doc_b, lev, similarity FROM pairs
+WHERE similarity >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("q139_lev_verify", _Q139_SQL)
+def q139(spark, sf_dir):
+    """Exact edit-distance verification of blocked near-duplicate
+    candidates (operators/dedup.py levenshtein_verify_pairs): blocks on
+    (lang, 16-char normalized prefix) capped at 50 members, rejects
+    pairs JVM-side via the |len_a-len_b| <= (1-sim)*max lower bound,
+    then computes byte-level Levenshtein in a vectorized two-row-DP
+    pandas UDF. DuckDB's levenshtein() is byte-based too, so the oracle
+    is exact including non-ASCII."""
+    from soda_core_spark.operators.dedup import levenshtein_verify_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return levenshtein_verify_pairs(
+        d, group_col="lang", prefix_len=16, trunc=200, max_block=50,
+        min_similarity=0.8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate-share matrix (operators/dedup.py
+# cross_source_duplication)
+# ---------------------------------------------------------------------------
+
+_Q140_SQL = """
+WITH sfp AS (
+  SELECT DISTINCT source AS src,
+         md5(lower(regexp_replace(trim(coalesce(text, '')),
+                                  '[ \t\n\r]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+hot AS (SELECT fp FROM sfp GROUP BY fp HAVING count(*) > 64),
+kept AS (SELECT * FROM sfp WHERE fp NOT IN (SELECT fp FROM hot)),
+tot AS (SELECT src, count(*)::BIGINT AS nfp FROM kept GROUP BY src),
+pr AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*)::BIGINT AS shared_fps
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT pr.source_a, pr.source_b, pr.shared_fps,
+       ta.nfp AS fps_a, tb.nfp AS fps_b,
+       round(pr.shared_fps::DOUBLE / ta.nfp, 6) AS overlap_a,
+       round(pr.shared_fps::DOUBLE / tb.nfp, 6) AS overlap_b
+FROM pr
+JOIN tot ta ON ta.src = pr.source_a
+JOIN tot tb ON tb.src = pr.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("q140_cross_source_dup", _Q140_SQL)
+def q140(spark, sf_dir):
+    """Cross-source duplicate-share matrix (operators/dedup.py
+    cross_source_duplication): distinct (source, md5-fingerprint) pairs,
+    hot fingerprints (>64 sources) capped out before the fp self-join,
+    per-ordered-pair shared counts plus each side's inventory share.
+    The provenance input to mixture weighting — a source 80 % contained
+    in another must not be upweighted independently."""
+    from soda_core_spark.operators.dedup import cross_source_duplication
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_source_duplication(d, max_sources_per_fp=64)
+
+
+# ---------------------------------------------------------------------------
+# Per-document character entropy (operators/profiling.py char_entropy)
+# ---------------------------------------------------------------------------
+
+_Q141_SQL = """
+WITH chars AS (
+  SELECT doc_id, substring(coalesce(text, ''), i, 1) AS ch
+  FROM documents,
+       unnest(range(1, length(coalesce(text, '')) + 1)) AS t(i)
+),
+cnt AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch
+),
+tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY doc_id),
+ent AS (
+  SELECT c.doc_id,
+         max(t.n)::BIGINT AS n_cp,
+         count(*)::BIGINT AS distinct_cp,
+         round(sum(-(c.c::DOUBLE / t.n) * log2(c.c::DOUBLE / t.n)
+                   ORDER BY unicode(c.ch)), 6) AS entropy_bits
+  FROM cnt c JOIN tot t USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(e.n_cp, 0)::BIGINT AS n_cp,
+       coalesce(e.distinct_cp, 0)::BIGINT AS distinct_cp,
+       coalesce(e.entropy_bits, 0.0) AS entropy_bits
+FROM documents d LEFT JOIN ent e USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("q141_char_entropy", _Q141_SQL)
+def q141(spark, sf_dir):
+    """Per-document Shannon entropy over code points
+    (operators/profiling.py char_entropy) — the byte-junk detector
+    (base64/hex far above prose entropy, padding far below). Spark side
+    is ONE shuffle-free Arrow projection (np.unique per row); the
+    oracle's explode-per-character form is the local-SF twin of the
+    plan the Spark side must never run. Ordered aggregate (by code
+    point) reproduces the UDF's sorted summation order exactly."""
+    from soda_core_spark.operators.profiling import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy(d)
+
+
+# ---------------------------------------------------------------------------
+# Per-source lexical richness (operators/profiling.py vocab_stats)
+# ---------------------------------------------------------------------------
+
+_Q142_SQL = """
+WITH toks AS (
+  SELECT source AS "group",
+         unnest(list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> ''))
+           AS word
+  FROM documents
+),
+pw AS (SELECT "group", word, count(*)::BIGINT AS freq FROM toks GROUP BY 1, 2),
+st AS (
+  SELECT "group", sum(freq)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab_size,
+         sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count
+  FROM pw GROUP BY 1
+),
+g AS (SELECT DISTINCT source AS "group" FROM documents)
+SELECT g."group",
+       coalesce(st.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(st.vocab_size, 0)::BIGINT AS vocab_size,
+       round(coalesce(st.vocab_size::DOUBLE / st.n_tokens, 0.0), 6) AS ttr,
+       coalesce(st.hapax_count, 0)::BIGINT AS hapax_count,
+       round(coalesce(st.hapax_count::DOUBLE / st.vocab_size, 0.0), 6)
+         AS hapax_ratio
+FROM g LEFT JOIN st USING ("group")
+ORDER BY g."group"
+"""
+
+
+@register("q142_vocab_stats", _Q142_SQL)
+def q142(spark, sf_dir):
+    """Per-source lexical-richness profile (operators/profiling.py
+    vocab_stats): token count, vocabulary size, type-token ratio and
+    hapax share from ONE partial-aggregated (source, word) groupBy —
+    the shuffle carries |sources x vocab| rows, never |corpus tokens|.
+    Template farms score pathologically low TTR; OCR noise scores
+    pathologically high hapax share."""
+    from soda_core_spark.operators.profiling import vocab_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_stats(d, group_col="source", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes per-source keep-rate shrinkage
+# (operators/profiling.py shrunk_group_rate)
+# ---------------------------------------------------------------------------
+
+_Q143_SQL = """
+WITH g AS (
+  SELECT source AS "group", count(*)::BIGINT AS n,
+         sum(CASE WHEN coalesce(n_chars > 300, false)
+             THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM documents GROUP BY 1
+),
+r AS (SELECT *, k::DOUBLE / n AS rate FROM g),
+p AS (SELECT count(*) AS ng, avg(rate) AS m, var_pop(rate) AS s2 FROM r),
+nu AS (
+  SELECT CASE WHEN ng >= 2 AND s2 > 0 AND s2 < m * (1 - m)
+              THEN m * (1 - m) / s2 - 1 ELSE 0 END AS nu,
+         m
+  FROM p
+)
+SELECT "group", n, k, round(rate, 6) AS rate,
+       round((k + m * nu) / (n + nu), 6) AS shrunk_rate,
+       round(nu, 6) AS prior_strength
+FROM r CROSS JOIN nu ORDER BY "group"
+"""
+
+
+@register("q143_shrunk_rates", _Q143_SQL)
+def q143(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-source keep
+    rates (operators/profiling.py shrunk_group_rate) under a
+    minimum-length keep rule — the host/source reputation operator:
+    small hosts' rates pull toward the corpus prior by evidence mass
+    (method-of-moments Beta prior, posterior mean (k+a)/(n+nu)). One
+    corpus-collapsing groupBy; the prior is a scalar aggregate over
+    the |sources|-row frame broadcast back."""
+    from soda_core_spark.operators.profiling import shrunk_group_rate
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "kept", F.col("n_chars") > 300
+    )
+    return shrunk_group_rate(d, group_col="source", flag_col="kept")
+
+
+# ---------------------------------------------------------------------------
+# Adjacent-day exact Kolmogorov-Smirnov drift (operators/profiling.py
+# ks_drift)
+# ---------------------------------------------------------------------------
+
+_Q144_SQL = """
+WITH base AS (
+  SELECT strftime((DATE '2026-01-01'
+                   + ((doc_id % 12)::INT) * INTERVAL 1 DAY)::DATE,
+                  '%Y-%m-%d') AS day,
+         n_chars AS v
+  FROM documents WHERE n_chars IS NOT NULL
+),
+vals AS (SELECT day, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+tot AS (SELECT day, sum(c)::BIGINT AS n FROM vals GROUP BY 1),
+pairs AS (
+  SELECT cur.day AS day, cur.n AS n_cur, max(d.day) AS prev_day
+  FROM tot cur JOIN tot d ON d.day < cur.day
+  GROUP BY 1, 2
+),
+un AS (
+  SELECT p.day, v.v, v.c AS cp, 0::BIGINT AS cc
+  FROM pairs p JOIN vals v ON v.day = p.prev_day
+  UNION ALL
+  SELECT p.day, v.v, 0::BIGINT, v.c
+  FROM pairs p JOIN vals v ON v.day = p.day
+),
+grain AS (
+  SELECT day, v, sum(cp)::BIGINT AS cp, sum(cc)::BIGINT AS cc
+  FROM un GROUP BY 1, 2
+),
+cum AS (
+  SELECT day,
+         sum(cp) OVER (PARTITION BY day ORDER BY v) AS cum_p,
+         sum(cc) OVER (PARTITION BY day ORDER BY v) AS cum_c
+  FROM grain
+),
+meta AS (
+  SELECT p.day, t.n AS n_prev, p.n_cur
+  FROM pairs p JOIN tot t ON t.day = p.prev_day
+)
+SELECT c.day, m.n_prev, m.n_cur,
+       round(max(abs(c.cum_p::DOUBLE / m.n_prev
+                     - c.cum_c::DOUBLE / m.n_cur)), 6) AS ks
+FROM cum c JOIN meta m USING (day)
+GROUP BY 1, 2, 3 ORDER BY day
+"""
+
+
+@register("q144_ks_drift", _Q144_SQL)
+def q144(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift between every pair of
+    adjacent crawl days (operators/profiling.py ks_drift) over the
+    document length distribution — the binning-free complement to PSI
+    (q103/q112 family). Corpus collapses FIRST to (day, value, count)
+    grain; one cumsum window per day pair gives both exact ECDFs at
+    every observed value."""
+    from soda_core_spark.operators.profiling import ks_drift
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.date_format(
+            F.date_add(F.lit("2026-01-01"), (F.col("doc_id") % 12).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("n_chars").alias("score"),
+    )
+    return ks_drift(d, day_col="day", value_col="score")
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive (bag-of-words) duplicate classes
+# (operators/dedup.py bag_fingerprint_classes)
+# ---------------------------------------------------------------------------
+
+_Q145_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_filter(
+             regexp_split_to_array(lower(coalesce(text, '')), '[ \t\n\r]+'),
+             w -> w <> '')), ' ')) AS bag_fp
+  FROM documents
+),
+cl AS (
+  SELECT bag_fp, count(*)::BIGINT AS n_docs, min(doc_id) AS survivor_id
+  FROM fp GROUP BY 1 HAVING count(*) >= 2
+),
+sm AS (
+  SELECT bag_fp,
+         array_to_string((list_sort(list(doc_id)))[1:20], ',') AS sample_ids
+  FROM fp GROUP BY 1
+)
+SELECT cl.bag_fp, cl.n_docs, cl.survivor_id, sm.sample_ids
+FROM cl JOIN sm USING (bag_fp)
+ORDER BY bag_fp
+"""
+
+
+@register("q145_bag_dedup", _Q145_SQL)
+def q145(spark, sf_dir):
+    """Order-insensitive duplicate classes (operators/dedup.py
+    bag_fingerprint_classes): md5 over the SORTED token multiset —
+    catches shuffled-paragraph / reordered-template duplicates exact
+    dedup misses. Pure expression fingerprint (zero Python), one
+    partial-aggregated groupBy for class stats, map-side-limited
+    window for the bounded id sample."""
+    from soda_core_spark.operators.dedup import bag_fingerprint_classes
+
+    d = _t(spark, sf_dir, "documents")
+    out = bag_fingerprint_classes(d, min_class_size=2, max_ids=20)
+    return out.select(
+        "bag_fp",
+        "n_docs",
+        "survivor_id",
+        F.array_join(
+            F.transform(F.col("sample_ids"), lambda x: x.cast("string")), ","
+        ).alias("sample_ids"),
+    )

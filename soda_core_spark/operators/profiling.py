@@ -884,3 +884,296 @@ def robust_anomaly_days(
         )
         .orderBy("key", "day")
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character (code-point)
+    distribution — the cheap garbage detector: base64 blobs, hex dumps,
+    and minified payloads sit far ABOVE natural-language entropy
+    (~4.0-4.5 bits for English prose), while repeated-char padding and
+    template spam sit far BELOW it. C4/Gopher-style rule packs gate on
+    word-level signals; entropy catches byte-level junk those tokenizers
+    normalize away.
+
+    Shape for scale: entropy is a pure per-row function, so it runs as
+    ONE Arrow-batched pandas projection — zero shuffle, zero explode.
+    (The naive relational form — explode per character, groupBy
+    (doc, char) — shuffles ~|corpus chars| rows; at 10^12 documents that
+    is the single worst plan in the pipeline. The oracle uses that form
+    because DuckDB is local; the Spark side must not.) Per batch, each
+    text is mapped to its UTF-32 code-point array and counted with
+    ``np.unique`` — vectorized per row, no per-character Python.
+
+    Returns ``(id, n_cp, distinct_cp, entropy_bits)`` with entropy in
+    bits (log2) rounded 6 dp; empty/NULL text scores 0.0 with zero
+    counts. Accumulation is float64 over counts sorted by code point
+    (``np.unique`` returns sorted keys), giving a deterministic
+    summation order the oracle reproduces with an ORDER BY inside its
+    sum — both engines add the same doubles in the same order.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_cp: long, distinct_cp: long, entropy_bits: double>")
+    def _ent(texts):
+        import numpy as np
+
+        n = np.zeros(len(texts), dtype=np.int64)
+        k = np.zeros(len(texts), dtype=np.int64)
+        h = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            if t is None or len(t) == 0:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            _, counts = np.unique(cp, return_counts=True)
+            tot = float(cp.size)
+            p = counts.astype(np.float64) / tot
+            n[i] = cp.size
+            k[i] = counts.size
+            # sum in sorted-code-point order (np.unique order) so the
+            # oracle's ORDER BY-ed sum adds identical doubles
+            h[i] = round(float(-np.sum(p * np.log2(p))), 6)
+        return pd.DataFrame({"n_cp": n, "distinct_cp": k, "entropy_bits": h})
+
+    s = _ent(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        s["n_cp"].alias("n_cp"),
+        s["distinct_cp"].alias("distinct_cp"),
+        s["entropy_bits"].alias("entropy_bits"),
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source lexical-richness profile: token count, vocabulary
+    size, type-token ratio, and hapax-legomena share — the classic
+    corpus-linguistics fingerprint of a source. Template farms and
+    boilerplate mirrors show pathologically LOW TTR (few types, endless
+    tokens); OCR noise and spam show pathologically HIGH hapax share
+    (every "word" unique). Complements :func:`vocabulary_novelty`
+    (arrival-order curve) and :func:`zipf_fit` (rank-frequency slope)
+    with the two scalars mixture planners actually threshold on.
+
+    Tokens are the whitespace-split lowered words (empty strings
+    dropped). Plan: explode -> partial-aggregated groupBy
+    ((group, word) counts combine map-side, so the shuffle carries at
+    most |groups x vocab| rows, not |corpus tokens|) -> one tiny
+    per-group rollup. Returns ``(group, n_tokens, vocab_size, ttr,
+    hapax_count, hapax_ratio)``; ratios rounded 6 dp; groups whose
+    documents contain no tokens report zeros (ratio 0.0, not NULL).
+    """
+    words = F.explode(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[ \\t\\n\\r]+"),
+            lambda x: x != "",
+        )
+    ).alias("word")
+    per_word = (
+        df.select(F.col(group_col).alias("group"), words)
+        .groupBy("group", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    groups = df.select(F.col(group_col).alias("group")).distinct()
+    stats = per_word.groupBy("group").agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("freq") == 1).cast("long")).cast("long").alias("hapax_count"),
+    )
+    return (
+        groups.join(stats, "group", "left")
+        .select(
+            "group",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("vocab_size"), F.lit(0)).cast("long").alias("vocab_size"),
+            F.round(
+                F.coalesce(
+                    F.col("vocab_size").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("ttr"),
+            F.coalesce(F.col("hapax_count"), F.lit(0)).cast("long").alias("hapax_count"),
+            F.round(
+                F.coalesce(
+                    F.col("hapax_count").cast("double")
+                    / F.col("vocab_size").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
+def shrunk_group_rate(
+    df: DataFrame,
+    group_col: str = "source",
+    flag_col: str = "kept",
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-group pass
+    rates — the host/source-level decision input. Raw per-host
+    keep-rates are unusable for small hosts (one kept doc out of one
+    looks perfect); shrinking toward the corpus prior by evidence mass
+    is the standard fix (James-Stein / beta-binomial with
+    method-of-moments prior). A reputation system over crawl hosts is
+    exactly this operator.
+
+    Prior fit (method of moments over the UNWEIGHTED group rates
+    p_i = k_i/n_i): with m = mean(p_i) and s2 = population variance of
+    p_i, the prior strength is ``nu = m(1-m)/s2 - 1`` and the prior is
+    Beta(alpha = m*nu, beta = (1-m)*nu). Each group's posterior mean is
+    ``(k_i + alpha) / (n_i + nu)``. Degenerate-policy (documented, NOT
+    silent): if fewer than 2 groups, s2 == 0 (all rates equal) or
+    s2 >= m(1-m) (MoM invalid), shrinkage is a no-op and shrunk_rate
+    equals the raw rate, with ``prior_strength`` reported as 0.0.
+
+    Scale shape: ONE partial-aggregated groupBy collapses the corpus to
+    |groups| rows; the prior is a scalar aggregate over that tiny frame
+    cross-joined back (broadcast) — no second corpus scan, no window.
+    NULL flags count as False (missing evidence is not a pass).
+
+    Returns ``(group, n, k, rate, shrunk_rate, prior_strength)`` with
+    rates rounded 6 dp.
+
+    Reference parity: soda-core has no cross-dataset shrinkage; its
+    metric checks are per-dataset scalars (metric_check.py). This is
+    the training-pipeline extension for host-level filtering.
+    """
+    g = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.coalesce(F.col(flag_col).cast("boolean"), F.lit(False)).alias("__f"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__f").cast("long")).cast("long").alias("k"),
+        )
+        .withColumn("rate", F.col("k").cast("double") / F.col("n").cast("double"))
+    )
+    prior = g.agg(
+        F.count(F.lit(1)).alias("__ng"),
+        F.avg("rate").alias("__m"),
+        F.var_pop("rate").alias("__s2"),
+    )
+    nu = F.when(
+        (F.col("__ng") >= 2)
+        & (F.col("__s2") > 0.0)
+        & (F.col("__s2") < F.col("__m") * (F.lit(1.0) - F.col("__m"))),
+        F.col("__m") * (F.lit(1.0) - F.col("__m")) / F.col("__s2") - F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    joined = g.crossJoin(F.broadcast(prior.select(nu.alias("__nu"), F.col("__m"))))
+    shrunk = (
+        F.col("k").cast("double") + F.col("__m") * F.col("__nu")
+    ) / (F.col("n").cast("double") + F.col("__nu"))
+    return joined.select(
+        "group",
+        "n",
+        "k",
+        F.round("rate", 6).alias("rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round("__nu", 6).alias("prior_strength"),
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    day_col: str = "day",
+    value_col: str = "score",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between EVERY
+    adjacent pair of days — the distribution-drift tripwire run on each
+    crawl increment (PSI needs binning choices; KS is the
+    assumption-free exact complement: max ECDF gap, any shape).
+    NULL values are excluded; a day pair is emitted only when both days
+    have at least one value.
+
+    Scale shape: the corpus collapses FIRST to value grain — one
+    partial-aggregated groupBy to (day, value, count) — so everything
+    after is bounded by |days x distinct values|, never row count. Each
+    day's counts meet the next day's in a full-outer join on value
+    (a day-pair key ``day`` = the later day), then one window cumsum
+    per pair ordered by value gives both ECDFs and
+    ``ks = max |F_prev(v) - F_cur(v)|`` evaluated at every observed
+    value — exact, no sampling, no bins.
+
+    Returns ``(day, n_prev, n_cur, ks)`` ordered by day (the LATER day
+    of each pair), ks rounded 6 dp.
+    """
+    vals = (
+        df.select(F.col(day_col).alias("day"), F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("day", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = vals.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
+    days = tot.select(F.col("day").alias("__d")).distinct()
+    # adjacent-pair frame: later day "day" paired with the max earlier day
+    pairs = (
+        tot.alias("cur")
+        .join(
+            days.where(F.col("__d").isNotNull()),
+            F.col("__d") < F.col("cur.day"),
+        )
+        .groupBy(F.col("cur.day").alias("day"), F.col("cur.n").alias("n_cur"))
+        .agg(F.max("__d").alias("prev_day"))
+    )
+    left = vals.select(
+        F.col("day").alias("prev_day"), F.col("v"), F.col("c").alias("c_prev")
+    )
+    right = vals.select(
+        F.col("day").alias("day"), F.col("v"), F.col("c").alias("c_cur")
+    )
+    # a full-outer join on (day, v) would lose pair metadata on
+    # right-only rows; union the two sides under the pair key instead,
+    # then one cumsum window gives both ECDFs at every observed value
+    lrows = pairs.join(left, "prev_day").select(
+        "day", "v", F.col("c_prev").alias("cp"), F.lit(0).alias("cc")
+    )
+    rrows = pairs.join(right, "day").select(
+        "day", "v", F.lit(0).alias("cp"), F.col("c_cur").alias("cc")
+    )
+    from pyspark.sql import Window
+
+    grain = (
+        lrows.unionByName(rrows)
+        .groupBy("day", "v")
+        .agg(F.sum("cp").cast("long").alias("cp"), F.sum("cc").cast("long").alias("cc"))
+    )
+    w = Window.partitionBy("day").orderBy("v")
+    cum = grain.select(
+        "day",
+        F.sum("cp").over(w).alias("cum_p"),
+        F.sum("cc").over(w).alias("cum_c"),
+    )
+    meta = pairs.join(
+        F.broadcast(
+            tot.select(F.col("day").alias("prev_day"), F.col("n").alias("n_prev"))
+        ),
+        "prev_day",
+    ).select("day", "n_prev", "n_cur")
+    return (
+        cum.join(F.broadcast(meta), "day")
+        .groupBy("day", "n_prev", "n_cur")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_p").cast("double") / F.col("n_prev").cast("double")
+                        - F.col("cum_c").cast("double") / F.col("n_cur").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks")
+        )
+        .orderBy("day")
+    )

@@ -248,3 +248,93 @@ def test_mixture_plan_corpus_reduces_before_join(spark):
     plan = _plan(mixture_plan(d, {"src0": 1.0}, token_budget=1000))
     assert "partial_sum" in plan  # map-side combine to |sources| rows
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_char_entropy_zero_shuffle_one_arrow(spark):
+    """Per-doc entropy is a pure projection: no Exchange anywhere and
+    exactly ONE Arrow node (the naive explode-per-char + groupBy form
+    would shuffle |corpus chars| rows — the oracle-only plan)."""
+    from soda_core_spark.operators.profiling import char_entropy
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(char_entropy(d))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_lev_single_arrow_node_prefilter_jvm_side(spark):
+    """Exactly ONE Arrow node (the asNondeterministic fence stops
+    Catalyst inlining the DP into both the filter and the projection),
+    and the abs(len diff) budget prefilter evaluates JVM-side inside
+    the join, i.e. textually BELOW the Arrow node in the printed plan
+    (parents print first)."""
+    from soda_core_spark.operators.dedup import levenshtein_verify_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(levenshtein_verify_pairs(d))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "abs(" in plan
+    assert plan.index("abs(") > plan.index("ArrowEvalPython")
+
+
+def test_vocab_stats_partial_agg_no_python(spark):
+    """(group, word) counts combine map-side so the shuffle carries at
+    most |groups x vocab| rows; no Python anywhere."""
+    from soda_core_spark.operators.profiling import vocab_stats
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(vocab_stats(d))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+
+
+def test_cross_source_dup_broadcasts_totals(spark):
+    """The per-source inventory totals (|sources| rows) broadcast onto
+    the pair counts; no Python; distinct collapses before the self-join."""
+    from soda_core_spark.operators.dedup import cross_source_duplication
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(cross_source_duplication(d))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_shrunk_rate_collapses_then_broadcasts_prior(spark):
+    """Corpus collapses to |groups| rows via partial aggregation; the
+    scalar prior broadcasts back; zero Python."""
+    from soda_core_spark.operators.profiling import shrunk_group_rate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", (F.col("n_chars") > 300).alias("kept")
+    )
+    plan = _plan(shrunk_group_rate(d, "source", "kept"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_ks_drift_value_grain_before_window(spark):
+    """The corpus reduces to (day, value, count) grain via partial
+    aggregation BEFORE any window/join; zero Python."""
+    from soda_core_spark.operators.profiling import ks_drift
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        (F.col("doc_id") % 12).cast("string").alias("day"),
+        F.col("n_chars").alias("score"),
+    )
+    plan = _plan(ks_drift(d))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+
+
+def test_bag_dedup_mapside_window_limit(spark):
+    """The id sample is bounded map-side: a partial WindowGroupLimit
+    precedes the exchange, so giant classes never ship whole; zero
+    Python; class stats partial-aggregate."""
+    from soda_core_spark.operators.dedup import bag_fingerprint_classes
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bag_fingerprint_classes(d))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "partial_count" in plan
