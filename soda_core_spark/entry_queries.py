@@ -8107,3 +8107,52 @@ def q145(spark, sf_dir):
             F.transform(F.col("sample_ids"), lambda x: x.cast("string")), ","
         ).alias("sample_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-fair per-group threshold calibration
+# (operators/calibration.py calibrate_group_thresholds)
+# ---------------------------------------------------------------------------
+
+_Q146_SQL = """
+WITH s AS (
+  SELECT lang AS "group", n_chars::DOUBLE AS v FROM documents
+),
+t AS (
+  SELECT "group", round(quantile_cont(v, 0.1), 6) AS threshold,
+         count(*)::BIGINT AS n
+  FROM s GROUP BY 1
+),
+d AS (
+  SELECT s."group", s.v < t.threshold AS bad
+  FROM s JOIN t USING ("group")
+)
+SELECT t."group", t.threshold, t.n,
+       coalesce(dd.n_dropped, 0)::BIGINT AS n_dropped,
+       round(coalesce(dd.n_dropped, 0)::DOUBLE / t.n, 6) AS realized_drop
+FROM t
+LEFT JOIN (
+  SELECT "group", sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+  FROM d GROUP BY 1
+) dd USING ("group")
+ORDER BY t."group"
+"""
+
+
+@register("q146_group_calibration", _Q146_SQL)
+def q146(spark, sf_dir):
+    """Language-fair threshold calibration (operators/calibration.py
+    calibrate_group_thresholds): per-language exact 10% quantile cut on
+    document length plus each language's realized drop — the fix for
+    global thresholds silently deleting whole languages whose signal
+    distribution sits lower. Two grouped scans: one percentile agg,
+    one broadcast-join + drop count."""
+    from soda_core_spark.operators.calibration import (
+        calibrate_group_thresholds,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return calibrate_group_thresholds(
+        d, group_col="lang", signal_col="n_chars",
+        direction="low", target_drop=0.1,
+    )

@@ -343,3 +343,69 @@ def classifier_auc(
             ),
         ).alias("auc"),
     )
+
+
+def calibrate_group_thresholds(
+    df: DataFrame,
+    group_col: str,
+    signal_col: str,
+    direction: str = "low",
+    target_drop: float = 0.05,
+) -> DataFrame:
+    """Language-fair (per-group) threshold calibration: the per-GROUP
+    exact quantile cut that targets ``target_drop`` within each group,
+    plus each group's realized drop. A single global threshold on a
+    length/quality signal silently deletes whole languages whose signal
+    distribution sits lower (CJK character counts, agglutinative word
+    counts) — C4/FineWeb-style pipelines condition thresholds on
+    language for exactly this reason; this derives those per-language
+    operating points from the corpus itself.
+
+    Same two-scan shape as :func:`calibrate_drop_thresholds`, grouped:
+    pass 1 is ONE partial-aggregated groupBy computing each group's
+    exact interpolated percentile (Spark SQL ``percentile``) and row
+    count; pass 2 broadcast-joins that |groups|-row threshold table
+    back and counts realized drops in ONE more grouped aggregate. NULL
+    signal values are ignored by the percentile and never dropped by
+    the count.
+
+    ``direction``: ``"low"`` drops values strictly below the
+    ``target_drop`` quantile; ``"high"`` drops values strictly above
+    the ``1 - target_drop`` quantile. Returns
+    ``(group, threshold, n, n_dropped, realized_drop)`` with threshold
+    and realized_drop at 6 dp.
+    """
+    if direction not in ("low", "high"):
+        raise ValueError(f"direction must be 'low'|'high', got {direction!r}")
+    if not 0.0 < target_drop < 1.0:
+        raise ValueError(f"target_drop must be in (0,1), got {target_drop}")
+    p = target_drop if direction == "low" else 1.0 - target_drop
+    s = df.select(
+        F.col(group_col).alias("group"),
+        F.col(signal_col).cast("double").alias("__v"),
+    )
+    t = s.groupBy("group").agg(
+        F.round(F.percentile(F.col("__v"), F.lit(p)), 6).alias("threshold"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    bad = (
+        F.col("__v") < F.col("threshold")
+        if direction == "low"
+        else F.col("__v") > F.col("threshold")
+    )
+    d = (
+        s.join(F.broadcast(t), "group")
+        .groupBy("group", "threshold", "n")
+        .agg(F.sum(bad.cast("long")).cast("long").alias("n_dropped"))
+    )
+    return d.select(
+        "group",
+        "threshold",
+        "n",
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        F.round(
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("realized_drop"),
+    ).orderBy("group")

@@ -1,5 +1,6 @@
 """Threshold sweep: hand-computed confusion cells, NULL exclusion,
 monotonicity, and the tiny-aggregate plan shape."""
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -102,3 +103,50 @@ def test_single_corpus_pass_plan(spark):
     # aggregate and the totals aggregate (both partial-agg absorbed);
     # no join touches raw rows
     assert plan.count("Range (0, 1000") <= 2
+
+
+def test_group_thresholds_hand_computed(spark):
+    # group A: values 0..9 -> 10% quantile (quantile_cont) = 0.9;
+    # drops v < 0.9 -> just v=0 -> realized 0.1
+    # group B: values 100,200,300,400 -> q0.1 = 130; drops 100 -> 0.25
+    from soda_core_spark.operators.calibration import (
+        calibrate_group_thresholds,
+    )
+
+    rows = [("A", float(v)) for v in range(10)] + [
+        ("B", v) for v in (100.0, 200.0, 300.0, 400.0)]
+    df = spark.createDataFrame(rows, "lang string, sig double")
+    out = {r.group: r for r in calibrate_group_thresholds(
+        df, "lang", "sig", direction="low", target_drop=0.1).collect()}
+    assert out["A"].threshold == 0.9 and out["A"].n_dropped == 1
+    assert out["A"].realized_drop == 0.1
+    assert out["B"].threshold == 130.0 and out["B"].n_dropped == 1
+    assert out["B"].realized_drop == 0.25
+
+
+def test_group_thresholds_high_direction_and_nulls(spark):
+    from soda_core_spark.operators.calibration import (
+        calibrate_group_thresholds,
+    )
+
+    rows = [("A", float(v)) for v in range(10)] + [("A", None)]
+    df = spark.createDataFrame(rows, "lang string, sig double")
+    out = calibrate_group_thresholds(
+        df, "lang", "sig", direction="high", target_drop=0.1
+    ).collect()[0]
+    # percentile ignores the NULL: q0.9 of 0..9 = 8.1; drops v > 8.1
+    # -> just 9; NULL is never dropped but counts in n
+    assert out.threshold == 8.1 and out.n_dropped == 1 and out.n == 11
+    assert out.realized_drop == round(1 / 11, 6)
+
+
+def test_group_thresholds_validation(spark):
+    from soda_core_spark.operators.calibration import (
+        calibrate_group_thresholds,
+    )
+
+    df = spark.createDataFrame([("A", 1.0)], "lang string, sig double")
+    with pytest.raises(ValueError):
+        calibrate_group_thresholds(df, "lang", "sig", direction="sideways")
+    with pytest.raises(ValueError):
+        calibrate_group_thresholds(df, "lang", "sig", target_drop=1.5)

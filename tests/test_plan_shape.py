@@ -338,3 +338,18 @@ def test_bag_dedup_mapside_window_limit(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "partial_count" in plan
+
+
+def test_group_calibration_broadcasts_thresholds(spark):
+    """Pass 2 must broadcast the |groups|-row threshold table back onto
+    the corpus — never shuffle corpus rows on the group key for the
+    join; both aggregates partial-combine; zero Python."""
+    from soda_core_spark.operators.calibration import (
+        calibrate_group_thresholds,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(calibrate_group_thresholds(d, "lang", "n_chars"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
