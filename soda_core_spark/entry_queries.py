@@ -8156,3 +8156,74 @@ def q146(spark, sf_dir):
         d, group_col="lang", signal_col="n_chars",
         direction="low", target_drop=0.1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fragment-chain reconstruction over overlapped chunks
+# (operators/chunking.py chain_fragments)
+# ---------------------------------------------------------------------------
+
+_Q147_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                                           '[ \t\n\r]+'),
+                     x -> x <> '') AS wds
+  FROM documents
+),
+n AS (
+  SELECT doc_id, wds, len(wds) AS kk,
+         CASE WHEN len(wds) <= 0 THEN 0
+              WHEN len(wds) <= 64 THEN 1
+              ELSE 1 + (len(wds) - 64 + 47) // 48 END AS n_chunks
+  FROM w
+),
+frag AS (
+  SELECT doc_id * 100 + chunk_idx AS fid,
+         wds[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS cw
+  FROM (SELECT doc_id, wds, unnest(range(n_chunks)) AS chunk_idx
+        FROM n WHERE n_chunks > 0)
+),
+ends AS (
+  SELECT fid,
+         md5(array_to_string(cw[1:16], ' ')) AS h,
+         md5(array_to_string(cw[len(cw) - 15 : len(cw)], ' ')) AS t
+  FROM frag WHERE len(cw) >= 16
+),
+tails AS (
+  SELECT fid AS prev_id, t AS fp FROM ends
+  WHERE t IN (SELECT t FROM ends GROUP BY t HAVING count(*) <= 64)
+),
+heads AS (
+  SELECT fid AS next_id, h AS fp FROM ends
+  WHERE h IN (SELECT h FROM ends GROUP BY h HAVING count(*) <= 64)
+)
+SELECT tails.prev_id, heads.next_id, tails.fp AS boundary_fp
+FROM tails JOIN heads USING (fp)
+WHERE tails.prev_id <> heads.next_id
+ORDER BY prev_id, next_id
+"""
+
+
+@register("q147_fragment_chains", _Q147_SQL)
+def q147(spark, sf_dir):
+    """Fragment-chain reconstruction (operators/chunking.py
+    chain_fragments): chunk every document into 64-token windows with
+    16-token overlap (the q41 splitter), then recover adjacency purely
+    from the boundary fingerprints — the LAST 16 tokens of window i
+    md5-equal the FIRST 16 of window i+1. The inverse of
+    overlap-chunking; hot boundary fps (>64 fragments) are capped out
+    before the equi-join, exactly like the LSH band caps."""
+    from soda_core_spark.operators.chunking import (
+        chain_fragments,
+        chunk_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    frags = chunk_documents(d, chunk_size=64, stride=48).select(
+        (F.col("doc_id") * 100 + F.col("chunk_idx")).alias("fid"),
+        F.col("chunk_text"),
+    )
+    return chain_fragments(
+        frags, id_col="fid", text_col="chunk_text", k=16, max_fp_docs=64
+    )

@@ -55,3 +55,72 @@ def chunk_documents(
         F.size(chunk_words).cast("long").alias("n_tokens"),
         F.concat_ws(" ", chunk_words).alias("chunk_text"),
     )
+
+
+def chain_fragments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    max_fp_docs: int = 64,
+) -> DataFrame:
+    """Reconstruct continuation order in a corpus of text FRAGMENTS:
+    emit a directed edge (prev_id -> next_id) whenever the LAST ``k``
+    tokens of one fragment equal the FIRST ``k`` tokens of another —
+    exactly the boundary that overlap-chunking (``chunk_documents``
+    with stride < chunk_size) leaves behind. The inverse operator of
+    chunking: given a shuffled shard of overlapped context windows,
+    the edges recover adjacency (and catch cross-document boilerplate
+    splices, which appear as high-fan-out boundary fingerprints).
+
+    Fragments shorter than ``k`` tokens emit neither endpoint (a
+    shorter head can never equal a k-token tail). Boundary
+    fingerprints occurring in more than ``max_fp_docs`` fragments on
+    either side are dropped before the join — a shared k-token
+    header/footer would otherwise fan out quadratically, and carries
+    no ordering signal (same cap discipline as the LSH band and
+    mirror-host joins). Self-loops are excluded.
+
+    Plan: one projection computes both endpoint fingerprints (md5 over
+    the space-joined k-token slice — pure expressions, zero Python),
+    two tiny doc-frequency aggregates gate the hot fps (broadcast
+    anti), then ONE equi-join on the fingerprint. Returns
+    ``(prev_id, next_id, boundary_fp)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \\t\\n\\r]+"),
+        lambda w: w != "",
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__w")).where(
+        F.size(F.col("__w")) >= int(k)
+    )
+    head_fp = F.md5(F.array_join(F.slice(F.col("__w"), 1, int(k)), " "))
+    tail_fp = F.md5(F.array_join(F.slice(F.col("__w"), -int(k), int(k)), " "))
+    ends = base.select(
+        F.col("__id"), head_fp.alias("__h"), tail_fp.alias("__t")
+    )
+
+    def _capped(frame: DataFrame, col: str, out_id: str) -> DataFrame:
+        side = frame.select(F.col("__id").alias(out_id), F.col(col).alias("fp"))
+        hot = (
+            side.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > int(max_fp_docs))
+            .select("fp")
+            .withColumn("__hot", F.lit(True))
+        )
+        return (
+            side.join(F.broadcast(hot), "fp", "left")
+            .where(F.col("__hot").isNull())
+            .drop("__hot")
+        )
+
+    tails = _capped(ends, "__t", "prev_id")
+    heads = _capped(ends, "__h", "next_id")
+    return (
+        tails.join(heads, "fp")
+        .where(F.col("prev_id") != F.col("next_id"))
+        .select("prev_id", "next_id", F.col("fp").alias("boundary_fp"))
+    )

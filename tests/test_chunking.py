@@ -2,6 +2,7 @@
 are cross-checked against DuckDB by q41 in tests/test_oracle_parity.py."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from soda_core_spark.operators.chunking import chunk_documents
 
@@ -40,3 +41,54 @@ def test_chunking_edges(spark):
         chunk_documents(df, chunk_size=5, stride=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_size=5, stride=6)
+
+
+def test_chain_fragments_inverts_overlap_chunking(spark):
+    from soda_core_spark.operators.chunking import chain_fragments
+
+    words = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    # 10-token windows, stride 6 -> overlap 4: chunks at 0,6,12,18,24
+    frags = chunk_documents(df, chunk_size=10, stride=6).select(
+        (F.col("doc_id") * 100 + F.col("chunk_idx")).alias("fid"),
+        "chunk_text",
+    )
+    edges = {(r.prev_id, r.next_id) for r in chain_fragments(
+        frags, id_col="fid", text_col="chunk_text", k=4).collect()}
+    # consecutive chunks chain; nothing else does
+    assert edges == {(100, 101), (101, 102), (102, 103), (103, 104)}
+
+
+def test_chain_fragments_short_and_selfloop_excluded(spark):
+    from soda_core_spark.operators.chunking import chain_fragments
+
+    rows = [
+        (1, "a b c d tail x y z"),   # tail-4 = "tail x y z"
+        (2, "tail x y z continues here fine"),  # head-4 matches 1's tail
+        (3, "x y"),                   # < k tokens: no endpoints
+        (4, "p p p p p p p p"),       # head == tail but self-loops drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = chain_fragments(df, k=4).collect()
+    assert {(r.prev_id, r.next_id) for r in edges} == {(1, 2)}
+
+
+def test_chain_fragments_hot_boundary_capped(spark):
+    from soda_core_spark.operators.chunking import chain_fragments
+
+    # 5 fragments ending with the same boilerplate footer, 5 starting
+    # with it: cap 3 drops the fingerprint from both sides entirely
+    rows = [(i, f"u{i} v{i} shared boiler plate footer") for i in range(5)]
+    rows += [(10 + i, f"shared boiler plate footer q{i} r{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dense = chain_fragments(df, k=4, max_fp_docs=64).count()
+    capped = chain_fragments(df, k=4, max_fp_docs=3).count()
+    assert dense == 25 and capped == 0
+
+
+def test_chain_fragments_validation(spark):
+    from soda_core_spark.operators.chunking import chain_fragments
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chain_fragments(df, k=0)

@@ -353,3 +353,15 @@ def test_group_calibration_broadcasts_thresholds(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
+
+
+def test_chain_fragments_pure_jvm_hot_caps_broadcast(spark):
+    """Boundary fingerprints are pure md5 expressions (zero Python);
+    the hot-fp gates broadcast their tiny sets instead of shuffling the
+    fragment corpus twice."""
+    from soda_core_spark.operators.chunking import chain_fragments
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(chain_fragments(d))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
