@@ -1099,71 +1099,78 @@ def ks_drift(
 
     Scale shape: the corpus collapses FIRST to value grain — one
     partial-aggregated groupBy to (day, value, count) — so everything
-    after is bounded by |days x distinct values|, never row count. Each
-    day's counts meet the next day's in a full-outer join on value
-    (a day-pair key ``day`` = the later day), then one window cumsum
-    per pair ordered by value gives both ECDFs and
+    after is bounded by |days x distinct values|, never row count.
+    Both contribution sides re-read that grain through the SAME
+    exchange subtree (AQE ReuseExchange — pinned in
+    test_plan_shape.py; a naive join-per-pair-side form scanned the
+    corpus 9x). The final plan touches the corpus exactly TWICE: the
+    grain aggregate, plus the per-day totals/adjacency aggregate that
+    Catalyst collapses to a direct partial-agged count (both shuffles
+    carry aggregate-grain rows only). Each grain row then routes to
+    its <= 2 adjacent pairs via a broadcast |pairs|-row map, and one
+    cumsum window per pair ordered by value gives both ECDFs and
     ``ks = max |F_prev(v) - F_cur(v)|`` evaluated at every observed
-    value — exact, no sampling, no bins.
+    value — exact, no sampling, no bins. The adjacency (lead) window
+    runs over the |days|-row totals frame only.
 
     Returns ``(day, n_prev, n_cur, ks)`` ordered by day (the LATER day
     of each pair), ks rounded 6 dp.
     """
+    from pyspark.sql import Window
+
+    # the explicit isNotNull(day) matters for plan REUSE, not semantics:
+    # every consumer joins on day, so Catalyst pushes that filter into
+    # their copies of this subtree — carrying it here keeps all
+    # canonicalized subtrees identical and lets ReuseExchange collapse
+    # them to one scan + one shuffle
     vals = (
         df.select(F.col(day_col).alias("day"), F.col(value_col).alias("v"))
-        .where(F.col("v").isNotNull())
+        .where(F.col("v").isNotNull() & F.col("day").isNotNull())
         .groupBy("day", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     tot = vals.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
-    days = tot.select(F.col("day").alias("__d")).distinct()
-    # adjacent-pair frame: later day "day" paired with the max earlier day
-    pairs = (
-        tot.alias("cur")
-        .join(
-            days.where(F.col("__d").isNotNull()),
-            F.col("__d") < F.col("cur.day"),
+    # adjacency over the tiny |days| frame (single-partition window: fine)
+    wd = Window.orderBy("day")
+    meta = (
+        tot.select(
+            "day",
+            "n",
+            F.lead("day").over(wd).alias("next_day"),
+            F.lead("n").over(wd).alias("next_n"),
         )
-        .groupBy(F.col("cur.day").alias("day"), F.col("cur.n").alias("n_cur"))
-        .agg(F.max("__d").alias("prev_day"))
+        .where(F.col("next_day").isNotNull())
+        .select(
+            F.col("next_day").alias("pair"),
+            F.col("day").alias("prev_day"),
+            F.col("n").alias("n_prev"),
+            F.col("next_n").alias("n_cur"),
+        )
     )
-    left = vals.select(
-        F.col("day").alias("prev_day"), F.col("v"), F.col("c").alias("c_prev")
+    # routing maps (broadcast): day d contributes to pair d as "cur"
+    # and to pair next(d) as "prev"
+    prev_map = meta.select("pair", F.col("prev_day").alias("day"))
+    cur_map = meta.select("pair", F.col("pair").alias("day"))
+    lrows = vals.join(F.broadcast(prev_map), "day").select(
+        F.col("pair"), "v", F.col("c").alias("cp"), F.lit(0).alias("cc")
     )
-    right = vals.select(
-        F.col("day").alias("day"), F.col("v"), F.col("c").alias("c_cur")
+    rrows = vals.join(F.broadcast(cur_map), "day").select(
+        F.col("pair"), "v", F.lit(0).alias("cp"), F.col("c").alias("cc")
     )
-    # a full-outer join on (day, v) would lose pair metadata on
-    # right-only rows; union the two sides under the pair key instead,
-    # then one cumsum window gives both ECDFs at every observed value
-    lrows = pairs.join(left, "prev_day").select(
-        "day", "v", F.col("c_prev").alias("cp"), F.lit(0).alias("cc")
-    )
-    rrows = pairs.join(right, "day").select(
-        "day", "v", F.lit(0).alias("cp"), F.col("c_cur").alias("cc")
-    )
-    from pyspark.sql import Window
-
     grain = (
         lrows.unionByName(rrows)
-        .groupBy("day", "v")
+        .groupBy("pair", "v")
         .agg(F.sum("cp").cast("long").alias("cp"), F.sum("cc").cast("long").alias("cc"))
     )
-    w = Window.partitionBy("day").orderBy("v")
+    w = Window.partitionBy("pair").orderBy("v")
     cum = grain.select(
-        "day",
+        "pair",
         F.sum("cp").over(w).alias("cum_p"),
         F.sum("cc").over(w).alias("cum_c"),
     )
-    meta = pairs.join(
-        F.broadcast(
-            tot.select(F.col("day").alias("prev_day"), F.col("n").alias("n_prev"))
-        ),
-        "prev_day",
-    ).select("day", "n_prev", "n_cur")
     return (
-        cum.join(F.broadcast(meta), "day")
-        .groupBy("day", "n_prev", "n_cur")
+        cum.join(F.broadcast(meta.select("pair", "n_prev", "n_cur")), "pair")
+        .groupBy(F.col("pair").alias("day"), F.col("n_prev"), F.col("n_cur"))
         .agg(
             F.round(
                 F.max(

@@ -313,18 +313,25 @@ def test_shrunk_rate_collapses_then_broadcasts_prior(spark):
     assert "BroadcastExchange" in plan
 
 
-def test_ks_drift_value_grain_before_window(spark):
+def test_ks_drift_two_scans_with_exchange_reuse(spark):
     """The corpus reduces to (day, value, count) grain via partial
-    aggregation BEFORE any window/join; zero Python."""
+    aggregation; in the FINAL adaptive plan the grain exchange is
+    REUSED by both contribution sides (ReusedExchange), leaving exactly
+    two corpus scans (grain + collapsed totals/adjacency count) — the
+    naive join-per-side form scanned the corpus 9x. Zero Python."""
     from soda_core_spark.operators.profiling import ks_drift
 
     d = spark.read.parquet(f"{SF}/documents.parquet").select(
         (F.col("doc_id") % 12).cast("string").alias("day"),
         F.col("n_chars").alias("score"),
     )
-    plan = _plan(ks_drift(d))
+    out = ks_drift(d)
+    out.collect()  # finalize the adaptive plan
+    plan = _plan(out)
+    final = plan.split("== Initial Plan ==")[0]
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "partial_count" in plan
+    assert final.count("FileScan") <= 2, final
+    assert "ReusedExchange" in final, final
 
 
 def test_bag_dedup_mapside_window_limit(spark):
