@@ -81,10 +81,21 @@ def chain_fragments(
     no ordering signal (same cap discipline as the LSH band and
     mirror-host joins). Self-loops are excluded.
 
-    Plan: one projection computes both endpoint fingerprints (md5 over
-    the space-joined k-token slice — pure expressions, zero Python),
-    two tiny doc-frequency aggregates gate the hot fps (broadcast
-    anti), then ONE equi-join on the fingerprint. Returns
+    Plan: ONE corpus scan computes both endpoint fingerprints (md5
+    over the space-joined k-token slice — pure expressions, zero
+    Python) and explodes them into a narrow (fp, kind, id) endpoint
+    frame repartitioned by fp ONCE. Both later consumers — the
+    per-(fp, kind) frequency gate and the pairing aggregate — read
+    that single fingerprint-grain exchange (AQE ReuseExchange, pinned
+    in test_plan_shape.py), and both aggregate IN PLACE because
+    hashpartitioning(fp) already satisfies their clustering. Pairing
+    happens inside one groupBy(fp): per-side id lists are collected
+    only AFTER the hot gate (so each buffer is bounded by
+    ``max_fp_docs``) and the tail x head cross product explodes from
+    those bounded arrays — no second corpus-grain join at all. A
+    per-side naive form re-scans the text and recomputes md5 4x;
+    shuffling ~50-byte fingerprint rows once beats re-reading a
+    100 TB text column four times. Returns
     ``(prev_id, next_id, boundary_fp)``.
     """
     if k < 1:
@@ -98,29 +109,57 @@ def chain_fragments(
     )
     head_fp = F.md5(F.array_join(F.slice(F.col("__w"), 1, int(k)), " "))
     tail_fp = F.md5(F.array_join(F.slice(F.col("__w"), -int(k), int(k)), " "))
-    ends = base.select(
-        F.col("__id"), head_fp.alias("__h"), tail_fp.alias("__t")
+    # explicit isNotNull on both columns: the hot-gate left join pushes
+    # join-key not-null filters into ITS copy of this subtree only;
+    # carrying them here keeps both consumers' canonicalized subtrees
+    # identical so the repartition exchange is reused (one scan)
+    ep = (
+        base.select(
+            F.col("__id"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("h").alias("kind"), head_fp.alias("fp")),
+                    F.struct(F.lit("t").alias("kind"), tail_fp.alias("fp")),
+                )
+            ).alias("__e"),
+        )
+        .select("__id", F.col("__e.kind").alias("kind"), F.col("__e.fp").alias("fp"))
+        .where(F.col("fp").isNotNull() & F.col("kind").isNotNull())
+        .repartition(F.col("fp"))
     )
-
-    def _capped(frame: DataFrame, col: str, out_id: str) -> DataFrame:
-        side = frame.select(F.col("__id").alias(out_id), F.col(col).alias("fp"))
-        hot = (
-            side.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > int(max_fp_docs))
-            .select("fp")
-            .withColumn("__hot", F.lit(True))
+    hot = (
+        ep.groupBy("fp", "kind")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > int(max_fp_docs))
+        .select("fp", "kind")
+        .withColumn("__hot", F.lit(True))
+    )
+    kept = (
+        ep.join(F.broadcast(hot), ["fp", "kind"], "left")
+        .where(F.col("__hot").isNull())
+        .drop("__hot")
+    )
+    paired = (
+        kept.groupBy("fp")
+        .agg(
+            F.collect_list(
+                F.when(F.col("kind") == "t", F.col("__id"))
+            ).alias("__tails"),
+            F.collect_list(
+                F.when(F.col("kind") == "h", F.col("__id"))
+            ).alias("__heads"),
         )
-        return (
-            side.join(F.broadcast(hot), "fp", "left")
-            .where(F.col("__hot").isNull())
-            .drop("__hot")
-        )
-
-    tails = _capped(ends, "__t", "prev_id")
-    heads = _capped(ends, "__h", "next_id")
+        .where((F.size("__tails") > 0) & (F.size("__heads") > 0))
+    )
     return (
-        tails.join(heads, "fp")
+        paired.select(
+            F.col("fp").alias("boundary_fp"),
+            F.explode("__tails").alias("prev_id"),
+            F.col("__heads"),
+        )
+        .select(
+            "boundary_fp", "prev_id", F.explode("__heads").alias("next_id")
+        )
         .where(F.col("prev_id") != F.col("next_id"))
-        .select("prev_id", "next_id", F.col("fp").alias("boundary_fp"))
+        .select("prev_id", "next_id", "boundary_fp")
     )

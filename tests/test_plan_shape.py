@@ -362,13 +362,19 @@ def test_group_calibration_broadcasts_thresholds(spark):
     assert "partial_" in plan
 
 
-def test_chain_fragments_pure_jvm_hot_caps_broadcast(spark):
+def test_chain_fragments_single_scan_single_corpus_exchange(spark):
     """Boundary fingerprints are pure md5 expressions (zero Python);
-    the hot-fp gates broadcast their tiny sets instead of shuffling the
-    fragment corpus twice."""
+    the finalized adaptive plan reads the corpus ONCE and shuffles the
+    endpoint frame ONCE — the hot gate and the pairing aggregate both
+    consume the same fp-partitioned exchange in place (a per-side form
+    re-scanned the text and recomputed md5 4x)."""
     from soda_core_spark.operators.chunking import chain_fragments
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(chain_fragments(d))
+    out = chain_fragments(d)
+    out.collect()  # finalize the adaptive plan
+    plan = _plan(out)
+    final = plan.split("== Initial Plan ==")[0]
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "BroadcastExchange" in plan
+    assert final.count("FileScan") == 1, final
+    assert final.count("Exchange hashpartitioning") == 1, final
