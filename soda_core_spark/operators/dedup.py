@@ -2278,12 +2278,16 @@ def bag_fingerprint_classes(
     "buy buy now" != "buy now now".
 
     Pure expression pipeline — split/sort_array/array_join/md5, zero
-    Python. Class size and survivor come from ONE partial-aggregated
-    groupBy; the id sample comes from a rank-``max_ids`` window whose
-    WindowGroupLimit applies MAP-SIDE (at most ``max_ids`` rows per
-    fingerprint per input partition reach the shuffle), so a
-    pathological million-member class never materializes a giant
-    aggregation buffer — a plain collect_list-then-slice would.
+    Python — then the narrow (fingerprint, id) frame is repartitioned
+    by fingerprint ONCE and BOTH consumers aggregate in place on that
+    shared exchange (AQE ReuseExchange; hashpartitioning(bag_fp)
+    satisfies each clustering): class size + survivor from one
+    groupBy, the id sample from a rank-``max_ids`` window, and their
+    join inherits the partitioning with no further exchange. One
+    corpus scan, one compact shuffle — md5 over the sorted token
+    array (the expensive bit) is computed exactly once, and the
+    windowed rank caps the sample so a pathological million-member
+    class never materializes a giant collect_list buffer.
 
     Returns ``(bag_fp, n_docs, survivor_id, sample_ids)`` for classes
     of ``min_class_size``+ members, ordered by bag_fp; sample_ids is
@@ -2296,7 +2300,9 @@ def bag_fingerprint_classes(
         lambda x: x != "",
     )
     fp = F.md5(F.array_join(F.sort_array(toks), " "))
-    keyed = df.select(fp.alias("bag_fp"), F.col(id_col).alias("__id"))
+    keyed = df.select(fp.alias("bag_fp"), F.col(id_col).alias("__id")).repartition(
+        F.col("bag_fp")
+    )
     classes = (
         keyed.groupBy("bag_fp")
         .agg(

@@ -334,17 +334,30 @@ def test_ks_drift_two_scans_with_exchange_reuse(spark):
     assert "ReusedExchange" in final, final
 
 
-def test_bag_dedup_mapside_window_limit(spark):
-    """The id sample is bounded map-side: a partial WindowGroupLimit
-    precedes the exchange, so giant classes never ship whole; zero
-    Python; class stats partial-aggregate."""
+def test_bag_dedup_single_scan_shared_exchange(spark):
+    """One corpus scan, one fingerprint shuffle: the class aggregate
+    and the rank-capped sample window both consume the same
+    repartition exchange in place (ReusedExchange in the finalized
+    plan) and their join inherits the partitioning; the WindowGroupLimit
+    rank cap still bounds the sample; zero Python."""
     from soda_core_spark.operators.dedup import bag_fingerprint_classes
 
-    d = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(bag_fingerprint_classes(d))
+    # replicate every doc once via explode (stays ONE scan) so classes
+    # exist — on a dup-free input AQE's empty-relation propagation
+    # collapses the whole plan and there is nothing to pin
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("copy"),
+        (F.col("doc_id") * 2).alias("base_id"),
+        "text",
+    ).select((F.col("base_id") + F.col("copy")).alias("doc_id"), "text")
+    out = bag_fingerprint_classes(d)
+    assert out.count() > 0
+    out.collect()  # finalize the adaptive plan
+    plan = _plan(out)
+    final = plan.split("== Initial Plan ==")[0]
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "WindowGroupLimit" in plan and "Partial" in plan
-    assert "partial_count" in plan
+    assert "WindowGroupLimit" in plan
+    assert final.count("FileScan") == 1, final
 
 
 def test_group_calibration_broadcasts_thresholds(spark):
