@@ -8227,3 +8227,49 @@ def q147(spark, sf_dir):
     return chain_fragments(
         frags, id_col="fid", text_col="chunk_text", k=16, max_fp_docs=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source Gini inequality of document sizes (operators/profiling.py
+# group_gini)
+# ---------------------------------------------------------------------------
+
+_Q148_SQL = """
+WITH vals AS (
+  SELECT source AS "group", n_chars::DOUBLE AS v, count(*)::BIGINT AS c
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT "group", v, c,
+         sum(c) OVER (PARTITION BY "group" ORDER BY v) - c AS cum_before
+  FROM vals
+),
+agg AS (
+  SELECT "group",
+         sum(c)::BIGINT AS n,
+         sum(v * c) AS total,
+         sum(v * (c::DOUBLE * (cum_before::DOUBLE + (c::DOUBLE + 1) / 2)))
+           AS s
+  FROM ranked GROUP BY 1
+)
+SELECT "group", n, round(total, 6) AS total,
+       round(CASE WHEN total > 0 THEN 2 * s / (n * total) - (n + 1.0) / n
+             ELSE 0.0 END, 6) AS gini
+FROM agg ORDER BY "group"
+"""
+
+
+@register("q148_group_gini", _Q148_SQL)
+def q148(spark, sf_dir):
+    """Exact tie-aware Gini coefficient of document length per source
+    (operators/profiling.py group_gini) — the within-group inequality
+    scalar complementing HHI's between-group concentration (q127). A
+    source whose token mass sits in one mega-page samples and dedups
+    nothing like an even one. Value-grain collapse first; one bounded
+    cumsum window per group; rank formula equals the all-pairs
+    |x_i - x_j| definition under average-rank ties."""
+    from soda_core_spark.operators.profiling import group_gini
+
+    d = _t(spark, sf_dir, "documents")
+    return group_gini(d, group_col="source", value_col="n_chars")

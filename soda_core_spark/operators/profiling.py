@@ -1184,3 +1184,70 @@ def ks_drift(
         )
         .orderBy("day")
     )
+
+
+def group_gini(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative size signal per group —
+    the inequality summary that HHI (:func:`corpus_concentration`)
+    gives for SHARES-of-groups, applied instead WITHIN a group's
+    documents. A source where one mega-page carries half the tokens
+    behaves very differently under sampling/dedup than one with the
+    same mean spread evenly; Gini is the standard single scalar for
+    that skew (0 = all docs equal, -> 1 = one doc holds everything).
+
+    Exact tie-aware computation at VALUE GRAIN: collapse each group to
+    (value, count) — the only corpus-scale aggregate — then with
+    values ascending and ``cum`` the count cumsum, each tied block
+    contributes its average-rank mass ``c * (cum_before + (c+1)/2)``
+    and ``G = (2 * sum(v * rankmass) / (n * sum(v))) - (n + 1) / n``
+    (the classic rank formula, exactly the all-pairs
+    ``sum |x_i - x_j| / (2 n^2 mu)`` under average-rank ties). One
+    cumsum window per group over the bounded grain, never a per-row
+    window. NULL and negative values are excluded; groups whose total
+    is 0 (all zeros) report gini 0.0 (documented, not NULL).
+
+    Returns ``(group, n, total, gini)`` with gini rounded 6 dp,
+    ordered by group.
+    """
+    from pyspark.sql import Window
+
+    vals = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("v").isNotNull() & (F.col("v") >= 0))
+        .groupBy("group", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("group").orderBy("v")
+    ranked = vals.select(
+        "group",
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("cum_before"),
+    )
+    rankmass = F.col("c").cast("double") * (
+        F.col("cum_before").cast("double")
+        + (F.col("c").cast("double") + F.lit(1.0)) / F.lit(2.0)
+    )
+    agg = ranked.groupBy("group").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("total"),
+        F.sum(F.col("v") * rankmass).alias("__s"),
+    )
+    gini = F.when(F.col("total") > 0.0,
+        F.lit(2.0) * F.col("__s")
+        / (F.col("n").cast("double") * F.col("total"))
+        - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "group",
+        "n",
+        F.round("total", 6).alias("total"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("group")

@@ -391,3 +391,14 @@ def test_chain_fragments_single_scan_single_corpus_exchange(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert final.count("FileScan") == 1, final
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_group_gini_value_grain_no_python(spark):
+    """Gini collapses to (group, value, count) grain via partial
+    aggregation before its bounded cumsum window; zero Python."""
+    from soda_core_spark.operators.profiling import group_gini
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(group_gini(d))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan

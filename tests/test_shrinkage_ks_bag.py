@@ -127,3 +127,44 @@ class TestBagFingerprintClasses:
     def test_no_false_classes(self, spark):
         rows = [(1, "one doc"), (2, "another doc"), (3, "")]
         assert bag_fingerprint_classes(self._df(spark, rows)).count() == 0
+
+
+class TestGroupGini:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "source string, n_chars double")
+
+    def test_known_values(self, spark):
+        from soda_core_spark.operators.profiling import group_gini
+
+        # perfect equality -> 0; [0,0,0,10] -> G = 3/4 * ... compute by
+        # all-pairs definition: sum|xi-xj| / (2 n^2 mu)
+        rows = [("eq", 5.0)] * 4 + [("skew", 0.0)] * 3 + [("skew", 10.0)]
+        out = {r.group: r for r in group_gini(
+            self._df(spark, rows), "source", "n_chars").collect()}
+        assert out["eq"].gini == 0.0 and out["eq"].n == 4
+        xs = [0.0, 0.0, 0.0, 10.0]
+        mu = sum(xs) / len(xs)
+        g = sum(abs(a - b) for a in xs for b in xs) / (2 * len(xs) ** 2 * mu)
+        assert out["skew"].gini == round(g, 6)
+        assert out["skew"].total == 10.0
+
+    def test_matches_allpairs_with_ties(self, spark):
+        from soda_core_spark.operators.profiling import group_gini
+
+        xs = [1.0, 1.0, 2.0, 3.0, 3.0, 3.0, 8.0]
+        out = group_gini(
+            self._df(spark, [("a", x) for x in xs]), "source", "n_chars"
+        ).collect()[0]
+        mu = sum(xs) / len(xs)
+        g = sum(abs(a - b) for a in xs for b in xs) / (2 * len(xs) ** 2 * mu)
+        assert out.gini == round(g, 6)
+
+    def test_null_negative_and_zero_total(self, spark):
+        from soda_core_spark.operators.profiling import group_gini
+
+        rows = [("z", 0.0), ("z", 0.0), ("m", 1.0), ("m", None), ("m", -5.0)]
+        out = {r.group: r for r in group_gini(
+            self._df(spark, rows), "source", "n_chars").collect()}
+        assert out["z"].gini == 0.0 and out["z"].total == 0.0
+        # NULL and negative excluded: group m keeps only the single 1.0
+        assert out["m"].n == 1 and out["m"].gini == 0.0
