@@ -8273,3 +8273,58 @@ def q148(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return group_gini(d, group_col="source", value_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Manual-review sample planning: Wilson intervals + audit budget
+# (operators/sampling.py review_sample_plan)
+# ---------------------------------------------------------------------------
+
+_Q149_SQL = """
+WITH g AS (
+  SELECT source AS "group",
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN coalesce(n_chars < 200, false)
+                  THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM documents GROUP BY 1
+),
+e AS (
+  SELECT "group", n, k,
+         k::DOUBLE / n::DOUBLE AS p,
+         1.0 + (1.96 * 1.96) / n::DOUBLE AS denom
+  FROM g
+),
+w AS (
+  SELECT "group", n, k, p,
+         (p + (1.96 * 1.96) / (2.0 * n::DOUBLE)) / denom AS center,
+         1.96 / denom
+           * sqrt(p * (1.0 - p) / n::DOUBLE
+                  + (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE)) AS half
+  FROM e
+)
+SELECT "group", n, k,
+       round(p, 6) AS rate,
+       round(greatest(center - half, 0.0), 6) AS wilson_lo,
+       round(least(center + half, 1.0), 6) AS wilson_hi,
+       ceil((1.96 * 1.96) * p * (1.0 - p) / (0.02 * 0.02))::BIGINT
+         AS n_required
+FROM w ORDER BY "group"
+"""
+
+
+@register("q149_review_sample_plan", _Q149_SQL)
+def q149(spark, sf_dir):
+    """Per-source manual-review planning (operators/sampling.py
+    review_sample_plan): the Wilson score interval around each source's
+    too-short-document rate plus the audit sample size needed to pin it
+    to a 2% margin at 95% confidence. The governance layer above
+    failed-rows sampling — a check result without its uncertainty can't
+    gate a shipping decision, and Wilson stays honest at small n / p
+    near 0 where Wald collapses. One partial-aggregated groupBy; all
+    interval math on the |sources|-row frame."""
+    from soda_core_spark.operators.sampling import review_sample_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return review_sample_plan(
+        d, group_col="source", flag=F.col("n_chars") < 200
+    )

@@ -592,3 +592,67 @@ def mixture_plan(
         F.round(raw_epochs, 6).alias("epochs"),
         capped.alias("capped"),
     ).orderBy("source")
+
+
+def review_sample_plan(
+    df: DataFrame,
+    group_col: str,
+    flag: Column,
+    z: float = 1.96,
+    margin: float = 0.02,
+) -> DataFrame:
+    """Per-group manual-review planning: the Wilson score interval for
+    each group's observed violation rate, plus the sample size a human
+    audit needs to pin that rate to ``margin`` at confidence ``z``.
+    The governance companion to failed-rows sampling: a check can say
+    "source X violates at 3.1%", but deciding whether to ship X needs
+    the uncertainty (Wilson stays honest at small n and p near 0 —
+    the classic Wald interval collapses to width 0 there) and the
+    review budget ``n_req = z^2 * p(1-p) / margin^2`` (worst-case 0.25
+    variance when the group has no observations yet).
+
+    One partial-aggregated groupBy collapses the corpus to |groups|
+    rows; everything else is per-row arithmetic on that tiny frame.
+    NULL flags count as non-violations (consistent with
+    :func:`soda_core_spark.operators.profiling.shrunk_group_rate`).
+
+    Returns ``(group, n, k, rate, wilson_lo, wilson_hi, n_required)``
+    with rates/bounds rounded 6 dp, ordered by group.
+    """
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    if not 0.0 < margin < 1.0:
+        raise ValueError(f"margin must be in (0,1), got {margin}")
+    g = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.coalesce(flag.cast("boolean"), F.lit(False)).alias("__f"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__f").cast("long")).cast("long").alias("k"),
+        )
+    )
+    zz = float(z) * float(z)
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    nn = F.col("n").cast("double")
+    denom = F.lit(1.0) + F.lit(zz) / nn
+    center = (p + F.lit(zz) / (F.lit(2.0) * nn)) / denom
+    half = (
+        F.lit(float(z))
+        / denom
+        * F.sqrt(p * (F.lit(1.0) - p) / nn + F.lit(zz) / (F.lit(4.0) * nn * nn))
+    )
+    # audit budget: worst-case variance 0.25 for groups with n == 0 is
+    # unreachable here (groups only exist with rows), so use observed p
+    n_req = F.ceil(F.lit(zz) * p * (F.lit(1.0) - p) / F.lit(float(margin) ** 2))
+    return g.select(
+        "group",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("wilson_lo"),
+        F.round(F.least(center + half, F.lit(1.0)), 6).alias("wilson_hi"),
+        n_req.cast("long").alias("n_required"),
+    ).orderBy("group")

@@ -31,3 +31,46 @@ def test_length_buckets_and_waste(spark):
     # assignment is pure projection: no shuffle
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_review_sample_plan_wilson(spark):
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.operators.sampling import review_sample_plan
+
+    # src a: 2/4 violate; src b: 0/3 (one NULL flag counts as non-violation)
+    df = spark.createDataFrame(
+        [("a", True), ("a", True), ("a", False), ("a", False),
+         ("b", False), ("b", None), ("b", False)],
+        ["source", "bad"],
+    )
+    got = {
+        r["group"]: r.asDict()
+        for r in review_sample_plan(
+            df, group_col="source", flag=F.col("bad")
+        ).collect()
+    }
+    a = got["a"]
+    assert (a["n"], a["k"], a["rate"]) == (4, 2, 0.5)
+    # hand-computed Wilson at z=1.96, n=4, p=0.5
+    z, n, p = 1.96, 4.0, 0.5
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z / denom * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    assert a["wilson_lo"] == pytest.approx(center - half, abs=1e-6)
+    assert a["wilson_hi"] == pytest.approx(center + half, abs=1e-6)
+    assert a["n_required"] == math.ceil(z * z * 0.25 / 0.02**2)
+    b = got["b"]
+    # zero observed violations: lower bound clamps to exactly 0.0,
+    # n_required degenerates to 0 (observed p carries no variance)
+    assert (b["n"], b["k"], b["rate"]) == (3, 0, 0.0)
+    assert b["wilson_lo"] == 0.0
+    assert b["wilson_hi"] > 0.0  # Wilson, not Wald: nonzero width at p=0
+    assert b["n_required"] == 0
+    with pytest.raises(ValueError, match="margin"):
+        review_sample_plan(df, "source", F.col("bad"), margin=1.5)
+    with pytest.raises(ValueError, match="z must"):
+        review_sample_plan(df, "source", F.col("bad"), z=0.0)
