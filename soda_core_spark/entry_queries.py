@@ -8328,3 +8328,47 @@ def q149(spark, sf_dir):
     return review_sample_plan(
         d, group_col="source", flag=F.col("n_chars") < 200
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal audit-budget allocation across sources
+# (operators/sampling.py neyman_allocation)
+# ---------------------------------------------------------------------------
+
+_Q150_SQL = """
+WITH g AS (
+  SELECT source AS "group",
+         count(*)::BIGINT AS n_rows,
+         coalesce(stddev_samp(n_chars::DOUBLE), 0.0) AS sd
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY 1
+),
+t AS (SELECT sum(n_rows::DOUBLE * sd) AS tot FROM g)
+SELECT "group", n_rows,
+       round(sd, 6) AS sd,
+       round(CASE WHEN tot > 0 THEN n_rows::DOUBLE * sd / tot
+             ELSE 0.0 END, 6) AS weight,
+       round(CASE WHEN tot > 0 THEN 1000.0 * (n_rows::DOUBLE * sd) / tot
+             ELSE 0.0 END, 6) AS alloc_raw,
+       least(floor(CASE WHEN tot > 0
+                        THEN 1000.0 * (n_rows::DOUBLE * sd) / tot
+                        ELSE 0.0 END)::BIGINT, n_rows) AS alloc
+FROM g CROSS JOIN t ORDER BY "group"
+"""
+
+
+@register("q150_neyman_allocation", _Q150_SQL)
+def q150(spark, sf_dir):
+    """Neyman-optimal split of a 1000-doc audit budget across sources
+    (operators/sampling.py neyman_allocation): stratum h receives
+    budget * N_h*S_h / sum N_g*S_g — the minimum-variance allocation
+    for the stratified mean of document length. Complements q149
+    (per-group Wilson sizing in isolation) with the one-budget
+    cross-group trade-off. One grouped scan to |sources| rows; the
+    normalizer is a broadcast single-row aggregate."""
+    from soda_core_spark.operators.sampling import neyman_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    return neyman_allocation(
+        d, group_col="source", value_col="n_chars", budget=1000
+    )

@@ -656,3 +656,72 @@ def review_sample_plan(
         F.round(F.least(center + half, F.lit(1.0)), 6).alias("wilson_hi"),
         n_req.cast("long").alias("n_required"),
     ).orderBy("group")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman-optimal allocation of a fixed sampling budget across
+    strata: stratum h gets ``n_h = budget * N_h*S_h / sum(N_g*S_g)``
+    (Neyman 1934) — the allocation that minimizes the variance of the
+    stratified mean estimator for ``value_col``. The companion to
+    :func:`review_sample_plan`: that op sizes the audit per group in
+    isolation; this one splits ONE fixed budget across groups so the
+    corpus-level estimate is tightest. High-variance strata (mixed-
+    quality sources) get proportionally more of the budget than
+    uniform ones — proportional-to-size allocation wastes samples on
+    homogeneous strata.
+
+    One partial-aggregated groupBy collapses the corpus to |groups|
+    rows carrying (count, sample-stddev); the weight normalization is
+    a scalar-subquery cross join against that tiny frame's single
+    aggregate. Single-row strata and constant strata have S_h = 0 and
+    receive 0 (they need no sample to know their mean). Allocations
+    are floored and capped at the stratum population; the raw
+    (uncapped, unrounded) allocation is reported alongside so callers
+    can redistribute the rounding slack if they care.
+
+    Returns ``(group, n_rows, sd, weight, alloc_raw, alloc)`` with
+    floats rounded 6 dp, ordered by group. NULL values are excluded
+    from both the count and the stddev (they can't be sampled for the
+    signal anyway).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.stddev_samp(F.col(value_col).cast("double")), F.lit(0.0)
+            ).alias("sd"),
+        )
+    )
+    w = F.col("n_rows").cast("double") * F.col("sd")
+    tot = g.agg(F.sum(w).alias("__tot"))
+    raw = F.when(
+        F.col("__tot") > 0, F.lit(float(budget)) * w / F.col("__tot")
+    ).otherwise(F.lit(0.0))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "group",
+            "n_rows",
+            F.round(F.col("sd"), 6).alias("sd"),
+            F.round(
+                F.when(F.col("__tot") > 0, w / F.col("__tot")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("weight"),
+            F.round(raw, 6).alias("alloc_raw"),
+            F.least(F.floor(raw).cast("long"), F.col("n_rows")).alias(
+                "alloc"
+            ),
+        )
+        .orderBy("group")
+    )

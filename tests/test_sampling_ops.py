@@ -74,3 +74,29 @@ def test_review_sample_plan_wilson(spark):
         review_sample_plan(df, "source", F.col("bad"), margin=1.5)
     with pytest.raises(ValueError, match="z must"):
         review_sample_plan(df, "source", F.col("bad"), z=0.0)
+
+
+def test_neyman_allocation(spark):
+    import pytest
+
+    from soda_core_spark.operators.sampling import neyman_allocation
+
+    # stratum a: high variance, stratum b: constant (sd=0),
+    # stratum c: single row (stddev_samp NULL -> 0)
+    rows = (
+        [("a", float(v)) for v in (0, 100, 0, 100)]
+        + [("b", 50.0)] * 4
+        + [("c", 7.0)]
+        + [("d", None)]  # NULL excluded entirely
+    )
+    df = spark.createDataFrame(rows, ["source", "v"])
+    got = {r["group"]: r.asDict() for r in
+           neyman_allocation(df, "source", "v", budget=10).collect()}
+    assert set(got) == {"a", "b", "c"}  # d had only NULLs
+    # only stratum a has variance: it takes the whole budget, capped at N
+    assert got["a"]["weight"] == 1.0
+    assert got["a"]["alloc"] == 4  # floor(10) capped at n_rows=4
+    assert got["b"]["sd"] == 0.0 and got["b"]["alloc"] == 0
+    assert got["c"]["sd"] == 0.0 and got["c"]["alloc"] == 0
+    with pytest.raises(ValueError, match="budget"):
+        neyman_allocation(df, "source", "v", budget=0)
