@@ -8372,3 +8372,59 @@ def q150(spark, sf_dir):
     return neyman_allocation(
         d, group_col="source", value_col="n_chars", budget=1000
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget Pareto curve over an alpha-ratio quality score
+# (operators/calibration.py token_budget_curve)
+# ---------------------------------------------------------------------------
+
+_Q151_SQL = """
+WITH scored AS (
+  SELECT round(length(regexp_replace(coalesce(text, ''),
+                                     '[^a-zA-Z]', '', 'g'))::DOUBLE
+               / greatest(length(coalesce(text, '')), 1), 3) AS score,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '[ \t\n\r]+'),
+                         x -> x <> ''))::BIGINT AS t
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT score, count(*)::BIGINT AS docs, sum(t)::BIGINT AS tokens
+  FROM scored GROUP BY 1
+)
+SELECT score, docs, tokens,
+       sum(docs) OVER w::BIGINT AS cum_docs,
+       sum(tokens) OVER w::BIGINT AS cum_tokens,
+       (sum(tokens) OVER w <= 500000) AS within_budget
+FROM g
+WINDOW w AS (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY score DESC
+"""
+
+
+@register("q151_token_budget_curve", _Q151_SQL)
+def q151(spark, sf_dir):
+    """Token-budget Pareto curve (operators/calibration.py
+    token_budget_curve): corpus collapsed to alpha-ratio score grains
+    (3 dp), cumulative docs/tokens walking from best score down, with
+    the 500k-token-affordable prefix flagged. The budget-first dual of
+    q123/q146 threshold calibration: pick the keep cutoff from the
+    token budget instead of a target drop rate. One grouped scan; the
+    cumsum window only ever sees the ≤1001-row grain frame."""
+    from soda_core_spark.operators.calibration import token_budget_curve
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    score = F.length(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[^a-zA-Z]", "")
+    ).cast("double") / F.greatest(
+        F.length(F.coalesce(F.col("text"), F.lit(""))), F.lit(1)
+    )
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"[ \t\n\r]+"),
+            lambda x: x != "",
+        )
+    )
+    return token_budget_curve(d, score, toks, budget=500_000, precision=3)

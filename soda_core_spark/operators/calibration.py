@@ -409,3 +409,63 @@ def calibrate_group_thresholds(
             6,
         ).alias("realized_drop"),
     ).orderBy("group")
+
+
+def token_budget_curve(
+    df: DataFrame,
+    score: Column,
+    tokens: Column,
+    budget: int,
+    precision: int = 3,
+) -> DataFrame:
+    """The token-budget Pareto curve: collapse the corpus to score
+    grains (``round(score, precision)``), then walk the grains from
+    best score down, accumulating documents and tokens. A training-mix
+    planner reads off "keeping everything scoring ≥ s costs T tokens";
+    ``within_budget`` marks the prefix affordable under ``budget`` —
+    the largest threshold whose cumulative token cost fits. The
+    budget-first dual of :func:`calibrate_drop_thresholds` (which is
+    drop-rate-first): FineWeb-style pipelines pick operating points
+    both ways depending on whether compute or corpus size binds.
+
+    Scale shape: ONE partial-aggregated groupBy collapses the corpus
+    to ≤ 10^precision + 1 grain rows; the descending cumsum window
+    runs un-partitioned but only over that bounded grain frame (the
+    same trick as the ECDF/Gini operators — never a global window
+    over raw rows). NULL scores are excluded (they can't be ranked);
+    NULL token counts count as 0 cost.
+
+    Returns ``(score, docs, tokens, cum_docs, cum_tokens,
+    within_budget)`` ordered by score descending.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if not 0 <= precision <= 6:
+        raise ValueError(f"precision must be in [0,6], got {precision}")
+    from pyspark.sql import Window
+
+    g = (
+        df.where(score.isNotNull())
+        .select(
+            F.round(score, precision).alias("score"),
+            F.coalesce(tokens.cast("long"), F.lit(0)).alias("__t"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("__t").cast("long").alias("tokens"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "score",
+        "docs",
+        "tokens",
+        F.sum("docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("tokens").over(w).cast("long").alias("cum_tokens"),
+        (F.sum("tokens").over(w) <= F.lit(int(budget))).alias(
+            "within_budget"
+        ),
+    ).orderBy(F.col("score").desc())

@@ -150,3 +150,34 @@ def test_group_thresholds_validation(spark):
         calibrate_group_thresholds(df, "lang", "sig", direction="sideways")
     with pytest.raises(ValueError):
         calibrate_group_thresholds(df, "lang", "sig", target_drop=1.5)
+
+
+def test_token_budget_curve(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.operators.calibration import token_budget_curve
+
+    df = spark.createDataFrame(
+        [
+            (0.9, 100), (0.9, 50),      # best grain: 150 tokens
+            (0.5, 200),                 # cum 350
+            (0.2, 500),                 # cum 850 — breaks a 400 budget
+            (None, 999),                # NULL score excluded
+            (0.5, None),                # NULL tokens cost 0
+        ],
+        ["score", "toks"],
+    )
+    rows = token_budget_curve(
+        df, F.col("score"), F.col("toks"), budget=400
+    ).collect()
+    assert [r["score"] for r in rows] == [0.9, 0.5, 0.2]
+    assert [r["cum_tokens"] for r in rows] == [150, 350, 850]
+    assert [r["cum_docs"] for r in rows] == [2, 4, 5]
+    assert [r["within_budget"] for r in rows] == [True, True, False]
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_curve(df, F.col("score"), F.col("toks"), budget=0)
+    with pytest.raises(ValueError, match="precision"):
+        token_budget_curve(
+            df, F.col("score"), F.col("toks"), budget=1, precision=9
+        )
