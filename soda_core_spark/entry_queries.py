@@ -8428,3 +8428,50 @@ def q151(spark, sf_dir):
         )
     )
     return token_budget_curve(d, score, toks, budget=500_000, precision=3)
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index of the per-user activity distribution
+# (operators/profiling.py hill_tail_index)
+# ---------------------------------------------------------------------------
+
+_Q152_SQL = """
+WITH sizes AS (
+  SELECT user_id AS key, count(*)::BIGINT AS sz
+  FROM events GROUP BY 1
+),
+ng AS (SELECT count(*)::BIGINT AS n_groups FROM sizes),
+top AS (
+  SELECT sz::DOUBLE AS x,
+         row_number() OVER (ORDER BY sz DESC, key ASC) AS rn
+  FROM sizes ORDER BY sz DESC, key ASC LIMIT 51
+),
+agg AS (
+  SELECT max(CASE WHEN rn = 51 THEN x END) AS x_k1,
+         sum(CASE WHEN rn <= 50 THEN ln(x) END) AS sumlog,
+         count(CASE WHEN rn <= 50 THEN 1 END) AS k_seen
+  FROM top
+)
+SELECT n_groups, 50::BIGINT AS k, x_k1::BIGINT AS x_k1,
+       round(CASE WHEN k_seen = 50 AND x_k1 > 0
+             THEN sumlog / 50.0 - ln(x_k1) END, 6) AS inv_alpha,
+       round(CASE WHEN k_seen = 50 AND x_k1 > 0
+                   AND sumlog / 50.0 - ln(x_k1) > 0
+             THEN 1.0 / (sumlog / 50.0 - ln(x_k1)) END, 6) AS alpha
+FROM agg CROSS JOIN ng
+"""
+
+
+@register("q152_hill_tail_index", _Q152_SQL)
+def q152(spark, sf_dir):
+    """Hill tail-exponent of per-user event counts (operators/
+    profiling.py hill_tail_index, k=50): the asymptotic power-law
+    heaviness behind the salting decision — alpha ≤ 1 means the top
+    key dominates at ANY scale, alpha > 2 means plain hash
+    partitioning holds. One grouped collapse to |users| size rows,
+    then TakeOrderedAndProject ships k+1 rows total; never a global
+    sort."""
+    from soda_core_spark.operators.profiling import hill_tail_index
+
+    d = _t(spark, sf_dir, "events")
+    return hill_tail_index(d, key_col="user_id", k=50)

@@ -1251,3 +1251,77 @@ def group_gini(
         F.round("total", 6).alias("total"),
         F.round(gini, 6).alias("gini"),
     ).orderBy("group")
+
+
+def hill_tail_index(
+    df: DataFrame,
+    key_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Hill (1975) estimator of the power-law tail exponent of the
+    group-size distribution: how heavy is the heavy tail of per-key
+    row counts? ``alpha = k / sum_{i<=k} ln(X_(i) / X_(k+1))`` over the
+    k+1 largest group sizes. The single-scalar answer to "do I need
+    salting?": alpha ≤ 1 means the biggest key dominates the corpus no
+    matter the scale (Zipf-like hosts/users), alpha > 2 means the tail
+    is tame and plain hash partitioning holds. Complements
+    :func:`group_gini` (whole-distribution inequality) and q76's
+    key-skew top-list with the asymptotic tail law those can't see.
+
+    Scale shape: one partial-aggregated groupBy collapses the corpus
+    to |keys| size rows, then ``orderBy(...).limit(k+1)`` compiles to
+    TakeOrderedAndProject — a distributed top-k that ships exactly
+    k+1 rows per partition to the driver-side heap, never a global
+    sort. All log arithmetic runs on that (k+1)-row frame. Ties at
+    the boundary are broken by key for a deterministic row set; the
+    estimate itself is tie-invariant (tied sizes contribute equal
+    logs).
+
+    Returns one row ``(n_groups, k, x_k1, inv_alpha, alpha)``; alpha
+    is NULL when fewer than k+1 groups exist or X_(k+1) == 0 (the
+    estimator is undefined there — reported, not fabricated).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    from pyspark.sql import Window
+
+    sizes = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    n_groups = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups")
+    )
+    top = sizes.orderBy(F.col("sz").desc(), F.col("key").asc()).limit(k + 1)
+    w = Window.orderBy(F.col("sz").desc(), F.col("key").asc())
+    ranked = top.select(
+        F.row_number().over(w).alias("rn"), F.col("sz").cast("double").alias("x")
+    )
+    agg = ranked.agg(
+        F.max(F.when(F.col("rn") == k + 1, F.col("x"))).alias("x_k1"),
+        F.sum(
+            F.when(F.col("rn") <= k, F.log(F.col("x")))
+        ).alias("__sumlog"),
+        F.count(F.when(F.col("rn") <= k, F.lit(1))).alias("__k_seen"),
+    )
+    inv = (
+        F.col("__sumlog") / F.lit(float(k))
+        - F.log(F.col("x_k1"))
+    )
+    valid = (
+        (F.col("__k_seen") == k)
+        & F.col("x_k1").isNotNull()
+        & (F.col("x_k1") > 0)
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_groups))
+        .select(
+            "n_groups",
+            F.lit(k).cast("long").alias("k"),
+            F.col("x_k1").cast("long").alias("x_k1"),
+            F.round(F.when(valid, inv), 6).alias("inv_alpha"),
+            F.round(
+                F.when(valid & (inv > 0), F.lit(1.0) / inv), 6
+            ).alias("alpha"),
+        )
+    )

@@ -168,3 +168,30 @@ class TestGroupGini:
         assert out["z"].gini == 0.0 and out["z"].total == 0.0
         # NULL and negative excluded: group m keeps only the single 1.0
         assert out["m"].n == 1 and out["m"].gini == 0.0
+
+
+def test_hill_tail_index(spark):
+    import math
+
+    import pytest
+
+    from soda_core_spark.operators.profiling import hill_tail_index
+
+    rows = (
+        [("a",)] * 8 + [("b",)] * 4 + [("c",)] * 2 + [("d",)] * 1
+    )
+    df = spark.createDataFrame(rows, ["host"])
+    r = hill_tail_index(df, "host", k=2).collect()[0]
+    # X=(8,4), X_(3)=2: inv = (ln8+ln4)/2 - ln2 = 1.5*ln2
+    inv = 1.5 * math.log(2.0)
+    assert (r["n_groups"], r["k"], r["x_k1"]) == (4, 2, 2)
+    assert r["inv_alpha"] == pytest.approx(inv, abs=1e-6)
+    assert r["alpha"] == pytest.approx(1.0 / inv, abs=1e-6)
+    # fewer than k+1 groups: reported NULL, not fabricated
+    r2 = hill_tail_index(df, "host", k=5).collect()[0]
+    assert r2["alpha"] is None and r2["inv_alpha"] is None
+    with pytest.raises(ValueError, match="k must"):
+        hill_tail_index(df, "host", k=0)
+    # top-k must compile to TakeOrderedAndProject, never a global sort
+    plan = hill_tail_index(df, "host", k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
