@@ -8475,3 +8475,57 @@ def q152(spark, sf_dir):
 
     d = _t(spark, sf_dir, "events")
     return hill_tail_index(d, key_col="user_id", k=50)
+
+
+# ---------------------------------------------------------------------------
+# Between-centroid label separation audit
+# (functions/embeddings_qc.py centroid_separation)
+# ---------------------------------------------------------------------------
+
+_Q153_SQL = """
+WITH ex AS (
+  SELECT label AS g,
+         unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS ord
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (
+  SELECT g, ord, round(avg(x::DOUBLE), 12) AS c
+  FROM ex GROUP BY 1, 2
+),
+norms AS (
+  SELECT g, sqrt(sum(c * c)) AS n FROM cent GROUP BY 1
+),
+dots AS (
+  SELECT a.g AS g1, b.g AS g2, sum(a.c * b.c) AS dot
+  FROM cent a JOIN cent b ON a.ord = b.ord AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT g1, g2,
+       CASE WHEN n1.n > 0 AND n2.n > 0
+            THEN round(dot / (n1.n * n2.n), 6) END AS cos,
+       CASE WHEN n1.n > 0 AND n2.n > 0
+            THEN round(dot / (n1.n * n2.n), 6) >= 0.95 END AS confusable
+FROM dots
+JOIN norms n1 ON n1.g = dots.g1
+JOIN norms n2 ON n2.g = dots.g2
+ORDER BY g1, g2
+"""
+
+
+@register("q153_centroid_separation", _Q153_SQL)
+def q153(spark, sf_dir):
+    """Between-centroid label separation (functions/embeddings_qc.py
+    centroid_separation): pairwise cosine between label centroids,
+    flagging confusable pairs at 0.95 — the between-group dual of
+    q114's within-group coherence. Corpus collapses once to the
+    |labels|·dims centroid frame; all quadratic work stays on that
+    tiny frame with broadcast norm joins."""
+    from soda_core_spark.functions.embeddings_qc import (
+        centroid_separation,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_separation(
+        e, vec_col="embedding", group_col="label", threshold=0.95
+    )

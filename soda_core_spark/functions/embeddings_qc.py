@@ -160,3 +160,77 @@ def group_coherence(
             F.col("__min_ic").cast("double") / F.lit(1000000.0), 6
         ).alias("min_cos"),
     )
+
+
+def centroid_separation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairwise cosine between GROUP CENTROIDS — the between-group dual
+    of :func:`group_coherence`. Two labels whose centroids embed almost
+    identically (cos ≥ ``threshold``) are confusable: a taxonomy that
+    should be merged, a labeling pipeline that split one topic, or a
+    near-duplicate source pair — the audit SemDeDup's cluster step
+    silently depends on.
+
+    Scale shape: the corpus collapses ONCE via posexplode →
+    groupBy(group, dim) avg (map-side partial agg, components rounded
+    12 dp — the cross-engine trajectory pin) to a |groups|·dims frame;
+    norms and all pairwise dots are self-joins on that tiny frame, so
+    corpus size never touches the quadratic part. The pair count is
+    |groups|²/2 — at web scale group this by label taxonomy (dozens to
+    thousands), never by host; for thousands of groups the frame is
+    still ≤ 10⁷ tiny rows.
+
+    Zero-norm centroids yield NULL cosine and NULL ``confusable``
+    (undefined, not false). Returns ``(g1, g2, cos, confusable)`` for
+    g1 < g2, cosine at 6 dp, ordered by (g1, g2).
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1,1], got {threshold}")
+    g = F.col(group_col)
+    v = F.col(vec_col)
+    ex = df.where(v.isNotNull()).select(
+        g.alias("__g"), F.posexplode(v).alias("__pos", "__x")
+    )
+    cent = ex.groupBy("__g", "__pos").agg(
+        F.round(F.avg(F.col("__x").cast("double")), 12).alias("__c")
+    )
+    norms = cent.groupBy("__g").agg(
+        F.sqrt(F.sum(F.col("__c") * F.col("__c"))).alias("__n")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.__pos") == F.col("b.__pos"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("g1"), F.col("b.__g").alias("g2")
+        )
+        .agg(F.sum(F.col("a.__c") * F.col("b.__c")).alias("__dot"))
+    )
+    n1 = norms.select(
+        F.col("__g").alias("g1"), F.col("__n").alias("__n1")
+    )
+    n2 = norms.select(
+        F.col("__g").alias("g2"), F.col("__n").alias("__n2")
+    )
+    cos = F.when(
+        (F.col("__n1") > 0) & (F.col("__n2") > 0),
+        F.round(F.col("__dot") / (F.col("__n1") * F.col("__n2")), 6),
+    )
+    return (
+        dots.join(F.broadcast(n1), "g1")
+        .join(F.broadcast(n2), "g2")
+        .select(
+            "g1",
+            "g2",
+            cos.alias("cos"),
+            (cos >= F.lit(float(threshold))).alias("confusable"),
+        )
+        .orderBy("g1", "g2")
+    )

@@ -464,3 +464,32 @@ def test_jsonl_ingestion_rejects_bad_schema(spark):
             spark, "/nonexistent",
             schema=T.StructType([T.StructField("text", T.StringType())]),
         )
+
+
+def test_centroid_separation(spark):
+    import pytest
+
+    from soda_core_spark.functions.embeddings_qc import (
+        centroid_separation,
+    )
+
+    # label 0: along +x; label 1: identical direction (confusable);
+    # label 2: orthogonal +y; label 3: zero-norm centroid (v and -v)
+    rows = [
+        (0, [1.0, 0.0]), (0, [2.0, 0.0]),
+        (1, [3.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 1.0]), (3, [-1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {(r["g1"], r["g2"]): (r["cos"], r["confusable"])
+           for r in centroid_separation(df, threshold=0.95).collect()}
+    assert got[(0, 1)] == (1.0, True)
+    assert got[(0, 2)] == (0.0, False)
+    assert got[(1, 2)] == (0.0, False)
+    # zero-norm centroid: NULL cosine and NULL flag, never false
+    assert got[(0, 3)] == (None, None)
+    assert got[(2, 3)] == (None, None)
+    assert len(got) == 6
+    with pytest.raises(ValueError, match="threshold"):
+        centroid_separation(df, threshold=2.0)
