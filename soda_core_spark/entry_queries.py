@@ -8529,3 +8529,61 @@ def q153(spark, sf_dir):
     return centroid_separation(
         e, vec_col="embedding", group_col="label", threshold=0.95
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# (operators/profiling.py burrows_delta)
+# ---------------------------------------------------------------------------
+
+_Q154_SQL = """
+WITH gt AS (
+  SELECT source AS g, tok, count(*)::BIGINT AS c
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(
+                    lower(coalesce(text, '')), '[ \t\n\r]+'),
+                  x -> x <> '')) AS tok
+    FROM documents
+  ) GROUP BY 1, 2
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, sum(c) AS tc FROM gt GROUP BY 1
+  ) ORDER BY tc DESC, tok LIMIT 50
+),
+totals AS (SELECT g, sum(c) AS t FROM gt GROUP BY 1),
+grid AS (
+  SELECT totals.g, vocab.tok,
+         coalesce(gt.c, 0)::DOUBLE / totals.t::DOUBLE AS f
+  FROM totals CROSS JOIN vocab
+  LEFT JOIN gt ON gt.g = totals.g AND gt.tok = vocab.tok
+),
+stats AS (
+  SELECT tok, avg(f) AS m, stddev_samp(f) AS s FROM grid GROUP BY 1
+),
+z AS (
+  SELECT g, grid.tok,
+         round(CASE WHEN s > 0 THEN (f - m) / s END, 12) AS z
+  FROM grid JOIN stats ON grid.tok = stats.tok
+)
+SELECT a.g AS g1, b.g AS g2,
+       count(abs(a.z - b.z))::BIGINT AS n_terms,
+       round(avg(abs(a.z - b.z)), 6) AS delta
+FROM z a JOIN z b ON a.tok = b.tok AND a.g < b.g
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q154_burrows_delta", _Q154_SQL)
+def q154(spark, sf_dir):
+    """Burrows' Delta between sources (operators/profiling.py
+    burrows_delta, top 50 words): z-normalized function-word
+    frequencies scored pairwise by mean |z_a - z_b| — STYLE distance
+    where q135's JSD reads topic; the stylometric mirror/template
+    detector. One corpus-wide (source, token) groupBy; the z-grid and
+    pair join run on the |sources|·50 frame."""
+    from soda_core_spark.operators.profiling import burrows_delta
+
+    d = _t(spark, sf_dir, "documents")
+    return burrows_delta(d, group_col="source", text_col="text", top_k=50)

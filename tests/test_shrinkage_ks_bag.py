@@ -195,3 +195,34 @@ def test_hill_tail_index(spark):
     # top-k must compile to TakeOrderedAndProject, never a global sort
     plan = hill_tail_index(df, "host", k=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_burrows_delta(spark):
+    import pytest
+
+    from soda_core_spark.operators.profiling import burrows_delta
+
+    # a and b share style exactly (identical relative frequencies);
+    # c inverts the function-word ratio — Delta(a,b) must be ~0 and
+    # strictly below Delta(a,c).
+    df = spark.createDataFrame(
+        [
+            ("a", "the the the of"),
+            ("b", "the the the of the the the of"),
+            ("c", "of of of the"),
+        ],
+        ["source", "text"],
+    )
+    rows = burrows_delta(df, top_k=2).collect()
+    got = {(r["g1"], r["g2"]): (r["n_terms"], r["delta"]) for r in rows}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert got[("a", "b")][1] == pytest.approx(0.0, abs=1e-9)
+    assert got[("a", "c")][1] > 1.0
+    assert got[("a", "c")] == got[("b", "c")]
+    assert all(v[0] == 2 for v in got.values())
+    # constant-frequency words carry no signal: with one source all
+    # stddevs are NULL-or-zero -> zero scored terms, delta NULL
+    one = spark.createDataFrame([("a", "x y")], ["source", "text"])
+    assert burrows_delta(one, top_k=2).collect() == []
+    with pytest.raises(ValueError, match="top_k"):
+        burrows_delta(df, top_k=0)
