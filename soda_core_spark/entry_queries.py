@@ -8587,3 +8587,82 @@ def q154(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return burrows_delta(d, group_col="source", text_col="text", top_k=50)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise rule-overlap / redundancy matrix (operators/attribution.py)
+# ---------------------------------------------------------------------------
+
+
+def _q155_sql() -> str:
+    feats = _signal_feats_sql()
+    flags = {
+        "min_chars": "length(coalesce(text, '')) < 200",
+        "low_stopword": f"({feats['stopword_density']}) < 0.10",
+        "low_alnum": f"({feats['alnum_ratio']}) < 0.815",
+        "high_repetition": f"({feats['bigram_repetition']}) > 0.08",
+    }
+    names = list(flags)
+    cols = ", ".join(
+        f"CASE WHEN {expr} THEN 1 ELSE 0 END AS f_{n}"
+        for n, expr in flags.items()
+    )
+    sums = ", ".join(f"sum(f_{n})::BIGINT AS s_{n}" for n in names)
+    both = ", ".join(
+        f"sum(f_{a} * f_{b})::BIGINT AS b_{a}__{b}"
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    )
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            rows.append(f"""
+  SELECT '{a}' AS rule_a, '{b}' AS rule_b,
+         s_{a} AS n_a, s_{b} AS n_b, b_{a}__{b} AS n_both,
+         round(CASE WHEN s_{a} + s_{b} - b_{a}__{b} > 0
+               THEN b_{a}__{b}::DOUBLE / (s_{a} + s_{b} - b_{a}__{b})
+               ELSE 0.0 END, 6) AS jaccard,
+         round(CASE WHEN s_{a} > 0 AND s_{b} > 0
+               THEN (b_{a}__{b}::DOUBLE / nd)
+                    / ((s_{a}::DOUBLE / nd) * (s_{b}::DOUBLE / nd))
+               END, 6) AS lift
+  FROM agg""")
+    union = "\n  UNION ALL\n".join(rows)
+    return (
+        f"WITH f AS (SELECT {cols} FROM documents),\n"
+        f"agg AS (SELECT greatest(count(*), 1)::DOUBLE AS nd,\n"
+        f"        {sums}, {both} FROM f)\n{union}"
+    )
+
+
+@register("q155_rule_overlap", _q155_sql())
+def q155(spark, sf_dir):
+    """Pairwise rule-overlap / redundancy matrix (operators/attribution.py
+    rule_overlap): for every unordered pair of the q97 rule set —
+    failure counts, co-failure count, Jaccard of the failure sets, and
+    lift vs independence. jaccard near 1 marks an interchangeable rule
+    (prune it); high lift with low jaccard marks co-firing on a shared
+    pathology with distinct coverage. Same execution contract as q97:
+    ONE partial aggregation collapses the corpus to a single counter
+    row (k + k(k-1)/2 sums); inline() unpivots pairs from that row —
+    pair count widens the aggregate, never multiplies corpus passes.
+    soda-core analogue: cross-check correlation a contract author reads
+    off contract_verification_result failed-counts by hand."""
+    from soda_core_spark.functions.text import (
+        alnum_ratio,
+        bigram_repetition,
+        stopword_density,
+        words_col,
+    )
+    from soda_core_spark.operators.attribution import rule_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    w = words_col(text)
+    rules = {
+        "min_chars": F.length(F.coalesce(text, F.lit(""))) < 200,
+        "low_stopword": stopword_density(w) < 0.10,
+        "low_alnum": alnum_ratio(text) < 0.815,
+        "high_repetition": bigram_repetition(w) > 0.08,
+    }
+    return rule_overlap(d, rules)

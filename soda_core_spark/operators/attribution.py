@@ -254,3 +254,76 @@ def fleiss_kappa(df: DataFrame, cols: list[str]) -> DataFrame:
         F.round(pe, 6).alias("pe_bar"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def rule_overlap(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Pairwise redundancy matrix for a rule pack: for every unordered
+    rule pair, how much do their failure sets overlap? The
+    prune-the-pack companion to :func:`rule_attribution` — that op says
+    what each rule contributes ALONE (n_only_fail); this one says WHICH
+    OTHER RULE eats it. Per pair::
+
+        rule_a, rule_b: string  -- declared order, a before b
+        n_a, n_b: bigint        -- each rule's failure count
+        n_both: bigint          -- documents failing both
+        jaccard: double         -- |A∩B| / |A∪B|, 6dp (0 when both empty)
+        lift: double            -- P(both) / (P(a)·P(b)), 6dp, NULL when
+                                   either rule never fires (no base rate)
+
+    jaccard → 1 means the pair is interchangeable (delete one); lift ≫ 1
+    with low jaccard means they co-fire on a shared pathology but each
+    still covers distinct ground.
+
+    Same execution contract as :func:`rule_attribution`: every flag is
+    codegen integer arithmetic, ONE partial aggregation collapses the
+    corpus to a single counter row (k + k(k-1)/2 + 1 sums), and
+    ``inline`` unpivots pairs from that row — the pair count multiplies
+    the aggregate width, never the corpus passes.
+    """
+    if len(rules) < 2:
+        raise ValueError("rule_overlap needs at least two rules")
+    names = list(rules)
+    flags = {n: F.when(rules[n], 1).otherwise(0) for n in names}
+
+    def _s(col: Column, alias: str) -> Column:
+        return F.coalesce(F.sum(col), F.lit(0)).alias(alias)
+
+    aggs = [F.count(F.lit(1)).alias("__n_docs")]
+    for n in names:
+        aggs.append(_s(flags[n], f"__f_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(_s(flags[a] * flags[b], f"__b_{a}__{b}"))
+    one = df.agg(*aggs)
+
+    nd = F.greatest(F.col("__n_docs"), F.lit(1)).cast("double")
+    structs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            na = F.col(f"__f_{a}").cast("long")
+            nb = F.col(f"__f_{b}").cast("long")
+            both = F.col(f"__b_{a}__{b}").cast("long")
+            union = na + nb - both
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("rule_a"),
+                    F.lit(b).alias("rule_b"),
+                    na.alias("n_a"),
+                    nb.alias("n_b"),
+                    both.alias("n_both"),
+                    F.round(
+                        F.when(union > 0, both / union.cast("double"))
+                        .otherwise(F.lit(0.0)),
+                        6,
+                    ).alias("jaccard"),
+                    F.round(
+                        F.when(
+                            (na > 0) & (nb > 0),
+                            (both.cast("double") / nd)
+                            / ((na / nd) * (nb / nd)),
+                        ),
+                        6,
+                    ).alias("lift"),
+                )
+            )
+    return one.select(F.inline(F.array(*structs)))

@@ -243,3 +243,73 @@ def test_attribution_random_pandas_twin(spark):
     assert sum(got[n]["n_first_fail"] for n in flags.columns) == int(
         (tot > 0).sum()
     )
+
+
+# -- rule_overlap -----------------------------------------------------------
+
+
+def test_rule_overlap_hand_values(docs):
+    from soda_core_spark.operators.attribution import rule_overlap
+
+    out = rule_overlap(
+        docs, {"short": F.col("n") < 100, "flagged": F.col("x")}
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["rule_a"], r["rule_b"]) == ("short", "flagged")
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["n_both"] == 2                      # docs 1, 5
+    assert r["jaccard"] == 0.5                   # 2 / (3+3-2)
+    # lift = (2/6) / ((3/6)*(3/6)) = 4/3
+    assert r["lift"] == round(4 / 3, 6)
+
+
+def test_rule_overlap_never_firing_rule(docs):
+    from soda_core_spark.operators.attribution import rule_overlap
+
+    out = rule_overlap(
+        docs, {"short": F.col("n") < 100, "never": F.col("n") < 0}
+    )
+    r = out.collect()[0]
+    assert r["n_b"] == 0 and r["n_both"] == 0
+    assert r["jaccard"] == 0.0                   # union = 3, both = 0
+    assert r["lift"] is None                     # no base rate
+
+
+def test_rule_overlap_empty_corpus(docs):
+    from soda_core_spark.operators.attribution import rule_overlap
+
+    out = rule_overlap(
+        docs.where(F.lit(False)),
+        {"a": F.col("n") < 100, "b": F.col("x")},
+    )
+    r = out.collect()[0]
+    assert r["n_a"] == 0 and r["n_b"] == 0 and r["n_both"] == 0
+    assert r["jaccard"] == 0.0 and r["lift"] is None
+
+
+def test_rule_overlap_single_pass(docs):
+    from soda_core_spark.operators.attribution import rule_overlap
+
+    out = rule_overlap(
+        docs,
+        {
+            "a": F.col("n") < 100,
+            "b": F.col("x"),
+            "c": F.col("n") > 400,
+            "d": F.col("id") % 2 == 0,
+        },
+    )
+    plan = _plan(out)
+    # 4 rules -> 6 pairs, still ONE scan + partial/final aggregation
+    assert plan.count("HashAggregate") <= 2, plan
+    assert plan.count("Scan") <= 1, plan
+    assert out.count() == 6
+
+
+def test_rule_overlap_needs_two(docs):
+    from soda_core_spark.operators.attribution import rule_overlap
+
+    with pytest.raises(ValueError):
+        rule_overlap(docs, {"only": F.col("x")})
