@@ -8666,3 +8666,43 @@ def q155(spark, sf_dir):
         "high_repetition": bigram_repetition(w) > 0.08,
     }
     return rule_overlap(d, rules)
+
+
+# ---------------------------------------------------------------------------
+# Exact phi-heavy-hitter tokens via mergeable Misra-Gries summaries
+# (operators/profiling.py heavy_hitter_tokens)
+# ---------------------------------------------------------------------------
+
+_Q156_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(
+           lower(coalesce(text, '')), '[ \t\n\r]+'),
+         x -> x <> '')) AS token
+  FROM documents
+),
+tot AS (SELECT count(*)::DOUBLE AS n_total FROM toks)
+SELECT token, count(*)::BIGINT AS n,
+       round(count(*)::DOUBLE / n_total, 6) AS freq
+FROM toks, tot
+GROUP BY token, n_total
+HAVING count(*) > 0.003 * n_total
+ORDER BY n DESC, token
+"""
+
+
+@register("q156_heavy_hitters", _Q156_SQL)
+def q156(spark, sf_dir):
+    """Exact phi-heavy-hitter tokens (operators/profiling.py
+    heavy_hitter_tokens, phi=0.003): every token above 0.3% corpus
+    frequency with its exact count. The oracle is the full groupBy +
+    HAVING; the Spark path earns its keep at scale — a per-partition
+    Misra-Gries summary (mergeable-summaries batch merge) yields a
+    guaranteed candidate superset of <= partitions*ceil(1/phi) tokens,
+    and the exact recount broadcast-filters the explode BEFORE the
+    exchange, so the shuffle carries heavy candidates only instead of
+    the web-scale heavy-tail vocabulary. Output is exact and
+    partitioning-independent, so both engines agree bit-for-bit."""
+    from soda_core_spark.operators.profiling import heavy_hitter_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return heavy_hitter_tokens(d, phi=0.003)

@@ -1424,3 +1424,115 @@ def burrows_delta(
         )
         .orderBy("g1", "g2")
     )
+
+
+def heavy_hitter_tokens(
+    docs: DataFrame,
+    phi: float = 0.001,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT phi-heavy hitters — every token whose corpus frequency
+    strictly exceeds ``phi`` of all tokens, with its exact count — at a
+    shuffle cost bounded by the SUMMARY size, not the vocabulary.
+
+    ``top_vocabulary``/``boilerplate_ngrams`` pay a full (token, count)
+    exchange: web-scale text has a heavy-tailed vocabulary, so at 100 TB
+    the map-side combine still emits millions of distinct singletons per
+    partition into the shuffle. This operator caps that:
+
+    1. **Summary pass** — one ``mapInPandas`` over the corpus keeps a
+       Misra-Gries summary of k = ceil(1/phi) counters per partition
+       (Misra & Gries 1982), merged batch-wise with the mergeable-
+       summaries rule (Agarwal et al., PODS 2012: add counts, then
+       subtract the (k+1)-th largest and drop non-positives), which
+       preserves the deficit bound: a token missing from a partition's
+       summary has local count <= n_p/(k+1). Summing the bound over
+       partitions, any token with GLOBAL count > N/(k+1) <= phi*N must
+       survive in at least one summary — the union of summaries is a
+       guaranteed superset of the answer. Each partition emits at most
+       k candidate tokens plus its exact local token total.
+    2. **Recount pass** — exact counts for the candidate set only: the
+       explode is filtered by a BROADCAST semi-join on the (<= P*k)-row
+       candidate table before the groupBy, so the exchange carries heavy
+       candidates only, then ``HAVING count > phi*N`` (N exact from
+       pass 1) makes the output exact and independent of partitioning.
+
+    Tokenization is :func:`~soda_core_spark.functions.text.words_col`
+    (whitespace split) lowercased — the q154 convention. Returns
+    ``(token, n, freq)`` sorted by n desc, token; ``freq`` is 6 dp.
+    soda-core analogue: a distinct-value / frequent-values profile
+    column metric, made exact and shuffle-bounded for web scale.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from soda_core_spark.functions.text import words_col
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    k = int(math.ceil(1.0 / phi))
+    spark = docs.sparkSession
+
+    toks = docs.select(
+        words_col(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__w"
+        )
+    )
+
+    def _summarize(batches):
+        summary: "pd.Series | None" = None
+        total = 0
+        for pdf in batches:
+            arrs = [a for a in pdf["__w"] if len(a)]
+            if not arrs:
+                continue
+            flat = pd.Series(np.concatenate(arrs))
+            total += len(flat)
+            counts = flat.value_counts()
+            summary = (
+                counts
+                if summary is None
+                else summary.add(counts, fill_value=0)
+            )
+            if len(summary) > k:
+                # mergeable-MG prune: subtract the (k+1)-th largest
+                # count from every counter, keep strictly positive —
+                # deficit per counter grows by that pivot, total
+                # deficit stays <= n_p/(k+1).
+                pivot = summary.nlargest(k + 1).iloc[-1]
+                summary = summary - pivot
+                summary = summary[summary > 0]
+        cand = [] if summary is None else list(summary.index)
+        yield pd.DataFrame(
+            {"token": cand + [None], "local_total": [0] * len(cand) + [total]}
+        )
+
+    summaries = toks.mapInPandas(
+        _summarize, "token string, local_total long"
+    )
+    rows = summaries.collect()  # bounded: <= partitions * (k + 1)
+    n_total = sum(r["local_total"] for r in rows)
+    candidates = sorted({r["token"] for r in rows if r["token"] is not None})
+    out_schema = "token string, n bigint, freq double"
+    if n_total == 0 or not candidates:
+        return spark.createDataFrame([], out_schema)
+
+    cand_df = spark.createDataFrame(
+        [(c,) for c in candidates], "token string"
+    )
+    cutoff = float(phi) * float(n_total)
+    return (
+        toks.select(F.explode("__w").alias("token"))
+        .join(F.broadcast(cand_df), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cutoff)
+        .select(
+            "token",
+            "n",
+            F.round(F.col("n") / F.lit(float(n_total)), 6).alias("freq"),
+        )
+        .orderBy(F.col("n").desc(), "token")
+    )

@@ -239,3 +239,91 @@ def test_oov_scoring_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# -- heavy_hitter_tokens ------------------------------------------------------
+
+
+def test_heavy_hitters_exact_parity_on_skewed_partitions(spark):
+    """The MG-candidate + recount path must equal the full groupBy +
+    HAVING answer regardless of partitioning — including a layout where
+    every partition is dominated by a DIFFERENT locally-heavy token, the
+    adversarial case for per-partition summaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.functions.text import words_col
+    from soda_core_spark.operators.profiling import heavy_hitter_tokens
+
+    rng = random.Random(156)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for p in range(8):
+        local_hot = f"hot{p}"            # heavy in one partition only
+        for _ in range(40):
+            toks = [local_hot] * rng.randint(1, 4) + [
+                rng.choice(vocab) for _ in range(rng.randint(5, 15))
+            ]
+            if rng.random() < 0.5:
+                toks += ["global"] * rng.randint(1, 3)
+            rng.shuffle(toks)
+            rows.append((" ".join(toks),))
+    docs = spark.createDataFrame(rows, "text string").repartition(8)
+
+    phi = 0.01
+    got = {
+        (r["token"], r["n"], r["freq"])
+        for r in heavy_hitter_tokens(docs, phi=phi).collect()
+    }
+
+    toks = docs.select(
+        F.explode(
+            words_col(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("t")
+    )
+    n_total = toks.count()
+    want = {
+        (r["t"], r["n"], round(r["n"] / n_total, 6))
+        for r in toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > phi * n_total)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_empty_and_null_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.operators.profiling import heavy_hitter_tokens
+
+    empty = spark.createDataFrame([], "text string")
+    assert heavy_hitter_tokens(empty, phi=0.1).count() == 0
+    nulls = spark.createDataFrame([(None,), ("",)], "text string")
+    assert heavy_hitter_tokens(nulls, phi=0.1).count() == 0
+
+
+def test_heavy_hitters_phi_validated(spark):
+    import pytest as _pytest
+
+    from soda_core_spark.operators.profiling import heavy_hitter_tokens
+
+    docs = spark.createDataFrame([("a b",)], "text string")
+    for bad in (0.0, 1.0, -0.5, 2.0):
+        with _pytest.raises(ValueError):
+            heavy_hitter_tokens(docs, phi=bad)
+
+
+def test_heavy_hitters_recount_join_is_broadcast(spark):
+    """The candidate filter must reach the explode side as a broadcast
+    hash join — a shuffled join here would defeat the operator."""
+    from soda_core_spark.operators.profiling import heavy_hitter_tokens
+
+    docs = spark.createDataFrame(
+        [("the quick brown fox the the",)] * 20, "text string"
+    )
+    out = heavy_hitter_tokens(docs, phi=0.05)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
