@@ -8706,3 +8706,47 @@ def q156(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return heavy_hitter_tokens(d, phi=0.003)
+
+
+# ---------------------------------------------------------------------------
+# SoftDedup inverse-frequency training weights (operators/dedup.py
+# soft_dedup_weights)
+# ---------------------------------------------------------------------------
+
+_Q157_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(coalesce(text, '')),
+                                  '[ \t\n\r]+', ' ', 'g'))) AS fp,
+         (len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))
+          + length(regexp_replace(coalesce(text, ''),
+                                  '[A-Za-z0-9 \t\n\r]', '', 'g')))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+counts AS (
+  SELECT fp, count(*)::BIGINT AS n_copies FROM base GROUP BY fp
+)
+SELECT b.doc_id,
+       c.n_copies,
+       round(1.0::DOUBLE / c.n_copies, 6) AS weight,
+       b.n_tokens,
+       round(b.n_tokens::DOUBLE / c.n_copies, 6) AS effective_tokens
+FROM base b JOIN counts c USING (fp)
+"""
+
+
+@register("q157_soft_dedup_weights", _Q157_SQL)
+def q157(spark, sf_dir):
+    """SoftDedup-style inverse-duplicate-frequency training weights
+    (operators/dedup.py soft_dedup_weights): every document kept, each
+    weighted 1/n_copies of its exact-duplicate class, plus the
+    dedup-adjusted effective token contribution. The keep-and-reweight
+    counterpart to q11's drop-side exact dedup — same fingerprint, same
+    single map-side-combined groupBy, one AQE-skew-splittable join back
+    (no count-over-window, which would materialize a viral duplicate
+    class inside one task)."""
+    from soda_core_spark.operators.dedup import soft_dedup_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return soft_dedup_weights(d)

@@ -2319,3 +2319,61 @@ def bag_fingerprint_classes(
         .agg(F.sort_array(F.collect_list("__id")).alias("sample_ids"))
     )
     return classes.join(sample, "bag_fp").orderBy("bag_fp")
+
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SoftDedup-style training weights: keep EVERY document, but weight
+    each by the inverse size of its exact-duplicate class, so a text
+    duplicated a million times contributes one epoch-equivalent to
+    training instead of a million (Xue et al., ACL 2024 "SoftDedup" —
+    reweighting beats dropping when duplicates carry sampling signal;
+    this is the exact-duplicate special case of their commonness score).
+
+    Per document::
+
+        doc_id
+        n_copies: bigint          -- exact-class size (>= 1)
+        weight: double            -- 1 / n_copies, 6 dp
+        n_tokens: bigint          -- BPE-ish token count (q32 convention)
+        effective_tokens: double  -- n_tokens * weight, 6 dp: what this
+                                     doc adds to the dedup-adjusted
+                                     token budget
+
+    NULL text folds to '' so every row gets a weight (NULL fingerprints
+    would silently drop rows at the join on both engines).
+
+    Plan: class sizes come from a map-side-combined groupBy on the
+    16-byte fingerprint — immune to a giant duplicate class, the
+    combiner collapses it per partition — then ONE shuffle join back on
+    the fingerprint. Deliberately NOT a count-over-window: an unbounded
+    window over the class key materializes the whole hot class in one
+    task, while the join's hot key is AQE-skew-splittable. Only
+    (fingerprint, id, token-count) columns ever shuffle; text is pruned
+    at both scans. soda-core analogue: duplicate_count check
+    (soda-core/src/soda_core/contracts/impl/check_types/duplicate_check.py),
+    inverted from drop-audit to keep-and-reweight."""
+    from soda_core_spark.functions.text import token_count_bpe_ish
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    fp = F.md5(normalized_text(text))
+    base = df.select(
+        F.col(id_col),
+        fp.alias("__fp"),
+        token_count_bpe_ish(text).cast("long").alias("n_tokens"),
+    )
+    counts = (
+        df.select(fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    return base.join(counts, "__fp").select(
+        id_col,
+        "n_copies",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_copies"), 6
+        ).alias("effective_tokens"),
+    )

@@ -1114,3 +1114,54 @@ def test_containment_tie_prefers_smaller_doc(spark):
     )
     r = ngram_containment_pairs(df, threshold=0.5, max_doc_freq=None).collect()
     assert len(r) == 1 and r[0]["contained_id"] == 7
+
+
+def test_soft_dedup_weights_hand_values(spark):
+    from soda_core_spark.operators.dedup import soft_dedup_weights
+
+    # "a b" duplicated 3x (one with extra whitespace/case -> same class),
+    # one unique doc, one NULL-text doc (folds to '' class of size 1)
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "A  b "),
+            (3, "a\tb"),
+            (4, "unique doc"),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+    assert len(out) == 5  # every row kept
+    for i in (1, 2, 3):
+        assert out[i].n_copies == 3
+        assert out[i].weight == pytest.approx(0.333333)
+    assert out[1].n_tokens == 2
+    assert out[1].effective_tokens == pytest.approx(2 / 3, abs=1e-6)
+    assert out[4].n_copies == 1 and out[4].weight == 1.0
+    assert out[4].n_tokens == 2 and out[4].effective_tokens == 2.0
+    assert out[5].n_copies == 1 and out[5].n_tokens == 0
+    assert out[5].effective_tokens == 0.0
+
+
+def test_soft_dedup_weights_budget_equals_dedup_budget(spark):
+    from soda_core_spark.operators.dedup import exact_dedup, soft_dedup_weights
+
+    # sum(effective_tokens) == token budget of the exact-deduped corpus:
+    # reweighting and dropping agree on the total when classes are exact
+    df = spark.createDataFrame(
+        [(i, ["x y z", "p q", "x y z", "r s t u"][i % 4]) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    soft = soft_dedup_weights(df).agg(
+        F.round(F.sum("effective_tokens"), 4).alias("budget")
+    ).collect()[0].budget
+    from soda_core_spark.functions.text import token_count_bpe_ish
+
+    hard = (
+        exact_dedup(df)
+        .agg(F.sum(token_count_bpe_ish(F.col("text"))).alias("budget"))
+        .collect()[0]
+        .budget
+    )
+    assert soft == pytest.approx(float(hard), abs=1e-3)
