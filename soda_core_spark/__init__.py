@@ -167,3 +167,9 @@ from soda_core_spark.operators.calibration import (  # noqa: F401
     classifier_reliability,
 )
 from soda_core_spark.operators.sampling import mixture_plan  # noqa: F401
+from soda_core_spark.operators.dedup import soft_dedup_weights  # noqa: F401
+from soda_core_spark.operators.retrieval import rank_fusion  # noqa: F401
+from soda_core_spark.operators.profiling import heaps_law_fit  # noqa: F401
+from soda_core_spark.operators.attribution import (  # noqa: F401
+    poisson_bootstrap_rates,
+)

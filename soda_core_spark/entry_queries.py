@@ -8750,3 +8750,231 @@ def q157(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return soft_dedup_weights(d)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of quality signals (operators/retrieval.py
+# rank_fusion)
+# ---------------------------------------------------------------------------
+
+def _q158_sql() -> str:
+    feats = _signal_feats_sql()
+    sigs = {
+        "stopword": feats["stopword_density"],
+        "alnum": feats["alnum_ratio"],
+        "neg_repetition": f"-({feats['bigram_repetition']})",
+        "log_chars": feats["log_chars"],
+    }
+    longs = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, '{n}' AS signal, ({e})::DOUBLE AS value"
+        f" FROM documents"
+        for n, e in sigs.items()
+    )
+    ranks = ", ".join(
+        f"max(CASE WHEN signal = '{n}' THEN rnk END)::BIGINT AS rank_{n}"
+        for n in sigs
+    )
+    return f"""
+WITH long AS (
+{longs}
+),
+r AS (
+  SELECT doc_id, signal,
+         rank() OVER (PARTITION BY signal ORDER BY value DESC) AS rnk
+  FROM long
+)
+SELECT doc_id,
+       {ranks},
+       sum(floor(1e12 / (60 + rnk)))::BIGINT AS rrf_micro,
+       round(sum(floor(1e12 / (60 + rnk))) / 1e12, 6) AS rrf_score
+FROM r GROUP BY doc_id
+"""
+
+
+@register("q158_rank_fusion", _q158_sql())
+def q158(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/retrieval.py rank_fusion,
+    k=60) of four heterogeneous quality signals — stopword density,
+    alphanumeric ratio, negated bigram repetition, capped log length —
+    into one calibration-free curation score. Exact competition ranks
+    come from the two-stage bucketed rank (distinct-value counts →
+    bucket offsets → within-bucket windows), never a global
+    single-partition window; the fused score is an order-insensitive
+    integer sum so both engines agree bit-for-bit."""
+    from soda_core_spark.functions.classifier import quality_features
+    from soda_core_spark.operators.retrieval import rank_fusion
+
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return rank_fusion(
+        d,
+        {
+            "stopword": feats["stopword_density"],
+            "alnum": feats["alnum_ratio"],
+            "neg_repetition": -feats["bigram_repetition"],
+            "log_chars": feats["log_chars"],
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit (operators/profiling.py heaps_law_fit)
+# ---------------------------------------------------------------------------
+
+_Q159_SQL = """
+WITH toks AS (
+  SELECT floor((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT * 64)
+               / 4294967296.0)::BIGINT AS b,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                  '[ \t\n\r]+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+n_b AS (SELECT b, count(*)::BIGINT AS n FROM toks GROUP BY b),
+v_b AS (
+  SELECT fb AS b, count(*)::BIGINT AS v
+  FROM (SELECT tok, min(b) AS fb FROM toks GROUP BY tok)
+  GROUP BY fb
+),
+curve AS (
+  SELECT sum(coalesce(n, 0)) OVER (ORDER BY b) AS n_cum,
+         sum(coalesce(v, 0)) OVER (ORDER BY b) AS v_cum
+  FROM n_b FULL JOIN v_b USING (b)
+),
+pts AS (
+  SELECT ln(n_cum::DOUBLE) AS x, ln(v_cum::DOUBLE) AS y, n_cum, v_cum
+  FROM curve WHERE n_cum > 0 AND v_cum > 0
+),
+fit AS (
+  SELECT count(*)::BIGINT AS n_points,
+         max(n_cum)::BIGINT AS n_tokens,
+         max(v_cum)::BIGINT AS vocabulary,
+         covar_pop(y, x) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy,
+         avg(x) AS mx, avg(y) AS my
+  FROM pts
+)
+SELECT n_points, n_tokens, vocabulary,
+       round(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS heaps_beta,
+       round(CASE WHEN vx > 0 THEN exp(my - (cxy / vx) * mx) END, 6)
+         AS heaps_k,
+       round(CASE WHEN vx > 0 AND vy > 0
+             THEN cxy * cxy / (vx * vy) END, 6) AS heaps_r2
+FROM fit
+"""
+
+
+@register("q159_heaps_law", _Q159_SQL)
+def q159(spark, sf_dir):
+    """Heaps'-law vocabulary-growth exponent (operators/profiling.py
+    heaps_law_fit, 64 hash-order buckets): V(n) ~ K n^beta fitted over
+    cumulative (tokens, distinct vocabulary) at md5-prefix cut points.
+    beta near 1 = token-minting pathology (mojibake/IDs/traps), near 0
+    = closed template vocabulary; pairs with q112's Zipf slope as the
+    corpus-shape tripwire. Vocabulary is counted where FIRST seen (min
+    bucket per token), so the inherently-sequential prefix-distinct
+    curve becomes two parallel aggregates and the windows touch only
+    the 64-row summary."""
+    from soda_core_spark.operators.profiling import heaps_law_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_law_fit(d, buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap rule-rate uncertainty (operators/attribution.py
+# poisson_bootstrap_rates)
+# ---------------------------------------------------------------------------
+
+def _q160_sql() -> str:
+    from soda_core_spark.operators.attribution import POISSON1_CDF
+
+    feats = _signal_feats_sql()
+    flags = {
+        "min_chars": "length(coalesce(text, '')) < 200",
+        "low_stopword": f"({feats['stopword_density']}) < 0.10",
+        "low_alnum": f"({feats['alnum_ratio']}) < 0.815",
+        "high_repetition": f"({feats['bigram_repetition']}) > 0.08",
+    }
+    names = list(flags)
+    fcols = ", ".join(
+        f"CASE WHEN {e} THEN 1 ELSE 0 END AS f_{n}" for n, e in flags.items()
+    )
+    u = ("(('0x' || substr(md5(id || ':' || r::VARCHAR), 1, 8))::BIGINT"
+         " / 4294967296.0)")
+    pois = "CASE " + " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    ) + " ELSE 8 END"
+    sums = ", ".join(f"sum(w * f_{n})::BIGINT AS s_{n}" for n in names)
+    longs = "\n  UNION ALL\n".join(
+        f"  SELECT r, sw, n, '{n}' AS flag, s_{n} AS s FROM agg"
+        for n in names
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id::VARCHAR AS id, {fcols} FROM documents
+),
+w AS (
+  SELECT r, CASE WHEN r < 0 THEN 1 ELSE {pois} END AS w, f.*
+  FROM f CROSS JOIN (SELECT unnest(range(-1, 64)) AS r) reps
+),
+agg AS (
+  SELECT r, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n, {sums}
+  FROM w GROUP BY r
+),
+long AS (
+{longs}
+),
+rated AS (
+  SELECT r, n, flag,
+         CASE WHEN sw > 0 THEN s::DOUBLE / sw END AS rate
+  FROM long
+),
+point AS (
+  SELECT flag, n AS n_docs, rate AS pt FROM rated WHERE r < 0
+),
+boots AS (
+  SELECT flag, stddev_samp(rate) AS se, count(*)::INT AS n_replicates
+  FROM rated WHERE r >= 0 GROUP BY flag
+)
+SELECT p.flag, p.n_docs,
+       round(p.pt, 6) AS rate,
+       round(b.se, 6) AS boot_se,
+       round(greatest(0.0, p.pt - 1.959963984540054 * b.se), 6) AS ci_lo,
+       round(least(1.0, p.pt + 1.959963984540054 * b.se), 6) AS ci_hi,
+       b.n_replicates
+FROM point p JOIN boots b USING (flag)
+ORDER BY flag
+"""
+
+
+@register("q160_bootstrap_rates", _q160_sql())
+def q160(spark, sf_dir):
+    """Poisson-bootstrap SEs and 95% CIs for the q97/q155 rule
+    fail-rates (operators/attribution.py poisson_bootstrap_rates,
+    R=64): deterministic md5-seeded Poisson(1) weights approximate
+    with-replacement resampling in ONE corpus pass — the point estimate
+    rides the same aggregate as the 64 replicates (r=-1, weight 1), all
+    counter sums are exact integers, and the shuffle carries only
+    partitions x 65 partial counter rows. The uncertainty surface
+    soda-core's point-metric checks lack."""
+    from soda_core_spark.functions.text import (
+        alnum_ratio,
+        bigram_repetition,
+        stopword_density,
+        words_col,
+    )
+    from soda_core_spark.operators.attribution import poisson_bootstrap_rates
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    w = words_col(text)
+    return poisson_bootstrap_rates(
+        d,
+        {
+            "min_chars": F.length(F.coalesce(text, F.lit(""))) < 200,
+            "low_stopword": stopword_density(w) < 0.10,
+            "low_alnum": alnum_ratio(text) < 0.815,
+            "high_repetition": bigram_repetition(w) > 0.08,
+        },
+        replicates=64,
+    )

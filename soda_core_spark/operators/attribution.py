@@ -327,3 +327,152 @@ def rule_overlap(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
                 )
             )
     return one.select(F.inline(F.array(*structs)))
+
+
+#: Poisson(1) inverse-CDF thresholds c_k = P(X <= k), k = 0..7 — shared
+#: verbatim with the SQL oracle so both engines draw identical weights.
+#: u >= c_7 (p ~ 1e-7) clamps to weight 8.
+POISSON1_CDF: tuple[float, ...] = tuple(
+    __import__("math").exp(-1.0)
+    * sum(1.0 / __import__("math").factorial(j) for j in range(k + 1))
+    for k in range(8)
+)
+
+
+def _poisson1_inv(u: Column) -> Column:
+    out = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        out = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(out)
+    return out
+
+
+def poisson_bootstrap_rates(
+    df: DataFrame,
+    flags: dict[str, Column],
+    id_col: str = "doc_id",
+    replicates: int = 64,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Poisson-bootstrap standard errors and CIs for per-rule rates —
+    the one-pass, any-scale bootstrap (Chamandy et al., Google 2012
+    "Estimating Uncertainty for Massive Data Streams"; Kleiner et al.'s
+    BLB is the heavier cousin): resampling n docs with replacement is
+    approximated by giving doc i an independent Poisson(1) weight per
+    replicate, so NO resample is ever materialized and the whole
+    procedure is one aggregation.
+
+    Weights are DETERMINISTIC: replicate r's weight for doc i inverts
+    the Poisson(1) CDF at the md5 hash fraction of ``id:r`` — identical
+    across engines, restarts and partitionings (``POISSON1_CDF`` is
+    shared verbatim with the SQL twin). Replicate rates are ratio
+    estimators sum(w·flag)/sum(w) (resample sizes vary by design).
+
+    One row per flag::
+
+        flag, n_docs: bigint
+        rate: double            -- point estimate, 6 dp
+        boot_se: double         -- stddev_samp over replicate rates, 6 dp
+        ci_lo, ci_hi: double    -- normal-approx z-interval, clipped to
+                                   [0, 1], 6 dp
+        n_replicates: int
+
+    Scale shape: the corpus scan explodes each row into ``replicates+1``
+    (id, r) pairs — a generator feeding a map-side-combined aggregate,
+    so the shuffle carries at most partitions × (replicates+1) partial
+    rows of F+1 integer counters, never the corpus. The r = -1 row has
+    weight 1 and yields the point estimate in the SAME pass (no second
+    scan). All counter sums are exact integers; doubles appear only in
+    the final (replicates+1)-row reduction. Cost is ``replicates`` md5
+    calls per doc — sizing R trades CPU for CI resolution, 50-100 is
+    standard.
+
+    soda-core has no uncertainty surface (checks emit point metrics
+    only, contract_verification_result); this is what turns a keep-rate
+    into a defensible decision at 10^12 docs, where "did the rate move?"
+    needs an SE, not a second full run.
+    """
+    if not flags:
+        raise ValueError("flags must be non-empty")
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2, got {replicates}")
+    names = list(flags)
+    base = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        *[
+            F.when(c, F.lit(1)).otherwise(F.lit(0)).alias(f"__f_{n}")
+            for n, c in flags.items()
+        ],
+    )
+    reps = F.explode(
+        F.array(*[F.lit(r) for r in range(-1, replicates)])
+    ).alias("__r")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("__id"), F.col("__r"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    w = F.when(F.col("__r") < 0, F.lit(1)).otherwise(_poisson1_inv(u))
+    per_rep = (
+        base.select("__id", reps, *[f"__f_{n}" for n in names])
+        .withColumn("__w", w)
+        .groupBy("__r")
+        .agg(
+            F.sum("__w").cast("long").alias("__sw"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.sum(F.col("__w") * F.col(f"__f_{n}"))
+                .cast("long")
+                .alias(f"__s_{n}")
+                for n in names
+            ],
+        )
+    )
+    long = per_rep.select(
+        "__r",
+        "__sw",
+        "__n",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("flag"),
+                        F.col(f"__s_{n}").alias("__s"),
+                    )
+                    for n in names
+                ]
+            )
+        ),
+    ).withColumn(
+        "__rate",
+        F.when(
+            F.col("__sw") > 0, F.col("__s") / F.col("__sw").cast("double")
+        ),
+    )
+    point = long.where(F.col("__r") < 0).select(
+        "flag", F.col("__n").alias("n_docs"), F.col("__rate").alias("__pt")
+    )
+    boots = (
+        long.where(F.col("__r") >= 0)
+        .groupBy("flag")
+        .agg(
+            F.stddev_samp("__rate").alias("__se"),
+            F.count(F.lit(1)).cast("int").alias("n_replicates"),
+        )
+    )
+    out = point.join(boots, "flag")
+    lo = F.greatest(F.lit(0.0), F.col("__pt") - F.lit(z) * F.col("__se"))
+    hi = F.least(F.lit(1.0), F.col("__pt") + F.lit(z) * F.col("__se"))
+    return out.select(
+        "flag",
+        "n_docs",
+        F.round("__pt", 6).alias("rate"),
+        F.round("__se", 6).alias("boot_se"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+        "n_replicates",
+    ).orderBy("flag")

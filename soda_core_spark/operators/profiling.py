@@ -1536,3 +1536,111 @@ def heavy_hitter_tokens(
         )
         .orderBy(F.col("n").desc(), "token")
     )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth — the companion corpus-sanity
+    statistic to ``zipf_fit``: natural text grows its vocabulary as
+    V(n) ≈ K·n^β with β ≈ 0.4-0.6 over token count n (Heaps 1978).
+    β near 1 means the corpus keeps minting tokens (mojibake, random
+    IDs, crawl traps); β near 0 means a closed template vocabulary
+    (boilerplate mirror farms). Both pathologies pass per-document
+    checks and bend this curve.
+
+    The growth curve needs a CORPUS-ORDER prefix notion, which a naive
+    implementation makes sequential. Here the order is the md5 hash of
+    the document id cut into ``buckets`` contiguous ranges (the exact
+    bucketing of ``sampling.sample_to_token_budget``, so the prefix
+    order is deterministic across engines/partitionings), and the whole
+    curve comes out of two parallel aggregates:
+
+    - n_b: total tokens per bucket (one map-side-combined groupBy),
+    - v_b: tokens whose FIRST bucket (min over its occurrences) is b —
+      vocabulary is "minted where first seen", so the prefix-distinct
+      count V(b) is the running sum of v_b, no sequential scan.
+
+    Cumulative windows run over ≤ ``buckets`` rows. OLS of
+    ln V(b) ~ ln N(b) in closed form over those ≤ ``buckets`` points
+    (empty buckets contribute no point). One row::
+
+        n_points, n_tokens, vocabulary,
+        heaps_beta, heaps_k, heaps_r2   -- 6 dp; NULL when < 2 distinct
+                                           curve points (degenerate fit)
+
+    Tokens are lowercased whitespace-split words (q156 convention);
+    NULL text folds to ''. soda-core analogue: none — corpus-level
+    drift tripwire alongside q112/q78.
+    """
+    from pyspark.sql import Window
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    order = F.md5(F.col(id_col).cast("string"))
+    prefix32 = F.conv(F.substring(order, 1, 8), 16, 10).cast("long")
+    bucket = F.floor((prefix32 * F.lit(int(buckets))) / F.lit(float(2**32)))
+    toks = df.select(
+        bucket.alias("__b"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[ \\t\\n\\r]+",
+                ),
+                lambda w: w != "",
+            )
+        ).alias("__tok"),
+    )
+    n_b = toks.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    v_b = (
+        toks.groupBy("__tok")
+        .agg(F.min("__b").alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        n_b.join(v_b, "__b", "full")
+        .select(
+            F.sum(F.coalesce(F.col("__n"), F.lit(0))).over(w).alias("N"),
+            F.sum(F.coalesce(F.col("__v"), F.lit(0))).over(w).alias("V"),
+        )
+        .where((F.col("N") > 0) & (F.col("V") > 0))
+    )
+    pts = curve.select(
+        F.log(F.col("N").cast("double")).alias("x"),
+        F.log(F.col("V").cast("double")).alias("y"),
+        "N",
+        "V",
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("N").cast("long").alias("n_tokens"),
+        F.max("V").cast("long").alias("vocabulary"),
+        F.covar_pop("y", "x").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("y").alias("vy"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+    )
+    ok = F.col("vx") > 0
+    beta = F.col("cxy") / F.col("vx")
+    return fit.select(
+        "n_points",
+        "n_tokens",
+        "vocabulary",
+        F.round(F.when(ok, beta), 6).alias("heaps_beta"),
+        F.round(F.when(ok, F.exp(F.col("my") - beta * F.col("mx"))), 6)
+        .alias("heaps_k"),
+        F.round(
+            F.when(
+                ok & (F.col("vy") > 0),
+                (F.col("cxy") * F.col("cxy")) / (F.col("vx") * F.col("vy")),
+            ),
+            6,
+        ).alias("heaps_r2"),
+    )

@@ -313,3 +313,73 @@ def test_rule_overlap_needs_two(docs):
 
     with pytest.raises(ValueError):
         rule_overlap(docs, {"only": F.col("x")})
+
+
+# -- poisson_bootstrap_rates ---------------------------------------------------
+
+
+def test_poisson1_cdf_constants():
+    import math
+
+    from soda_core_spark.operators.attribution import POISSON1_CDF
+
+    assert POISSON1_CDF[0] == pytest.approx(math.exp(-1.0))
+    assert POISSON1_CDF[1] == pytest.approx(2 * math.exp(-1.0))
+    assert len(POISSON1_CDF) == 8
+    assert all(a < b for a, b in zip(POISSON1_CDF, POISSON1_CDF[1:]))
+    assert POISSON1_CDF[-1] > 0.99998  # P(X<=7) = 1 - 1.02e-5
+
+
+def test_bootstrap_rates_point_estimate_and_ci(spark):
+    from soda_core_spark.operators.attribution import poisson_bootstrap_rates
+
+    # 200 docs, exactly 50 flagged -> rate 0.25; binomial SE ~ 0.031
+    df = spark.createDataFrame(
+        [(i, i % 4 == 0) for i in range(200)], ["doc_id", "bad"]
+    )
+    r = poisson_bootstrap_rates(
+        df, {"bad": F.col("bad")}, replicates=64
+    ).collect()[0]
+    assert r.flag == "bad" and r.n_docs == 200 and r.n_replicates == 64
+    assert r.rate == 0.25  # exact: integer counts, weight-1 replicate
+    # bootstrap SE should be in the ballpark of sqrt(p(1-p)/n) = 0.0306
+    assert 0.015 < r.boot_se < 0.06
+    assert r.ci_lo <= 0.25 <= r.ci_hi
+    assert 0.0 <= r.ci_lo and r.ci_hi <= 1.0
+
+
+def test_bootstrap_rates_deterministic_across_partitioning(spark):
+    from soda_core_spark.operators.attribution import poisson_bootstrap_rates
+
+    rows = [(i, i % 7 == 0, i % 3 == 0) for i in range(150)]
+    a = poisson_bootstrap_rates(
+        spark.createDataFrame(rows, ["doc_id", "x", "y"]).repartition(1),
+        {"x": F.col("x"), "y": F.col("y")},
+    ).collect()
+    b = poisson_bootstrap_rates(
+        spark.createDataFrame(rows, ["doc_id", "x", "y"]).repartition(11),
+        {"x": F.col("x"), "y": F.col("y")},
+    ).collect()
+    assert a == b  # md5-seeded weights: partitioning-invariant
+
+
+def test_bootstrap_rates_degenerate_flags(spark):
+    from soda_core_spark.operators.attribution import poisson_bootstrap_rates
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    out = {
+        r.flag: r
+        for r in poisson_bootstrap_rates(
+            df,
+            {"always": F.lit(True), "never": F.lit(False)},
+            replicates=16,
+        ).collect()
+    }
+    # constant flags: every replicate rate identical -> SE exactly 0
+    assert out["always"].rate == 1.0 and out["always"].boot_se == 0.0
+    assert out["never"].rate == 0.0 and out["never"].boot_se == 0.0
+    assert out["always"].ci_lo == 1.0 and out["never"].ci_hi == 0.0
+    with pytest.raises(ValueError):
+        poisson_bootstrap_rates(df, {})
+    with pytest.raises(ValueError):
+        poisson_bootstrap_rates(df, {"a": F.lit(True)}, replicates=1)

@@ -3,6 +3,7 @@ semantics, plan shape; LSH planner properties."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from soda_core_spark.operators.dedup import (
@@ -327,3 +328,67 @@ def test_heavy_hitters_recount_join_is_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# -- heaps_law_fit ------------------------------------------------------------
+
+
+def test_heaps_law_known_exponents(spark):
+    """A token-minting corpus (every doc all-new tokens) fits beta ~ 1;
+    a closed-vocabulary corpus fits beta ~ 0."""
+    from soda_core_spark.operators.profiling import heaps_law_fit
+
+    minting = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(20))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    r = heaps_law_fit(minting, buckets=16).collect()[0]
+    assert r.n_tokens == 4000 and r.vocabulary == 4000
+    assert r.heaps_beta == pytest.approx(1.0, abs=1e-6)
+    assert r.heaps_r2 == pytest.approx(1.0, abs=1e-6)
+
+    closed = spark.createDataFrame(
+        [(i, "the quick brown fox") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    r2 = heaps_law_fit(closed, buckets=16).collect()[0]
+    assert r2.vocabulary == 4
+    # vocabulary saturates in the first bucket: near-zero growth exponent
+    assert abs(r2.heaps_beta) < 0.15
+
+
+def test_heaps_law_partitioning_invariance(spark):
+    """Same fit regardless of input partitioning (order is hash-derived,
+    not physical)."""
+    from soda_core_spark.operators.profiling import heaps_law_fit
+
+    import random
+
+    rng = random.Random(159)
+    vocab = [f"w{k}" for k in range(300)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(150)
+    ]
+    a = heaps_law_fit(
+        spark.createDataFrame(rows, ["doc_id", "text"]).repartition(1)
+    ).collect()[0]
+    b = heaps_law_fit(
+        spark.createDataFrame(rows, ["doc_id", "text"]).repartition(13)
+    ).collect()[0]
+    assert a == b
+    assert 0.0 < a.heaps_beta < 1.0
+
+
+def test_heaps_law_degenerate_inputs(spark):
+    from soda_core_spark.operators.profiling import heaps_law_fit
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = heaps_law_fit(empty).collect()[0]
+    assert r.n_points == 0 and r.heaps_beta is None
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "doc_id long, text string")
+    r2 = heaps_law_fit(nulls).collect()[0]
+    assert r2.n_points == 0 and r2.heaps_beta is None
+    with pytest.raises(ValueError):
+        heaps_law_fit(empty, buckets=1)

@@ -392,3 +392,86 @@ def test_materialize_shards_order_and_nulls(spark):
         assert out[sid]["n_docs"] == len(members)
         assert out[sid]["shard_tokens"] == 25 * len(members)
     assert set(out) == set(shards)
+
+
+# -- rank_fusion --------------------------------------------------------------
+
+
+def test_rank_fusion_hand_values(spark):
+    from soda_core_spark.operators.retrieval import rank_fusion
+
+    # signal a: 9 > 7 = 7 > 1  -> ranks 1, 2, 2, 4 (competition)
+    # signal b: 4 > 3 > 2 > 1  -> ranks 1..4
+    df = spark.createDataFrame(
+        [(1, 9.0, 1.0), (2, 7.0, 2.0), (3, 7.0, 3.0), (4, 1.0, 4.0)],
+        ["doc_id", "a", "b"],
+    )
+    out = {
+        r.doc_id: r
+        for r in rank_fusion(
+            df, {"a": F.col("a"), "b": F.col("b")}, k=60, buckets=4
+        ).collect()
+    }
+    assert out[1].rank_a == 1 and out[1].rank_b == 4
+    assert out[2].rank_a == 2 and out[2].rank_b == 3
+    assert out[3].rank_a == 2 and out[3].rank_b == 2
+    assert out[4].rank_a == 4 and out[4].rank_b == 1
+    import math
+
+    for doc, (ra, rb) in {1: (1, 4), 2: (2, 3), 3: (2, 2), 4: (4, 1)}.items():
+        micro = math.floor(1e12 / (60 + ra)) + math.floor(1e12 / (60 + rb))
+        assert out[doc].rrf_micro == micro
+        assert out[doc].rrf_score == round(micro / 1e12, 6)
+
+
+def test_rank_fusion_matches_global_window(spark):
+    """Two-stage bucketed rank == naive rank() OVER (ORDER BY v DESC)
+    on a random tie-heavy corpus, across bucket counts."""
+    import random
+
+    from pyspark.sql import Window
+
+    from soda_core_spark.operators.retrieval import rank_fusion
+
+    rng = random.Random(158)
+    rows = [
+        (i, float(rng.randint(0, 19)) / 4.0, rng.random())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ties", "cont"])
+    naive = df.select(
+        "doc_id",
+        F.rank().over(Window.orderBy(F.col("ties").desc())).alias("exp_ties"),
+        F.rank().over(Window.orderBy(F.col("cont").desc())).alias("exp_cont"),
+    )
+    for buckets in (1, 3, 64):
+        fused = rank_fusion(
+            df,
+            {"ties": F.col("ties"), "cont": F.col("cont")},
+            buckets=buckets,
+        )
+        bad = (
+            fused.join(naive, "doc_id")
+            .where(
+                (F.col("rank_ties") != F.col("exp_ties"))
+                | (F.col("rank_cont") != F.col("exp_cont"))
+            )
+            .count()
+        )
+        assert bad == 0, f"buckets={buckets}"
+
+
+def test_rank_fusion_constant_signal_and_validation(spark):
+    import pytest as _pytest
+
+    from soda_core_spark.operators.retrieval import rank_fusion
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0)], ["doc_id", "c"]
+    )
+    out = rank_fusion(df, {"c": F.col("c")}).collect()
+    assert all(r.rank_c == 1 for r in out)  # constant: everyone rank 1
+    with _pytest.raises(ValueError):
+        rank_fusion(df, {})
+    with _pytest.raises(ValueError):
+        rank_fusion(df, {"c": F.col("c")}, k=0)
