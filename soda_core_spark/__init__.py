@@ -173,3 +173,9 @@ from soda_core_spark.operators.profiling import heaps_law_fit  # noqa: F401
 from soda_core_spark.operators.attribution import (  # noqa: F401
     poisson_bootstrap_rates,
 )
+from soda_core_spark.functions.embeddings_qc import (  # noqa: F401
+    embedding_anisotropy,
+)
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    vocabulary_coverage,
+)

@@ -8978,3 +8978,120 @@ def q160(spark, sf_dir):
         },
         replicates=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space anisotropy (functions/embeddings_qc.py
+# embedding_anisotropy)
+# ---------------------------------------------------------------------------
+
+# range(1, 65): the oracle pins the test table's dim=64 (the Spark
+# operator reads each row's actual size)
+_Q161_SQL = """
+WITH base AS (
+  SELECT embedding::DOUBLE[] AS e,
+         CASE WHEN embedding IS NOT NULL THEN
+           sqrt(list_reduce(
+             list_transform(embedding::DOUBLE[], x -> x * x),
+             (x, y) -> x + y))
+         END AS nrm
+  FROM embeddings
+),
+stats AS (
+  SELECT sum(CASE WHEN nrm > 0 THEN 1 ELSE 0 END)::BIGINT AS n_vectors,
+         max(CASE WHEN nrm > 0 THEN len(e) END)::INT AS dim,
+         sum(CASE WHEN nrm > 0 THEN 0 ELSE 1 END)::BIGINT AS n_degenerate,
+         round(avg(CASE WHEN nrm > 0 THEN nrm END), 6) AS mean_norm
+  FROM base
+),
+q AS (
+  SELECT list_transform(e, x -> round(x / nrm * 1000000000.0)::BIGINT) AS qv
+  FROM base WHERE nrm > 0
+),
+ex AS (
+  SELECT j, qv[j] AS x
+  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS j) r
+),
+dims AS (
+  SELECT j, sum(x)::BIGINT AS s, sum(x::DOUBLE * x::DOUBLE) AS qq
+  FROM ex GROUP BY j
+),
+tot AS (SELECT sum(s::DOUBLE * s::DOUBLE) AS s2, sum(qq) AS qsum FROM dims)
+SELECT n_vectors, dim, n_degenerate, mean_norm,
+       round(CASE WHEN n_vectors >= 2 THEN
+             (s2 - qsum)
+             / (n_vectors * (n_vectors - 1))::DOUBLE / 1e18 END, 6)
+         AS anisotropy
+FROM stats CROSS JOIN tot
+"""
+
+
+@register("q161_anisotropy", _Q161_SQL)
+def q161(spark, sf_dir):
+    """Embedding-space anisotropy (functions/embeddings_qc.py
+    embedding_anisotropy): mean pairwise cosine across ALL unit
+    vectors, computed WITHOUT a pairwise join via
+    ||sum v̂||² - n over n(n-1) — two corpus scans, a dims-wide integer
+    shuffle, nothing O(n²). The encoder-collapse tripwire every cosine
+    threshold downstream silently depends on."""
+    from soda_core_spark.functions.embeddings_qc import embedding_anisotropy
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_anisotropy(e)
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing / Chao1 vocabulary coverage (operators/profiling.py
+# vocabulary_coverage)
+# ---------------------------------------------------------------------------
+
+_Q162_SQL = """
+WITH toks AS (
+  SELECT source AS "group",
+         unnest(list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> ''))
+           AS word
+  FROM documents
+),
+pw AS (SELECT "group", word, count(*)::BIGINT AS freq FROM toks GROUP BY 1, 2),
+st AS (
+  SELECT "group",
+         sum(freq)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS vocab_size,
+         sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM pw GROUP BY 1
+),
+g AS (SELECT DISTINCT source AS "group" FROM documents)
+SELECT g."group",
+       coalesce(st.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(st.vocab_size, 0)::BIGINT AS vocab_size,
+       coalesce(st.n1, 0)::BIGINT AS n1,
+       coalesce(st.n2, 0)::BIGINT AS n2,
+       round(CASE WHEN coalesce(st.n_tokens, 0) > 0
+             THEN coalesce(st.n1, 0)::DOUBLE / st.n_tokens END, 6)
+         AS unseen_mass,
+       round(CASE WHEN coalesce(st.n_tokens, 0) > 0
+             THEN 1.0 - coalesce(st.n1, 0)::DOUBLE / st.n_tokens END, 6)
+         AS coverage,
+       round(CASE WHEN coalesce(st.vocab_size, 0) > 0
+             THEN st.vocab_size::DOUBLE
+                  + (st.n1 * (st.n1 - 1))::DOUBLE
+                    / (2.0 * (st.n2 + 1)::DOUBLE) END, 6) AS chao1
+FROM g LEFT JOIN st USING ("group")
+ORDER BY g."group"
+"""
+
+
+@register("q162_vocab_coverage", _Q162_SQL)
+def q162(spark, sf_dir):
+    """Good-Turing unseen-vocabulary mass and bias-corrected Chao1
+    richness per source (operators/profiling.py vocabulary_coverage) —
+    the crawl-completeness read over q142's observational counts: P0 =
+    n1/N estimates the probability the next token is a never-seen type,
+    Chao1 lower-bounds the source's true vocabulary. One vocabulary
+    groupBy, then a 4-counter per-group reduce."""
+    from soda_core_spark.operators.profiling import vocabulary_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return vocabulary_coverage(d)

@@ -234,3 +234,90 @@ def centroid_separation(
         )
         .orderBy("g1", "g2")
     )
+
+
+def embedding_anisotropy(
+    df: DataFrame, vec_col: str = "embedding", scale: int = 10**9
+) -> DataFrame:
+    """Corpus-level embedding anisotropy: the mean pairwise cosine
+    between ALL unit-normalized vectors (Ethayarajh, EMNLP 2019 — a
+    healthy contextual-embedding space is near-isotropic; mean cosine
+    drifting toward 1 means the encoder collapsed directions and every
+    downstream cosine threshold, SemDeDup cluster, and ANN recall
+    number silently degrades).
+
+    The n² pairwise sum needs NO pairwise join: with v̂ unit vectors,
+    ``sum_{i != j} v̂_i · v̂_j = ||S||² - sum_i ||v̂_i||²`` where
+    ``S = sum_i v̂_i``. One row::
+
+        n_vectors: bigint       -- usable (non-NULL, norm > 0) vectors
+        dim: int
+        n_degenerate: bigint    -- NULL or zero-norm rows, excluded
+        mean_norm: double       -- of usable raw vectors, 6 dp
+        anisotropy: double      -- mean pairwise cosine, 6 dp;
+                                   NULL when n_vectors < 2
+
+    Determinism contract (the q114/group_coherence discipline): each
+    normalized component quantizes to ``round(v̂_j · scale)`` as BIGINT
+    — per-row double ops are bit-identical on any engine — so the
+    per-dimension vector sum S is an EXACT integer aggregate, immune to
+    summation order. The statistic is then defined ON the quantized
+    vectors: ``(||S||² - sum_i ||q_i||²) / (n(n-1) · scale²)``; the only
+    floating sums left are over ``dim`` squares of exact integers,
+    ulp-noise ~1e-20 of the result, invisible at 6 dp.
+
+    Scale shape: posexplode → groupBy(dim) sum — map-side combine
+    collapses each partition to ``dim`` partial rows, so the shuffle
+    carries partitions × dim integers, never n × dim; everything else
+    is a one-row reduce. soda-core analogue: none (vector extension of
+    the scalar aggregate checks, SURVEY §1.2)."""
+    v = F.col(vec_col)
+    nrm_raw = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    base = df.select(
+        v.alias("__v"),
+        F.when(v.isNotNull(), F.sqrt(nrm_raw)).alias("__nrm"),
+    )
+    # scan 1: scalar stats — usable count, degenerate count, mean norm,
+    # dim — ONE fused aggregate
+    ok = F.col("__nrm") > 0
+    stats = base.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_vectors"),
+        F.max(F.when(ok, F.size("__v"))).cast("int").alias("dim"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_degenerate"),
+        F.round(F.avg(F.when(ok, F.col("__nrm"))), 6).alias("mean_norm"),
+    )
+    # scan 2: exact integer per-dimension sums of the quantized unit
+    # vectors; map-side combine collapses each partition to dim rows
+    qv = F.transform(
+        F.col("__v"),
+        lambda x: F.round(
+            x.cast("double") / F.col("__nrm") * F.lit(float(scale)), 0
+        ).cast("long"),
+    )
+    per_row = base.where(ok).select(
+        F.posexplode(qv).alias("__pos", "__x")
+    )
+    dims = per_row.groupBy("__pos").agg(
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x").cast("double") * F.col("__x")).alias("__qq"),
+    )
+    tot = dims.agg(
+        F.sum(F.col("__s").cast("double") * F.col("__s")).alias("__s2"),
+        F.sum("__qq").alias("__qsum"),
+    )
+    n = F.col("n_vectors")
+    aniso = F.when(
+        n >= 2,
+        (F.col("__s2") - F.col("__qsum"))
+        / (n * (n - 1)).cast("double")
+        / F.lit(float(scale) ** 2),
+    )
+    return stats.crossJoin(tot).select(
+        "n_vectors",
+        "dim",
+        "n_degenerate",
+        "mean_norm",
+        F.round(aniso, 6).alias("anisotropy"),
+    )

@@ -1644,3 +1644,83 @@ def heaps_law_fit(
             6,
         ).alias("heaps_r2"),
     )
+
+
+def vocabulary_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Good-Turing / Chao1 vocabulary-coverage estimates per group — the
+    inferential layer over ``vocab_stats``'s observational counts: not
+    "how many distinct tokens did we see" but "how much of this source's
+    vocabulary have we NOT crawled yet".
+
+    - ``unseen_mass`` — Good-Turing P₀ = n₁/N (Good 1953): the
+      probability the NEXT token drawn from the source is a never-seen
+      type. The standard sample-coverage estimate; high P₀ = the crawl
+      is still minting vocabulary (keep crawling / or it's an
+      open-vocabulary pathology, cross-check q159's Heaps β).
+    - ``coverage`` — 1 - P₀.
+    - ``chao1`` — bias-corrected Chao1 richness (Chao 1984):
+      V + n₁(n₁-1)/(2(n₂+1)); a lower bound on the source's TRUE
+      vocabulary size, finite-sample-safe when n₂ = 0.
+
+    One row per group::
+
+        group, n_tokens, vocab_size, n1, n2: bigint
+        unseen_mass, coverage: double (6 dp; NULL when n_tokens = 0)
+        chao1: double (6 dp; NULL when vocab_size = 0)
+
+    Scale shape: ONE (group, token) groupBy with map-side combine — the
+    only vocabulary-wide shuffle — then a per-group reduce of 4
+    counters. Empty/NULL-text docs contribute nothing; groups with no
+    tokens still report (LEFT join from the distinct group set).
+    Tokens: lowercased whitespace words (q142/q156 convention)."""
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[ \\t\\n\\r]+",
+                ),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    per_word = toks.groupBy("group", "word").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    st = per_word.groupBy("group").agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    groups = df.select(F.col(group_col).alias("group")).distinct()
+    j = groups.join(st, "group", "left")
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
+    vocab = F.coalesce(F.col("vocab_size"), F.lit(0))
+    n1 = F.coalesce(F.col("n1"), F.lit(0))
+    n2 = F.coalesce(F.col("n2"), F.lit(0))
+    p0 = F.when(n_tok > 0, n1.cast("double") / n_tok.cast("double"))
+    chao1 = F.when(
+        vocab > 0,
+        vocab.cast("double")
+        + (n1 * (n1 - 1)).cast("double") / (2.0 * (n2 + 1).cast("double")),
+    )
+    return j.select(
+        "group",
+        n_tok.cast("long").alias("n_tokens"),
+        vocab.cast("long").alias("vocab_size"),
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(p0, 6).alias("unseen_mass"),
+        F.round(F.lit(1.0) - p0, 6).alias("coverage"),
+        F.round(chao1, 6).alias("chao1"),
+    ).orderBy("group")

@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -64,3 +66,85 @@ def test_diagnostics_are_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# -- embedding_anisotropy ------------------------------------------------------
+
+
+def test_anisotropy_identical_vectors_is_one(spark):
+    from soda_core_spark.functions.embeddings_qc import embedding_anisotropy
+
+    df = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_anisotropy(df).collect()[0]
+    assert r.n_vectors == 10 and r.dim == 2 and r.n_degenerate == 0
+    assert r.mean_norm == pytest.approx(5.0)
+    assert r.anisotropy == pytest.approx(1.0, abs=1e-6)
+
+
+def test_anisotropy_orthonormal_basis_is_isotropic(spark):
+    from soda_core_spark.functions.embeddings_qc import embedding_anisotropy
+
+    # +e1, -e1, +e2, -e2: every pair is 0 or ±1, pairwise sum exactly
+    # -4 over 12 pairs -> -1/3
+    rows = [
+        (1, [1.0, 0.0]), (2, [-1.0, 0.0]),
+        (3, [0.0, 1.0]), (4, [0.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_anisotropy(df).collect()[0]
+    assert r.anisotropy == pytest.approx(-1 / 3, abs=1e-6)
+
+
+def test_anisotropy_matches_brute_force(spark):
+    import itertools
+    import math
+    import random
+
+    from soda_core_spark.functions.embeddings_qc import embedding_anisotropy
+
+    rng = random.Random(161)
+    vecs = [[rng.gauss(0.3, 1.0) for _ in range(8)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    # brute force over float32-cast vectors (the table stores float)
+    import numpy as np
+
+    unit = [
+        (np.array(v, dtype=np.float32).astype(np.float64)
+         / np.linalg.norm(np.array(v, dtype=np.float32).astype(np.float64)))
+        for v in vecs
+    ]
+    pair = [
+        float(np.dot(a, b))
+        for a, b in itertools.combinations(unit, 2)
+    ]
+    expected = 2 * sum(pair) / (40 * 39)
+    r = embedding_anisotropy(df).collect()[0]
+    assert r.anisotropy == pytest.approx(expected, abs=1e-5)
+
+
+def test_anisotropy_degenerate_rows_excluded(spark):
+    from soda_core_spark.functions.embeddings_qc import embedding_anisotropy
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),   # zero norm
+            (3, None),         # NULL
+            (4, [1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_anisotropy(df).collect()[0]
+    assert r.n_vectors == 2 and r.n_degenerate == 2
+    assert r.anisotropy == pytest.approx(1.0, abs=1e-6)
+    single = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    r2 = embedding_anisotropy(single).collect()[0]
+    assert r2.n_vectors == 1 and r2.anisotropy is None

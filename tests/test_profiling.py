@@ -392,3 +392,44 @@ def test_heaps_law_degenerate_inputs(spark):
     assert r2.n_points == 0 and r2.heaps_beta is None
     with pytest.raises(ValueError):
         heaps_law_fit(empty, buckets=1)
+
+
+# -- vocabulary_coverage -------------------------------------------------------
+
+
+def test_vocabulary_coverage_hand_values(spark):
+    from soda_core_spark.operators.profiling import vocabulary_coverage
+
+    # source A: tokens a a b c  -> N=4, V=3, n1=2 (b,c), n2=1 (a)
+    # source B: all hapax       -> P0 = 1
+    # source C: no tokens       -> zero row with NULL estimates
+    df = spark.createDataFrame(
+        [
+            ("A", "a a b"), ("A", "c"),
+            ("B", "x y z"),
+            ("C", ""), ("C", None),
+        ],
+        ["source", "text"],
+    )
+    out = {r.group: r for r in vocabulary_coverage(df).collect()}
+    a = out["A"]
+    assert (a.n_tokens, a.vocab_size, a.n1, a.n2) == (4, 3, 2, 1)
+    assert a.unseen_mass == pytest.approx(0.5)
+    assert a.coverage == pytest.approx(0.5)
+    assert a.chao1 == pytest.approx(3 + 2 * 1 / (2 * 2))  # 3.5
+    b = out["B"]
+    assert b.unseen_mass == 1.0 and b.chao1 == pytest.approx(3 + 6 / 2)
+    c = out["C"]
+    assert c.n_tokens == 0 and c.unseen_mass is None and c.chao1 is None
+
+
+def test_vocabulary_coverage_saturated_source(spark):
+    from soda_core_spark.operators.profiling import vocabulary_coverage
+
+    # every token seen many times: n1 = 0 -> unseen mass 0, chao1 = V
+    df = spark.createDataFrame(
+        [("S", "the cat sat") for _ in range(20)], ["source", "text"]
+    )
+    r = vocabulary_coverage(df).collect()[0]
+    assert r.n1 == 0 and r.unseen_mass == 0.0 and r.coverage == 1.0
+    assert r.chao1 == pytest.approx(3.0)
