@@ -179,3 +179,4 @@ from soda_core_spark.functions.embeddings_qc import (  # noqa: F401
 from soda_core_spark.operators.profiling import (  # noqa: F401
     vocabulary_coverage,
 )
+from soda_core_spark.operators.profiling import winsorized_stats  # noqa: F401

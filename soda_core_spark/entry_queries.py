@@ -9095,3 +9095,56 @@ def q162(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return vocabulary_coverage(d)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed robust per-source stats (operators/profiling.py
+# winsorized_stats)
+# ---------------------------------------------------------------------------
+
+_Q163_SQL = """
+WITH base AS (
+  SELECT source AS "group", n_chars::DOUBLE AS v
+  FROM documents
+  WHERE n_chars IS NOT NULL AND NOT isnan(n_chars::DOUBLE)
+),
+bounds AS (
+  SELECT "group", count(*)::BIGINT AS n, avg(v) AS mean_raw,
+         quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+  FROM base GROUP BY 1
+),
+robust AS (
+  SELECT b."group",
+         avg(least(greatest(base.v, b.lo), b.hi)) AS wmean,
+         stddev_samp(least(greatest(base.v, b.lo), b.hi)) AS wstd,
+         avg(CASE WHEN base.v BETWEEN b.lo AND b.hi THEN base.v END)
+           AS tmean,
+         sum(CASE WHEN base.v BETWEEN b.lo AND b.hi THEN 0 ELSE 1 END)
+           ::BIGINT AS n_trimmed
+  FROM base JOIN bounds b USING ("group") GROUP BY 1
+)
+SELECT b."group", b.n,
+       round(b.mean_raw, 6) AS mean,
+       round(b.lo, 6) AS p_lo,
+       round(b.hi, 6) AS p_hi,
+       round(r.wmean, 6) AS winsorized_mean,
+       round(r.wstd, 6) AS winsorized_std,
+       round(r.tmean, 6) AS trimmed_mean,
+       r.n_trimmed
+FROM bounds b JOIN robust r USING ("group")
+ORDER BY b."group"
+"""
+
+
+@register("q163_winsorized_stats", _Q163_SQL)
+def q163(spark, sf_dir):
+    """Winsorized and trimmed per-source document-length stats
+    (operators/profiling.py winsorized_stats, 5%/95% clip): the
+    outlier-robust location estimates a heavy-tailed host metric needs
+    before any mean-based contract threshold is trustworthy. Exact
+    interpolated clip quantiles (q25 convention), bounds broadcast
+    back, two map-side-combined scans."""
+    from soda_core_spark.operators.profiling import winsorized_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return winsorized_stats(d, "n_chars", "source")

@@ -433,3 +433,51 @@ def test_vocabulary_coverage_saturated_source(spark):
     r = vocabulary_coverage(df).collect()[0]
     assert r.n1 == 0 and r.unseen_mass == 0.0 and r.coverage == 1.0
     assert r.chao1 == pytest.approx(3.0)
+
+
+# -- winsorized_stats ----------------------------------------------------------
+
+
+def test_winsorized_stats_tames_outlier(spark):
+    from soda_core_spark.operators.profiling import winsorized_stats
+
+    # 19 values of 10 and one 10000: raw mean ~509.5, robust means ~10
+    rows = [("h", 10.0)] * 19 + [("h", 10000.0)]
+    df = spark.createDataFrame(rows, ["source", "v"])
+    r = winsorized_stats(df, "v", "source").collect()[0]
+    assert r.n == 20
+    assert r.mean == pytest.approx(509.5)
+    assert r.p_lo == 10.0
+    # p95 interpolates between the 19th and 20th order stats
+    assert 10.0 < r.p_hi < 10000.0
+    assert r.winsorized_mean < r.mean / 2  # clipping tamed the outlier
+    assert r.trimmed_mean == pytest.approx(10.0)  # outlier dropped
+    assert r.n_trimmed == 1
+
+
+def test_winsorized_stats_symmetric_clean_data(spark):
+    from soda_core_spark.operators.profiling import winsorized_stats
+
+    rows = [("s", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["source", "v"])
+    r = winsorized_stats(df, "v", "source").collect()[0]
+    # symmetric data: all three means agree at the center
+    assert r.mean == pytest.approx(50.5)
+    assert r.winsorized_mean == pytest.approx(50.5, abs=1e-6)
+    assert r.trimmed_mean == pytest.approx(50.5, abs=1e-6)
+    assert r.n_trimmed == 10  # 5% off each tail (interpolated bounds)
+
+
+def test_winsorized_stats_null_nan_and_validation(spark):
+    import pytest as _pytest
+
+    from soda_core_spark.operators.profiling import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", float("nan")), ("a", 3.0)],
+        ["source", "v"],
+    )
+    r = winsorized_stats(df, "v", "source").collect()[0]
+    assert r.n == 2 and r.mean == pytest.approx(2.0)
+    with _pytest.raises(ValueError):
+        winsorized_stats(df, "v", "source", lower=0.5, upper=0.5)
