@@ -180,3 +180,7 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     vocabulary_coverage,
 )
 from soda_core_spark.operators.profiling import winsorized_stats  # noqa: F401
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    MARKUP_RESIDUE_PATTERNS,
+    markup_residue,
+)

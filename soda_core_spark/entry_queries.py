@@ -9148,3 +9148,61 @@ def q163(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return winsorized_stats(d, "n_chars", "source")
+
+
+# ---------------------------------------------------------------------------
+# Extraction-residue audit (operators/profiling.py markup_residue)
+# ---------------------------------------------------------------------------
+
+def _q164_sql() -> str:
+    from soda_core_spark.operators.profiling import MARKUP_RESIDUE_PATTERNS
+
+    pats = MARKUP_RESIDUE_PATTERNS
+    hitcols = ",\n         ".join(
+        f"sum(CASE WHEN regexp_matches(t, '{p}') THEN 1 ELSE 0 END)"
+        f"::BIGINT AS h_{n}"
+        for n, p in pats.items()
+    )
+    any_expr = " OR ".join(
+        f"regexp_matches(t, '{p}')" for p in pats.values()
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT \"group\", '{n}' AS pattern, n_docs, h_{n} AS n_hit"
+        f" FROM agg"
+        for n in [*pats, "any_residue"]
+    )
+    return f"""
+WITH base AS (
+  SELECT source AS "group", coalesce(text, '') AS t FROM documents
+),
+agg AS (
+  SELECT "group", count(*)::BIGINT AS n_docs,
+         {hitcols},
+         sum(CASE WHEN {any_expr} THEN 1 ELSE 0 END)::BIGINT
+           AS h_any_residue
+  FROM base GROUP BY 1
+),
+long AS (
+{rows}
+)
+SELECT "group", pattern, n_docs, n_hit,
+       round(CASE WHEN n_docs > 0
+             THEN n_hit::DOUBLE / n_docs END, 6) AS hit_rate
+FROM long
+ORDER BY "group", pattern
+"""
+
+
+@register("q164_markup_residue", _q164_sql())
+def q164(spark, sf_dir):
+    """Extraction-residue audit per source (operators/profiling.py
+    markup_residue): residual HTML tags, unresolved entities, template
+    braces and literal escaped whitespace — the extractor-regression
+    tripwire every cleanup stage gates on. All patterns evaluate in ONE
+    fused map-side-combined aggregate (one corpus scan however many
+    patterns); inline() unpivots per-group counters. Patterns shared
+    verbatim with the oracle in the Java-regex ∩ RE2 subset."""
+    from soda_core_spark.operators.profiling import markup_residue
+
+    d = _t(spark, sf_dir, "documents")
+    return markup_residue(d)

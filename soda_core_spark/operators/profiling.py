@@ -1800,3 +1800,92 @@ def winsorized_stats(
         )
         .orderBy("group")
     )
+
+
+#: extraction-residue regexes, shared VERBATIM with the SQL oracle —
+#: kept inside the Java-regex ∩ RE2 common subset (no lookaround, no
+#: backreferences) so `rlike` and `regexp_matches` agree.
+MARKUP_RESIDUE_PATTERNS: dict[str, str] = {
+    "html_tag": r"</?[a-zA-Z][^>]*>",
+    "html_entity": r"&(amp|lt|gt|quot|nbsp|#[0-9]+);",
+    "template_brace": r"\{\{",
+    "escaped_ws": r"\\[ntr]",
+}
+
+
+def markup_residue(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Extraction-residue audit per source: what fraction of documents
+    still carry raw-HTML artifacts AFTER text extraction — residual
+    tags, unresolved entities, wiki/template braces, literal escaped
+    whitespace. Every published pipeline's cleanup stage (C4's
+    "remove lines with {", RefinedWeb/trafilatura QC) is gated on
+    exactly these signals; a source whose residue rate jumps means its
+    extractor regressed, not its content.
+
+    One row per (group, pattern)::
+
+        group, pattern, n_docs: bigint
+        n_hit: bigint, hit_rate: double (6 dp)
+
+    plus a synthetic ``pattern = 'any_residue'`` row per group (OR of
+    all patterns). NULL text counts as clean (no artifact to find).
+
+    Scale shape: all flags are ``rlike`` booleans in ONE fused
+    map-side-combined aggregate — one corpus scan regardless of pattern
+    count; ``inline`` unpivots the counter row per group. Patterns live
+    in ``MARKUP_RESIDUE_PATTERNS`` (Java-regex ∩ RE2 subset, shared
+    verbatim with the oracle). soda-core analogue: invalid_count with
+    regex validity (invalid_check) generalized to a multi-pattern
+    corpus report."""
+    pats = patterns if patterns is not None else MARKUP_RESIDUE_PATTERNS
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    flags = {n: t.rlike(p) for n, p in pats.items()}
+    any_flag = None
+    for c in flags.values():
+        any_flag = c if any_flag is None else (any_flag | c)
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"__h_{n}")
+            for n, c in flags.items()
+        ],
+        F.sum(F.when(any_flag, 1).otherwise(0))
+        .cast("long")
+        .alias("__h_any_residue"),
+    )
+    names = [*pats, "any_residue"]
+    out = agg.select(
+        "group",
+        "n_docs",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("pattern"),
+                        F.col(f"__h_{n}").alias("n_hit"),
+                    )
+                    for n in names
+                ]
+            )
+        ),
+    )
+    return out.select(
+        "group",
+        "pattern",
+        "n_docs",
+        "n_hit",
+        F.round(
+            F.when(
+                F.col("n_docs") > 0,
+                F.col("n_hit") / F.col("n_docs").cast("double"),
+            ),
+            6,
+        ).alias("hit_rate"),
+    ).orderBy("group", "pattern")

@@ -481,3 +481,53 @@ def test_winsorized_stats_null_nan_and_validation(spark):
     assert r.n == 2 and r.mean == pytest.approx(2.0)
     with _pytest.raises(ValueError):
         winsorized_stats(df, "v", "source", lower=0.5, upper=0.5)
+
+
+# -- markup_residue ------------------------------------------------------------
+
+
+def test_markup_residue_hand_values(spark):
+    from soda_core_spark.operators.profiling import markup_residue
+
+    df = spark.createDataFrame(
+        [
+            ("a", "clean prose here"),
+            ("a", "broken <div class=x> tag"),
+            ("a", "entity &amp; and &#39; residue"),
+            ("a", "wiki {{template}} junk"),
+            ("a", "literal \\n escape"),
+            ("b", None),
+            ("b", "all clean"),
+        ],
+        ["source", "text"],
+    )
+    out = {(r.group, r.pattern): r for r in markup_residue(df).collect()}
+    assert out[("a", "html_tag")].n_hit == 1
+    assert out[("a", "html_entity")].n_hit == 1
+    assert out[("a", "template_brace")].n_hit == 1
+    assert out[("a", "escaped_ws")].n_hit == 1
+    assert out[("a", "any_residue")].n_hit == 4
+    assert out[("a", "any_residue")].hit_rate == 0.8
+    # NULL text is clean; group b fully clean
+    assert out[("b", "any_residue")].n_hit == 0
+    assert out[("b", "any_residue")].hit_rate == 0.0
+    assert out[("b", "any_residue")].n_docs == 2
+
+
+def test_markup_residue_overlapping_doc_counts_once_in_any(spark):
+    from soda_core_spark.operators.profiling import markup_residue
+
+    # one doc hits ALL patterns -> per-pattern 1 each, any_residue 1
+    df = spark.createDataFrame(
+        [("s", "<b>&amp; {{x}} \\n</b>")], ["source", "text"]
+    )
+    out = {r.pattern: r for r in markup_residue(df).collect()}
+    assert all(
+        out[p].n_hit == 1
+        for p in ("html_tag", "html_entity", "template_brace",
+                  "escaped_ws", "any_residue")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        markup_residue(df, patterns={})
