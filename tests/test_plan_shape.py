@@ -402,3 +402,96 @@ def test_group_gini_value_grain_no_python(spark):
     plan = _plan(group_gini(d))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_count" in plan
+
+
+def test_soft_dedup_no_window_partial_agg(spark):
+    """Class sizes come from a map-side-combined groupBy + join, never a
+    count-over-window (a giant duplicate class would pin one task);
+    text never reaches the shuffle (pruned to fingerprint/ids)."""
+    from soda_core_spark.operators.dedup import soft_dedup_weights
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(soft_dedup_weights(d))
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rank_fusion_no_global_single_partition_window(spark):
+    """Exact global ranks must NOT run through a rank() window with an
+    empty partition spec — that is Exchange SinglePartition over the
+    corpus. The two-stage bucketed rank keeps every window partitioned
+    by (signal[, bucket])."""
+    from soda_core_spark.operators.retrieval import rank_fusion
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    fused = rank_fusion(
+        d,
+        {"len": F.length(F.coalesce(F.col("text"), F.lit("")))
+               .cast("double"),
+         "id_neg": (-F.col("doc_id")).cast("double")},
+    )
+    plan = _plan(fused)
+    assert "Exchange SinglePartition" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_poisson_bootstrap_partial_agg_on_replicate_key(spark):
+    """The corpus × replicates explode must reduce through a partial
+    aggregate keyed on the replicate id BEFORE the exchange, so the
+    shuffle carries partitions × (R+1) counter rows, never the corpus."""
+    from soda_core_spark.operators.attribution import poisson_bootstrap_rates
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = poisson_bootstrap_rates(
+        d, {"short": F.col("n_chars") < 500}, replicates=8
+    )
+    plan = _plan(out)
+    assert "Generate explode" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the only wide exchange is hash-partitioned on the replicate id
+    assert "hashpartitioning(__r" in plan
+
+
+def test_anisotropy_dim_grain_partial_sums(spark):
+    """The n² pairwise-cosine sum must appear as per-dimension partial
+    integer sums (posexplode → groupBy(dim)), with no pairwise join of
+    the embeddings table anywhere in the plan."""
+    from soda_core_spark.functions.embeddings_qc import embedding_anisotropy
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_anisotropy(e))
+    assert "Generate posexplode" in plan
+    assert "partial_sum" in plan
+    # the only join is the 1-row × 1-row crossJoin of the two scalar
+    # aggregates (IdentityBroadcastMode); nothing row-level ever joins
+    assert "IdentityBroadcastMode" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan") == 2  # two scans, no pairwise blowup
+
+
+def test_heaps_law_windows_touch_summary_only(spark):
+    """Both cumulative windows run AFTER aggregation to the bucket
+    grain: every Window in the plan sits above an Aggregate, and the
+    corpus-wide explode reduces through partial aggregation first."""
+    from soda_core_spark.operators.profiling import heaps_law_fit
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(heaps_law_fit(d))
+    assert "partial_count" in plan or "partial_min" in plan
+    # the bucket summary is <= 64 rows; the window over it is the only
+    # single-partition step and is bounded by construction
+    assert "Generate explode" in plan
+
+
+def test_markup_residue_one_fused_aggregate(spark):
+    """All residue patterns evaluate in ONE partial aggregate — no
+    per-pattern scan, no Python nodes."""
+    from soda_core_spark.operators.profiling import markup_residue
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(markup_residue(d))
+    assert plan.count("FileScan") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
