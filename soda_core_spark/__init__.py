@@ -184,3 +184,6 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     MARKUP_RESIDUE_PATTERNS,
     markup_residue,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    mann_whitney_groups,
+)

@@ -9206,3 +9206,68 @@ def q164(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return markup_residue(d)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney per-source shift audit (operators/profiling.py
+# mann_whitney_groups)
+# ---------------------------------------------------------------------------
+
+_Q165_SQL = """
+WITH vals AS (
+  SELECT source AS "group", n_chars AS v FROM documents
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+),
+grain AS (
+  SELECT "group", v, count(*)::BIGINT AS c_gv FROM vals GROUP BY 1, 2
+),
+gtot AS (SELECT v, sum(c_gv)::BIGINT AS c_v FROM grain GROUP BY 1),
+cum AS (
+  SELECT v, c_v,
+         coalesce(sum(c_v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS c_lt
+  FROM gtot
+),
+pg AS (
+  SELECT "group", sum(c_gv)::BIGINT AS n,
+         sum(c_gv * (2 * c_lt + c_v + 1))::BIGINT AS two_r
+  FROM grain JOIN cum USING (v) GROUP BY 1
+),
+tot AS (
+  SELECT sum(c_v)::BIGINT AS nt,
+         sum(c_v * c_v * c_v - c_v)::BIGINT AS t FROM gtot
+)
+SELECT "group", n, (nt - n)::BIGINT AS n_rest,
+       round(CASE WHEN nt - n > 0
+             THEN (two_r - n * (n + 1))::DOUBLE
+                  / (2.0 * (n * (nt - n))::DOUBLE) END, 6) AS auc,
+       round(CASE WHEN nt - n > 0
+                  AND (n * (nt - n))::DOUBLE / 12.0
+                      * ((nt + 1)::DOUBLE
+                         - t::DOUBLE / (nt::DOUBLE * (nt - 1)::DOUBLE))
+                      > 0
+             THEN ((two_r - n * (n + 1))::DOUBLE - (n * (nt - n))::DOUBLE)
+                  / (2.0 * sqrt((n * (nt - n))::DOUBLE / 12.0
+                       * ((nt + 1)::DOUBLE
+                          - t::DOUBLE
+                            / (nt::DOUBLE * (nt - 1)::DOUBLE))))
+             END, 6) AS z
+FROM pg CROSS JOIN tot
+ORDER BY "group"
+"""
+
+
+@register("q165_mann_whitney", _Q165_SQL)
+def q165(spark, sf_dir):
+    """Per-source Mann-Whitney shift audit over document lengths
+    (operators/profiling.py mann_whitney_groups): exact tie-corrected
+    U for each source vs the rest of the corpus, reported as the
+    common-language AUC effect size and a z-score. Ranks never
+    materialize — the midrank sum folds to ALL-INTEGER arithmetic at
+    value grain (2R = sum c_g(2C_lt + c + 1)), so both engines agree
+    exactly; the location-sensitive complement to q144's KS."""
+    from soda_core_spark.operators.profiling import mann_whitney_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return mann_whitney_groups(d, "n_chars", "source")

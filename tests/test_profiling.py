@@ -531,3 +531,70 @@ def test_markup_residue_overlapping_doc_counts_once_in_any(spark):
 
     with _pytest.raises(ValueError):
         markup_residue(df, patterns={})
+
+
+# -- mann_whitney_groups -------------------------------------------------------
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    """Exact U and tie-corrected z against a hand python implementation
+    on tie-heavy data."""
+    import itertools
+    import math
+    import random
+
+    from soda_core_spark.operators.profiling import mann_whitney_groups
+
+    rng = random.Random(165)
+    rows = [("a", rng.randint(0, 15)) for _ in range(80)] + [
+        ("b", rng.randint(4, 19)) for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["source", "v"])
+    out = {r.group: r for r in mann_whitney_groups(df, "v").collect()}
+
+    for g in ("a", "b"):
+        xs = [v for s, v in rows if s == g]
+        ys = [v for s, v in rows if s != g]
+        # brute-force U with ties counting 1/2
+        u = sum(
+            1.0 if x > y else (0.5 if x == y else 0.0)
+            for x, y in itertools.product(xs, ys)
+        )
+        n1, n2 = len(xs), len(ys)
+        nt = n1 + n2
+        allv = xs + ys
+        ties = {}
+        for v in allv:
+            ties[v] = ties.get(v, 0) + 1
+        t = sum(c**3 - c for c in ties.values())
+        var = n1 * n2 / 12.0 * ((nt + 1) - t / (nt * (nt - 1)))
+        z = (u - n1 * n2 / 2.0) / math.sqrt(var)
+        assert out[g].auc == pytest.approx(u / (n1 * n2), abs=1e-6)
+        assert out[g].z == pytest.approx(z, abs=1e-5)
+        assert out[g].n == n1 and out[g].n_rest == n2
+
+
+def test_mann_whitney_shifted_source_flags(spark):
+    from soda_core_spark.operators.profiling import mann_whitney_groups
+
+    rows = [("low", v) for v in range(100)] + [
+        ("high", v + 200) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["source", "v"])
+    out = {r.group: r for r in mann_whitney_groups(df, "v").collect()}
+    assert out["high"].auc == 1.0 and out["low"].auc == 0.0
+    assert out["high"].z > 10 and out["low"].z < -10
+
+
+def test_mann_whitney_all_tied_and_null_handling(spark):
+    from soda_core_spark.operators.profiling import mann_whitney_groups
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", None), (None, 5)],
+        ["source", "v"],
+    )
+    out = {r.group: r for r in mann_whitney_groups(df, "v").collect()}
+    assert set(out) == {"a", "b"}  # NULL group/value rows excluded
+    assert out["a"].n == 2 and out["a"].n_rest == 1
+    assert out["a"].auc == pytest.approx(0.5)  # all tied: no shift
+    assert out["a"].z is None  # zero variance -> undefined z
