@@ -9271,3 +9271,96 @@ def q165(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return mann_whitney_groups(d, "n_chars", "source")
+
+
+# ---------------------------------------------------------------------------
+# Dedup-policy agreement: exact-text vs bag-of-tokens classes
+# (operators/dedup.py clustering_agreement)
+# ---------------------------------------------------------------------------
+
+_Q166_SQL = """
+WITH lab AS (
+  SELECT md5(lower(regexp_replace(trim(coalesce(text, '')),
+                                  '[ \t\n\r]+', ' ', 'g'))) AS a,
+         md5(array_to_string(list_sort(list_filter(
+             regexp_split_to_array(lower(coalesce(text, '')), '[ \t\n\r]+'),
+             w -> w <> '')), ' ')) AS b
+  FROM documents
+),
+cont AS (SELECT a, b, count(*)::BIGINT AS nij FROM lab GROUP BY 1, 2),
+ma AS (SELECT a, sum(nij)::BIGINT AS ai FROM cont GROUP BY 1),
+mb AS (SELECT b, sum(nij)::BIGINT AS bj FROM cont GROUP BY 1),
+cs AS (
+  SELECT coalesce(sum(nij), 0)::BIGINT AS n,
+         coalesce(sum(nij * (nij - 1)), 0)::BIGINT AS sij
+  FROM cont
+),
+asu AS (
+  SELECT count(*)::BIGINT AS clusters_a,
+         sum(ai * (ai - 1))::BIGINT AS sa FROM ma
+),
+bsu AS (
+  SELECT count(*)::BIGINT AS clusters_b,
+         sum(bj * (bj - 1))::BIGINT AS sb FROM mb
+),
+mi AS (
+  SELECT sum(nij::DOUBLE / cs.n::DOUBLE
+             * ln(cs.n::DOUBLE * nij::DOUBLE
+                  / (ai::DOUBLE * bj::DOUBLE))) AS mi
+  FROM cont JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN cs
+),
+ha AS (
+  SELECT sum(-(ai::DOUBLE / cs.n::DOUBLE)
+             * ln(ai::DOUBLE / cs.n::DOUBLE)) AS ha
+  FROM ma CROSS JOIN cs
+),
+hb AS (
+  SELECT sum(-(bj::DOUBLE / cs.n::DOUBLE)
+             * ln(bj::DOUBLE / cs.n::DOUBLE)) AS hb
+  FROM mb CROSS JOIN cs
+)
+SELECT n, clusters_a, clusters_b,
+       round(CASE WHEN n >= 2 THEN coalesce(
+         CASE WHEN (sa + sb)::DOUBLE / 2.0
+                   - sa::DOUBLE * sb::DOUBLE
+                     / (n::DOUBLE * (n - 1)::DOUBLE) <> 0.0
+              THEN (sij::DOUBLE
+                    - sa::DOUBLE * sb::DOUBLE
+                      / (n::DOUBLE * (n - 1)::DOUBLE))
+                   / ((sa + sb)::DOUBLE / 2.0
+                      - sa::DOUBLE * sb::DOUBLE
+                        / (n::DOUBLE * (n - 1)::DOUBLE)) END,
+         1.0) END, 6) AS ari,
+       round(CASE WHEN ha > 0 AND hb > 0
+             THEN mi / sqrt(ha * hb) END, 6) AS nmi
+FROM cs CROSS JOIN asu CROSS JOIN bsu
+CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
+@register("q166_dedup_agreement", _Q166_SQL)
+def q166(spark, sf_dir):
+    """Adjusted Rand index + NMI between the exact-normalized-text
+    dedup classes (q13 convention) and the order-insensitive
+    bag-of-tokens classes (q145 convention) — operators/dedup.py
+    clustering_agreement. Quantifies how much extra merging the
+    reordering-tolerant policy buys BEFORE switching dedup keys. Pair
+    counts reduce to integer sums at contingency grain; no pair ever
+    enumerates."""
+    from soda_core_spark.operators.dedup import (
+        clustering_agreement,
+        normalized_text,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                "[ \\t\\n\\r]+"),
+        lambda x: x != "",
+    )
+    labeled = d.select(
+        F.md5(normalized_text(F.coalesce(F.col("text"), F.lit(""))))
+        .alias("exact_cls"),
+        F.md5(F.array_join(F.sort_array(toks), " ")).alias("bag_cls"),
+    )
+    return clustering_agreement(labeled, "exact_cls", "bag_cls")

@@ -2377,3 +2377,121 @@ def soft_dedup_weights(
             F.col("n_tokens").cast("double") / F.col("n_copies"), 6
         ).alias("effective_tokens"),
     )
+
+
+def clustering_agreement(
+    df: DataFrame, label_a: str, label_b: str
+) -> DataFrame:
+    """Agreement between two corpus partitionings — adjusted Rand index
+    (Hubert & Arabie 1985) and normalized mutual information — the
+    dedup-policy comparison tool: run two labelings (exact-text classes
+    vs bag-of-tokens classes, LSH clusters at two thresholds, old vs
+    new canonicalization) and measure how much they actually disagree
+    before shipping the cheaper/stricter one.
+
+    One row::
+
+        n: bigint                     -- co-labeled rows compared
+        clusters_a, clusters_b: bigint
+        ari: double (6 dp)            -- 1 = identical partitions,
+                                         ~0 = chance agreement; 1.0 by
+                                         convention when both
+                                         partitions are trivial
+                                         (denominator 0 forces
+                                         numerator 0)
+        nmi: double (6 dp)            -- MI / sqrt(H_a·H_b); NULL when
+                                         either clustering has zero
+                                         entropy
+
+    Exactness: pair counts never enumerate pairs — everything reduces
+    to the CONTINGENCY grain (label_a, label_b, count), and all Rand
+    terms are the integer sums Σx(x-1) (the doubled pair counts; the
+    scaling cancels in the ratio), so both engines agree exactly with
+    doubles only in the final divisions (exact to class sizes ~3·10⁹
+    before x(x-1) leaves int64). NMI's p·ln p sums are the one
+    order-sensitive float reduction — 6 dp rounding absorbs ulp drift
+    (the q112/q159 precedent).
+
+    Scale shape: one corpus groupBy to the contingency grain
+    (map-side combined), marginals re-aggregated FROM that grain (no
+    second corpus scan), two grain-level joins for the MI terms. Rows
+    where either label is NULL are excluded. soda-core analogue: none —
+    the dedup-policy governance layer."""
+    base = df.select(
+        F.col(label_a).alias("__a"), F.col(label_b).alias("__b")
+    ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cont = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__nij")
+    )
+    ma = cont.groupBy("__a").agg(F.sum("__nij").alias("__ai"))
+    mb = cont.groupBy("__b").agg(F.sum("__nij").alias("__bj"))
+    x = F.col("__nij")
+    cell_sums = cont.agg(
+        F.coalesce(F.sum(x), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(x * (x - 1)), F.lit(0)).cast("long").alias("__sij"),
+    )
+    a_sums = ma.agg(
+        F.count(F.lit(1)).cast("long").alias("clusters_a"),
+        F.sum(F.col("__ai") * (F.col("__ai") - 1)).cast("long").alias("__sa"),
+    )
+    b_sums = mb.agg(
+        F.count(F.lit(1)).cast("long").alias("clusters_b"),
+        F.sum(F.col("__bj") * (F.col("__bj") - 1)).cast("long").alias("__sb"),
+    )
+    nd = F.col("n").cast("double")
+    mi_cell = (
+        x.cast("double")
+        / nd
+        * F.log(
+            nd
+            * x.cast("double")
+            / (F.col("__ai").cast("double") * F.col("__bj").cast("double"))
+        )
+    )
+    # grain-level joins only; n arrives via a 1-row broadcast
+    mi = (
+        cont.join(ma, "__a")
+        .join(mb, "__b")
+        .crossJoin(F.broadcast(cell_sums.select("n")))
+        .agg(F.sum(mi_cell).alias("__mi"))
+    )
+    ha = ma.crossJoin(F.broadcast(cell_sums.select("n"))).agg(
+        F.sum(
+            -(F.col("__ai").cast("double") / nd)
+            * F.log(F.col("__ai").cast("double") / nd)
+        ).alias("__ha")
+    )
+    hb = mb.crossJoin(F.broadcast(cell_sums.select("n"))).agg(
+        F.sum(
+            -(F.col("__bj").cast("double") / nd)
+            * F.log(F.col("__bj").cast("double") / nd)
+        ).alias("__hb")
+    )
+    j = (
+        cell_sums.crossJoin(a_sums)
+        .crossJoin(b_sums)
+        .crossJoin(mi)
+        .crossJoin(ha)
+        .crossJoin(hb)
+    )
+    exp = (
+        F.col("__sa").cast("double")
+        * F.col("__sb").cast("double")
+        / (nd * (F.col("n") - 1).cast("double"))
+    )
+    denom = (
+        (F.col("__sa") + F.col("__sb")).cast("double") / 2.0 - exp
+    )
+    ari = F.when(denom != 0.0, (F.col("__sij").cast("double") - exp) / denom)
+    ari = F.when(F.col("n") >= 2, F.coalesce(ari, F.lit(1.0)))
+    nmi = F.when(
+        (F.col("__ha") > 0) & (F.col("__hb") > 0),
+        F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")),
+    )
+    return j.select(
+        "n",
+        "clusters_a",
+        "clusters_b",
+        F.round(ari, 6).alias("ari"),
+        F.round(nmi, 6).alias("nmi"),
+    )

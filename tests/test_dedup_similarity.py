@@ -1165,3 +1165,75 @@ def test_soft_dedup_weights_budget_equals_dedup_budget(spark):
         .budget
     )
     assert soft == pytest.approx(float(hard), abs=1e-3)
+
+
+def test_clustering_agreement_identical_and_orthogonal(spark):
+    from soda_core_spark.operators.dedup import clustering_agreement
+
+    same = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "p"), (3, "y", "q"), (4, "y", "q")],
+        ["id", "a", "b"],
+    )
+    r = clustering_agreement(same, "a", "b").collect()[0]
+    assert r.n == 4 and r.clusters_a == 2 and r.clusters_b == 2
+    assert r.ari == 1.0 and r.nmi == 1.0
+
+    # b refines a's two clusters into singletons: ARI 0 (chance),
+    # NMI undefined on the singleton side? no - H_b > 0; sklearn gives 0
+    split = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "q"), (3, "y", "r"), (4, "y", "s")],
+        ["id", "a", "b"],
+    )
+    r2 = clustering_agreement(split, "a", "b").collect()[0]
+    assert r2.ari == 0.0  # no same-cluster pairs survive in b
+
+
+def test_clustering_agreement_matches_sklearn_formula(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from soda_core_spark.operators.dedup import clustering_agreement
+
+    rng = random.Random(166)
+    rows = [(i, f"a{rng.randint(0, 4)}", f"b{rng.randint(0, 3)}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    r = clustering_agreement(df, "a", "b").collect()[0]
+
+    # reference ARI/NMI from the contingency table
+    cont = Counter((a, b) for _, a, b in rows)
+    ca = Counter(a for _, a, _ in rows)
+    cb = Counter(b for _, _, b in rows)
+    n = len(rows)
+    sij = sum(v * (v - 1) for v in cont.values())
+    sa = sum(v * (v - 1) for v in ca.values())
+    sb = sum(v * (v - 1) for v in cb.values())
+    exp = sa * sb / (n * (n - 1))
+    ari = (sij - exp) / ((sa + sb) / 2 - exp)
+    mi = sum(
+        v / n * math.log(n * v / (ca[a] * cb[b]))
+        for (a, b), v in cont.items()
+    )
+    h = lambda c: -sum(v / n * math.log(v / n) for v in c.values())
+    nmi = mi / math.sqrt(h(ca) * h(cb))
+    assert r.ari == pytest.approx(ari, abs=1e-6)
+    assert r.nmi == pytest.approx(nmi, abs=1e-6)
+
+
+def test_clustering_agreement_trivial_and_null_policy(spark):
+    from soda_core_spark.operators.dedup import clustering_agreement
+
+    # both trivial (all one cluster): denominator 0 -> ARI 1, NMI NULL
+    triv = spark.createDataFrame(
+        [(i, "x", "p") for i in range(5)], ["id", "a", "b"]
+    )
+    r = clustering_agreement(triv, "a", "b").collect()[0]
+    assert r.ari == 1.0 and r.nmi is None
+    # NULL labels excluded
+    mixed = spark.createDataFrame(
+        [(1, "x", "p"), (2, None, "p"), (3, "x", None), (4, "x", "p")],
+        ["id", "a", "b"],
+    )
+    r2 = clustering_agreement(mixed, "a", "b").collect()[0]
+    assert r2.n == 2
