@@ -9364,3 +9364,59 @@ def q166(spark, sf_dir):
         F.md5(F.array_join(F.sort_array(toks), " ")).alias("bag_cls"),
     )
     return clustering_agreement(labeled, "exact_cls", "bag_cls")
+
+
+# ---------------------------------------------------------------------------
+# Kish effective sample size under dedup weights (operators/dedup.py
+# dedup_design_effect)
+# ---------------------------------------------------------------------------
+
+_Q167_SQL = """
+WITH keyed AS (
+  SELECT source AS "group",
+         md5(lower(regexp_replace(trim(coalesce(text, '')),
+                                  '[ \t\n\r]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+grain AS (
+  SELECT "group", fp, count(*)::BIGINT AS m FROM keyed GROUP BY 1, 2
+),
+classes AS (SELECT fp, count(*)::BIGINT AS k FROM keyed GROUP BY 1),
+j AS (
+  SELECT "group", m, floor(1000000.0 / k::DOUBLE)::BIGINT AS w
+  FROM grain JOIN classes USING (fp)
+),
+agg AS (
+  SELECT "group",
+         sum(m)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_classes,
+         sum(m * w)::BIGINT AS sw,
+         sum(m * w * w)::BIGINT AS sw2
+  FROM j GROUP BY 1
+)
+SELECT "group", n_docs, n_classes,
+       round(CASE WHEN sw2 > 0
+             THEN sw::DOUBLE * sw::DOUBLE / sw2::DOUBLE END, 6) AS ess,
+       round(n_docs::DOUBLE
+             / (CASE WHEN sw2 > 0
+                THEN sw::DOUBLE * sw::DOUBLE / sw2::DOUBLE END), 6)
+         AS deff,
+       round((CASE WHEN sw2 > 0
+              THEN sw::DOUBLE * sw::DOUBLE / sw2::DOUBLE END)
+             / n_docs::DOUBLE, 6) AS eff_fraction
+FROM agg ORDER BY "group"
+"""
+
+
+@register("q167_design_effect", _Q167_SQL)
+def q167(spark, sf_dir):
+    """Kish effective sample size and design effect per source under
+    corpus-global exact-dup SoftDedup weights (operators/dedup.py
+    dedup_design_effect): the precision penalty duplication imposes on
+    every per-source metric. Integer floor(scale/k) weights make Σw and
+    Σw² exact on both engines; two map-side-combined groupBys off one
+    fingerprint projection plus a grain join."""
+    from soda_core_spark.operators.dedup import dedup_design_effect
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_design_effect(d)

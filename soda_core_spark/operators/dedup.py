@@ -2495,3 +2495,78 @@ def clustering_agreement(
         F.round(ari, 6).alias("ari"),
         F.round(nmi, 6).alias("nmi"),
     )
+
+
+def dedup_design_effect(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Effective sample size and design effect per source under
+    SoftDedup weights (Kish 1965: ESS = (Σw)²/Σw², deff = n/ESS) — the
+    statistical honesty check on corpus size: a source whose pages are
+    massively duplicated (within itself OR mirrored elsewhere — class
+    sizes are CORPUS-global) contributes far fewer effective documents
+    than its row count claims, and every per-source metric's real
+    precision scales with ESS, not n.
+
+    One row per source::
+
+        group, n_docs: bigint
+        n_classes: bigint      -- distinct duplicate classes touched
+        ess: double (6 dp)     -- Kish effective sample size
+        deff: double (6 dp)    -- n / ESS, 1 = no duplication penalty
+        eff_fraction: double   -- ESS / n, 6 dp
+
+    Determinism: weights are the INTEGER floor(scale/k) per doc (k =
+    global exact-duplicate class size) — floor of the same IEEE
+    division on both engines — so Σw and Σw² are exact integer
+    aggregates; doubles appear only in the final ratios. ``scale`` =
+    10⁶ bounds Σw² within int64 to ~10⁶-deep classes and ~10⁶ docs per
+    (source, class) cell; classes duplicated beyond ``scale`` floor to
+    weight 0 (they contribute ~nothing to ESS anyway — documented
+    trade).
+
+    Scale shape: one groupBy to (source, fp, m) grain and one groupBy
+    to global class sizes (both map-side combined, built from the SAME
+    fingerprint projection), a grain-level join, then a per-source
+    reduce. The hot class is AQE-skew-splittable at the join; no
+    window. soda-core analogue: duplicate_percent check
+    (duplicate_check.py), upgraded from a rate to the precision
+    penalty it implies."""
+    fp = F.md5(normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
+    keyed = df.select(F.col(group_col).alias("group"), fp.alias("__fp"))
+    grain = keyed.groupBy("group", "__fp").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    classes = keyed.groupBy("__fp").agg(
+        F.count(F.lit(1)).cast("long").alias("__k")
+    )
+    w = F.floor(F.lit(float(scale)) / F.col("__k").cast("double"))
+    j = grain.join(classes, "__fp").select(
+        "group",
+        "__m",
+        w.alias("__w"),
+    )
+    agg = j.groupBy("group").agg(
+        F.sum("__m").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.col("__m") * F.col("__w")).cast("long").alias("__sw"),
+        F.sum(F.col("__m") * F.col("__w") * F.col("__w"))
+        .cast("long")
+        .alias("__sw2"),
+    )
+    sw = F.col("__sw").cast("double")
+    sw2 = F.col("__sw2").cast("double")
+    ess = F.when(F.col("__sw2") > 0, sw * sw / sw2)
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_classes",
+        F.round(ess, 6).alias("ess"),
+        F.round(F.col("n_docs").cast("double") / ess, 6).alias("deff"),
+        F.round(ess / F.col("n_docs").cast("double"), 6)
+        .alias("eff_fraction"),
+    ).orderBy("group")

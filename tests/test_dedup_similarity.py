@@ -1237,3 +1237,43 @@ def test_clustering_agreement_trivial_and_null_policy(spark):
     )
     r2 = clustering_agreement(mixed, "a", "b").collect()[0]
     assert r2.n == 2
+
+
+def test_design_effect_hand_values(spark):
+    from soda_core_spark.operators.dedup import dedup_design_effect
+
+    # source A: 4 docs, one text duplicated 3x (k=3) + 1 unique
+    #   weights: 3 docs at 1/3, 1 at 1 -> sw = 2, sw2 = 3*(1/9)+1 = 4/3
+    #   ess = 4 / (4/3) = 3.0, deff = 4/3
+    df = spark.createDataFrame(
+        [(1, "A", "dup text"), (2, "A", "dup text"), (3, "A", "dup text"),
+         (4, "A", "unique a"), (5, "B", "unique b")],
+        ["doc_id", "source", "text"],
+    )
+    out = {r.group: r for r in dedup_design_effect(df).collect()}
+    a = out["A"]
+    assert a.n_docs == 4 and a.n_classes == 2
+    assert a.ess == pytest.approx(3.0, abs=1e-5)
+    assert a.deff == pytest.approx(4 / 3, abs=1e-5)
+    assert a.eff_fraction == pytest.approx(0.75, abs=1e-5)
+    b = out["B"]
+    assert b.n_docs == 1 and b.ess == pytest.approx(1.0) and b.deff == 1.0
+
+
+def test_design_effect_cross_source_duplication_penalized(spark):
+    from soda_core_spark.operators.dedup import dedup_design_effect
+
+    # mirror: source M's only doc also lives 9x in source O ->
+    # global k = 10, M's single doc has weight 1/10 but ESS of a
+    # single-doc source is still 1 (one class); the penalty shows in O
+    rows = [(0, "M", "mirrored")] + [
+        (i, "O", "mirrored") for i in range(1, 10)
+    ] + [(100 + i, "O", f"own {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.group: r for r in dedup_design_effect(df).collect()}
+    o = out["O"]
+    assert o.n_docs == 19 and o.n_classes == 11
+    # 9 docs at w=1/10 and 10 docs at w=1:
+    # ess = (9*.1 + 10)^2 / (9*.01 + 10) = 118.81/10.09
+    assert o.ess == pytest.approx(118.81 / 10.09, abs=1e-3)
+    assert o.deff > 1.5
