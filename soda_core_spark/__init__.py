@@ -188,3 +188,4 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     mann_whitney_groups,
 )
 from soda_core_spark.operators.dedup import clustering_agreement  # noqa: F401
+from soda_core_spark.operators.dedup import dedup_design_effect  # noqa: F401
