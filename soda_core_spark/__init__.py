@@ -189,3 +189,6 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
 )
 from soda_core_spark.operators.dedup import clustering_agreement  # noqa: F401
 from soda_core_spark.operators.dedup import dedup_design_effect  # noqa: F401
+from soda_core_spark.operators.semistructured import (  # noqa: F401
+    json_field_profile,
+)

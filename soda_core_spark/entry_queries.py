@@ -9420,3 +9420,45 @@ def q167(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return dedup_design_effect(d)
+
+
+# ---------------------------------------------------------------------------
+# JSON payload-field audit (operators/semistructured.py
+# json_field_profile)
+# ---------------------------------------------------------------------------
+
+_Q168_SQL = """
+SELECT coalesce(event_type, '<null>') AS "group",
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN json_valid(props)
+                 AND json_type(props::JSON) = 'OBJECT'
+            THEN 1 ELSE 0 END)::BIGINT AS n_valid_json,
+       sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_field,
+       round(1.0 - sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT) IS NOT NULL
+                        THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS field_null_rate,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS f_min,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS f_max,
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+         AS f_avg
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q168_json_field_audit", _Q168_SQL)
+def q168(spark, sf_dir):
+    """Semi-structured payload audit (operators/semistructured.py
+    json_field_profile): parse-validity, field presence and numeric
+    stats of the $.k field inside the events table's JSON props column,
+    per event type — scalar data-contract checks applied one JSON level
+    down, all codegen JSON expressions in ONE fused aggregate (the
+    check surface the reference needs a warehouse JSON dialect for)."""
+    from soda_core_spark.operators.semistructured import json_field_profile
+
+    e = _t(spark, sf_dir, "events")
+    return json_field_profile(e, "props", "k", "event_type")
