@@ -192,3 +192,6 @@ from soda_core_spark.operators.dedup import dedup_design_effect  # noqa: F401
 from soda_core_spark.operators.semistructured import (  # noqa: F401
     json_field_profile,
 )
+from soda_core_spark.operators.semistructured import (  # noqa: F401
+    json_key_census,
+)

@@ -9462,3 +9462,45 @@ def q168(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return json_field_profile(e, "props", "k", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# JSON key census (operators/semistructured.py json_key_census)
+# ---------------------------------------------------------------------------
+
+_Q169_SQL = """
+WITH base AS (
+  SELECT coalesce(event_type, '<null>') AS "group", props,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props::JSON) = 'OBJECT' ELSE false END AS ok
+  FROM events
+),
+keyed AS (
+  SELECT "group", unnest(json_keys(props)) AS key FROM base WHERE ok
+  UNION ALL
+  SELECT "group", '<invalid>' AS key FROM base WHERE NOT ok
+),
+counts AS (
+  SELECT "group", key, count(*)::BIGINT AS n_present
+  FROM keyed GROUP BY 1, 2
+),
+sizes AS (SELECT "group", count(*)::BIGINT AS n_rows FROM base GROUP BY 1)
+SELECT c."group", c.key, s.n_rows, c.n_present,
+       round(c.n_present::DOUBLE / s.n_rows, 6) AS presence_rate
+FROM counts c JOIN sizes s USING ("group")
+ORDER BY c."group", c.key
+"""
+
+
+@register("q169_json_key_census", _Q169_SQL)
+def q169(spark, sf_dir):
+    """JSON payload key census per event type
+    (operators/semistructured.py json_key_census): which keys the
+    undeclared half of the schema actually carries, at what presence
+    rate, with an <invalid> bucket for unparseable payloads — the
+    schema-drift report one JSON level down. Parse once, explode
+    map_keys, map-side combine to (group, key) grain."""
+    from soda_core_spark.operators.semistructured import json_key_census
+
+    e = _t(spark, sf_dir, "events")
+    return json_key_census(e, "props", "event_type")

@@ -88,3 +88,60 @@ def json_field_profile(
         )
         .orderBy("group")
     )
+
+
+def json_key_census(
+    df: DataFrame,
+    json_col: str,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Key census of a JSON-string payload column: which keys occur,
+    how often, per group — the schema-inference/drift report for the
+    part of the table that has no declared schema. A key whose
+    presence rate dives between crawls means a producer dropped a
+    field; a new key appearing at 0.1% means someone is smuggling data.
+
+    One row per (group, key)::
+
+        group, key, n_rows: bigint     -- n_rows = group size
+        n_present: bigint, presence_rate: double (6 dp)
+
+    plus one ``key = '<invalid>'`` row per group counting rows that do
+    not parse as a JSON object (NULL payloads included — they carry no
+    keys and no valid object).
+
+    Scale shape: parse once per row (``from_json`` to a map, codegen),
+    explode ``map_keys`` — the explode emits |keys-per-row| elements,
+    so the shuffle is keys × rows collapsed by map-side combine to the
+    (group, key) grain; group sizes ride a second tiny aggregate off
+    the same scan subtree (ReuseExchange-eligible). soda-core
+    analogue: schema check (schema_check.py) one JSON level down."""
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+    parsed = F.from_json(F.col(json_col), "map<string,string>")
+    base = df.select(grp.alias("group"), parsed.alias("__m"))
+    keys = base.select(
+        "group",
+        F.explode(
+            F.when(F.col("__m").isNotNull(), F.map_keys(F.col("__m")))
+            .otherwise(F.array(F.lit("<invalid>")))
+        ).alias("key"),
+    )
+    counts = keys.groupBy("group", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present")
+    )
+    sizes = base.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "group")
+        .select(
+            "group",
+            "key",
+            "n_rows",
+            "n_present",
+            F.round(
+                F.col("n_present") / F.col("n_rows").cast("double"), 6
+            ).alias("presence_rate"),
+        )
+        .orderBy("group", "key")
+    )

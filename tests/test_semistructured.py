@@ -52,3 +52,39 @@ def test_json_field_profile_plan_one_fused_aggregate(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_json_key_census_hand_values(spark):
+    from soda_core_spark.operators.semistructured import json_key_census
+
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 1, "x": 2}'),
+            ("a", '{"k": 3}'),
+            ("a", '{}'),           # valid object, zero keys
+            ("a", 'broken'),       # -> <invalid>
+            ("a", None),           # -> <invalid>
+            ("b", '[1]'),          # non-object -> <invalid>
+        ],
+        ["event_type", "props"],
+    )
+    out = {(r.group, r.key): r for r in
+           json_key_census(df, "props").collect()}
+    assert out[("a", "k")].n_present == 2
+    assert out[("a", "x")].n_present == 1
+    assert out[("a", "<invalid>")].n_present == 2
+    assert out[("a", "k")].n_rows == 5
+    assert out[("a", "k")].presence_rate == 0.4
+    assert out[("b", "<invalid>")].n_present == 1
+    # the empty object contributes to n_rows but no key rows
+    assert ("a", "") not in out
+
+
+def test_json_key_census_null_group(spark):
+    from soda_core_spark.operators.semistructured import json_key_census
+
+    df = spark.createDataFrame(
+        [(None, '{"z": 9}')], "event_type string, props string"
+    )
+    out = json_key_census(df, "props").collect()
+    assert out[0].group == "<null>" and out[0].key == "z"
