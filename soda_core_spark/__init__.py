@@ -195,3 +195,7 @@ from soda_core_spark.operators.semistructured import (  # noqa: F401
 from soda_core_spark.operators.semistructured import (  # noqa: F401
     json_key_census,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    benford_audit,
+    functional_dependency_audit,
+)

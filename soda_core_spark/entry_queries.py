@@ -9504,3 +9504,109 @@ def q169(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return json_key_census(e, "props", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit (operators/profiling.py
+# functional_dependency_audit)
+# ---------------------------------------------------------------------------
+
+_Q170_SQL = """
+WITH per_key AS (
+  SELECT source::VARCHAR AS key,
+         count(DISTINCT coalesce(lang::VARCHAR, '<null>'))::BIGINT AS n_dep
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+),
+summary AS (
+  SELECT 'summary' AS kind, NULL::VARCHAR AS key,
+         count(*)::BIGINT AS n_keys,
+         sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_violating_keys,
+         sum(n_dep)::BIGINT AS n_distinct_dependent,
+         round(CASE WHEN count(*) > 0 THEN
+           1.0 - sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) END, 6) AS strength
+  FROM per_key
+),
+viols AS (
+  SELECT 'violation' AS kind, key, NULL::BIGINT AS n_keys,
+         NULL::BIGINT AS n_violating_keys, n_dep AS n_distinct_dependent,
+         NULL::DOUBLE AS strength
+  FROM per_key WHERE n_dep > 1
+  ORDER BY n_dep DESC, key LIMIT 5
+)
+SELECT * FROM summary UNION ALL SELECT * FROM viols
+"""
+
+
+@register("q170_fd_audit", _Q170_SQL)
+def q170(spark, sf_dir):
+    """Functional-dependency audit source -> lang
+    (operators/profiling.py functional_dependency_audit): dependency
+    strength plus the worst violating keys — the cross-column
+    consistency check behind silent-join-bug hunts, which the
+    reference's single-column checks cannot express. One two-level
+    partial-aggregated groupBy, examples via distributed top-k."""
+    from soda_core_spark.operators.profiling import (
+        functional_dependency_audit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return functional_dependency_audit(d, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (operators/profiling.py benford_audit)
+# ---------------------------------------------------------------------------
+
+def _q171_sql() -> str:
+    from soda_core_spark.operators.profiling import BENFORD_P
+
+    parr = ", ".join(repr(p) for p in BENFORD_P)
+    return f"""
+WITH base AS (
+  SELECT substr(floor(abs(value))::DECIMAL(38,0)::VARCHAR, 1, 1)::INT AS d
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND abs(value) >= 1.0 AND abs(value) < 1e37
+),
+counts AS (SELECT d, count(*)::BIGINT AS n FROM base GROUP BY 1),
+digits AS (SELECT unnest(range(1, 10))::INT AS digit),
+j AS (
+  SELECT digit, coalesce(n, 0)::BIGINT AS n
+  FROM digits LEFT JOIN counts ON digits.digit = counts.d
+),
+tot AS (SELECT sum(n)::BIGINT AS nt FROM j),
+scored AS (
+  SELECT digit, n,
+         CASE WHEN nt > 0 THEN n::DOUBLE / nt END AS obs,
+         ([{parr}])[digit] AS exp_p, nt
+  FROM j CROSS JOIN tot
+),
+stats AS (
+  SELECT sum((obs - exp_p) * (obs - exp_p) / exp_p * nt::DOUBLE) AS chi2,
+         avg(abs(obs - exp_p)) AS mad
+  FROM scored
+)
+SELECT digit, n,
+       round(obs, 6) AS observed,
+       round(exp_p, 6) AS expected,
+       round(chi2, 6) AS chi2_total,
+       round(mad, 6) AS mad
+FROM scored CROSS JOIN stats
+ORDER BY digit
+"""
+
+
+@register("q171_benford", _q171_sql())
+def q171(spark, sf_dir):
+    """Benford first-significant-digit audit of the events value
+    column (operators/profiling.py benford_audit): observed vs
+    log10(1+1/d) with Nigrini's MAD and the chi-square statistic — the
+    synthetic-data/fabricated-metrics tripwire. One fused aggregate;
+    everything after is a 9-row frame; expected probabilities shared
+    verbatim with the oracle."""
+    from soda_core_spark.operators.profiling import benford_audit
+
+    e = _t(spark, sf_dir, "events")
+    return benford_audit(e, "value")

@@ -1981,3 +1981,169 @@ def mann_whitney_groups(
         F.round(auc, 6).alias("auc"),
         F.round(z, 6).alias("z"),
     ).orderBy("group")
+
+
+def functional_dependency_audit(
+    df: DataFrame,
+    determinant: str,
+    dependent: str,
+    max_examples: int = 5,
+) -> DataFrame:
+    """Does ``determinant -> dependent`` actually hold? The classic
+    profiling question behind schema normalization and silent-join-bug
+    hunts (a url that maps to two hosts, a doc_id with two languages,
+    a source with inconsistent casing of itself). Reports the
+    dependency's strength and the worst violating keys.
+
+    One summary row (``kind = 'summary'``) plus up to ``max_examples``
+    violation rows (``kind = 'violation'``)::
+
+        kind, key: string        -- key NULL on the summary row
+        n_keys, n_violating_keys: bigint
+        n_distinct_dependent: bigint  -- summary: corpus-wide; violation
+                                         rows: within that key
+        strength: double (6 dp)  -- 1 - violating/keys (1.0 = FD holds)
+
+    NULL determinants are excluded (no key to depend on); NULL
+    dependents count as a distinct value (a key mapping to both 'en'
+    and NULL is inconsistent — that is the finding).
+
+    Scale shape: ONE map-side-combined groupBy to (determinant,
+    distinct-dependent-count) via count(DISTINCT) per key — Spark
+    plans it as two-level partial aggregation, no row ships twice —
+    then a tiny reduce; examples via TakeOrdered (distributed top-k,
+    no global sort). soda-core analogue: none — the reference's
+    duplicate/validity checks cannot express cross-column dependency."""
+    det = F.col(determinant)
+    # NULL dependents participate as a sentinel distinct value
+    dep = F.coalesce(
+        F.col(dependent).cast("string"), F.lit("<null>")
+    )
+    per_key = (
+        df.where(det.isNotNull())
+        .groupBy(det.cast("string").alias("key"))
+        .agg(F.countDistinct(dep).cast("long").alias("n_dep"))
+    )
+    summary = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_keys"),
+        F.sum("n_dep").cast("long").alias("n_distinct_dependent"),
+    ).select(
+        F.lit("summary").alias("kind"),
+        F.lit(None).cast("string").alias("key"),
+        "n_keys",
+        "n_violating_keys",
+        "n_distinct_dependent",
+        F.round(
+            F.when(
+                F.col("n_keys") > 0,
+                F.lit(1.0)
+                - F.col("n_violating_keys")
+                / F.col("n_keys").cast("double"),
+            ),
+            6,
+        ).alias("strength"),
+    )
+    viols = (
+        per_key.where(F.col("n_dep") > 1)
+        .orderBy(F.col("n_dep").desc(), F.col("key"))
+        .limit(int(max_examples))
+        .select(
+            F.lit("violation").alias("kind"),
+            "key",
+            F.lit(None).cast("long").alias("n_keys"),
+            F.lit(None).cast("long").alias("n_violating_keys"),
+            F.col("n_dep").alias("n_distinct_dependent"),
+            F.lit(None).cast("double").alias("strength"),
+        )
+    )
+    return summary.unionAll(viols)
+
+
+#: Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9 —
+#: shared verbatim with the SQL oracle.
+BENFORD_P: tuple[float, ...] = tuple(
+    __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+)
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    synthetic-data / fabricated-metrics tripwire: naturally occurring
+    multi-scale positive quantities (prices, counts, durations) follow
+    P(d) = log10(1 + 1/d), while generator bugs, unit mix-ups and
+    hand-typed numbers don't. Flags via the mean absolute deviation
+    (Nigrini's MAD: < 0.006 close, > 0.015 nonconformity) and the
+    chi-square statistic.
+
+    One row per digit 1-9::
+
+        digit: int, n: bigint
+        observed: double (6 dp), expected: double (6 dp)
+        chi2_total: double (6 dp)  -- same on every row
+        mad: double (6 dp)         -- same on every row
+
+    Only finite values with |v| >= 1 participate (a first SIGNIFICANT
+    digit of fractions below 1 needs per-row log scaling — documented
+    subset keeps the extraction pure string arithmetic, identical on
+    both engines: first char of the integral part of |v|). Empty
+    digits (n = 0) still report with observed 0. Scale: one fused
+    map-side-combined aggregate over a 9-way CASE; everything after is
+    a 9-row frame."""
+    v = F.col(value_col).cast("double")
+    # upper bound keeps the decimal(38,0) cast total under ANSI mode
+    ok = (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) >= 1.0)
+        & (F.abs(v) < 1e37)
+    )
+    digit = F.substring(
+        F.floor(F.abs(v)).cast("decimal(38,0)").cast("string"), 1, 1
+    ).cast("int")
+    base = df.where(ok).select(digit.alias("__d"))
+    counts = base.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    digits = base.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    j = digits.join(
+        counts, digits["digit"] == counts["__d"], "left"
+    ).select("digit", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    tot = j.agg(F.sum("n").alias("__N"))
+    expected = F.array(*[F.lit(p) for p in BENFORD_P])[
+        F.col("digit") - 1
+    ]
+    scored = j.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.when(
+            F.col("__N") > 0, F.col("n") / F.col("__N").cast("double")
+        ).alias("__obs"),
+        expected.alias("__exp"),
+        F.col("__N"),
+    )
+    stats = scored.agg(
+        F.sum(
+            (F.col("__obs") - F.col("__exp"))
+            * (F.col("__obs") - F.col("__exp"))
+            / F.col("__exp")
+            * F.col("__N").cast("double")
+        ).alias("__chi2"),
+        F.avg(F.abs(F.col("__obs") - F.col("__exp"))).alias("__mad"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            "digit",
+            "n",
+            F.round("__obs", 6).alias("observed"),
+            F.round("__exp", 6).alias("expected"),
+            F.round("__chi2", 6).alias("chi2_total"),
+            F.round("__mad", 6).alias("mad"),
+        )
+        .orderBy("digit")
+    )

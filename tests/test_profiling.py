@@ -598,3 +598,88 @@ def test_mann_whitney_all_tied_and_null_handling(spark):
     assert out["a"].n == 2 and out["a"].n_rest == 1
     assert out["a"].auc == pytest.approx(0.5)  # all tied: no shift
     assert out["a"].z is None  # zero variance -> undefined z
+
+
+# -- functional_dependency_audit -------------------------------------------------
+
+
+def test_fd_audit_hand_values(spark):
+    from soda_core_spark.operators.profiling import (
+        functional_dependency_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "en"), ("s1", "en"),
+            ("s2", "en"), ("s2", "de"), ("s2", None),  # 3 distinct (incl NULL)
+            ("s3", "fr"),
+            (None, "xx"),  # NULL determinant excluded
+        ],
+        "source string, lang string",
+    )
+    rows = functional_dependency_audit(df, "source", "lang").collect()
+    summary = [r for r in rows if r.kind == "summary"][0]
+    assert summary.n_keys == 3 and summary.n_violating_keys == 1
+    assert summary.n_distinct_dependent == 1 + 3 + 1
+    assert summary.strength == pytest.approx(2 / 3, abs=1e-6)
+    viols = [r for r in rows if r.kind == "violation"]
+    assert len(viols) == 1 and viols[0].key == "s2"
+    assert viols[0].n_distinct_dependent == 3
+
+
+def test_fd_audit_perfect_dependency(spark):
+    from soda_core_spark.operators.profiling import (
+        functional_dependency_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", f"v{i % 3}") for i in range(30)], "a string, b string"
+    )
+    rows = functional_dependency_audit(df, "a", "b").collect()
+    assert len(rows) == 1  # summary only, no violations
+    assert rows[0].strength == 1.0
+
+
+# -- benford_audit ---------------------------------------------------------------
+
+
+def test_benford_conforming_and_uniform(spark):
+    import math
+    import random
+
+    from soda_core_spark.operators.profiling import benford_audit
+
+    rng = random.Random(171)
+    # log-uniform over 4 decades: conforms to Benford
+    vals = [(10 ** rng.uniform(0, 4),) for _ in range(4000)]
+    rows = benford_audit(
+        spark.createDataFrame(vals, "value double"), "value"
+    ).collect()
+    assert len(rows) == 9
+    assert rows[0].digit == 1 and rows[0].expected == pytest.approx(
+        math.log10(2), abs=1e-6
+    )
+    assert rows[0].mad < 0.012  # close conformity
+    assert sum(r.n for r in rows) == 4000
+
+    # uniform [1, 10): every digit equally likely -> nonconformity
+    uni = [(1.0 + 9.0 * rng.random(),) for _ in range(4000)]
+    rows2 = benford_audit(
+        spark.createDataFrame(uni, "value double"), "value"
+    ).collect()
+    assert rows2[0].mad > 0.015
+    assert rows2[0].chi2_total > rows[0].chi2_total
+
+
+def test_benford_filters_and_empty_digits(spark):
+    from soda_core_spark.operators.profiling import benford_audit
+
+    df = spark.createDataFrame(
+        [(0.5,), (None,), (float("nan",),), (-250.0,), (1.0,)],
+        "value double",
+    )
+    rows = {r.digit: r for r in benford_audit(df, "value").collect()}
+    # only -250 (digit 2) and 1.0 (digit 1) qualify
+    assert rows[1].n == 1 and rows[2].n == 1
+    assert all(rows[d].n == 0 for d in range(3, 10))
+    assert rows[1].observed == 0.5
