@@ -199,3 +199,6 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     benford_audit,
     functional_dependency_audit,
 )
+from soda_core_spark.operators.checks import (  # noqa: F401
+    referential_integrity_profile,
+)

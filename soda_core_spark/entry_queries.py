@@ -9610,3 +9610,86 @@ def q171(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return benford_audit(e, "value")
+
+
+# ---------------------------------------------------------------------------
+# Whole-schema referential-integrity report (operators/checks.py
+# referential_integrity_profile)
+# ---------------------------------------------------------------------------
+
+_Q172_SQL = """
+WITH edge AS (
+  SELECT 'customer->nation' AS edge, c_nationkey AS k FROM customer
+  UNION ALL
+  SELECT 'lineitem->orders', l_orderkey FROM lineitem
+  UNION ALL
+  SELECT 'nation->region', n_regionkey FROM nation
+  UNION ALL
+  SELECT 'orders->customer', o_custkey FROM orders
+  UNION ALL
+  SELECT 'supplier->nation', s_nationkey FROM supplier
+),
+parents AS (
+  SELECT 'customer->nation' AS edge, n_nationkey AS p FROM nation
+  UNION ALL
+  SELECT 'lineitem->orders', o_orderkey FROM orders
+  UNION ALL
+  SELECT 'nation->region', r_regionkey FROM region
+  UNION ALL
+  SELECT 'orders->customer', c_custkey FROM customer
+  UNION ALL
+  SELECT 'supplier->nation', n_nationkey FROM nation
+),
+ckeys AS (
+  SELECT edge, k, count(*)::BIGINT AS n FROM edge GROUP BY 1, 2
+),
+pkeys AS (SELECT DISTINCT edge, p FROM parents),
+j AS (
+  SELECT c.edge, c.k, c.n, p.p
+  FROM ckeys c LEFT JOIN pkeys p ON c.edge = p.edge AND c.k = p.p
+)
+SELECT edge,
+       coalesce(sum(CASE WHEN k IS NOT NULL THEN n END), 0)::BIGINT
+         AS n_child,
+       coalesce(sum(CASE WHEN k IS NULL THEN n END), 0)::BIGINT
+         AS n_null_fk,
+       coalesce(sum(CASE WHEN k IS NOT NULL AND p IS NULL THEN n END), 0)
+         ::BIGINT AS n_orphans,
+       coalesce(sum(CASE WHEN k IS NOT NULL AND p IS NULL THEN 1 END), 0)
+         ::BIGINT AS n_orphan_keys,
+       round(CASE WHEN coalesce(sum(CASE WHEN k IS NOT NULL THEN n END), 0)
+                       > 0
+             THEN coalesce(sum(CASE WHEN k IS NOT NULL AND p IS NULL
+                               THEN n END), 0)::DOUBLE
+                  / sum(CASE WHEN k IS NOT NULL THEN n END) END, 6)
+         AS orphan_rate
+FROM j GROUP BY edge ORDER BY edge
+"""
+
+
+@register("q172_referential_integrity", _Q172_SQL)
+def q172(spark, sf_dir):
+    """Whole-schema referential-integrity report over the five TPC-H FK
+    edges (operators/checks.py referential_integrity_profile): child
+    rows, NULL-FK rows (not orphans — SQL FK semantics), orphan rows
+    and distinct orphan keys per edge. Child collapses to (key, count)
+    grain BEFORE each join so hot FK values never fan out; the
+    reference's single invalid-reference check generalized to the
+    migration-day audit."""
+    from soda_core_spark.operators.checks import (
+        referential_integrity_profile,
+    )
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return referential_integrity_profile([
+        (t("customer"), "c_nationkey", t("nation"), "n_nationkey",
+         "customer->nation"),
+        (t("lineitem"), "l_orderkey", t("orders"), "o_orderkey",
+         "lineitem->orders"),
+        (t("nation"), "n_regionkey", t("region"), "r_regionkey",
+         "nation->region"),
+        (t("orders"), "o_custkey", t("customer"), "c_custkey",
+         "orders->customer"),
+        (t("supplier"), "s_nationkey", t("nation"), "n_nationkey",
+         "supplier->nation"),
+    ])

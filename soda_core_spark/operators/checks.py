@@ -981,3 +981,90 @@ def unregister_check_type(name: str) -> None:
     else:
         CHECK_PLANNERS.pop(name, None)
     model.CUSTOM_CHECK_PARSERS.pop(name, None)
+
+
+def referential_integrity_profile(
+    edges: list[tuple["DataFrame", str, "DataFrame", str, str]],
+) -> "DataFrame":
+    """Corpus-wide referential-integrity report: one row per FK edge
+    ``(child_df, fk_col, parent_df, pk_col, edge_name)`` with orphan
+    accounting — the reference's single invalid-reference check
+    (invalid_check.py reference-data form) generalized to the
+    whole-schema audit a warehouse migration runs first.
+
+    One row per edge::
+
+        edge: string
+        n_child: bigint          -- child rows with a NON-NULL key
+        n_null_fk: bigint        -- child rows with NULL key (not
+                                    orphans: SQL FK semantics)
+        n_orphans: bigint        -- non-NULL keys with no parent
+        n_orphan_keys: bigint    -- distinct orphan key values
+        orphan_rate: double (6dp, of non-NULL child rows; NULL when 0)
+
+    Scale shape: per edge, ONE aggregation over a left join of the
+    child's (key, count) grain — child collapses to distinct keys with
+    map-side combine BEFORE the join, so the join is keys × keys, not
+    rows × rows, and a hot FK value never fans out. Parent side prunes
+    to its key column. Edges evaluate independently and union into one
+    report (each edge is its own scan pair; there is nothing shared to
+    fuse across tables)."""
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    outs = []
+    for child, fk, parent, pk, name in edges:
+        ckeys = (
+            child.select(F.col(fk).alias("__k"))
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        pkeys = parent.select(F.col(pk).alias("__p")).distinct()
+        j = ckeys.join(pkeys, ckeys["__k"] == pkeys["__p"], "left")
+        agg = j.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__k").isNotNull(), F.col("__n"))),
+                F.lit(0),
+            ).cast("long").alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("__k").isNull(), F.col("__n"))),
+                F.lit(0),
+            ).cast("long").alias("n_null_fk"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__k").isNotNull() & F.col("__p").isNull(),
+                        F.col("__n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_orphans"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__k").isNotNull() & F.col("__p").isNull(), 1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_orphan_keys"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                "n_orphan_keys",
+                F.round(
+                    F.when(
+                        F.col("n_child") > 0,
+                        F.col("n_orphans")
+                        / F.col("n_child").cast("double"),
+                    ),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("edge")
