@@ -202,3 +202,6 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
 from soda_core_spark.operators.checks import (  # noqa: F401
     referential_integrity_profile,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    event_transition_matrix,
+)

@@ -9693,3 +9693,46 @@ def q172(spark, sf_dir):
         (t("supplier"), "s_nationkey", t("nation"), "n_nationkey",
          "supplier->nation"),
     ])
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (operators/profiling.py
+# event_transition_matrix)
+# ---------------------------------------------------------------------------
+
+_Q173_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         coalesce(event_type::VARCHAR, '<null>') AS t
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+trans AS (
+  SELECT t AS from_type,
+         coalesce(lead(t) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id), '<end>') AS to_type
+  FROM base
+),
+counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM trans GROUP BY 1, 2
+),
+totals AS (SELECT from_type, sum(n)::BIGINT AS row_n FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n::DOUBLE / t.row_n, 6) AS prob
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY c.from_type, c.to_type
+"""
+
+
+@register("q173_event_transitions", _Q173_SQL)
+def q173(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/profiling.py event_transition_matrix):
+    deterministic (ts, id) ordering, '<end>' sink for terminal events,
+    row-normalized probabilities — the behavioral fingerprint audit.
+    One hash exchange on user for the lead window; counts collapse
+    map-side to the |types|² grain."""
+    from soda_core_spark.operators.profiling import event_transition_matrix
+
+    e = _t(spark, sf_dir, "events")
+    return event_transition_matrix(e)

@@ -2147,3 +2147,68 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral fingerprint of an event stream: a bot
+    cohort shows near-deterministic rows, an instrumentation bug shows
+    a transition that stops firing, a funnel regression shows
+    purchase→error mass. Each user's events order by (ts, id) — the
+    deterministic tiebreak — and every event contributes exactly one
+    transition, to the '<end>' sink for the user's last event.
+
+    One row per (from_type, to_type)::
+
+        from_type, to_type: string   -- NULL types fold to '<null>'
+        n: bigint
+        prob: double (6 dp)          -- row-normalized: P(to | from)
+
+    Rows with NULL user or ts are excluded (no sequence position).
+    Scale shape: ONE hash exchange on user for the lead() window
+    (per-user sequential is the semantics, users are the parallelism —
+    the only correct partitioning for sequence ops), then transition
+    counts collapse map-side to the |types|² grain and row totals ride
+    a broadcast of that tiny frame. soda-core analogue: none — batch
+    twin of a stateful streaming audit (SURVEY §2.5 extension)."""
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(type_col).cast("string"), F.lit("<null>"))
+        .alias("__t"),
+    )
+    w = Window.partitionBy("__u").orderBy("__ts", "__id")
+    trans = base.select(
+        F.col("__t").alias("from_type"),
+        F.coalesce(F.lead("__t").over(w), F.lit("<end>"))
+        .alias("to_type"),
+    )
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").alias("__row_n")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n") / F.col("__row_n").cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

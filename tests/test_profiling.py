@@ -683,3 +683,55 @@ def test_benford_filters_and_empty_digits(spark):
     assert rows[1].n == 1 and rows[2].n == 1
     assert all(rows[d].n == 0 for d in range(3, 10))
     assert rows[1].observed == 0.5
+
+
+# -- event_transition_matrix -----------------------------------------------------
+
+
+def test_event_transitions_hand_values(spark):
+    from soda_core_spark.operators.profiling import event_transition_matrix
+
+    # user 1: a -> b -> a -> <end>; user 2: b -> b -> <end>
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (1, "2024-01-01 00:01:00", 2, "b"),
+        (1, "2024-01-01 00:02:00", 3, "a"),
+        (2, "2024-01-01 00:00:00", 4, "b"),
+        (2, "2024-01-01 00:01:00", 5, "b"),
+        (None, "2024-01-01 00:00:00", 6, "zzz"),  # excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.from_type, r.to_type): r
+           for r in event_transition_matrix(df).collect()}
+    assert out[("a", "b")].n == 1
+    assert out[("b", "a")].n == 1
+    assert out[("b", "b")].n == 1
+    assert out[("a", "<end>")].n == 1
+    assert out[("b", "<end>")].n == 1
+    assert ("zzz", "<end>") not in out
+    # row-normalization: from 'a' -> b 0.5, <end> 0.5
+    assert out[("a", "b")].prob == 0.5
+    # every from-row sums to 1
+    froms = {}
+    for (f_, _), r in out.items():
+        froms[f_] = froms.get(f_, 0.0) + r.prob
+    # 6 dp rounding: a row of three 0.333333 sums to 0.999999
+    assert all(abs(v - 1.0) < 5e-6 for v in froms.values())
+
+
+def test_event_transitions_tie_break_deterministic(spark):
+    from soda_core_spark.operators.profiling import event_transition_matrix
+
+    # identical timestamps: event_id breaks the tie -> a before b
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "a"),
+        (1, "2024-01-01 00:00:00", 11, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.from_type, r.to_type): r.n
+           for r in event_transition_matrix(df).collect()}
+    assert out == {("a", "b"): 1, ("b", "<end>"): 1}
