@@ -205,3 +205,6 @@ from soda_core_spark.operators.checks import (  # noqa: F401
 from soda_core_spark.operators.profiling import (  # noqa: F401
     event_transition_matrix,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    interarrival_burstiness,
+)

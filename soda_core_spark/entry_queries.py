@@ -9736,3 +9736,47 @@ def q173(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return event_transition_matrix(e)
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (operators/profiling.py
+# interarrival_burstiness)
+# ---------------------------------------------------------------------------
+
+_Q174_SQL = """
+WITH base AS (
+  SELECT user_id, coalesce(event_type::VARCHAR, '<null>') AS t,
+         epoch_us(ts) AS us, event_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+gaps AS (
+  SELECT t,
+         (us - lag(us) OVER (PARTITION BY user_id, t
+                             ORDER BY us, event_id))::DOUBLE / 1e6 AS gap
+  FROM base
+)
+SELECT t AS event_type,
+       count(gap)::BIGINT AS n_gaps,
+       round(avg(gap), 6) AS mean_gap_s,
+       round(stddev_pop(gap), 6) AS std_gap_s,
+       round(CASE WHEN avg(gap) > 0
+             THEN stddev_pop(gap) / avg(gap) END, 6) AS cv,
+       round(CASE WHEN stddev_pop(gap) + avg(gap) > 0
+             THEN (stddev_pop(gap) - avg(gap))
+                  / (stddev_pop(gap) + avg(gap)) END, 6) AS burstiness
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY t ORDER BY t
+"""
+
+
+@register("q174_burstiness", _Q174_SQL)
+def q174(spark, sf_dir):
+    """Per-event-type inter-arrival burstiness (operators/profiling.py
+    interarrival_burstiness): Goh-Barabási B = (σ-μ)/(σ+μ) and CV over
+    exact-microsecond gaps within (user, type) sequences — clockwork
+    bots at -1, retry storms at +1, humans near 0. One (user, type)
+    hash exchange for the lag window, then a |types|-row aggregate."""
+    from soda_core_spark.operators.profiling import interarrival_burstiness
+
+    e = _t(spark, sf_dir, "events")
+    return interarrival_burstiness(e)

@@ -2212,3 +2212,68 @@ def event_transition_matrix(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival-time dispersion per event type — the
+    traffic-shape audit: a Poisson-ish human stream has burstiness
+    B = (σ-μ)/(σ+μ) ≈ 0 and CV ≈ 1; schedulers/bots drive B toward -1
+    (clockwork), retry storms and crawl traps drive B toward +1
+    (Goh & Barabási 2008). Gaps are measured WITHIN each (user, type)
+    sequence ordered by (ts, id) — cross-user gaps are meaningless.
+
+    One row per event_type::
+
+        event_type: string (NULL folds to '<null>')
+        n_gaps: bigint
+        mean_gap_s, std_gap_s: double (6 dp; std NULL when n_gaps < 2)
+        cv: double (6 dp)           -- σ/μ; NULL when μ = 0
+        burstiness: double (6 dp)   -- (σ-μ)/(σ+μ); NULL when σ+μ = 0
+
+    Gaps are exact integer MICROSECONDS (unix_micros both engines) and
+    convert to seconds as one double division per gap, so both engines
+    aggregate identical values; population σ (q29 convention). Rows
+    with NULL user/ts are excluded. Scale shape: one hash exchange on
+    (user, type) for the lag window — users × types is the
+    parallelism — then a map-side-combined |types|-row aggregate."""
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.coalesce(F.col(type_col).cast("string"), F.lit("<null>"))
+        .alias("__t"),
+        # cast handles TIMESTAMP_NTZ parquet columns; session TZ is
+        # pinned UTC so NTZ -> TZ is identity (and matches epoch_us)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(id_col).alias("__id"),
+    )
+    w = Window.partitionBy("__u", "__t").orderBy("__us", "__id")
+    gaps = base.select(
+        "__t",
+        ((F.col("__us") - F.lag("__us").over(w)).cast("double") / 1e6)
+        .alias("__gap"),
+    ).where(F.col("__gap").isNotNull())
+    agg = gaps.groupBy(F.col("__t").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("__gap").alias("__mu"),
+        F.stddev_pop("__gap").alias("__sigma"),
+    )
+    mu, sigma = F.col("__mu"), F.col("__sigma")
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sigma, 6).alias("std_gap_s"),
+        F.round(F.when(mu > 0, sigma / mu), 6).alias("cv"),
+        F.round(
+            F.when((sigma + mu) > 0, (sigma - mu) / (sigma + mu)), 6
+        ).alias("burstiness"),
+    ).orderBy("event_type")

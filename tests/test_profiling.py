@@ -735,3 +735,52 @@ def test_event_transitions_tie_break_deterministic(spark):
     out = {(r.from_type, r.to_type): r.n
            for r in event_transition_matrix(df).collect()}
     assert out == {("a", "b"): 1, ("b", "<end>"): 1}
+
+
+# -- interarrival_burstiness -----------------------------------------------------
+
+
+def test_burstiness_clockwork_vs_bursty(spark):
+    from soda_core_spark.operators.profiling import interarrival_burstiness
+
+    rows = []
+    # clockwork: user 1 fires 'bot' exactly every 60s -> sigma 0, B = -1
+    for i in range(20):
+        rows.append((1, f"2024-01-01 00:{i:02d}:00", i, "bot"))
+    # bursty: user 2 fires 'human' with gaps 1s,1s,1s,3600s repeating
+    t = 0
+    for i in range(20):
+        t += 1 if i % 4 else 3600
+        rows.append((2, t, 100 + i, "human"))
+    df1 = spark.createDataFrame(
+        [(u, ts, i, ty) for u, ts, i, ty in rows if isinstance(ts, str)],
+        "user_id long, ts string, event_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df2 = spark.createDataFrame(
+        [(u, ts, i, ty) for u, ts, i, ty in rows if not isinstance(ts, str)],
+        "user_id long, ts long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    df = df1.unionByName(df2)
+    out = {r.event_type: r for r in interarrival_burstiness(df).collect()}
+    bot = out["bot"]
+    assert bot.n_gaps == 19
+    assert bot.mean_gap_s == 60.0 and bot.std_gap_s == 0.0
+    assert bot.burstiness == -1.0 and bot.cv == 0.0
+    human = out["human"]
+    assert human.burstiness > 0.25  # heavy-tailed gaps
+    assert human.cv > 1.0
+
+
+def test_burstiness_single_event_and_nulls(spark):
+    from soda_core_spark.operators.profiling import interarrival_burstiness
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "solo"),
+            (None, "2024-01-01 00:00:00", 2, "solo"),
+            (2, None, 3, "solo"),
+        ],
+        "user_id long, ts string, event_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # one event per surviving user: zero gaps -> type absent entirely
+    assert interarrival_burstiness(df).count() == 0
