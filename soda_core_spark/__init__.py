@@ -208,3 +208,9 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
 from soda_core_spark.operators.profiling import (  # noqa: F401
     interarrival_burstiness,
 )
+from soda_core_spark.operators.checks import (  # noqa: F401
+    reconciliation_audit,
+)
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    retention_cohorts,
+)

@@ -9780,3 +9780,108 @@ def q174(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return interarrival_burstiness(e)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation audit (operators/checks.py
+# reconciliation_audit)
+# ---------------------------------------------------------------------------
+
+_Q175_SQL = """
+WITH c AS (
+  SELECT l_orderkey AS k,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS derived
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_totalprice::DOUBLE AS stored, c.derived
+  FROM orders o LEFT JOIN c ON o.o_orderkey = c.k
+  WHERE o.o_orderkey IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n_parents,
+       sum(CASE WHEN derived IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_with_children,
+       sum(CASE WHEN derived IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_childless,
+       sum(CASE WHEN derived IS NOT NULL
+                 AND abs(stored - derived) <= 0.01
+            THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+       sum(CASE WHEN derived IS NOT NULL
+                 AND abs(stored - derived) > 0.01
+            THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,
+       round(max(CASE WHEN derived IS NOT NULL
+                 THEN abs(stored - derived) END), 6) AS max_abs_err,
+       round(avg(CASE WHEN derived IS NOT NULL
+                 THEN abs(stored - derived) END), 6) AS mean_abs_err
+FROM j
+"""
+
+
+@register("q175_reconciliation", _Q175_SQL)
+def q175(spark, sf_dir):
+    """Order-total reconciliation (operators/checks.py
+    reconciliation_audit): o_totalprice vs the recomputed
+    sum(l_extendedprice·(1-disc)·(1+tax)) over each order's lineitems —
+    the cross-table derived-column audit that catches partial loads.
+    Child collapses to (key, sum) grain before ONE key-grain join;
+    tolerance compare, never float equality."""
+    from soda_core_spark.operators.checks import reconciliation_audit
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    derived = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    return reconciliation_audit(
+        o, "o_orderkey", "o_totalprice", li, "l_orderkey", derived
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort triangle (operators/profiling.py retention_cohorts)
+# ---------------------------------------------------------------------------
+
+_Q176_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id AS u, ts::DATE AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+first_day AS (SELECT u, min(d) AS cohort_day FROM activity GROUP BY 1),
+j AS (
+  SELECT f.cohort_day, (a.d - f.cohort_day)::INT AS offset_days, a.u
+  FROM activity a JOIN first_day f USING (u)
+),
+sizes AS (
+  SELECT cohort_day, count(*)::BIGINT AS cohort_size
+  FROM first_day GROUP BY 1
+),
+cells AS (
+  SELECT cohort_day, offset_days, count(DISTINCT u)::BIGINT AS n_active
+  FROM j GROUP BY 1, 2
+)
+SELECT c.cohort_day::VARCHAR AS cohort_day, c.offset_days,
+       s.cohort_size, c.n_active,
+       round(c.n_active::DOUBLE / s.cohort_size, 6) AS retention
+FROM cells c JOIN sizes s USING (cohort_day)
+ORDER BY 1, 2
+"""
+
+
+@register("q176_retention_cohorts", _Q176_SQL)
+def q176(spark, sf_dir):
+    """Retention cohort triangle over the event stream
+    (operators/profiling.py retention_cohorts): users cohorted by
+    first active day, per-(cohort, offset) comeback counts — the
+    longitudinal population-health read. Activity collapses to
+    (user, day) grain first; first-day derives off that grain, one
+    key-grain join back, nothing touches raw events twice."""
+    from soda_core_spark.operators.profiling import retention_cohorts
+
+    e = _t(spark, sf_dir, "events")
+    # string-typed cohort_day: the driver comparator normalizes DATE
+    # asymmetrically across engines; ISO string is unambiguous
+    return retention_cohorts(e).withColumn(
+        "cohort_day", F.col("cohort_day").cast("string")
+    )

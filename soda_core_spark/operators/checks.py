@@ -1068,3 +1068,68 @@ def referential_integrity_profile(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("edge")
+
+
+def reconciliation_audit(
+    parent: "DataFrame",
+    parent_key: str,
+    parent_value: str,
+    child: "DataFrame",
+    child_key: str,
+    child_value_expr: Column,
+    tolerance: float = 0.01,
+) -> "DataFrame":
+    """Cross-table derived-column reconciliation: does a parent's
+    stored aggregate equal what its children actually sum to? The
+    classic warehouse audit (order total vs line amounts, account
+    balance vs ledger, shard row-count vs manifest) that catches silent
+    partial loads and double-applied updates — a check class the
+    reference's single-table checks cannot express.
+
+    One summary row::
+
+        n_parents: bigint        -- parent rows with non-NULL key
+        n_with_children: bigint
+        n_childless: bigint
+        n_matched: bigint        -- |stored - derived| <= tolerance
+        n_mismatched: bigint     -- has children but out of tolerance
+        max_abs_err: double (6 dp, over parents with children)
+        mean_abs_err: double (6 dp)
+
+    Scale shape: the child side collapses FIRST to (key, sum) grain
+    through a map-side-combined groupBy, then ONE key-grain left join
+    from the parent (AQE-skew-splittable) and a single reduce. The
+    child expression evaluates row-side inside the partial aggregate —
+    one pass over each table. Float caveat: the derived sum's
+    add-order varies per engine/partitioning, so compare with an
+    absolute ``tolerance``, never equality (the audit's own point)."""
+    p = parent.select(
+        F.col(parent_key).alias("__k"),
+        F.col(parent_value).cast("double").alias("__stored"),
+    ).where(F.col("__k").isNotNull())
+    c = (
+        child.select(
+            F.col(child_key).alias("__k"),
+            child_value_expr.cast("double").alias("__v"),
+        )
+        .groupBy("__k")
+        .agg(F.sum("__v").alias("__derived"))
+    )
+    j = p.join(c, "__k", "left")
+    err = F.abs(F.col("__stored") - F.col("__derived"))
+    has = F.col("__derived").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parents"),
+        F.sum(F.when(has, 1).otherwise(0)).cast("long")
+        .alias("n_with_children"),
+        F.sum(F.when(has, 0).otherwise(1)).cast("long")
+        .alias("n_childless"),
+        F.sum(F.when(has & (err <= tolerance), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(has & (err > tolerance), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.round(F.max(F.when(has, err)), 6).alias("max_abs_err"),
+        F.round(F.avg(F.when(has, err)), 6).alias("mean_abs_err"),
+    )

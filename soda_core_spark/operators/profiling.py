@@ -2277,3 +2277,70 @@ def interarrival_burstiness(
             F.when((sigma + mu) > 0, (sigma - mu) / (sigma + mu)), 6
         ).alias("burstiness"),
     ).orderBy("event_type")
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Classic retention triangle over an event stream: users cohort by
+    their FIRST active day, and each (cohort, day-offset) cell counts
+    how many came back — the canonical health read for any
+    crawl/user/producer population (a cohort whose retention cliff
+    moved is a product or instrumentation change; for crawls, a host
+    cohort that stops re-appearing is a dead feed).
+
+    One row per (cohort_day, offset_days) with activity::
+
+        cohort_day: date
+        offset_days: int          -- 0 = the cohort's first day
+        cohort_size: bigint       -- users whose first day = cohort_day
+        n_active: bigint          -- cohort users active that day
+        retention: double (6 dp)  -- n_active / cohort_size
+
+    Rows with NULL user/ts are excluded; ``max_offset`` truncates the
+    triangle (None = all offsets). offset-0 retention is 1.0 by
+    construction — pinned in tests as the self-check.
+
+    Scale shape: (user, day) activity grain first (map-side-combined
+    distinct), first-day per user OFF THAT GRAIN (no second corpus
+    scan), one key-grain join back, then the (cohort, offset) reduce —
+    the shuffles carry activity grain and |users| rows, never raw
+    events. soda-core analogue: none (longitudinal extension of
+    freshness/row_count, SURVEY §2.5)."""
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col)).alias("__d"),
+    )
+    activity = base.distinct()
+    first = activity.groupBy("__u").agg(F.min("__d").alias("cohort_day"))
+    j = activity.join(first, "__u").select(
+        "cohort_day",
+        F.datediff(F.col("__d"), F.col("cohort_day")).alias("offset_days"),
+        "__u",
+    )
+    if max_offset is not None:
+        j = j.where(F.col("offset_days") <= int(max_offset))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = j.groupBy("cohort_day", "offset_days").agg(
+        F.countDistinct("__u").cast("long").alias("n_active")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("offset_days").cast("int").alias("offset_days"),
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )

@@ -784,3 +784,53 @@ def test_burstiness_single_event_and_nulls(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     # one event per surviving user: zero gaps -> type absent entirely
     assert interarrival_burstiness(df).count() == 0
+
+
+# -- retention_cohorts -----------------------------------------------------------
+
+
+def test_retention_hand_values(spark):
+    from soda_core_spark.operators.profiling import retention_cohorts
+
+    rows = [
+        # cohort day1: users 1,2 -- user 1 returns day2, user 2 never
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),
+        (1, "2024-01-02 09:00:00"),
+        (2, "2024-01-01 08:00:00"),
+        # cohort day2: user 3, returns day4
+        (3, "2024-01-02 08:00:00"), (3, "2024-01-04 08:00:00"),
+        (None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r.cohort_day), r.offset_days): r
+           for r in retention_cohorts(df).collect()}
+    c1d0 = out[("2024-01-01", 0)]
+    assert c1d0.cohort_size == 2 and c1d0.n_active == 2
+    assert c1d0.retention == 1.0  # offset 0 is always 1.0
+    c1d1 = out[("2024-01-01", 1)]
+    assert c1d1.n_active == 1 and c1d1.retention == 0.5
+    c2d2 = out[("2024-01-02", 2)]
+    assert c2d2.cohort_size == 1 and c2d2.n_active == 1
+    assert len(out) == 4  # no empty cells emitted
+
+
+def test_retention_offset_zero_always_full_and_max_offset(spark):
+    import random
+
+    from soda_core_spark.operators.profiling import retention_cohorts
+
+    rng = random.Random(176)
+    rows = [
+        (u, f"2024-01-{rng.randint(1, 9):02d} 00:00:00")
+        for u in range(50) for _ in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = retention_cohorts(df).collect()
+    zero = [r for r in out if r.offset_days == 0]
+    assert zero and all(r.retention == 1.0 for r in zero)
+    capped = retention_cohorts(df, max_offset=2).collect()
+    assert all(r.offset_days <= 2 for r in capped)
