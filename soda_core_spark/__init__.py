@@ -214,3 +214,7 @@ from soda_core_spark.operators.checks import (  # noqa: F401
 from soda_core_spark.operators.profiling import (  # noqa: F401
     retention_cohorts,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    correlation_matrix,
+    mann_kendall_trend,
+)

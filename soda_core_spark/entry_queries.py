@@ -9885,3 +9885,131 @@ def q176(spark, sf_dir):
     return retention_cohorts(e).withColumn(
         "cohort_day", F.col("cohort_day").cast("string")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass Pearson correlation matrix (operators/profiling.py
+# correlation_matrix)
+# ---------------------------------------------------------------------------
+
+def _q177_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(cols[i], cols[j]) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    sums = []
+    for a, b in pairs:
+        t = f"{a}__{b}"
+        both = (f"CASE WHEN {a} IS NOT NULL AND NOT isnan({a}::DOUBLE)"
+                f" AND {b} IS NOT NULL AND NOT isnan({b}::DOUBLE)"
+                f" THEN 1 ELSE 0 END")
+        x = (f"CASE WHEN {both} = 1 THEN {a}::DOUBLE END")
+        y = (f"CASE WHEN {both} = 1 THEN {b}::DOUBLE END")
+        sums.append(
+            f"sum({both})::BIGINT AS n_{t}, sum({x}) AS sx_{t},"
+            f" sum({y}) AS sy_{t}, sum(({x}) * ({y})) AS sxy_{t},"
+            f" sum(({x}) * ({x})) AS sxx_{t},"
+            f" sum(({y}) * ({y})) AS syy_{t}"
+        )
+    rows = []
+    for a, b in pairs:
+        t = f"{a}__{b}"
+        n = f"n_{t}::DOUBLE"
+        vx = f"({n} * sxx_{t} - sx_{t} * sx_{t})"
+        vy = f"({n} * syy_{t} - sy_{t} * sy_{t})"
+        rows.append(f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b, n_{t} AS n,
+         round(CASE WHEN n_{t} >= 2 AND {vx} > 0 AND {vy} > 0
+               THEN ({n} * sxy_{t} - sx_{t} * sy_{t})
+                    / sqrt({vx} * {vy}) END, 6) AS r
+  FROM agg""")
+    return (
+        "WITH agg AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\n  UNION ALL\n".join(rows)
+        + "\nORDER BY col_a, col_b"
+    )
+
+
+@register("q177_correlation_matrix", _q177_sql())
+def q177(spark, sf_dir):
+    """One-pass Pearson correlation matrix over the four lineitem
+    numerics (operators/profiling.py correlation_matrix): pairwise-NULL
+    handling, every pair's six sums ride ONE partial aggregation
+    (q97/q155 execution contract, continuous case), inline() unpivots —
+    pair count widens the aggregate, never multiplies corpus passes."""
+    from soda_core_spark.operators.profiling import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall daily-trend test (operators/profiling.py
+# mann_kendall_trend)
+# ---------------------------------------------------------------------------
+
+_Q178_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::DOUBLE AS v
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+pairs AS (
+  SELECT sign(b.v - a.v)::BIGINT AS sgn,
+         (b.v - a.v) / (b.d - a.d)::DOUBLE AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ps AS (
+  SELECT coalesce(sum(sgn), 0)::BIGINT AS s_statistic,
+         quantile_cont(slope, 0.5) AS ts FROM pairs
+),
+nd AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+ties AS (
+  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_term
+  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY v)
+),
+j AS (
+  SELECT n_days, s_statistic, ts,
+         (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)::DOUBLE
+           / 18.0 AS var
+  FROM nd CROSS JOIN ties CROSS JOIN ps
+)
+SELECT n_days, s_statistic,
+       round(CASE WHEN var > 0 THEN
+         CASE WHEN s_statistic > 0
+              THEN (s_statistic - 1)::DOUBLE / sqrt(var)
+              WHEN s_statistic < 0
+              THEN (s_statistic + 1)::DOUBLE / sqrt(var)
+              ELSE 0.0 END END, 6) AS z,
+       round(ts, 6) AS theil_sen_slope,
+       CASE WHEN var > 0 AND (CASE WHEN s_statistic > 0
+                 THEN (s_statistic - 1)::DOUBLE / sqrt(var)
+                 WHEN s_statistic < 0
+                 THEN (s_statistic + 1)::DOUBLE / sqrt(var)
+                 ELSE 0.0 END) > 1.959963984540054 THEN 'increasing'
+            WHEN var > 0 AND (CASE WHEN s_statistic > 0
+                 THEN (s_statistic - 1)::DOUBLE / sqrt(var)
+                 WHEN s_statistic < 0
+                 THEN (s_statistic + 1)::DOUBLE / sqrt(var)
+                 ELSE 0.0 END) < -1.959963984540054 THEN 'decreasing'
+            WHEN var > 0 THEN 'none' END AS trend
+FROM j
+"""
+
+
+@register("q178_mann_kendall", _Q178_SQL)
+def q178(spark, sf_dir):
+    """Mann-Kendall trend test + Theil-Sen slope over daily event
+    counts (operators/profiling.py mann_kendall_trend): exact-integer
+    S with tie-corrected variance and continuity adjustment — the
+    outlier-proof "is volume actually drifting" answer. Pair
+    enumeration is quadratic in DAYS (tiny frame), never rows."""
+    from soda_core_spark.operators.profiling import mann_kendall_trend
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return mann_kendall_trend(daily, "day", "value")

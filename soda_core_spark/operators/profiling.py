@@ -2344,3 +2344,170 @@ def retention_cohorts(
         )
         .orderBy("cohort_day", "offset_days")
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Pairwise Pearson correlation of k numeric columns in ONE corpus
+    pass — the numeric-profile companion to ``rule_overlap``'s boolean
+    matrix: redundant metrics (|r| near 1) are dropped from dashboards,
+    surprise decorrelations (price no longer tracks quantity) are
+    regressions. Rows with a NULL/NaN in EITHER column of a pair are
+    excluded pairwise (each pair keeps its own n).
+
+    One row per unordered pair::
+
+        col_a, col_b: string, n: bigint
+        r: double (6 dp)   -- NULL when either variance is 0 or n < 2
+
+    Scale shape: the whole matrix reduces through ONE partial
+    aggregation to a single row of 6·k(k-1)/2 + k·... counters
+    (pairwise n, Σx, Σy, Σxy, Σx², Σy²), then ``inline`` unpivots pairs
+    driver-free — pair count widens the aggregate, never multiplies
+    corpus passes (the q97/q155 execution contract, continuous case).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    def v(c):
+        x = F.col(c).cast("double")
+        return F.when(~F.isnan(x), x)  # NULL/NaN -> NULL
+
+    aggs = []
+    for a, b in pairs:
+        x, y = v(a), v(b)
+        both = x.isNotNull() & y.isNotNull()
+        xb = F.when(both, x)
+        yb = F.when(both, y)
+        tag = f"{a}__{b}"
+        aggs += [
+            F.sum(F.when(both, 1).otherwise(0)).cast("long")
+            .alias(f"__n_{tag}"),
+            F.sum(xb).alias(f"__sx_{tag}"),
+            F.sum(yb).alias(f"__sy_{tag}"),
+            F.sum(xb * yb).alias(f"__sxy_{tag}"),
+            F.sum(xb * xb).alias(f"__sxx_{tag}"),
+            F.sum(yb * yb).alias(f"__syy_{tag}"),
+        ]
+    one = df.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        n = F.col(f"__n_{tag}").cast("double")
+        sx, sy = F.col(f"__sx_{tag}"), F.col(f"__sy_{tag}")
+        sxy = F.col(f"__sxy_{tag}")
+        sxx, syy = F.col(f"__sxx_{tag}"), F.col(f"__syy_{tag}")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when(
+            (F.col(f"__n_{tag}") >= 2) & (vx > 0) & (vy > 0),
+            (n * sxy - sx * sy) / F.sqrt(vx * vy),
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__n_{tag}").alias("n"),
+                F.round(r, 6).alias("r"),
+            )
+        )
+    return one.select(F.inline(F.array(*structs))).orderBy(
+        "col_a", "col_b"
+    )
+
+
+def mann_kendall_trend(
+    daily: DataFrame, day_col: str, value_col: str
+) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope over a (day, value)
+    series — the nonparametric "is this metric actually drifting"
+    answer for daily corpus counts/rates: no normality assumption, one
+    outlier day cannot fake or hide a trend (the OLS failure q103's
+    moving average inherits). Standard pairing in hydrology/monitoring
+    (Mann 1945; Sen 1968).
+
+    One row::
+
+        n_days: bigint
+        s_statistic: bigint        -- Σ sign(v_j - v_i), j later
+        z: double (6 dp)           -- tie-corrected, continuity-adjusted
+        theil_sen_slope: double    -- median pairwise slope per day,
+                                      6 dp; NULL when < 2 days
+        trend: string              -- increasing/decreasing/none at
+                                      |z| > 1.96
+
+    Input is the ALREADY-AGGREGATED daily frame (day: date, value:
+    numeric — build it with one groupBy; NULL days/values excluded
+    here). The pair enumeration is a self-join of that |days|-row
+    frame — quadratic in DAYS, not rows (3 years of days = ~600k
+    pairs, trivial), which is the honest cost of an exact rank test;
+    S and the tie term are exact integers, so engines agree to the
+    final division. soda-core analogue: metric_anomaly z-score
+    (history.py) upgraded from point outliers to monotone drift."""
+    base = daily.where(
+        F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(day_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    a = base.select(
+        F.col("__d").alias("__d1"), F.col("__v").alias("__v1")
+    )
+    b = base.select(
+        F.col("__d").alias("__d2"), F.col("__v").alias("__v2")
+    )
+    pairs = a.crossJoin(b).where(F.col("__d1") < F.col("__d2"))
+    sgn = F.signum(F.col("__v2") - F.col("__v1")).cast("long")
+    slope = (F.col("__v2") - F.col("__v1")) / F.datediff(
+        F.col("__d2"), F.col("__d1")
+    ).cast("double")
+    ps = (
+        pairs.select(sgn.alias("__sgn"), slope.alias("__slope"))
+        .agg(
+            F.coalesce(F.sum("__sgn"), F.lit(0)).cast("long")
+            .alias("s_statistic"),
+            F.expr("percentile(__slope, 0.5)").alias("__ts"),
+        )
+    )
+    nd = base.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        base.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__t") * (F.col("__t") - 1)
+                    * (2 * F.col("__t") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("__tie_term")
+        )
+    )
+    j = nd.crossJoin(ties).crossJoin(ps)
+    n = F.col("n_days")
+    var = (
+        (n * (n - 1) * (2 * n + 5) - F.col("__tie_term")).cast("double")
+        / 18.0
+    )
+    s = F.col("s_statistic")
+    z = F.when(
+        var > 0,
+        F.when(s > 0, (s - 1).cast("double") / F.sqrt(var))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    )
+    return j.select(
+        "n_days",
+        "s_statistic",
+        F.round(z, 6).alias("z"),
+        F.round(F.col("__ts"), 6).alias("theil_sen_slope"),
+        F.when(z > 1.959963984540054, F.lit("increasing"))
+        .when(z < -1.959963984540054, F.lit("decreasing"))
+        .when(z.isNotNull(), F.lit("none"))
+        .alias("trend"),
+    )

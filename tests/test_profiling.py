@@ -834,3 +834,102 @@ def test_retention_offset_zero_always_full_and_max_offset(spark):
     assert zero and all(r.retention == 1.0 for r in zero)
     capped = retention_cohorts(df, max_offset=2).collect()
     assert all(r.offset_days <= 2 for r in capped)
+
+
+# -- correlation_matrix ----------------------------------------------------------
+
+
+def test_correlation_matrix_hand_values(spark):
+    from soda_core_spark.operators.profiling import correlation_matrix
+
+    # y = 2x exactly -> r = 1; z anti-correlates -> r = -1;
+    # w constant -> NULL
+    rows = [(float(i), 2.0 * i, -float(i), 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "w"])
+    out = {(r.col_a, r.col_b): r
+           for r in correlation_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert len(out) == 6
+    assert out[("x", "y")].r == pytest.approx(1.0)
+    assert out[("x", "z")].r == pytest.approx(-1.0)
+    assert out[("x", "w")].r is None  # zero variance
+    assert out[("x", "y")].n == 20
+
+
+def test_correlation_matrix_pairwise_nulls(spark):
+    import pytest as _pytest
+
+    from soda_core_spark.operators.profiling import correlation_matrix
+
+    rows = [
+        (1.0, 1.0, None),
+        (2.0, 2.0, 1.0),
+        (3.0, None, 2.0),
+        (4.0, 4.0, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {(r.col_a, r.col_b): r
+           for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")].n == 3   # row 3 dropped for this pair only
+    assert out[("a", "c")].n == 2   # NULL + NaN dropped
+    assert out[("a", "b")].r == pytest.approx(1.0)
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["a"])
+
+
+# -- mann_kendall_trend ----------------------------------------------------------
+
+
+def _daily(spark, vals, start="2024-01-01"):
+    import datetime
+
+    d0 = datetime.date.fromisoformat(start)
+    rows = [(d0 + datetime.timedelta(days=i), float(v))
+            for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "day date, value double")
+
+
+def test_mann_kendall_monotone_series(spark):
+    from soda_core_spark.operators.profiling import mann_kendall_trend
+
+    n = 15
+    up = mann_kendall_trend(
+        _daily(spark, [10 + 2 * i for i in range(n)]), "day", "value"
+    ).collect()[0]
+    assert up.n_days == n
+    assert up.s_statistic == n * (n - 1) // 2  # every pair ascending
+    assert up.trend == "increasing" and up.z > 1.96
+    assert up.theil_sen_slope == pytest.approx(2.0)
+    down = mann_kendall_trend(
+        _daily(spark, [100 - 3 * i for i in range(n)]), "day", "value"
+    ).collect()[0]
+    assert down.trend == "decreasing"
+    assert down.theil_sen_slope == pytest.approx(-3.0)
+
+
+def test_mann_kendall_flat_and_noise(spark):
+    import random
+
+    from soda_core_spark.operators.profiling import mann_kendall_trend
+
+    flat = mann_kendall_trend(
+        _daily(spark, [7.0] * 10), "day", "value"
+    ).collect()[0]
+    # all tied: S = 0 and the tie term removes ALL variance -> z NULL
+    assert flat.s_statistic == 0 and flat.z is None
+    # alternating series: no monotone drift -> trend none
+    noise = mann_kendall_trend(
+        _daily(spark, [50.0 + (i % 2) for i in range(30)]),
+        "day", "value",
+    ).collect()[0]
+    assert noise.trend == "none" and abs(noise.z) < 1.96
+
+
+def test_mann_kendall_outlier_resistance(spark):
+    from soda_core_spark.operators.profiling import mann_kendall_trend
+
+    # steady slope 1 with one huge spike: Theil-Sen stays ~1
+    vals = [float(i) for i in range(21)]
+    vals[10] = 1000.0
+    r = mann_kendall_trend(_daily(spark, vals), "day", "value").collect()[0]
+    assert 0.9 <= r.theil_sen_slope <= 1.2
+    assert r.trend == "increasing"
