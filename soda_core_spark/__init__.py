@@ -218,3 +218,8 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     correlation_matrix,
     mann_kendall_trend,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    cusum_changepoint,
+    dow_seasonality,
+    runs_test,
+)

@@ -10013,3 +10013,174 @@ def q178(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("double").alias("value"))
     )
     return mann_kendall_trend(daily, "day", "value")
+
+
+# ---------------------------------------------------------------------------
+# Daily-series monitoring statistics (operators/profiling.py):
+# CUSUM changepoint, day-of-week seasonality, runs test
+# ---------------------------------------------------------------------------
+
+_DAILY_CTE = """
+daily AS (
+  SELECT ts::DATE AS d, count(*)::DOUBLE AS v
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+"""
+
+_Q179_SQL = f"""
+WITH {_DAILY_CTE},
+stats AS (
+  SELECT count(*)::BIGINT AS n_days, avg(v) AS mu, stddev_pop(v) AS sd
+  FROM daily
+),
+cum AS (
+  SELECT d, v,
+         sum(v - s.mu) OVER (ORDER BY d) AS cs
+  FROM daily CROSS JOIN stats s
+),
+best AS (
+  SELECT d AS cp, abs(cs) AS smax FROM cum
+  ORDER BY abs(cs) DESC, d LIMIT 1
+),
+seg AS (
+  SELECT avg(CASE WHEN c.d <= b.cp THEN c.v END) AS mb,
+         avg(CASE WHEN c.d > b.cp THEN c.v END) AS ma
+  FROM cum c CROSS JOIN best b
+)
+SELECT s.n_days,
+       CASE WHEN s.n_days >= 2 THEN b.cp::VARCHAR END AS cp_day,
+       round(b.smax, 6) AS cusum_max,
+       round(g.mb, 6) AS mean_before,
+       round(g.ma, 6) AS mean_after,
+       round(g.ma - g.mb, 6) AS shift,
+       round(CASE WHEN s.sd > 0 AND s.n_days > 0
+             THEN b.smax / (s.sd * sqrt(s.n_days::DOUBLE)) END, 6)
+         AS cusum_score
+FROM stats s CROSS JOIN best b CROSS JOIN seg g
+"""
+
+
+@register("q179_cusum_changepoint", _Q179_SQL)
+def q179(spark, sf_dir):
+    """Offline CUSUM mean-shift changepoint over daily event counts
+    (operators/profiling.py cusum_changepoint): WHERE the level moved —
+    argmax |cumsum(v - mean)| with earliest-day tiebreak, before/after
+    means and a KS-style normalized score. Day-frame math only."""
+    from soda_core_spark.operators.profiling import cusum_changepoint
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return cusum_changepoint(daily, "day", "value")
+
+
+_Q180_SQL = f"""
+WITH {_DAILY_CTE},
+base AS (
+  SELECT CASE WHEN dayofweek(d) = 0 THEN 7 ELSE dayofweek(d) END AS dow,
+         v
+  FROM daily
+),
+per AS (
+  SELECT dow, count(*)::BIGINT AS n_days, avg(v) AS mean_v,
+         sum(v) AS tot
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(tot) AS gt, sum(n_days) AS gd FROM per),
+chi AS (
+  SELECT sum((p.tot - t.gt * p.n_days / t.gd::DOUBLE)
+             * (p.tot - t.gt * p.n_days / t.gd::DOUBLE)
+             / (t.gt * p.n_days / t.gd::DOUBLE)) AS chi2
+  FROM per p CROSS JOIN tot t
+)
+SELECT p.dow::INT AS dow, p.n_days,
+       round(p.mean_v, 6) AS mean_value,
+       round(p.mean_v / (t.gt / t.gd::DOUBLE), 6) AS seasonal_index,
+       round(c.chi2, 6) AS chi2_total
+FROM per p CROSS JOIN tot t CROSS JOIN chi c
+ORDER BY p.dow
+"""
+
+
+@register("q180_dow_seasonality", _Q180_SQL)
+def q180(spark, sf_dir):
+    """Day-of-week seasonality profile of daily event volume
+    (operators/profiling.py dow_seasonality): per-ISO-weekday mean,
+    index vs the overall daily mean, and a uniformity chi-square — the
+    weekly-rhythm audit (a vanished weekend dip is a bot cohort)."""
+    from soda_core_spark.operators.profiling import dow_seasonality
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return dow_seasonality(daily, "day", "value")
+
+
+_Q181_SQL = f"""
+WITH {_DAILY_CTE},
+med AS (SELECT quantile_cont(v, 0.5) AS m FROM daily),
+signed AS (
+  SELECT d, (v > m.m)::INT AS s
+  FROM daily CROSS JOIN med m WHERE v <> m.m
+),
+runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                   OR lag(s) OVER (ORDER BY d) <> s
+              THEN 1 ELSE 0 END AS new_run
+  FROM signed
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_days,
+         sum(s)::BIGINT AS n_above,
+         sum(1 - s)::BIGINT AS n_below,
+         coalesce(sum(new_run), 0)::BIGINT AS n_runs
+  FROM runs
+)
+SELECT n_days, n_above, n_below, n_runs,
+       round(CASE WHEN n_above > 0 AND n_below > 0
+                   AND n_above + n_below > 1
+             THEN 2.0 * n_above * n_below / (n_above + n_below)::DOUBLE
+                  + 1.0 END, 6) AS expected_runs,
+       round(CASE WHEN n_above > 0 AND n_below > 0
+                   AND n_above + n_below > 1
+                   AND 2.0 * n_above * n_below
+                       * (2.0 * n_above * n_below - n_above - n_below)
+                       / ((n_above + n_below)::DOUBLE
+                          * (n_above + n_below)::DOUBLE
+                          * ((n_above + n_below)::DOUBLE - 1.0)) > 0
+             THEN (n_runs::DOUBLE
+                   - (2.0 * n_above * n_below
+                      / (n_above + n_below)::DOUBLE + 1.0))
+                  / sqrt(2.0 * n_above * n_below
+                         * (2.0 * n_above * n_below - n_above - n_below)
+                         / ((n_above + n_below)::DOUBLE
+                            * (n_above + n_below)::DOUBLE
+                            * ((n_above + n_below)::DOUBLE - 1.0)))
+             END, 6) AS z
+FROM agg
+"""
+
+
+@register("q181_runs_test", _Q181_SQL)
+def q181(spark, sf_dir):
+    """Wald-Wolfowitz runs test around the median of daily event
+    counts (operators/profiling.py runs_test): exact-integer run
+    counting — too few runs = sticky regimes, too many = oscillation;
+    the randomness leg of the daily-series monitoring triple
+    (q178 drift, q179 changepoint, q181 randomness)."""
+    from soda_core_spark.operators.profiling import runs_test
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return runs_test(daily, "day", "value")

@@ -2511,3 +2511,215 @@ def mann_kendall_trend(
         .when(z.isNotNull(), F.lit("none"))
         .alias("trend"),
     )
+
+
+def cusum_changepoint(
+    daily: DataFrame, day_col: str, value_col: str
+) -> DataFrame:
+    """Offline CUSUM mean-shift changepoint over a (day, value) series
+    (Page 1954; the Taylor change-in-mean formulation): WHERE did the
+    level move — the localization companion to ``mann_kendall_trend``'s
+    is-there-drift. S_i = Σ_{j<=i}(v_j - mean); the split lands at
+    argmax |S_i| (earliest day on ties, deterministic).
+
+    One row::
+
+        n_days: bigint
+        cp_day: string (ISO)     -- last day of the BEFORE segment;
+                                    NULL when n_days < 2
+        cusum_max: double (6 dp) -- max |S_i|
+        mean_before, mean_after, shift: double (6 dp)
+        cusum_score: double      -- max|S|/(σ·√n), 6 dp: > ~1.36
+                                    suggests a real shift (KS-style
+                                    threshold); NULL when σ = 0
+
+    Input is the already-aggregated daily frame; NULL days/values are
+    excluded. Scale shape: everything after the caller's daily groupBy
+    runs on the |days|-row frame — one ordered cumsum window and a
+    1-row reduce; exactness is float-sum over days (bounded, both
+    engines agree at 6 dp)."""
+    from pyspark.sql import Window
+
+    base = daily.where(
+        F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(day_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.avg("__v").alias("__mu"),
+        F.stddev_pop("__v").alias("__sd"),
+    )
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = base.crossJoin(F.broadcast(stats)).select(
+        "__d",
+        "__v",
+        "n_days",
+        "__mu",
+        "__sd",
+        F.sum(F.col("__v") - F.col("__mu")).over(w).alias("__s"),
+    )
+    # argmax |S| with earliest-day tiebreak via one ordered limit on the
+    # tiny day frame
+    best = cum.orderBy(
+        F.abs(F.col("__s")).desc(), F.col("__d")
+    ).limit(1).select(
+        F.col("__d").alias("__cp"), F.abs(F.col("__s")).alias("__smax")
+    )
+    seg = cum.crossJoin(F.broadcast(best)).agg(
+        F.avg(F.when(F.col("__d") <= F.col("__cp"), F.col("__v")))
+        .alias("__mb"),
+        F.avg(F.when(F.col("__d") > F.col("__cp"), F.col("__v")))
+        .alias("__ma"),
+    )
+    out = stats.crossJoin(best).crossJoin(seg)
+    score = F.when(
+        (F.col("__sd") > 0) & (F.col("n_days") > 0),
+        F.col("__smax")
+        / (F.col("__sd") * F.sqrt(F.col("n_days").cast("double"))),
+    )
+    return out.select(
+        "n_days",
+        F.when(F.col("n_days") >= 2, F.col("__cp").cast("string"))
+        .alias("cp_day"),
+        F.round("__smax", 6).alias("cusum_max"),
+        F.round("__mb", 6).alias("mean_before"),
+        F.round("__ma", 6).alias("mean_after"),
+        F.round(F.col("__ma") - F.col("__mb"), 6).alias("shift"),
+        F.round(score, 6).alias("cusum_score"),
+    )
+
+
+def dow_seasonality(
+    daily: DataFrame, day_col: str, value_col: str
+) -> DataFrame:
+    """Day-of-week seasonality profile of a daily series — the weekly
+    rhythm audit: human-driven streams dip on weekends, schedulers
+    don't; a vanished dip is a bot cohort, a new one is lost traffic.
+
+    One row per ISO weekday (1 = Monday .. 7 = Sunday) that occurs::
+
+        dow: int, n_days: bigint
+        mean_value: double (6 dp)
+        seasonal_index: double (6 dp) -- mean_dow / overall daily
+                                         mean; 1 = no seasonality
+        chi2_total: double (6 dp) -- Σ (tot_dow - exp_dow)²/exp_dow,
+                                     exp proportional to day counts;
+                                     repeated on every row
+
+    Tiny-frame math after the caller's daily aggregate; NULL
+    days/values excluded."""
+    base = daily.where(
+        F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.dayofweek(F.col(day_col)).alias("__sun1"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday
+    iso = F.when(F.col("__sun1") == 1, 7).otherwise(F.col("__sun1") - 1)
+    per = base.select(iso.alias("dow"), "__v").groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.avg("__v").alias("__mean"),
+        F.sum("__v").alias("__tot"),
+    )
+    tot = per.agg(
+        F.sum("__tot").alias("__gt"),
+        F.sum("n_days").alias("__gd"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    chi = per.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("__tot") - F.col("__gt") * F.col("n_days")
+             / F.col("__gd").cast("double"))
+            * (F.col("__tot") - F.col("__gt") * F.col("n_days")
+               / F.col("__gd").cast("double"))
+            / (F.col("__gt") * F.col("n_days")
+               / F.col("__gd").cast("double"))
+        ).alias("__chi2")
+    )
+    overall = F.col("__gt") / F.col("__gd").cast("double")
+    return (
+        j.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.round("__mean", 6).alias("mean_value"),
+            F.round(F.col("__mean") / overall, 6)
+            .alias("seasonal_index"),
+            F.round("__chi2", 6).alias("chi2_total"),
+        )
+        .orderBy("dow")
+    )
+
+
+def runs_test(
+    daily: DataFrame, day_col: str, value_col: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test around the median — the randomness
+    audit for a daily metric: too FEW runs means sticky regimes
+    (autocorrelation, weekly cycles, level shifts), too MANY means
+    oscillation (retry ping-pong, alternating load balancers). Values
+    EQUAL to the median drop (the standard convention).
+
+    One row::
+
+        n_days, n_above, n_below, n_runs: bigint
+        expected_runs: double (6 dp)
+        z: double (6 dp)          -- NULL when either side is empty or
+                                     variance degenerates
+
+    Exact-integer run counting over the ordered tiny day frame (one
+    lag window); the median is the exact interpolated percentile (q25
+    convention)."""
+    from pyspark.sql import Window
+
+    base = daily.where(
+        F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(day_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    med = base.agg(F.expr("percentile(__v, 0.5)").alias("__med"))
+    signed = (
+        base.crossJoin(F.broadcast(med))
+        .where(F.col("__v") != F.col("__med"))
+        .select(
+            "__d",
+            (F.col("__v") > F.col("__med")).cast("int").alias("__s"),
+        )
+    )
+    w = Window.orderBy("__d")
+    runs = signed.select(
+        "__s",
+        F.when(
+            F.lag("__s").over(w).isNull()
+            | (F.lag("__s").over(w) != F.col("__s")),
+            1,
+        ).otherwise(0).alias("__new_run"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__s").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("__s")).cast("long").alias("n_below"),
+        F.coalesce(F.sum("__new_run"), F.lit(0)).cast("long")
+        .alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_above"), F.col("n_below"), F.col("n_runs")
+    nn = (n1 + n2).cast("double")
+    er = 2.0 * n1 * n2 / nn + 1.0
+    vr = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (nn * nn * (nn - 1.0))
+    )
+    ok = (n1 > 0) & (n2 > 0) & ((n1 + n2) > 1)
+    return agg.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.round(F.when(ok, er), 6).alias("expected_runs"),
+        F.round(
+            F.when(ok & (vr > 0), (r.cast("double") - er) / F.sqrt(vr)), 6
+        ).alias("z"),
+    )

@@ -933,3 +933,72 @@ def test_mann_kendall_outlier_resistance(spark):
     r = mann_kendall_trend(_daily(spark, vals), "day", "value").collect()[0]
     assert 0.9 <= r.theil_sen_slope <= 1.2
     assert r.trend == "increasing"
+
+
+# -- cusum_changepoint / dow_seasonality / runs_test ------------------------------
+
+
+def test_cusum_finds_level_shift(spark):
+    from soda_core_spark.operators.profiling import cusum_changepoint
+
+    # 20 days at 100, then 20 days at 200: cp at the boundary
+    r = cusum_changepoint(
+        _daily(spark, [100.0] * 20 + [200.0] * 20), "day", "value"
+    ).collect()[0]
+    assert r.n_days == 40
+    assert r.cp_day == "2024-01-20"  # last day of the before-segment
+    assert r.mean_before == 100.0 and r.mean_after == 200.0
+    assert r.shift == 100.0
+    assert r.cusum_score > 1.36  # decisive
+
+
+def test_cusum_flat_series_low_score(spark):
+    from soda_core_spark.operators.profiling import cusum_changepoint
+
+    r = cusum_changepoint(
+        _daily(spark, [50.0 + (i % 2) for i in range(30)]), "day", "value"
+    ).collect()[0]
+    assert r.cusum_score is not None and r.cusum_score < 1.0
+    assert abs(r.shift) < 1.5
+
+
+def test_dow_seasonality_weekend_dip(spark):
+    import datetime
+
+    from soda_core_spark.operators.profiling import dow_seasonality
+
+    d0 = datetime.date.fromisoformat("2024-01-01")  # a Monday
+    rows = []
+    for i in range(28):  # four full weeks
+        d = d0 + datetime.timedelta(days=i)
+        v = 50.0 if d.isoweekday() >= 6 else 100.0
+        rows.append((d, v))
+    df = spark.createDataFrame(rows, "day date, value double")
+    out = {r.dow: r for r in dow_seasonality(df, "day", "value").collect()}
+    assert len(out) == 7 and all(out[d].n_days == 4 for d in out)
+    assert out[1].mean_value == 100.0 and out[7].mean_value == 50.0
+    overall = (5 * 100 + 2 * 50) / 7
+    assert out[6].seasonal_index == pytest.approx(50 / overall, abs=1e-6)
+    assert out[1].chi2_total == out[7].chi2_total  # repeated total
+    assert out[1].chi2_total > 0
+
+
+def test_runs_test_alternating_vs_blocked(spark):
+    from soda_core_spark.operators.profiling import runs_test
+
+    # alternating above/below: maximal runs -> strongly positive z
+    alt = runs_test(
+        _daily(spark, [10.0, 20.0] * 15), "day", "value"
+    ).collect()[0]
+    assert alt.n_above == 15 and alt.n_below == 15
+    assert alt.n_runs == 30 and alt.z > 3
+    # two blocks: minimal runs -> strongly negative z
+    blk = runs_test(
+        _daily(spark, [10.0] * 15 + [20.0] * 15), "day", "value"
+    ).collect()[0]
+    assert blk.n_runs == 2 and blk.z < -3
+    # median-equal values drop: odd-length alternating keeps others
+    med = runs_test(
+        _daily(spark, [1.0, 2.0, 3.0, 2.0, 1.0, 3.0]), "day", "value"
+    ).collect()[0]
+    assert med.n_days == 4  # the two 2.0s (median) dropped
