@@ -223,3 +223,7 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     dow_seasonality,
     runs_test,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    soft_error_pages,
+    truncation_artifacts,
+)

@@ -10184,3 +10184,138 @@ def q181(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("double").alias("value"))
     )
     return runs_test(daily, "day", "value")
+
+
+# ---------------------------------------------------------------------------
+# Truncation artifacts + soft-error shells (operators/profiling.py
+# truncation_artifacts / soft_error_pages)
+# ---------------------------------------------------------------------------
+
+def _q182_sql() -> str:
+    from soda_core_spark.functions.text import (
+        TERMINAL_PUNCT,
+        TRUNCATION_CAPS,
+        TRUNCATION_MARKERS,
+    )
+
+    tp = TERMINAL_PUNCT.replace("'", "''")
+    caps = ", ".join(str(c) for c in TRUNCATION_CAPS)
+    marker = " OR ".join(
+        f"contains(low, '{m.lower()}')" for m in TRUNCATION_MARKERS
+    )
+    return f"""
+WITH base AS (
+  SELECT source AS "group", text,
+         regexp_replace(coalesce(text, ''), '[ 	
+]+$', '') AS trimmed,
+         lower(regexp_replace(coalesce(text, ''), '[ 	
+]+$', ''))
+           AS low
+  FROM documents
+),
+ne AS (SELECT * FROM base WHERE length(trimmed) > 0)
+SELECT "group",
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN strpos('{tp}', right(trimmed, 1)) = 0
+            THEN 1 ELSE 0 END)::BIGINT AS n_midsentence,
+       sum(CASE WHEN {marker} THEN 1 ELSE 0 END)::BIGINT AS n_marker,
+       sum(CASE WHEN length(text) IN ({caps})
+            THEN 1 ELSE 0 END)::BIGINT AS n_at_cap,
+       round(sum(CASE WHEN strpos('{tp}', right(trimmed, 1)) = 0
+                  THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS midsentence_rate,
+       round(sum(CASE WHEN {marker} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS marker_rate,
+       round(sum(CASE WHEN length(text) IN ({caps})
+                  THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS at_cap_rate
+FROM ne GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q182_truncation_artifacts", _q182_sql())
+def q182(spark, sf_dir):
+    """Truncation-artifact audit per source (operators/profiling.py
+    truncation_artifacts): mid-sentence endings, truncation markers,
+    and lengths parked EXACTLY at round caps — the cap/preview/
+    db-column regression detector. One fused aggregate; constants
+    shared verbatim with the oracle."""
+    from soda_core_spark.operators.profiling import truncation_artifacts
+
+    d = _t(spark, sf_dir, "documents")
+    return truncation_artifacts(d)
+
+
+def _soft_error_sql_parts() -> tuple[str, str]:
+    from soda_core_spark.functions.text import SOFT_ERROR_PHRASES
+
+    any_f = " OR ".join(
+        f"contains(low, '{p}')" for p in SOFT_ERROR_PHRASES
+    )
+    phrase = "CASE " + " ".join(
+        f"WHEN contains(low, '{p}') THEN '{p}'"
+        for p in SOFT_ERROR_PHRASES
+    ) + " END"
+    return any_f, phrase
+
+
+def _q183_sql() -> str:
+    any_f, _ = _soft_error_sql_parts()
+    return f"""
+WITH base AS (
+  SELECT source AS "group", lower(coalesce(text, '')) AS low
+  FROM documents
+)
+SELECT "group", count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN {any_f} THEN 1 ELSE 0 END)::BIGINT AS n_soft_error,
+       round(sum(CASE WHEN {any_f} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS soft_error_rate
+FROM base GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q184_sql() -> str:
+    any_f, phrase = _soft_error_sql_parts()
+    return f"""
+WITH base AS (
+  SELECT source AS "group", doc_id, lower(coalesce(text, '')) AS low
+  FROM documents
+),
+flagged AS (
+  SELECT "group", doc_id, {phrase} AS phrase FROM base WHERE {any_f}
+),
+ranked AS (
+  SELECT "group", doc_id, phrase,
+         row_number() OVER (PARTITION BY "group" ORDER BY doc_id) AS rn
+  FROM flagged
+)
+SELECT "group", doc_id, phrase FROM ranked WHERE rn <= 20
+ORDER BY "group", doc_id
+"""
+
+
+@register("q183_soft_error_rates", _q183_sql())
+def q183(spark, sf_dir):
+    """Soft-error-shell rates per source (operators/profiling.py
+    soft_error_pages): HTTP-200 pages that are 'page not found' /
+    consent-wall / login-gate shells — zero-content poison that passes
+    length and language checks. One fused aggregate; phrase list
+    shared verbatim with the oracle."""
+    from soda_core_spark.operators.profiling import soft_error_pages
+
+    d = _t(spark, sf_dir, "documents")
+    rates, _ = soft_error_pages(d)
+    return rates
+
+
+@register("q184_soft_error_examples", _q184_sql())
+def q184(spark, sf_dir):
+    """Diagnostics sample for q183 (operators/profiling.py
+    soft_error_pages): first matching phrase per flagged doc, ≤ 20 per
+    source by min doc_id — filter-first then WindowGroupLimit, the
+    failed-rows pattern applied to soft errors."""
+    from soda_core_spark.operators.profiling import soft_error_pages
+
+    d = _t(spark, sf_dir, "documents")
+    _, examples = soft_error_pages(d)
+    return examples

@@ -507,3 +507,27 @@ def script_profile(
         frac(n - known).alias("other_frac"),
         dominant_script(c).alias("dominant_script"),
     )
+
+
+#: terminal-punctuation set for truncation detection — a doc whose text
+#: ends mid-sentence is extraction- or cap-truncated. Shared verbatim
+#: with SQL oracles.
+TERMINAL_PUNCT = ".!?\"')]}"
+
+#: round char-caps where CMS/db-column truncation piles up
+TRUNCATION_CAPS: tuple[int, ...] = (255, 256, 500, 512, 1000, 1024, 2048)
+
+#: truncation-marker phrases (lowercased substring match)
+TRUNCATION_MARKERS: tuple[str, ...] = (
+    "read more", "continue reading", "…", "[...]", "[truncated]",
+)
+
+
+#: soft-error shell phrases: pages that returned 200 but carry no
+#: content. Lowercased substring match; shared verbatim with oracles.
+SOFT_ERROR_PHRASES: tuple[str, ...] = (
+    "page not found", "404 error", "access denied",
+    "please enable javascript", "are you a robot",
+    "this content is not available", "session expired",
+    "login to continue", "subscribe to read",
+)

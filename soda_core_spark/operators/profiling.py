@@ -2723,3 +2723,150 @@ def runs_test(
             F.when(ok & (vr > 0), (r.cast("double") - er) / F.sqrt(vr)), 6
         ).alias("z"),
     )
+
+
+def truncation_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Truncation-artifact audit per source: how much of a source's
+    text was CUT, not written — the extraction-pipeline regression
+    every cap/preview/db-column bug produces. Three independent
+    signals (a doc can fire several)::
+
+        group, n_docs: bigint
+        n_midsentence: bigint     -- non-empty text whose last char is
+                                     not terminal punctuation
+                                     (functions.text.TERMINAL_PUNCT)
+        n_marker: bigint          -- carries a truncation marker
+                                     ('read more', '…', '[...]', ...)
+        n_at_cap: bigint          -- length EXACTLY at a round cap
+                                     (255/256/500/512/1000/1024/2048)
+        midsentence_rate, marker_rate, at_cap_rate: double (6 dp)
+
+    mid-sentence alone is noisy (headlines legitimately lack periods);
+    a SOURCE-level rate jump, or rate × at-cap agreement, is the
+    finding. NULL/empty text is excluded from every numerator and from
+    n_docs (nothing to truncate). One fused map-side-combined
+    aggregate; constants shared verbatim with the oracle."""
+    from soda_core_spark.functions.text import (
+        TERMINAL_PUNCT,
+        TRUNCATION_CAPS,
+        TRUNCATION_MARKERS,
+    )
+
+    t = F.col(text_col)
+    # regexp trim, not rtrim: rtrim strips only ASCII space on both
+    # engines, and trailing newlines must not read as mid-sentence
+    trimmed = F.regexp_replace(
+        F.coalesce(t, F.lit("")), "[ \t\n\r]+$", ""
+    )
+    nonempty = F.length(trimmed) > 0
+    last = F.substring(trimmed, -1, 1)
+    mids = nonempty & ~last.isin(*list(TERMINAL_PUNCT))
+    low = F.lower(trimmed)
+    marker = nonempty & F.lit(False)
+    for m in TRUNCATION_MARKERS:
+        marker = marker | (nonempty & low.contains(m.lower()))
+    at_cap = nonempty & F.length(t).isin(*TRUNCATION_CAPS)
+    agg = (
+        df.where(nonempty)
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(mids, 1).otherwise(0)).cast("long")
+            .alias("n_midsentence"),
+            F.sum(F.when(marker, 1).otherwise(0)).cast("long")
+            .alias("n_marker"),
+            F.sum(F.when(at_cap, 1).otherwise(0)).cast("long")
+            .alias("n_at_cap"),
+        )
+    )
+    rate = lambda c: F.round(  # noqa: E731
+        F.col(c) / F.col("n_docs").cast("double"), 6
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_midsentence",
+        "n_marker",
+        "n_at_cap",
+        rate("n_midsentence").alias("midsentence_rate"),
+        rate("n_marker").alias("marker_rate"),
+        rate("n_at_cap").alias("at_cap_rate"),
+    ).orderBy("group")
+
+
+def soft_error_pages(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    max_examples: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Soft-error-page detection: documents that arrived with an HTTP
+    200 but are error SHELLS — 'page not found', consent/robot walls,
+    login gates (functions.text.SOFT_ERROR_PHRASES, lowercased
+    substring match). These poison training data silently: they pass
+    length and language checks while carrying zero content, and a
+    host whose soft-error rate jumps has broken its serving, not its
+    writing.
+
+    Returns ``(rates, examples)``::
+
+        rates:    group, n_docs, n_soft_error, soft_error_rate (6 dp)
+        examples: group, doc_id, phrase   -- first matching phrase per
+                  flagged doc, ≤ max_examples per group (min doc_id
+                  order, deterministic)
+
+    Scale shape: ONE fused aggregate for the rates; the example path
+    filters FIRST (soft errors are rare, the filtered frame is tiny)
+    then takes a per-group WindowGroupLimit via row_number ≤ k —
+    Spark pushes the limit map-side, no giant group materializes.
+    NULL text is clean. soda-core analogue: invalid_count with a
+    regex list, upgraded to a corpus report + diagnostics sample."""
+    from pyspark.sql import Window
+
+    from soda_core_spark.functions.text import SOFT_ERROR_PHRASES
+
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    flags = [
+        (p, low.contains(p)) for p in SOFT_ERROR_PHRASES
+    ]
+    any_flag = None
+    for _, c in flags:
+        any_flag = c if any_flag is None else (any_flag | c)
+    rates = (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(any_flag, 1).otherwise(0)).cast("long")
+            .alias("n_soft_error"),
+        )
+        .select(
+            "group",
+            "n_docs",
+            "n_soft_error",
+            F.round(
+                F.col("n_soft_error") / F.col("n_docs").cast("double"), 6
+            ).alias("soft_error_rate"),
+        )
+        .orderBy("group")
+    )
+    phrase = F.lit(None).cast("string")
+    for p, c in reversed(flags):
+        phrase = F.when(c, F.lit(p)).otherwise(phrase)
+    flagged = df.where(any_flag).select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        phrase.alias("phrase"),
+    )
+    w = Window.partitionBy("group").orderBy("doc_id")
+    examples = (
+        flagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(max_examples))
+        .drop("__rn")
+        .orderBy("group", "doc_id")
+    )
+    return rates, examples

@@ -1002,3 +1002,84 @@ def test_runs_test_alternating_vs_blocked(spark):
         _daily(spark, [1.0, 2.0, 3.0, 2.0, 1.0, 3.0]), "day", "value"
     ).collect()[0]
     assert med.n_days == 4  # the two 2.0s (median) dropped
+
+
+# -- truncation_artifacts / soft_error_pages ---------------------------------------
+
+
+def test_truncation_artifacts_hand_values(spark):
+    from soda_core_spark.operators.profiling import truncation_artifacts
+
+    df = spark.createDataFrame(
+        [
+            ("a", "A complete sentence."),
+            ("a", "Cut off mid sent"),                 # midsentence
+            ("a", "Preview text read more"),           # marker+midsentence
+            ("a", "x" * 255),                          # at cap + midsentence
+            ("a", ""),                                 # excluded
+            ("a", None),                               # excluded
+            ("b", "Fine!"),
+        ],
+        ["source", "text"],
+    )
+    out = {r.group: r for r in truncation_artifacts(df).collect()}
+    a = out["a"]
+    assert a.n_docs == 4
+    assert a.n_midsentence == 3
+    assert a.n_marker == 1
+    assert a.n_at_cap == 1
+    assert a.midsentence_rate == 0.75
+    b = out["b"]
+    assert b.n_midsentence == 0 and b.n_at_cap == 0
+
+
+def test_truncation_trailing_whitespace_and_quotes(spark):
+    from soda_core_spark.operators.profiling import truncation_artifacts
+
+    df = spark.createDataFrame(
+        [
+            ("s", 'He said "done."   '),   # rtrim -> ends with quote: ok
+            ("s", "List item)\n"),          # ends with ) after rtrim: ok
+        ],
+        ["source", "text"],
+    )
+    r = truncation_artifacts(df).collect()[0]
+    assert r.n_midsentence == 0
+
+
+def test_soft_error_pages_rates_and_examples(spark):
+    from soda_core_spark.operators.profiling import soft_error_pages
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "Sorry, Page Not Found on this server"),
+            (2, "a", "normal content here"),
+            (3, "a", "Please enable JavaScript and are you a robot"),
+            (4, "b", "all good"),
+            (5, "b", None),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rates, examples = soft_error_pages(df)
+    ra = {r.group: r for r in rates.collect()}
+    assert ra["a"].n_docs == 3 and ra["a"].n_soft_error == 2
+    assert ra["a"].soft_error_rate == pytest.approx(2 / 3, abs=1e-6)
+    assert ra["b"].n_soft_error == 0
+    ex = examples.collect()
+    assert [(e.group, e.doc_id) for e in ex] == [("a", 1), ("a", 3)]
+    assert ex[0].phrase == "page not found"
+    # doc 3 matches two phrases: first in declared order wins
+    assert ex[1].phrase == "please enable javascript"
+
+
+def test_soft_error_examples_capped_per_group(spark):
+    from soda_core_spark.operators.profiling import soft_error_pages
+
+    df = spark.createDataFrame(
+        [(i, "s", "404 error shell") for i in range(50)],
+        ["doc_id", "source", "text"],
+    )
+    _, examples = soft_error_pages(df, max_examples=5)
+    got = examples.collect()
+    assert len(got) == 5
+    assert [e.doc_id for e in got] == [0, 1, 2, 3, 4]
