@@ -227,3 +227,6 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     soft_error_pages,
     truncation_artifacts,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    distinctive_tokens,
+)

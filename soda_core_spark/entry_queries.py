@@ -10319,3 +10319,73 @@ def q184(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     _, examples = soft_error_pages(d)
     return examples
+
+
+# ---------------------------------------------------------------------------
+# Fightin'-Words distinctive vocabulary (operators/profiling.py
+# distinctive_tokens)
+# ---------------------------------------------------------------------------
+
+_Q185_SQL = """
+WITH toks AS (
+  SELECT source AS "group",
+         unnest(list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> ''))
+           AS token
+  FROM documents
+),
+grain AS (
+  SELECT "group", token, count(*)::BIGINT AS n_group
+  FROM toks GROUP BY 1, 2
+),
+tok_tot AS (
+  SELECT token, sum(n_group)::BIGINT AS n_tok FROM grain GROUP BY 1
+  HAVING sum(n_group) >= 5
+),
+grp_tot AS (SELECT "group", sum(n_group)::BIGINT AS n_g FROM grain GROUP BY 1),
+all_tot AS (SELECT sum(n_tok)::BIGINT AS n_all FROM tok_tot),
+j AS (
+  SELECT g."group", g.token, g.n_group, t.n_tok, p.n_g, a.n_all
+  FROM grain g JOIN tok_tot t USING (token)
+  JOIN grp_tot p USING ("group") CROSS JOIN all_tot a
+),
+scored AS (
+  SELECT "group", token, n_group,
+         (n_tok - n_group)::BIGINT AS n_rest,
+         (ln((n_group::DOUBLE + 0.01 * n_tok::DOUBLE)
+             / (n_g::DOUBLE + 0.01 * n_all::DOUBLE
+                - n_group::DOUBLE - 0.01 * n_tok::DOUBLE))
+          - ln(((n_tok - n_group)::DOUBLE + 0.01 * n_tok::DOUBLE)
+               / ((n_all - n_g)::DOUBLE + 0.01 * n_all::DOUBLE
+                  - (n_tok - n_group)::DOUBLE - 0.01 * n_tok::DOUBLE)))
+           AS lo,
+         sqrt(1.0 / (n_group::DOUBLE + 0.01 * n_tok::DOUBLE)
+              + 1.0 / ((n_tok - n_group)::DOUBLE
+                       + 0.01 * n_tok::DOUBLE)) AS sd
+  FROM j
+),
+ranked AS (
+  SELECT "group", token, n_group, n_rest,
+         round(lo, 6) AS log_odds, round(lo / sd, 6) AS z,
+         row_number() OVER (PARTITION BY "group"
+                            ORDER BY abs(lo / sd) DESC, token) AS rank
+  FROM scored
+)
+SELECT "group", token, n_group, n_rest, log_odds, z, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY "group", rank
+"""
+
+
+@register("q185_distinctive_tokens", _Q185_SQL)
+def q185(spark, sf_dir):
+    """Fightin'-Words distinctive vocabulary per source (Monroe,
+    Colaresi & Quinn 2008; operators/profiling.py distinctive_tokens):
+    informative-Dirichlet log-odds z-scores, top-10 by |z| per source —
+    WHICH tokens drifted, the content-level companion to q135's
+    distribution-level JSD. One vocabulary groupBy; per-group top-k is
+    a WindowGroupLimit, never a global sort."""
+    from soda_core_spark.operators.profiling import distinctive_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return distinctive_tokens(d)

@@ -2870,3 +2870,99 @@ def soft_error_pages(
         .orderBy("group", "doc_id")
     )
     return rates, examples
+
+
+def distinctive_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    alpha: float = 0.01,
+    top_k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Distinctive vocabulary per group — Monroe, Colaresi & Quinn 2008
+    ("Fightin' Words") log-odds with an informative Dirichlet prior:
+    WHICH tokens make this source sound like itself vs the rest of the
+    corpus, variance-stabilized so rare tokens can't fake distinction
+    (the failure of raw tf-idf/PMI lists). The content-drift
+    companion to q135's distribution-level JSD.
+
+    Per (group, token), top ``top_k`` by |z| per group::
+
+        group, token: string
+        n_group, n_rest: bigint     -- token count in group / elsewhere
+        log_odds: double (6 dp)     -- prior-smoothed delta
+        z: double (6 dp)            -- log_odds / sqrt(approx var)
+        rank: int                   -- 1 = most distinctive
+
+    Prior: alpha₀ = alpha · corpus count per token (the corpus itself
+    is the informative prior, the paper's recommended instantiation).
+    Tokens below ``min_count`` corpus occurrences are dropped (noise
+    floor). Tokens are lowercased whitespace words (q142 convention).
+
+    Scale shape: ONE (group, token) groupBy with map-side combine is
+    the only vocabulary-wide shuffle; corpus totals re-aggregate FROM
+    that grain; the z computation is column algebra on the grain and
+    the per-group top-k is a WindowGroupLimit (rank pushes map-side),
+    never a global sort."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[ \\t\\n\\r]+",
+                ),
+                lambda w: w != "",
+            )
+        ).alias("token"),
+    )
+    grain = toks.groupBy("group", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_group")
+    )
+    tok_tot = grain.groupBy("token").agg(
+        F.sum("n_group").alias("n_tok")
+    ).where(F.col("n_tok") >= int(min_count))
+    grp_tot = grain.groupBy("group").agg(F.sum("n_group").alias("n_g"))
+    all_tot = tok_tot.agg(F.sum("n_tok").alias("n_all"))
+    j = (
+        grain.join(tok_tot, "token")
+        .join(F.broadcast(grp_tot), "group")
+        .crossJoin(F.broadcast(all_tot))
+    )
+    y_i = F.col("n_group").cast("double")
+    y_rest = (F.col("n_tok") - F.col("n_group")).cast("double")
+    # informative prior: alpha_w proportional to corpus counts, and
+    # alpha_0 = sum_w alpha_w = alpha * n_all on BOTH sides (the
+    # paper's instantiation — the prior is the corpus itself)
+    a_w = F.lit(float(alpha)) * F.col("n_tok").cast("double")
+    a_0 = F.lit(float(alpha)) * F.col("n_all").cast("double")
+    n_g = F.col("n_g").cast("double")
+    n_r = (F.col("n_all") - F.col("n_g")).cast("double")
+    lo = (
+        F.log((y_i + a_w) / (n_g + a_0 - y_i - a_w))
+        - F.log((y_rest + a_w) / (n_r + a_0 - y_rest - a_w))
+    )
+    var = 1.0 / (y_i + a_w) + 1.0 / (y_rest + a_w)
+    z = lo / F.sqrt(var)
+    scored = j.select(
+        "group",
+        "token",
+        F.col("n_group"),
+        (F.col("n_tok") - F.col("n_group")).cast("long").alias("n_rest"),
+        F.round(lo, 6).alias("log_odds"),
+        F.round(z, 6).alias("z"),
+        z.alias("__z_raw"),
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.abs(F.col("__z_raw")).desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_k))
+        .drop("__z_raw")
+        .withColumn("rank", F.col("rank").cast("int"))
+        .orderBy("group", "rank")
+    )

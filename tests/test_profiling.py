@@ -1083,3 +1083,43 @@ def test_soft_error_examples_capped_per_group(spark):
     got = examples.collect()
     assert len(got) == 5
     assert [e.doc_id for e in got] == [0, 1, 2, 3, 4]
+
+
+# -- distinctive_tokens ------------------------------------------------------------
+
+
+def test_distinctive_tokens_flags_the_planted_word(spark):
+    from soda_core_spark.operators.profiling import distinctive_tokens
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [("a", common + " zebra zebra") for _ in range(20)] + [
+        ("b", common) for _ in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = distinctive_tokens(df, top_k=3).collect()
+    a_top = [r for r in out if r.group == "a" and r.rank == 1][0]
+    assert a_top.token == "zebra" and a_top.z > 0
+    assert a_top.n_group == 40 and a_top.n_rest == 0
+    # absent tokens are not densified (scale design, oracle mirrors):
+    # b has no (b, zebra) row; its own tokens are far less distinctive
+    # than a's planted word
+    b_rows = [r for r in out if r.group == "b"]
+    assert all(r.token != "zebra" for r in b_rows)
+    assert all(abs(r.z) < abs(a_top.z) for r in b_rows)
+
+
+def test_distinctive_tokens_min_count_floor_and_ranks(spark):
+    from soda_core_spark.operators.profiling import distinctive_tokens
+
+    rows = [("a", "alpha beta gamma" * 3)] * 10 + [("b", "alpha beta")] * 10
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = distinctive_tokens(df, top_k=5, min_count=5).collect()
+    # rare token never appears: plant one with < 5 corpus occurrences
+    df2 = df.union(
+        spark.createDataFrame([("a", "rareword")], ["source", "text"])
+    )
+    out2 = distinctive_tokens(df2, top_k=5, min_count=5).collect()
+    assert not any(r.token == "rareword" for r in out2)
+    for g in ("a", "b"):
+        ranks = sorted(r.rank for r in out if r.group == g)
+        assert ranks == list(range(1, len(ranks) + 1))
