@@ -230,3 +230,4 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
 from soda_core_spark.operators.profiling import (  # noqa: F401
     distinctive_tokens,
 )
+from soda_core_spark.operators.sampling import exemplar_sample  # noqa: F401

@@ -10389,3 +10389,49 @@ def q185(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return distinctive_tokens(d)
+
+
+# ---------------------------------------------------------------------------
+# Stratified exemplar selection (operators/sampling.py exemplar_sample)
+# ---------------------------------------------------------------------------
+
+_Q186_SQL = """
+WITH base AS (
+  SELECT source AS "group", n_chars::DOUBLE AS v, doc_id AS id
+  FROM documents
+  WHERE n_chars IS NOT NULL AND NOT isnan(n_chars::DOUBLE)
+    AND source IS NOT NULL
+),
+bounds AS (
+  SELECT "group",
+         quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                           0.6, 0.7, 0.8, 0.9]) AS b
+  FROM base GROUP BY 1
+),
+bucketed AS (
+  SELECT base."group", v, id,
+         len(list_filter(bo.b, x -> v > x)) AS bucket
+  FROM base JOIN bounds bo USING ("group")
+)
+SELECT "group", bucket::INT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       round(avg(v), 6) AS mean_score,
+       arg_min(id, md5(id::VARCHAR)) AS exemplar_id,
+       round(arg_min(v, md5(id::VARCHAR)), 6) AS exemplar_score
+FROM bucketed GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q186_exemplar_sample", _Q186_SQL)
+def q186(spark, sf_dir):
+    """Deterministic exemplar per (source × length-decile)
+    (operators/sampling.py exemplar_sample): one representative doc
+    from every stratum — quantile boundaries broadcast back, bucket
+    assignment by a fold over the boundary array (NO ntile, no
+    per-group sort), exemplar = min_by on md5(id). The human-review
+    surface for corpus audits."""
+    from soda_core_spark.operators.sampling import exemplar_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return exemplar_sample(d, "n_chars", "source")

@@ -725,3 +725,76 @@ def neyman_allocation(
         )
         .orderBy("group")
     )
+
+
+def exemplar_sample(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Deterministic exemplar per (group × score-quantile-bucket) — the
+    human-review surface: one REPRESENTATIVE document from every
+    stratum of every source, stable across runs/partitionings, so a
+    reviewer reads 10 docs per source and sees the whole quality range
+    instead of whatever .limit() happened to return.
+
+    One row per non-empty (group, bucket)::
+
+        group, bucket: int (0 = lowest scores)
+        n_docs: bigint, mean_score: double (6 dp)
+        exemplar_id: bigint      -- argmin md5(id) in the cell (a
+                                    deterministic 'random' pick)
+        exemplar_score: double (6 dp)
+
+    Scale shape: bucket boundaries are the group's exact interpolated
+    quantiles (q25/q163 convention — exact percentile buffers each
+    group in the aggregator; swap approx_percentile at true web scale,
+    same plan), broadcast back; assignment is a fold over the ≤
+    ``n_buckets-1`` boundary array — NO ntile, NO per-group sort, no
+    single-task group. The exemplar is min_by on the md5 of the id —
+    order-free and engine-portable. NULL score/group rows are
+    excluded."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    v = F.col(score_col).cast("double")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        v.alias("__v"),
+        F.col(id_col).alias("__id"),
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = base.groupBy("group").agg(
+        F.expr(
+            f"percentile(__v, array({', '.join(repr(q) for q in qs)}))"
+        ).alias("__bounds")
+    )
+    j = base.join(F.broadcast(bounds), "group")
+    bucket = F.aggregate(
+        F.col("__bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("__v") > b, 1).otherwise(0),
+    )
+    cells = (
+        j.select("group", "__v", "__id", bucket.alias("bucket"))
+        .groupBy("group", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("__v"), 6).alias("mean_score"),
+            F.min_by(
+                F.struct(F.col("__id"), F.col("__v")),
+                F.md5(F.col("__id").cast("string")),
+            ).alias("__ex"),
+        )
+    )
+    return cells.select(
+        "group",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_docs",
+        "mean_score",
+        F.col("__ex.__id").alias("exemplar_id"),
+        F.round(F.col("__ex.__v"), 6).alias("exemplar_score"),
+    ).orderBy("group", "bucket")

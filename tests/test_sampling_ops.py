@@ -100,3 +100,43 @@ def test_neyman_allocation(spark):
     assert got["c"]["sd"] == 0.0 and got["c"]["alloc"] == 0
     with pytest.raises(ValueError, match="budget"):
         neyman_allocation(df, "source", "v", budget=0)
+
+
+# -- exemplar_sample ---------------------------------------------------------------
+
+
+def test_exemplar_sample_covers_strata_deterministically(spark):
+    from soda_core_spark.operators.sampling import exemplar_sample
+
+    rows = [(i, "s", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    out = exemplar_sample(df, "score", "source", n_buckets=10).collect()
+    assert len(out) == 10  # every decile populated
+    assert [r.bucket for r in out] == list(range(10))
+    assert sum(r.n_docs for r in out) == 100
+    # monotone: each bucket's mean score grows
+    means = [r.mean_score for r in out]
+    assert means == sorted(means)
+    # exemplar lives inside its bucket's range
+    for r in out:
+        assert r.n_docs == 10
+        assert r.bucket * 10 <= r.exemplar_score <= r.bucket * 10 + 9
+    # determinism across partitionings
+    out2 = exemplar_sample(
+        df.repartition(13), "score", "source", n_buckets=10
+    ).collect()
+    assert out == out2
+
+
+def test_exemplar_sample_constant_scores_single_bucket(spark):
+    import pytest as _pytest
+
+    from soda_core_spark.operators.sampling import exemplar_sample
+
+    df = spark.createDataFrame(
+        [(i, "s", 5.0) for i in range(20)], ["doc_id", "source", "score"]
+    )
+    out = exemplar_sample(df, "score", "source").collect()
+    assert len(out) == 1 and out[0].bucket == 0 and out[0].n_docs == 20
+    with _pytest.raises(ValueError):
+        exemplar_sample(df, "score", n_buckets=1)
