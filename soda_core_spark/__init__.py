@@ -231,3 +231,7 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     distinctive_tokens,
 )
 from soda_core_spark.operators.sampling import exemplar_sample  # noqa: F401
+from soda_core_spark.operators.filter_rules import (  # noqa: F401
+    WEBSHELL_SIGNAL_RULES,
+    with_webshell_signals,
+)

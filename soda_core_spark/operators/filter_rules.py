@@ -139,3 +139,69 @@ def with_extended_signals(
 
     out = with_readability(df, text_col=text_col)
     return lexicon_score(out, lexicon or {"spam": 5.0}, text_col=text_col)
+
+
+#: opt-in round-5 web-shell rule pack: drop rules over the soft-error /
+#: markup-residue / truncation signals (profiling.py's corpus audits,
+#: here as row-level gates). Separate from DEFAULT_WEBTEXT_RULES so the
+#: default pipeline's golden decisions are untouched unless a
+#: deployment opts in (the EXTENDED_SIGNAL_RULES discipline).
+WEBSHELL_SIGNAL_RULES: tuple[FilterRule, ...] = (
+    FilterRule(
+        "soft_error_shell",
+        "is_soft_error",
+        "HTTP-200 error/consent/login shell — zero-content page that "
+        "passes length and language checks",
+    ),
+    FilterRule(
+        "markup_residue",
+        "has_markup_residue",
+        "extraction residue: raw tags / unresolved entities / template "
+        "braces / literal escapes survived extraction",
+    ),
+    FilterRule(
+        "cap_truncated",
+        "is_cap_truncated",
+        "text length parked EXACTLY at a round cap and cut mid-sentence "
+        "— cap/preview/db-column truncation",
+    ),
+)
+
+
+def with_webshell_signals(df, text_col: str = "text"):
+    """Attach the WEBSHELL_SIGNAL_RULES input columns — boolean
+    ``is_soft_error`` / ``has_markup_residue`` / ``is_cap_truncated`` —
+    from the SAME shared constants the q164/q182/q183 corpus audits and
+    their SQL oracles use (functions.text.SOFT_ERROR_PHRASES /
+    TRUNCATION_CAPS / TERMINAL_PUNCT, profiling.MARKUP_RESIDUE_PATTERNS),
+    so the row gate and the corpus report can never disagree. All pure
+    codegen column algebra; NULL text is clean on every signal."""
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.functions.text import (
+        SOFT_ERROR_PHRASES,
+        TERMINAL_PUNCT,
+        TRUNCATION_CAPS,
+    )
+    from soda_core_spark.operators.profiling import (
+        MARKUP_RESIDUE_PATTERNS,
+    )
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(t)
+    soft = F.lit(False)
+    for p in SOFT_ERROR_PHRASES:
+        soft = soft | low.contains(p)
+    residue = F.lit(False)
+    for pat in MARKUP_RESIDUE_PATTERNS.values():
+        residue = residue | t.rlike(pat)
+    trimmed = F.regexp_replace(t, "[ \\t\\n\\r]+$", "")
+    midsent = (F.length(trimmed) > 0) & ~F.substring(
+        trimmed, -1, 1
+    ).isin(*list(TERMINAL_PUNCT))
+    at_cap = F.length(t).isin(*TRUNCATION_CAPS)
+    return (
+        df.withColumn("is_soft_error", soft)
+        .withColumn("has_markup_residue", residue)
+        .withColumn("is_cap_truncated", at_cap & midsent)
+    )

@@ -493,3 +493,47 @@ def test_centroid_separation(spark):
     assert len(got) == 6
     with pytest.raises(ValueError, match="threshold"):
         centroid_separation(df, threshold=2.0)
+
+
+def test_webshell_rule_pack_through_check_engine(spark):
+    """WEBSHELL_SIGNAL_RULES compile to failed_rows checks over
+    with_webshell_signals columns; the row gate uses the SAME shared
+    constants as the q164/q182/q183 corpus audits."""
+    from soda_core_spark.operators.engine import verify_contract
+    from soda_core_spark.operators.filter_rules import (
+        DEFAULT_WEBTEXT_RULES,
+        WEBSHELL_SIGNAL_RULES,
+        to_contract,
+        with_webshell_signals,
+    )
+
+    assert not set(WEBSHELL_SIGNAL_RULES) & set(DEFAULT_WEBTEXT_RULES)
+    df = spark.createDataFrame(
+        [
+            (1, "A perfectly fine document."),
+            (2, "Sorry, page not found on this server."),
+            (3, "Broken <div class=x> extraction residue."),
+            (4, "x" * 254 + "y"),     # 255 chars, ends mid-sentence
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    staged = with_webshell_signals(df)
+    flags = {r.doc_id: r for r in staged.collect()}
+    assert flags[2].is_soft_error and not flags[1].is_soft_error
+    assert flags[3].has_markup_residue
+    assert flags[4].is_cap_truncated
+    assert not any(
+        (flags[5].is_soft_error, flags[5].has_markup_residue,
+         flags[5].is_cap_truncated)
+    )
+    contract = to_contract(
+        WEBSHELL_SIGNAL_RULES, dataset="shell_pages", max_fail_percent=10.0
+    )
+    result = verify_contract(spark, contract, staged)
+    by_name = {c.name: c for c in result.check_results}
+    # each rule trips on exactly 1 of 5 rows = 20% > 10%
+    for rule in ("soft_error_shell", "markup_residue", "cap_truncated"):
+        c = by_name[f"rule_{rule}"]
+        assert c.metric_value == 20.0
+        assert c.outcome.name in ("FAIL", "FAILED")
