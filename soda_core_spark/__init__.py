@@ -235,3 +235,8 @@ from soda_core_spark.operators.filter_rules import (  # noqa: F401
     WEBSHELL_SIGNAL_RULES,
     with_webshell_signals,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    SEMANTIC_TYPE_PATTERNS,
+    primary_key_candidates,
+    semantic_type_inference,
+)

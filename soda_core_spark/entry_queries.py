@@ -10435,3 +10435,109 @@ def q186(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return exemplar_sample(d, "n_chars", "source")
+
+
+# ---------------------------------------------------------------------------
+# Semantic type inference + PK candidacy (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+def _q187_sql() -> str:
+    from soda_core_spark.operators.profiling import SEMANTIC_TYPE_PATTERNS
+
+    cols = ["doc_id", "n_chars", "lang", "text"]
+    type_names = [t for t, _ in SEMANTIC_TYPE_PATTERNS] + ["other"]
+
+    def typed(c):
+        out = f"CASE WHEN {c} IS NULL THEN '<null>' "
+        for name, pat in SEMANTIC_TYPE_PATTERNS:
+            esc = pat.replace("'", "''")
+            out += (f"WHEN regexp_matches({c}::VARCHAR, '{esc}') "
+                    f"THEN '{name}' ")
+        return out + "ELSE 'other' END"
+
+    sums, rows = [], []
+    for c in cols:
+        for t in [*type_names, "<null>"]:
+            tag = f"{c}__{t.replace('<', '').replace('>', '')}"
+            sums.append(
+                f"sum(CASE WHEN ({typed(c)}) = '{t}' THEN 1 ELSE 0 END)"
+                f"::BIGINT AS n_{tag}"
+            )
+            rows.append(f"""
+  SELECT '{c}' AS "column", '{t}' AS inferred_type, n_{tag} AS n,
+         CASE WHEN '{t}' <> '<null>' AND nn_{c} > 0
+              THEN round(n_{tag}::DOUBLE / nn_{c}, 6) END AS share
+  FROM agg""")
+        sums.append(
+            f"sum(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)"
+            f"::BIGINT AS nn_{c}"
+        )
+    return (
+        "WITH agg AS (SELECT " + ", ".join(sums) + " FROM documents)\n"
+        + "SELECT * FROM (\n" + "\n  UNION ALL\n".join(rows)
+        + "\n) WHERE n > 0 ORDER BY \"column\", inferred_type"
+    )
+
+
+@register("q187_type_inference", _q187_sql())
+def q187(spark, sf_dir):
+    """Semantic-type inference over documents columns
+    (operators/profiling.py semantic_type_inference): what each column
+    ACTUALLY holds — int/float/date/timestamp/bool/uuid/empty/other
+    shares, first-match-wins anchored patterns shared verbatim with
+    the oracle, every counter in ONE fused aggregate."""
+    from soda_core_spark.operators.profiling import semantic_type_inference
+
+    d = _t(spark, sf_dir, "documents")
+    return semantic_type_inference(d, ["doc_id", "n_chars", "lang", "text"])
+
+
+_Q188_SQL = """
+WITH agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN p_partkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS nn_partkey,
+         count(DISTINCT p_partkey)::BIGINT AS nd_partkey,
+         sum(CASE WHEN p_name IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS nn_name,
+         count(DISTINCT p_name)::BIGINT AS nd_name,
+         sum(CASE WHEN p_brand IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS nn_brand,
+         count(DISTINCT p_brand)::BIGINT AS nd_brand,
+         sum(CASE WHEN p_size IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS nn_size,
+         count(DISTINCT p_size)::BIGINT AS nd_size
+  FROM part
+)
+SELECT "column", n_rows, n_nonnull, n_distinct,
+       round(CASE WHEN n_nonnull > 0
+             THEN n_distinct::DOUBLE / n_nonnull END, 6) AS uniqueness,
+       (n_nonnull = n_rows AND n_distinct = n_rows AND n_rows > 0)
+         AS is_pk_candidate
+FROM (
+  SELECT 'p_brand' AS "column", n AS n_rows, nn_brand AS n_nonnull,
+         nd_brand AS n_distinct FROM agg
+  UNION ALL
+  SELECT 'p_name', n, nn_name, nd_name FROM agg
+  UNION ALL
+  SELECT 'p_partkey', n, nn_partkey, nd_partkey FROM agg
+  UNION ALL
+  SELECT 'p_size', n, nn_size, nd_size FROM agg
+)
+ORDER BY "column"
+"""
+
+
+@register("q188_pk_candidates", _Q188_SQL)
+def q188(spark, sf_dir):
+    """Primary-key candidacy audit over part columns
+    (operators/profiling.py primary_key_candidates): measured NULL-free
+    full-distinctness — what the reference's schema check takes on
+    faith from catalog metadata, verified against the data in ONE
+    multi-distinct aggregate."""
+    from soda_core_spark.operators.profiling import primary_key_candidates
+
+    p = _t(spark, sf_dir, "part")
+    return primary_key_candidates(
+        p, ["p_partkey", "p_name", "p_brand", "p_size"]
+    )

@@ -2966,3 +2966,149 @@ def distinctive_tokens(
         .withColumn("rank", F.col("rank").cast("int"))
         .orderBy("group", "rank")
     )
+
+
+#: semantic-type patterns for string-column inference — anchored, in
+#: the Java-regex ∩ RE2 subset, shared verbatim with SQL oracles.
+#: Order matters: first match wins (int before float before date...).
+SEMANTIC_TYPE_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("int", r"^[+-]?[0-9]+$"),
+    ("float", r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("timestamp",
+     r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}"),
+    ("bool", r"^(true|false|TRUE|FALSE|True|False)$"),
+    ("uuid",
+     r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+     r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    ("empty", r"^[ \t]*$"),
+)
+
+
+def semantic_type_inference(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """What type does each string column ACTUALLY hold? The schema-
+    review profiling staple: a 'string' column that is 99.8% int-like
+    wants a cast (and its 0.2% wants a failed-rows audit); a column
+    drifting from date-like to timestamp-like means an upstream format
+    change. First matching pattern in ``SEMANTIC_TYPE_PATTERNS`` wins;
+    non-matching non-NULL values report as ``other``; NULLs are
+    counted separately.
+
+    One row per (column, inferred_type) with n > 0::
+
+        column, inferred_type: string
+        n: bigint, share: double (6 dp, of non-NULL values)
+
+    plus one ``inferred_type = '<null>'`` row per column when NULLs
+    exist (share NULL — NULLs are outside the typed population).
+
+    Scale shape: ONE fused map-side-combined aggregate computes every
+    (column × type) counter in a single corpus pass; ``inline``
+    unpivots. Patterns shared verbatim with the oracle."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    type_names = [t for t, _ in SEMANTIC_TYPE_PATTERNS] + ["other"]
+
+    def typed(c):
+        s = F.col(c).cast("string")
+        out = F.when(s.isNull(), F.lit("<null>"))
+        for name, pat in SEMANTIC_TYPE_PATTERNS:
+            out = out.when(s.rlike(pat), F.lit(name))
+        return out.otherwise(F.lit("other"))
+
+    aggs = []
+    for c in cols:
+        tcol = typed(c)
+        for t in [*type_names, "<null>"]:
+            aggs.append(
+                F.sum(F.when(tcol == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__n_{c}__{t}")
+            )
+        aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{c}")
+        )
+    one = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        for t in [*type_names, "<null>"]:
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(t).alias("inferred_type"),
+                    F.col(f"__n_{c}__{t}").alias("n"),
+                    F.when(
+                        (F.lit(t) != "<null>") & (F.col(f"__nn_{c}") > 0),
+                        F.round(
+                            F.col(f"__n_{c}__{t}")
+                            / F.col(f"__nn_{c}").cast("double"),
+                            6,
+                        ),
+                    ).alias("share"),
+                )
+            )
+    return (
+        one.select(F.inline(F.array(*structs)))
+        .where(F.col("n") > 0)
+        .orderBy("column", "inferred_type")
+    )
+
+
+def primary_key_candidates(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-column primary-key candidacy audit: which columns are
+    NULL-free and fully distinct — the first question of every schema
+    review and the input the reference's schema check takes on faith
+    from metadata (sources/tables.py PK introspection reads what the
+    catalog CLAIMS; this MEASURES it).
+
+    One row per column::
+
+        column: string, n_rows, n_nonnull, n_distinct: bigint
+        uniqueness: double (6 dp)  -- n_distinct / n_nonnull
+        is_pk_candidate: boolean   -- NULL-free AND fully distinct
+
+    Scale shape: exact count(DISTINCT col) per column in ONE
+    aggregate — Spark plans multi-distinct via expand (k× row
+    amplification inside the partial aggregate, no extra scan);
+    for hundreds of columns or 10^12 rows swap approx_count_distinct
+    per the documented trade. NULL counts ride the same pass."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{c}")
+        )
+        aggs.append(
+            F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{c}")
+        )
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nonnull"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.when(
+                F.col(f"__nn_{c}") > 0,
+                F.round(
+                    F.col(f"__nd_{c}")
+                    / F.col(f"__nn_{c}").cast("double"),
+                    6,
+                ),
+            ).alias("uniqueness"),
+            (
+                (F.col(f"__nn_{c}") == F.col("__n"))
+                & (F.col(f"__nd_{c}") == F.col("__n"))
+                & (F.col("__n") > 0)
+            ).alias("is_pk_candidate"),
+        )
+        for c in cols
+    ]
+    return one.select(F.inline(F.array(*structs))).orderBy("column")

@@ -1123,3 +1123,70 @@ def test_distinctive_tokens_min_count_floor_and_ranks(spark):
     for g in ("a", "b"):
         ranks = sorted(r.rank for r in out if r.group == g)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+# -- semantic_type_inference / primary_key_candidates ------------------------------
+
+
+def test_type_inference_hand_values(spark):
+    from soda_core_spark.operators.profiling import semantic_type_inference
+
+    df = spark.createDataFrame(
+        [
+            ("42", "2024-01-01", None),
+            ("-7", "2024-01-01 10:00:00", "x"),
+            ("3.14", "not a date", "y"),
+            ("", "true", "z"),
+        ],
+        "a string, b string, c string",
+    )
+    out = {(r.column, r.inferred_type): r
+           for r in semantic_type_inference(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "int")].n == 2
+    assert out[("a", "float")].n == 1
+    assert out[("a", "empty")].n == 1
+    assert out[("a", "int")].share == 0.5
+    assert out[("b", "date")].n == 1
+    assert out[("b", "timestamp")].n == 1
+    assert out[("b", "bool")].n == 1
+    assert out[("b", "other")].n == 1
+    assert out[("c", "<null>")].n == 1
+    assert out[("c", "<null>")].share is None
+    assert out[("c", "other")].share == pytest.approx(1.0)
+    # no zero-count rows emitted
+    assert ("a", "uuid") not in out
+
+
+def test_type_inference_first_match_wins_and_validation(spark):
+    import pytest as _pytest
+
+    from soda_core_spark.operators.profiling import semantic_type_inference
+
+    # "2024" is int-like AND the prefix of a date: int wins (declared order)
+    df = spark.createDataFrame([("2024",)], "a string")
+    out = semantic_type_inference(df, ["a"]).collect()
+    assert out[0].inferred_type == "int"
+    with _pytest.raises(ValueError):
+        semantic_type_inference(df, [])
+
+
+def test_pk_candidates_hand_values(spark):
+    import pytest as _pytest
+
+    from soda_core_spark.operators.profiling import primary_key_candidates
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "a", None)],
+        "id long, dup string, holey int",
+    )
+    out = {r.column: r
+           for r in primary_key_candidates(df, ["id", "dup", "holey"])
+           .collect()}
+    assert out["id"].is_pk_candidate
+    assert out["id"].uniqueness == 1.0
+    assert not out["dup"].is_pk_candidate  # duplicates
+    assert out["dup"].n_distinct == 2
+    assert not out["holey"].is_pk_candidate  # NULL present
+    assert out["holey"].n_nonnull == 2
+    with _pytest.raises(ValueError):
+        primary_key_candidates(df, [])
