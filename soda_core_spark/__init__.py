@@ -240,3 +240,7 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     primary_key_candidates,
     semantic_type_inference,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    hapax_share_per_doc,
+    missingness_structure,
+)

@@ -10207,9 +10207,11 @@ def _q182_sql() -> str:
 WITH base AS (
   SELECT source AS "group", text,
          regexp_replace(coalesce(text, ''), '[ 	
-]+$', '') AS trimmed,
+
+]+$', '') AS trimmed,
          lower(regexp_replace(coalesce(text, ''), '[ 	
-]+$', ''))
+
+]+$', ''))
            AS low
   FROM documents
 ),
@@ -10541,3 +10543,104 @@ def q188(spark, sf_dir):
     return primary_key_candidates(
         p, ["p_partkey", "p_name", "p_brand", "p_size"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Missingness structure + per-doc hapax share (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+_Q189_SQL = """
+WITH ind AS (
+  SELECT CASE WHEN user_id IS NULL THEN 1 ELSE 0 END AS user_id,
+         CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END
+           AS value,
+         CASE WHEN props IS NULL THEN 1 ELSE 0 END AS props
+  FROM events
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(user_id)::BIGINT AS m_user_id, sum(value)::BIGINT AS m_value,
+         sum(props)::BIGINT AS m_props,
+         sum(user_id * value)::BIGINT AS s_uv,
+         sum(user_id * props)::BIGINT AS s_up,
+         sum(value * props)::BIGINT AS s_vp,
+         sum(user_id * user_id)::BIGINT AS s_uu,
+         sum(value * value)::BIGINT AS s_vv,
+         sum(props * props)::BIGINT AS s_pp
+  FROM ind
+),
+pairs AS (
+  SELECT 'props' AS col_a, 'user_id' AS col_b, n,
+         m_props AS ma, m_user_id AS mb, s_up AS sab,
+         s_pp AS saa, s_uu AS sbb FROM agg
+  UNION ALL
+  SELECT 'props', 'value', n, m_props, m_value, s_vp, s_pp, s_vv FROM agg
+  UNION ALL
+  SELECT 'user_id', 'value', n, m_user_id, m_value, s_uv, s_uu, s_vv
+  FROM agg
+)
+SELECT col_a, col_b, n,
+       round(ma::DOUBLE / n, 6) AS null_rate_a,
+       round(mb::DOUBLE / n, 6) AS null_rate_b,
+       round(CASE WHEN n >= 2
+                   AND (n::DOUBLE * saa - ma::DOUBLE * ma) > 0
+                   AND (n::DOUBLE * sbb - mb::DOUBLE * mb) > 0
+             THEN (n::DOUBLE * sab - ma::DOUBLE * mb)
+                  / sqrt((n::DOUBLE * saa - ma::DOUBLE * ma)
+                         * (n::DOUBLE * sbb - mb::DOUBLE * mb)) END, 6)
+         AS phi
+FROM pairs ORDER BY col_a, col_b
+"""
+
+
+@register("q189_missingness", _Q189_SQL)
+def q189(spark, sf_dir):
+    """Missingness structure over the events nullable columns
+    (operators/profiling.py missingness_structure): pairwise φ of the
+    null indicators + per-column null rates — do columns go NULL
+    together (one broken upstream stage) or independently. Reuses the
+    one-pass correlation-matrix aggregation on 0/1 indicators."""
+    from soda_core_spark.operators.profiling import missingness_structure
+
+    e = _t(spark, sf_dir, "events")
+    # alphabetical column order so pair labels (col_a, col_b)
+    # match the oracle's enumeration
+    return missingness_structure(e, ["props", "user_id", "value"])
+
+
+_Q190_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> ''))
+           AS tok
+  FROM documents
+),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY 1),
+hapax AS (
+  SELECT tok FROM toks GROUP BY tok HAVING count(*) = 1
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hapax
+  FROM toks JOIN hapax USING (tok) GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(p.n_hapax, 0)::BIGINT AS n_hapax,
+       round(coalesce(p.n_hapax, 0)::DOUBLE / t.n_tokens, 6)
+         AS hapax_share
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@register("q190_hapax_share", _Q190_SQL)
+def q190(spark, sf_dir):
+    """Per-document corpus-hapax token share
+    (operators/profiling.py hapax_share_per_doc): the doc-level
+    novelty/gibberish drilldown of q162's unseen mass — the hapax join
+    is fan-out-free by construction (a hapax occurs once), one
+    vocabulary groupBy plus a per-doc reduce."""
+    from soda_core_spark.operators.profiling import hapax_share_per_doc
+
+    d = _t(spark, sf_dir, "documents")
+    return hapax_share_per_doc(d)

@@ -3112,3 +3112,138 @@ def primary_key_candidates(df: DataFrame, cols: list[str]) -> DataFrame:
         for c in cols
     ]
     return one.select(F.inline(F.array(*structs))).orderBy("column")
+
+
+def missingness_structure(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Do columns go NULL TOGETHER? Pairwise φ (Pearson on the 0/1
+    null indicators) plus per-column null rates — the missingness-
+    structure read behind MCAR/MAR judgments: φ near 1 means one
+    upstream join/stage nulls a whole column group at once (fix the
+    stage, not the columns); φ near 0 means independent sparse
+    missingness (impute/accept per column).
+
+    One row per unordered pair::
+
+        col_a, col_b: string, n: bigint
+        null_rate_a, null_rate_b: double (6 dp)
+        phi: double (6 dp)   -- NULL when either indicator is constant
+
+    Scale shape: delegates to ``correlation_matrix`` over the
+    indicator projection — ONE partial aggregation for every pair —
+    plus one tiny rate aggregate off the same scan shape. NaN counts
+    as missing for float columns (the usual sentinel abuse)."""
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+
+    def ind(c):
+        x = F.col(c)
+        miss = x.isNull()
+        # NaN-aware only for types where isnan applies
+        if dict(df.dtypes).get(c) in ("float", "double"):
+            miss = miss | F.isnan(x)
+        return miss.cast("int").alias(c)
+
+    indicators = df.select(*[ind(c) for c in cols])
+    pairs = correlation_matrix(indicators, cols).withColumnRenamed(
+        "r", "phi"
+    )
+    rates = indicators.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.col(c)).alias(f"__m_{c}") for c in cols],
+    )
+    rate_structs = F.create_map(
+        *[
+            x
+            for c in cols
+            for x in (
+                F.lit(c),
+                F.round(
+                    F.col(f"__m_{c}") / F.col("__n").cast("double"), 6
+                ),
+            )
+        ]
+    ).alias("__rates")
+    r = rates.select(rate_structs)
+    return (
+        pairs.crossJoin(F.broadcast(r))
+        .select(
+            "col_a",
+            "col_b",
+            "n",
+            F.col("__rates")[F.col("col_a")].alias("null_rate_a"),
+            F.col("__rates")[F.col("col_b")].alias("null_rate_b"),
+            "phi",
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+def hapax_share_per_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Per-document share of CORPUS-hapax tokens — the doc-level
+    novelty/gibberish signal: a document whose tokens are mostly words
+    the entire corpus has seen exactly once is either genuinely novel
+    (rare, keep) or machine noise / mojibake / an ID dump (common,
+    drop); either way it is exactly the document a reviewer wants
+    ranked first. The doc-level drilldown of q162's corpus-level
+    unseen mass.
+
+    One row per doc with n_tokens > 0 and share >= ``min_share``::
+
+        doc_id, n_tokens, n_hapax: bigint
+        hapax_share: double (6 dp)
+
+    Scale shape: ONE vocabulary groupBy builds global counts; the
+    hapax set (freq = 1) joins back onto the exploded tokens as a
+    grain-level join (hapax tokens by definition appear ONCE, so that
+    join's output is bounded by |hapax| rows — no fan-out is
+    possible), then a per-doc reduce. Token totals per doc ride the
+    explode before the join."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[ \\t\\n\\r]+",
+                ),
+                lambda w: w != "",
+            )
+        ).alias("__tok"),
+    )
+    totals = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    hapax = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == 1)
+        .select("__tok")
+    )
+    per_doc = (
+        toks.join(hapax, "__tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hapax"))
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_hapax"), F.lit(0)).cast("long")
+            .alias("n_hapax"),
+            F.round(
+                F.coalesce(F.col("n_hapax"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("hapax_share"),
+        )
+        .where(F.col("hapax_share") >= float(min_share))
+        .orderBy("doc_id")
+    )

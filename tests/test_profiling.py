@@ -1190,3 +1190,61 @@ def test_pk_candidates_hand_values(spark):
     assert out["holey"].n_nonnull == 2
     with _pytest.raises(ValueError):
         primary_key_candidates(df, [])
+
+
+# -- missingness_structure / hapax_share_per_doc -----------------------------------
+
+
+def test_missingness_structure_coupled_vs_independent(spark):
+    from soda_core_spark.operators.profiling import missingness_structure
+
+    # a and b go NULL together (same rows); c independently
+    rows = []
+    for i in range(40):
+        coupled = i % 4 == 0
+        # c's pattern keys on the block index (i // 4), exactly
+        # independent of i % 4
+        rows.append((
+            None if coupled else i,
+            None if coupled else float(i),
+            None if (i // 4) % 2 == 0 else "x",
+        ))
+    df = spark.createDataFrame(rows, "a long, b double, c string")
+    out = {(r.col_a, r.col_b): r
+           for r in missingness_structure(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")].phi == pytest.approx(1.0)
+    assert out[("a", "c")].phi == pytest.approx(0.0, abs=1e-6)
+    assert out[("a", "b")].null_rate_a == 0.25
+    assert out[("a", "c")].null_rate_b == 0.5
+
+
+def test_missingness_structure_nan_counts_for_floats(spark):
+    from soda_core_spark.operators.profiling import missingness_structure
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (None, 1.0), (3, 2.0), (4, float("nan"))],
+        "a long, b double",
+    )
+    out = missingness_structure(df, ["a", "b"]).collect()[0]
+    assert out.null_rate_b == 0.5  # both NaNs count as missing
+
+
+def test_hapax_share_hand_values(spark):
+    from soda_core_spark.operators.profiling import hapax_share_per_doc
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common unique1"),   # 'common' x4 corpus-wide
+            (2, "common zzz qqq"),           # two hapax of three tokens
+            (3, "common"),                   # zero hapax
+            (4, ""),                         # no tokens: excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in hapax_share_per_doc(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_hapax == 1 and out[1].hapax_share == pytest.approx(1 / 3)
+    assert out[2].n_hapax == 2 and out[2].hapax_share == pytest.approx(2 / 3)
+    assert out[3].n_hapax == 0 and out[3].hapax_share == 0.0
+    flagged = hapax_share_per_doc(df, min_share=0.5).collect()
+    assert [r.doc_id for r in flagged] == [2]
