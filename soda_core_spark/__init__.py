@@ -244,3 +244,6 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     hapax_share_per_doc,
     missingness_structure,
 )
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    signal_drift_panel,
+)

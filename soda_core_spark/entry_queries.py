@@ -10644,3 +10644,89 @@ def q190(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return hapax_share_per_doc(d)
+
+
+# ---------------------------------------------------------------------------
+# Signal drift panel (operators/profiling.py signal_drift_panel)
+# ---------------------------------------------------------------------------
+
+_Q191_SQL = """
+WITH base AS (
+  SELECT ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2) = 1)
+           AS b,
+         length(coalesce(text, ''))::DOUBLE AS n_chars,
+         (len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))
+          + length(regexp_replace(coalesce(text, ''),
+                                  '[A-Za-z0-9 \t\n\r]', '', 'g')))::DOUBLE
+           AS n_tokens,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '[ \t\n\r]+'),
+             w -> w <> ''))::DOUBLE AS n_words
+  FROM documents
+),
+long AS (
+  SELECT b, 'n_chars' AS sig, n_chars AS val FROM base
+  UNION ALL
+  SELECT b, 'n_tokens', n_tokens FROM base
+  UNION ALL
+  SELECT b, 'n_words', n_words FROM base
+),
+grain AS (
+  SELECT sig, val,
+         sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+  FROM long WHERE val IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT sig, sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+         sum(val * ca) AS sa, sum(val * cb) AS sb
+  FROM grain GROUP BY 1
+),
+gaps AS (
+  SELECT sig, max(abs(cum_a / n_a - cum_b / n_b)) AS ks
+  FROM (
+    SELECT g.sig,
+           sum(g.ca) OVER (PARTITION BY g.sig ORDER BY g.val) AS cum_a,
+           sum(g.cb) OVER (PARTITION BY g.sig ORDER BY g.val) AS cum_b,
+           t.n_a::DOUBLE AS n_a, t.n_b::DOUBLE AS n_b
+    FROM grain g JOIN totals t USING (sig)
+  ) GROUP BY 1
+)
+SELECT t.sig AS signal, t.n_a, t.n_b,
+       round(CASE WHEN t.n_a > 0 THEN t.sa / t.n_a END, 6) AS mean_a,
+       round(CASE WHEN t.n_b > 0 THEN t.sb / t.n_b END, 6) AS mean_b,
+       round(CASE WHEN t.n_a > 0 AND t.n_b > 0
+             THEN t.sb / t.n_b - t.sa / t.n_a END, 6) AS mean_shift,
+       round(CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN g.ks END, 6) AS ks
+FROM totals t JOIN gaps g USING (sig)
+ORDER BY signal
+"""
+
+
+@register("q191_signal_drift_panel", _Q191_SQL)
+def q191(spark, sf_dir):
+    """Release-gate drift panel (operators/profiling.py
+    signal_drift_panel): exact two-sample KS + mean shift for THREE
+    length signals at once between the md5-parity halves of the corpus
+    — the ks_drift value-grain trick stacked across signals, one scan,
+    ECDF windows bounded per signal. A self-test split: drift ~0 by
+    construction, the panel's calibration zero."""
+    from soda_core_spark.functions.text import token_count_bpe_ish
+    from soda_core_spark.operators.profiling import signal_drift_panel
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    prefix32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return signal_drift_panel(
+        d,
+        {
+            "n_chars": F.length(t),
+            "n_tokens": token_count_bpe_ish(t),
+            "n_words": F.size(
+                F.filter(F.split(t, "[ \\t\\n\\r]+"), lambda w: w != "")
+            ),
+        },
+        split=(prefix32 % 2) == 1,
+    )

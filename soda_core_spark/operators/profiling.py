@@ -3247,3 +3247,99 @@ def hapax_share_per_doc(
         .where(F.col("hapax_share") >= float(min_share))
         .orderBy("doc_id")
     )
+
+
+def signal_drift_panel(
+    df: DataFrame,
+    signals: dict[str, Column],
+    split: Column,
+) -> DataFrame:
+    """Every quality signal's drift between two cohorts in ONE corpus
+    scan — the release-gate panel: cohort A vs B (old/new extractor,
+    yesterday/today, control/treatment split), per signal the exact
+    two-sample KS statistic and the mean shift. One query answers
+    "which of my twelve signals moved" instead of twelve.
+
+    One row per signal::
+
+        signal: string
+        n_a, n_b: bigint
+        mean_a, mean_b, mean_shift: double (6 dp)
+        ks: double (6 dp)    -- exact sup-gap of the two ECDFs; NULL
+                                when either cohort is empty
+
+    ``split`` is any boolean Column (true = cohort B); NULL split or
+    NULL signal values are excluded per signal. Scale shape (the
+    ks_drift grain trick, stacked): the scan melts all signals to
+    (signal, value, cohort-counts) long form, ONE map-side-combined
+    groupBy collapses to value grain, and both the means and the KS
+    cumsum run on that grain — the ECDF window is partitioned BY
+    SIGNAL and bounded by per-signal value cardinality (quantize
+    continuous signals first, the q165 caveat)."""
+    if not signals:
+        raise ValueError("signals must be non-empty")
+    names = list(signals)
+    sel = df.where(split.isNotNull()).select(
+        split.alias("__b"),
+        *[c.cast("double").alias(n) for n, c in signals.items()],
+    )
+    stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
+    long = sel.select(
+        "__b",
+        F.expr(f"stack({len(names)}, {stack_args})").alias(
+            "__sig", "__val"
+        ),
+    ).where(F.col("__val").isNotNull() & ~F.isnan(F.col("__val")))
+    grain = long.groupBy("__sig", "__val").agg(
+        F.sum(F.when(~F.col("__b"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0)).alias("__cb"),
+    )
+    totals = grain.groupBy("__sig").agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(F.col("__val") * F.col("__ca")).alias("__sa"),
+        F.sum(F.col("__val") * F.col("__cb")).alias("__sb"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__sig")
+        .orderBy("__val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gaps = (
+        grain.join(F.broadcast(totals.select("__sig", "n_a", "n_b")),
+                   "__sig")
+        .withColumn(
+            "__gap",
+            F.abs(
+                F.sum("__ca").over(w) / F.col("n_a").cast("double")
+                - F.sum("__cb").over(w) / F.col("n_b").cast("double")
+            ),
+        )
+        .groupBy("__sig")
+        .agg(F.max("__gap").alias("__ks"))
+    )
+    mean_a = F.col("__sa") / F.col("n_a").cast("double")
+    mean_b = F.col("__sb") / F.col("n_b").cast("double")
+    return (
+        totals.join(gaps, "__sig")
+        .select(
+            F.col("__sig").alias("signal"),
+            "n_a",
+            "n_b",
+            F.round(F.when(F.col("n_a") > 0, mean_a), 6).alias("mean_a"),
+            F.round(F.when(F.col("n_b") > 0, mean_b), 6).alias("mean_b"),
+            F.round(
+                F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                       mean_b - mean_a),
+                6,
+            ).alias("mean_shift"),
+            F.round(
+                F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                       F.col("__ks")),
+                6,
+            ).alias("ks"),
+        )
+        .orderBy("signal")
+    )

@@ -1248,3 +1248,49 @@ def test_hapax_share_hand_values(spark):
     assert out[3].n_hapax == 0 and out[3].hapax_share == 0.0
     flagged = hapax_share_per_doc(df, min_share=0.5).collect()
     assert [r.doc_id for r in flagged] == [2]
+
+
+# -- signal_drift_panel ------------------------------------------------------------
+
+
+def test_signal_drift_panel_detects_planted_shift(spark):
+    from soda_core_spark.operators.profiling import signal_drift_panel
+
+    rows = [(i, float(i % 10), float(i % 10)) for i in range(200)]
+    # cohort B's second signal shifted by +5
+    df = spark.createDataFrame(rows, ["id", "s_same", "s_shift"])
+    df = df.withColumn(
+        "s_shift",
+        F.when(F.col("id") >= 100, F.col("s_shift") + 5.0)
+        .otherwise(F.col("s_shift")),
+    )
+    out = {r.signal: r for r in signal_drift_panel(
+        df,
+        {"s_same": F.col("s_same"), "s_shift": F.col("s_shift")},
+        split=F.col("id") >= 100,
+    ).collect()}
+    same = out["s_same"]
+    assert same.n_a == 100 and same.n_b == 100
+    assert same.mean_shift == 0.0 and same.ks == 0.0
+    shift = out["s_shift"]
+    assert shift.mean_shift == pytest.approx(5.0)
+    assert shift.ks == 0.5  # half the mass is disjoint
+
+
+def test_signal_drift_panel_null_handling_and_validation(spark):
+    import pytest as _pytest
+
+    from soda_core_spark.operators.profiling import signal_drift_panel
+
+    df = spark.createDataFrame(
+        [(1, 1.0, True), (2, None, True), (3, 2.0, False),
+         (4, float("nan"), False), (5, 3.0, None)],
+        "id long, v double, b boolean",
+    )
+    out = signal_drift_panel(
+        df, {"v": F.col("v")}, split=F.col("b")
+    ).collect()[0]
+    # NULL split row 5 excluded; NULL/NaN values excluded per signal
+    assert out.n_a == 1 and out.n_b == 1
+    with _pytest.raises(ValueError):
+        signal_drift_panel(df, {}, split=F.col("b"))
