@@ -10730,3 +10730,48 @@ def q191(spark, sf_dir):
         },
         split=(prefix32 % 2) == 1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-mix entropy per source (operators/profiling.py language_mix)
+# ---------------------------------------------------------------------------
+
+_Q192_SQL = """
+WITH grain AS (
+  SELECT source AS "group",
+         coalesce(lang::VARCHAR, '<null>') AS lang,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT "group", sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_langs,
+         arg_min(lang, lpad((1000000000000 - n)::VARCHAR, 13, '0')
+                       || '|' || lang) AS top_lang,
+         max(n)::BIGINT AS top_n
+  FROM grain GROUP BY 1
+),
+ent AS (
+  SELECT g."group",
+         sum(-(g.n::DOUBLE / t.n_docs) * ln(g.n::DOUBLE / t.n_docs)) AS h
+  FROM grain g JOIN tot t USING ("group") GROUP BY 1
+)
+SELECT t."group", t.n_docs, t.n_langs, t.top_lang,
+       round(t.top_n::DOUBLE / t.n_docs, 6) AS top_share,
+       round(e.h, 6) AS lang_entropy,
+       round(exp(e.h), 6) AS effective_langs
+FROM tot t JOIN ent e USING ("group")
+ORDER BY t."group"
+"""
+
+
+@register("q192_language_mix", _Q192_SQL)
+def q192(spark, sf_dir):
+    """Language-mix profile per source (operators/profiling.py
+    language_mix): declared-language Shannon entropy, effective
+    language count, modal language with deterministic tiebreak — the
+    crawl-scope drift read beside q105's declared-vs-detected mismatch.
+    One (source, lang) groupBy; everything after is grain-level."""
+    from soda_core_spark.operators.profiling import language_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return language_mix(d)

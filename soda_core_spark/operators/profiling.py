@@ -3343,3 +3343,80 @@ def signal_drift_panel(
         )
         .orderBy("signal")
     )
+
+
+def language_mix(
+    df: DataFrame,
+    lang_col: str = "lang",
+    group_col: str = "source",
+) -> DataFrame:
+    """Language-mix profile per source: Shannon entropy and effective
+    language count of each source's declared-language distribution —
+    the mixture companion to q127's host-concentration HHI: a "German
+    news" source whose effective-language count drifts from 1.0 to 2.5
+    changed its crawl scope (or its language tagger broke, cross-check
+    q105's declared-vs-detected mismatch).
+
+    One row per (source) with docs::
+
+        group: string, n_docs: bigint
+        n_langs: bigint            -- distinct declared languages
+        top_lang: string           -- modal language (ties: lexical min)
+        top_share: double (6 dp)
+        lang_entropy: double (6 dp, nats)
+        effective_langs: double (6 dp) -- exp(entropy), 1 = monolingual
+
+    NULL lang folds to '<null>' (unattributed docs are part of the mix
+    — a rising '<null>' share IS drift). Scale shape: one map-side-
+    combined (source, lang) groupBy; entropy and the mode reduce the
+    |sources × langs| grain (max_by for the mode — no window)."""
+    lang = F.coalesce(F.col(lang_col).cast("string"), F.lit("<null>"))
+    grain = df.groupBy(
+        F.col(group_col).alias("group"), lang.alias("__lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    tot = grain.groupBy("group").agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        # mode with deterministic lexical-min tiebreak, portable to any
+        # engine's arg_min(VARCHAR, VARCHAR): a sortable string key
+        # '(10^12 - n, zero-padded)|lang' — min = highest count, then
+        # lexically smallest language
+        F.min_by(
+            F.col("__lang"),
+            F.concat(
+                F.lpad(
+                    (F.lit(10**12) - F.col("__n")).cast("string"),
+                    13,
+                    "0",
+                ),
+                F.lit("|"),
+                F.col("__lang"),
+            ),
+        ).alias("top_lang"),
+        F.max("__n").cast("long").alias("__top_n"),
+    )
+    ent = (
+        grain.join(F.broadcast(tot.select("group", "n_docs")), "group")
+        .groupBy("group")
+        .agg(
+            F.sum(
+                -(F.col("__n") / F.col("n_docs").cast("double"))
+                * F.log(F.col("__n") / F.col("n_docs").cast("double"))
+            ).alias("__h")
+        )
+    )
+    return (
+        tot.join(ent, "group")
+        .select(
+            "group",
+            "n_docs",
+            "n_langs",
+            "top_lang",
+            F.round(
+                F.col("__top_n") / F.col("n_docs").cast("double"), 6
+            ).alias("top_share"),
+            F.round("__h", 6).alias("lang_entropy"),
+            F.round(F.exp("__h"), 6).alias("effective_langs"),
+        )
+        .orderBy("group")
+    )

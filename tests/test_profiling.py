@@ -1294,3 +1294,44 @@ def test_signal_drift_panel_null_handling_and_validation(spark):
     assert out.n_a == 1 and out.n_b == 1
     with _pytest.raises(ValueError):
         signal_drift_panel(df, {}, split=F.col("b"))
+
+
+# -- language_mix ------------------------------------------------------------------
+
+
+def test_language_mix_hand_values(spark):
+    import math
+
+    from soda_core_spark.operators.profiling import language_mix
+
+    df = spark.createDataFrame(
+        [("a", "en")] * 8 + [("a", "de")] * 2 + [("b", "fr")] * 5
+        + [("c", "en"), ("c", None)],
+        ["source", "lang"],
+    )
+    out = {r.group: r for r in language_mix(df).collect()}
+    a = out["a"]
+    assert a.n_docs == 10 and a.n_langs == 2 and a.top_lang == "en"
+    assert a.top_share == 0.8
+    h = -(0.8 * math.log(0.8) + 0.2 * math.log(0.2))
+    assert a.lang_entropy == pytest.approx(h, abs=1e-6)
+    assert a.effective_langs == pytest.approx(math.exp(h), abs=1e-6)
+    b = out["b"]
+    assert b.effective_langs == 1.0 and b.lang_entropy == 0.0
+    c = out["c"]
+    assert c.n_langs == 2 and c.top_lang in ("<null>", "en")
+    # tie at 1-1: lexical min wins -> '<null>' < 'en'
+    assert c.top_lang == "<null>"
+
+
+def test_language_mix_tiebreak_deterministic_across_partitioning(spark):
+    from soda_core_spark.operators.profiling import language_mix
+
+    rows = [("s", l) for l in ("aa", "bb") * 10]
+    a = language_mix(
+        spark.createDataFrame(rows, ["source", "lang"]).repartition(1)
+    ).collect()
+    b = language_mix(
+        spark.createDataFrame(rows, ["source", "lang"]).repartition(7)
+    ).collect()
+    assert a == b and a[0].top_lang == "aa"
