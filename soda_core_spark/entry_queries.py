@@ -10775,3 +10775,56 @@ def q192(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return language_mix(d)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (operators/profiling.py
+# k_anonymity_audit)
+# ---------------------------------------------------------------------------
+
+_Q193_SQL = """
+WITH classes AS (
+  SELECT coalesce(source::VARCHAR, '<null>') AS source,
+         coalesce(lang::VARCHAR, '<null>') AS lang,
+         coalesce((n_chars // 500)::VARCHAR, '<null>') AS size_bucket,
+         count(*)::BIGINT AS size,
+         count(DISTINCT coalesce((doc_id % 7)::VARCHAR, '<null>'))
+           ::BIGINT AS l
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT coalesce(sum(size), 0)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_classes,
+       min(size)::BIGINT AS min_class_size,
+       round(coalesce(sum(CASE WHEN size < 2 THEN size END), 0)::DOUBLE
+             / sum(size), 6) AS share_below_k2,
+       round(coalesce(sum(CASE WHEN size < 5 THEN size END), 0)::DOUBLE
+             / sum(size), 6) AS share_below_k5,
+       round(coalesce(sum(CASE WHEN size < 10 THEN size END), 0)::DOUBLE
+             / sum(size), 6) AS share_below_k10,
+       min(l)::BIGINT AS min_l_diversity,
+       round(avg(l), 6) AS mean_l_diversity
+FROM classes
+"""
+
+
+@register("q193_k_anonymity", _Q193_SQL)
+def q193(spark, sf_dir):
+    """k-anonymity / l-diversity audit (operators/profiling.py
+    k_anonymity_audit): equivalence classes over (source, lang,
+    500-char size bucket) quasi-identifiers with a synthetic sensitive
+    attribute (doc_id mod 7) — fraction of rows linkable below
+    k ∈ {2,5,10} and the sensitive-value diversity floor. One groupBy
+    to class grain, one grain reduce; the compliance layer above
+    duplicate/missing checks."""
+    from soda_core_spark.operators.profiling import k_anonymity_audit
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "source",
+        "lang",
+        F.floor(F.col("n_chars") / 500).alias("size_bucket"),
+        (F.col("doc_id") % 7).alias("sensitive"),
+    )
+    return k_anonymity_audit(
+        staged, ["source", "lang", "size_bucket"], "sensitive"
+    )

@@ -80,8 +80,17 @@ def learn_bpe_from_counts(
         new = a + b
         for wid in sorted(pair_words.get(best, ())):
             syms, freq = vocab[wid]
+            # occurrence-counted removal: a pair repeated m times WITHIN
+            # one word (e.g. '000' → ('0','0') twice) must subtract
+            # freq·m once, not walk occurrence-by-occurrence — the walk
+            # deletes the bookkeeping entry at count 0 and then revisits
+            # it (KeyError; hypothesis-found). Non-crashing inputs are
+            # arithmetically identical, so pinned oracle merges hold.
+            occ: dict[tuple[str, str], int] = {}
             for p in zip(syms, syms[1:]):
-                c = pair_counts[p] - freq
+                occ[p] = occ.get(p, 0) + 1
+            for p, m in occ.items():
+                c = pair_counts[p] - freq * m
                 if c > 0:
                     pair_counts[p] = c
                 else:

@@ -3420,3 +3420,87 @@ def language_mix(
         )
         .orderBy("group")
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    ks: tuple[int, ...] = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier columns
+    (Sweeney 2002; Machanavajjhala et al. 2007) — the re-identification
+    read a training-data release needs: a row whose quasi-identifier
+    combination is shared by fewer than k rows is linkable, and a
+    class whose sensitive values are uniform leaks even when k holds.
+    NULLs count as ordinary values (a NULL pattern is itself
+    identifying).
+
+    One summary row::
+
+        n_rows, n_classes, min_class_size: bigint
+        share_below_k{k}: double (6 dp) per requested k — fraction of
+            ROWS in classes smaller than k (0 = k-anonymous)
+        min_l_diversity: bigint   -- min distinct sensitive values per
+            class (NULL when no sensitive_col)
+        mean_l_diversity: double (6 dp; NULL when no sensitive_col)
+
+    Scale shape: ONE map-side-combined groupBy to the equivalence-
+    class grain (quasi columns; + count distinct sensitive inside the
+    same aggregate), then a single grain-level reduce. The class count
+    is the privacy-utility dial: more quasi columns → smaller classes
+    → worse shares; this reports, the release decision is the
+    caller's. soda-core analogue: none — the compliance layer above
+    duplicate/missing checks."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(
+                F.coalesce(
+                    F.col(sensitive_col).cast("string"), F.lit("<null>")
+                )
+            ).cast("long").alias("__l")
+        )
+    classes = df.groupBy(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(c)
+            for c in quasi_cols
+        ]
+    ).agg(*aggs)
+    out_aggs = [
+        F.coalesce(F.sum("__size"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__size").cast("long").alias("min_class_size"),
+    ]
+    for k in ks:
+        out_aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("__size") < int(k), F.col("__size"))),
+                F.lit(0),
+            ).cast("long").alias(f"__below_{k}")
+        )
+    if sensitive_col is not None:
+        out_aggs.append(F.min("__l").cast("long").alias("min_l_diversity"))
+        out_aggs.append(F.round(F.avg("__l"), 6).alias("mean_l_diversity"))
+    summary = classes.agg(*out_aggs)
+    shares = [
+        F.round(
+            F.when(
+                F.col("n_rows") > 0,
+                F.col(f"__below_{k}") / F.col("n_rows").cast("double"),
+            ),
+            6,
+        ).alias(f"share_below_k{k}")
+        for k in ks
+    ]
+    cols = ["n_rows", "n_classes", "min_class_size", *shares]
+    if sensitive_col is not None:
+        cols += ["min_l_diversity", "mean_l_diversity"]
+    else:
+        cols += [
+            F.lit(None).cast("long").alias("min_l_diversity"),
+            F.lit(None).cast("double").alias("mean_l_diversity"),
+        ]
+    return summary.select(*cols)

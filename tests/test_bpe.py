@@ -154,3 +154,18 @@ def test_hypothesis_trainer_parity_and_roundtrip():
         )
 
     inner()
+
+
+def test_repeated_pair_within_word_regression():
+    """hypothesis-found: a pair occurring twice inside ONE word ('000')
+    crashed the incremental removal with KeyError when its count hit
+    zero mid-walk. Occurrence-counted removal fixes it; the merge
+    sequence is the obvious one."""
+    from soda_core_spark.functions.bpe import learn_bpe_from_counts
+
+    merges = learn_bpe_from_counts([("000", 1)], 3)
+    assert merges[0] == ("0", "0")
+    assert len(merges) >= 2
+    # and longer runs / mixed tables stay stable
+    m2 = learn_bpe_from_counts([("0000", 2), ("00", 5), ("ab", 1)], 5)
+    assert m2[0] == ("0", "0")

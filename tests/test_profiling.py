@@ -1335,3 +1335,38 @@ def test_language_mix_tiebreak_deterministic_across_partitioning(spark):
         spark.createDataFrame(rows, ["source", "lang"]).repartition(7)
     ).collect()
     assert a == b and a[0].top_lang == "aa"
+
+
+# -- k_anonymity_audit -------------------------------------------------------------
+
+
+def test_k_anonymity_hand_values(spark):
+    from soda_core_spark.operators.profiling import k_anonymity_audit
+
+    # classes: (a,x) size 4, (a,y) size 1, (b,x) size 2
+    rows = [("a", "x", i % 2) for i in range(4)] + [
+        ("a", "y", 0), ("b", "x", 1), ("b", "x", 1),
+    ]
+    df = spark.createDataFrame(rows, ["q1", "q2", "s"])
+    r = k_anonymity_audit(df, ["q1", "q2"], "s", ks=(2, 5)).collect()[0]
+    assert r.n_rows == 7 and r.n_classes == 3 and r.min_class_size == 1
+    assert r.share_below_k2 == pytest.approx(1 / 7)
+    assert r.share_below_k5 == pytest.approx(3 / 7)  # sizes 1 and 2
+    assert r.min_l_diversity == 1  # (a,y) and (b,x) have one value
+    assert r.mean_l_diversity == pytest.approx((2 + 1 + 1) / 3, abs=1e-6)
+
+
+def test_k_anonymity_nulls_are_values_and_no_sensitive(spark):
+    import pytest as _pytest
+
+    from soda_core_spark.operators.profiling import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("x", 3)], "q string, v long"
+    )
+    r = k_anonymity_audit(df, ["q"]).collect()[0]
+    assert r.n_classes == 2  # NULL forms its own class of size 2
+    assert r.min_class_size == 1
+    assert r.min_l_diversity is None and r.mean_l_diversity is None
+    with _pytest.raises(ValueError):
+        k_anonymity_audit(df, [])
