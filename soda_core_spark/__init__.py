@@ -248,3 +248,4 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
     signal_drift_panel,
 )
 from soda_core_spark.operators.profiling import language_mix  # noqa: F401
+from soda_core_spark.operators.profiling import k_anonymity_audit  # noqa: F401

@@ -1351,7 +1351,7 @@ def test_k_anonymity_hand_values(spark):
     r = k_anonymity_audit(df, ["q1", "q2"], "s", ks=(2, 5)).collect()[0]
     assert r.n_rows == 7 and r.n_classes == 3 and r.min_class_size == 1
     assert r.share_below_k2 == pytest.approx(1 / 7)
-    assert r.share_below_k5 == pytest.approx(3 / 7)  # sizes 1 and 2
+    assert r.share_below_k5 == 1.0  # every class (4, 1, 2) is below 5
     assert r.min_l_diversity == 1  # (a,y) and (b,x) have one value
     assert r.mean_l_diversity == pytest.approx((2 + 1 + 1) / 3, abs=1e-6)
 
