@@ -10828,3 +10828,64 @@ def q193(spark, sf_dir):
     return k_anonymity_audit(
         staged, ["source", "lang", "size_bucket"], "sensitive"
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil's uncertainty coefficient (operators/profiling.py
+# uncertainty_coefficient)
+# ---------------------------------------------------------------------------
+
+_Q194_SQL = """
+WITH grain AS (
+  SELECT coalesce(source::VARCHAR, '<null>') AS a,
+         coalesce(lang::VARCHAR, '<null>') AS b,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS nt FROM grain),
+ha AS (
+  SELECT coalesce(sum(-(m::DOUBLE / t.nt) * ln(m::DOUBLE / t.nt)), 0.0)
+           AS ha
+  FROM (SELECT a, sum(n)::BIGINT AS m FROM grain GROUP BY 1)
+  CROSS JOIN tot t
+),
+hb AS (
+  SELECT coalesce(sum(-(m::DOUBLE / t.nt) * ln(m::DOUBLE / t.nt)), 0.0)
+           AS hb
+  FROM (SELECT b, sum(n)::BIGINT AS m FROM grain GROUP BY 1)
+  CROSS JOIN tot t
+),
+hab AS (
+  SELECT coalesce(sum(-(n::DOUBLE / t.nt) * ln(n::DOUBLE / t.nt)), 0.0)
+           AS hab
+  FROM grain CROSS JOIN tot t
+),
+counts AS (
+  SELECT count(DISTINCT a)::BIGINT AS n_a,
+         count(DISTINCT b)::BIGINT AS n_b FROM grain
+)
+SELECT 'source' AS col_a, 'lang' AS col_b, t.nt AS n, c.n_a, c.n_b,
+       round(ha.ha, 6) AS h_a,
+       round(hb.hb, 6) AS h_b,
+       round(CASE WHEN hb.hb > 0
+             THEN (ha.ha + hb.hb - hab.hab) / hb.hb END, 6)
+         AS u_b_given_a,
+       round(CASE WHEN ha.ha > 0
+             THEN (ha.ha + hb.hb - hab.hab) / ha.ha END, 6)
+         AS u_a_given_b
+FROM tot t CROSS JOIN counts c CROSS JOIN ha CROSS JOIN hb CROSS JOIN hab
+"""
+
+
+@register("q194_uncertainty_coefficient", _Q194_SQL)
+def q194(spark, sf_dir):
+    """Theil's U between source and lang (operators/profiling.py
+    uncertainty_coefficient): how much of the language's uncertainty
+    does knowing the source remove, and in WHICH direction the
+    dependency runs — the graded, asymmetric companion to q170's
+    binary FD verdict. One contingency groupBy; everything after is
+    grain-level."""
+    from soda_core_spark.operators.profiling import uncertainty_coefficient
+
+    d = _t(spark, sf_dir, "documents")
+    return uncertainty_coefficient(d, "source", "lang")

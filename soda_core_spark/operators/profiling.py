@@ -3504,3 +3504,84 @@ def k_anonymity_audit(
             F.lit(None).cast("double").alias("mean_l_diversity"),
         ]
     return summary.select(*cols)
+
+
+def uncertainty_coefficient(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Theil's uncertainty coefficient U between two categorical
+    columns, BOTH directions — the graded, asymmetric version of the
+    functional-dependency audit: U(B|A) = (H(B) - H(B|A)) / H(B) is
+    the fraction of B's uncertainty that knowing A removes (1 = A
+    determines B, 0 = independent), and U(A|B) ≠ U(B|A) tells you
+    WHICH WAY the dependency runs — the question φ/Cramér's V cannot
+    answer and `functional_dependency_audit`'s binary verdict only
+    bounds.
+
+    One row::
+
+        col_a, col_b: string, n: bigint
+        n_a, n_b: bigint            -- distinct values (NULL folded to
+                                       '<null>' — a value, not a drop)
+        h_a, h_b: double (6 dp)     -- marginal entropies (nats)
+        u_b_given_a: double (6 dp)  -- NULL when H(B) = 0
+        u_a_given_b: double (6 dp)  -- NULL when H(A) = 0
+
+    Scale shape: ONE map-side-combined groupBy to the (a, b)
+    contingency grain; marginals re-aggregate from that grain; every
+    entropy is a grain-level sum. Mutual information is computed once
+    (I = H(A) + H(B) - H(A,B)) and reused for both directions."""
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("<null>"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("<null>"))
+    grain = df.groupBy(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    tot = grain.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n")
+    )
+
+    def entropy(keyed, name):
+        return (
+            keyed.crossJoin(F.broadcast(tot))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        -(F.col("__m") / F.col("n").cast("double"))
+                        * F.log(F.col("__m") / F.col("n").cast("double"))
+                    ),
+                    F.lit(0.0),
+                ).alias(name)
+            )
+        )
+
+    ha = entropy(
+        grain.groupBy("__a").agg(F.sum("__n").alias("__m")), "__ha"
+    )
+    hb = entropy(
+        grain.groupBy("__b").agg(F.sum("__n").alias("__m")), "__hb"
+    )
+    hab = entropy(grain.select(F.col("__n").alias("__m")), "__hab")
+    counts = grain.agg(
+        F.countDistinct("__a").cast("long").alias("n_a"),
+        F.countDistinct("__b").cast("long").alias("n_b"),
+    )
+    j = (
+        tot.crossJoin(counts)
+        .crossJoin(ha)
+        .crossJoin(hb)
+        .crossJoin(hab)
+    )
+    mi = F.col("__ha") + F.col("__hb") - F.col("__hab")
+    return j.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        "n",
+        "n_a",
+        "n_b",
+        F.round("__ha", 6).alias("h_a"),
+        F.round("__hb", 6).alias("h_b"),
+        F.round(F.when(F.col("__hb") > 0, mi / F.col("__hb")), 6)
+        .alias("u_b_given_a"),
+        F.round(F.when(F.col("__ha") > 0, mi / F.col("__ha")), 6)
+        .alias("u_a_given_b"),
+    )

@@ -1370,3 +1370,40 @@ def test_k_anonymity_nulls_are_values_and_no_sensitive(spark):
     assert r.min_l_diversity is None and r.mean_l_diversity is None
     with _pytest.raises(ValueError):
         k_anonymity_audit(df, [])
+
+
+# -- uncertainty_coefficient ---------------------------------------------------------
+
+
+def test_uncertainty_coefficient_determined_vs_independent(spark):
+    from soda_core_spark.operators.profiling import uncertainty_coefficient
+
+    # b = f(a): U(B|A) = 1; but a has 4 values over b's 2 -> U(A|B) < 1
+    det = spark.createDataFrame(
+        [(f"a{i % 4}", f"b{i % 2}") for i in range(80)], ["x", "y"]
+    )
+    r = uncertainty_coefficient(det, "x", "y").collect()[0]
+    assert r.u_b_given_a == pytest.approx(1.0, abs=1e-6)
+    assert r.u_a_given_b < 1.0
+    assert r.n_a == 4 and r.n_b == 2
+
+    # independent: block index vs parity
+    ind = spark.createDataFrame(
+        [(f"a{(i // 2) % 2}", f"b{i % 2}") for i in range(80)], ["x", "y"]
+    )
+    r2 = uncertainty_coefficient(ind, "x", "y").collect()[0]
+    assert r2.u_b_given_a == pytest.approx(0.0, abs=1e-6)
+    assert r2.u_a_given_b == pytest.approx(0.0, abs=1e-6)
+
+
+def test_uncertainty_coefficient_degenerate_and_nulls(spark):
+    from soda_core_spark.operators.profiling import uncertainty_coefficient
+
+    # constant b: H(B)=0 -> U(B|A) NULL; U(A|B)=0 (MI=0)
+    df = spark.createDataFrame(
+        [("p", "k"), ("q", "k"), (None, "k")], "x string, y string"
+    )
+    r = uncertainty_coefficient(df, "x", "y").collect()[0]
+    assert r.h_b == 0.0 and r.u_b_given_a is None
+    assert r.u_a_given_b == pytest.approx(0.0, abs=1e-6)
+    assert r.n_a == 3  # NULL is a value
