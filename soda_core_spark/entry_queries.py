@@ -10889,3 +10889,123 @@ def q194(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return uncertainty_coefficient(d, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (operators/profiling.py pmi_collocations)
+# ---------------------------------------------------------------------------
+
+_Q195_SQL = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(
+           lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> '') AS l
+  FROM documents
+),
+uni AS (
+  SELECT tok, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(l) AS tok FROM toks) GROUP BY tok
+),
+nu AS (SELECT coalesce(sum(c1), 0)::BIGINT AS nu FROM uni),
+big AS (
+  SELECT a, b, count(*)::BIGINT AS c_ab
+  FROM (
+    SELECT l[i] AS a, l[i + 1] AS b
+    FROM (
+      SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+      FROM toks WHERE len(l) >= 2
+    )
+  ) GROUP BY a, b
+)
+SELECT big.a, big.b, big.c_ab,
+       ua.c1 AS c_a, ub.c1 AS c_b,
+       round(ln((big.c_ab::DOUBLE / nu.nu::DOUBLE)
+                / ((ua.c1::DOUBLE / nu.nu::DOUBLE)
+                   * (ub.c1::DOUBLE / nu.nu::DOUBLE))), 6) AS pmi,
+       round(CASE WHEN big.c_ab::DOUBLE / nu.nu::DOUBLE < 1.0
+             THEN ln((big.c_ab::DOUBLE / nu.nu::DOUBLE)
+                     / ((ua.c1::DOUBLE / nu.nu::DOUBLE)
+                        * (ub.c1::DOUBLE / nu.nu::DOUBLE)))
+                  / -ln(big.c_ab::DOUBLE / nu.nu::DOUBLE)
+             ELSE 1.0 END, 6) AS npmi
+FROM big
+JOIN uni ua ON big.a = ua.tok
+JOIN uni ub ON big.b = ub.tok
+CROSS JOIN nu
+WHERE big.c_ab >= 5
+ORDER BY pmi DESC, big.a, big.b
+LIMIT 20
+"""
+
+
+@register("q195_pmi_collocations", _Q195_SQL)
+def q195(spark, sf_dir):
+    """Top adjacent-token collocations by PMI + NPMI
+    (operators/profiling.py pmi_collocations): the cross-document
+    phrase/template discovery pass — multiword entities and templated
+    constructions the per-doc repetition audits (q51/q52) cannot see.
+    Two map-side-combined corpus groupBys; marginals join on the token
+    key; top-k is TakeOrderedAndProject."""
+    from soda_core_spark.operators.profiling import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, text_col="text", min_count=5, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Embedding participation ratio (functions/embeddings_qc.py
+# participation_ratio)
+# ---------------------------------------------------------------------------
+
+_Q196_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding,
+           x -> round(x::DOUBLE * 1000000.0, 0)::BIGINT) AS q
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+u AS (SELECT row_number() OVER () AS rid, q FROM e),
+ux AS (SELECT rid, i, q[i] AS x FROM u, range(1, 65) r(i)),
+s AS (SELECT i, sum(x)::BIGINT AS s FROM ux GROUP BY i),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x)::BIGINT AS pp
+  FROM ux a JOIN ux b ON a.rid = b.rid AND a.i <= b.i
+  GROUP BY 1, 2
+),
+n AS (SELECT count(*)::BIGINT AS n FROM e),
+c AS (
+  SELECT p.i, p.j,
+         (p.pp::DOUBLE - s1.s::DOUBLE * s2.s::DOUBLE / n.n::DOUBLE)
+           / n.n::DOUBLE AS c
+  FROM p JOIN s s1 ON p.i = s1.i JOIN s s2 ON p.j = s2.i CROSS JOIN n
+),
+tr AS (
+  SELECT sum(CASE WHEN i = j THEN c END) AS tr,
+         sum(CASE WHEN i = j THEN c * c ELSE 2.0 * c * c END) AS tr2
+  FROM c
+),
+allrows AS (SELECT count(*)::BIGINT AS total FROM embeddings)
+SELECT n.n AS n, 64 AS dim,
+       (allrows.total - n.n)::BIGINT AS n_degenerate,
+       round(tr.tr / 1000000000000.0, 6) AS tr_cov,
+       round(CASE WHEN tr.tr2 > 0 THEN tr.tr * tr.tr / tr.tr2 END, 6)
+         AS participation_ratio,
+       round(CASE WHEN tr.tr2 > 0
+             THEN tr.tr * tr.tr / tr.tr2 / 64.0 END, 6)
+         AS effective_rank_fraction
+FROM n CROSS JOIN tr CROSS JOIN allrows
+"""
+
+
+@register("q196_participation_ratio", _Q196_SQL)
+def q196(spark, sf_dir):
+    """Effective dimensionality (participation ratio) of the embedding
+    cloud (functions/embeddings_qc.py participation_ratio): (tr C)² /
+    tr(C²) without eigendecomposition — the quantitative form of the
+    anisotropy warning (q161). One Arrow-batched integer-Gram pass;
+    dim² reduce."""
+    from soda_core_spark.functions.embeddings_qc import (
+        participation_ratio,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return participation_ratio(e, vec_col="embedding", dim=64)

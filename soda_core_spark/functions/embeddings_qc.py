@@ -321,3 +321,152 @@ def embedding_anisotropy(
         "mean_norm",
         F.round(aniso, 6).alias("anisotropy"),
     )
+
+
+def participation_ratio(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Effective dimensionality of the embedding cloud: the
+    participation ratio PR = (tr C)² / tr(C²) of the covariance matrix
+    C (Gao et al. 2017; equals (Σλ)²/Σλ² over C's eigenvalues WITHOUT
+    computing any eigenvalue — both traces are plain sums over C's
+    entries since tr(C²) = ‖C‖²_F for symmetric C). An encoder that
+    "uses" all ``dim`` directions equally scores PR ≈ dim; a collapsed
+    one (anisotropy's failure mode made quantitative) concentrates
+    variance in a few directions and PR crashes — the single number to
+    watch before trusting SemDeDup clusters, PQ codebooks, or ANN
+    recall, because all of them assume the space has the rank it
+    claims.
+
+    One row::
+
+        n: bigint                     -- usable vectors (non-NULL, len == dim)
+        dim: int
+        n_degenerate: bigint          -- NULL / wrong-length rows, excluded
+        tr_cov: double (6 dp)         -- total variance, raw units
+        participation_ratio: double (6 dp)   -- NULL when n == 0 or C == 0
+        effective_rank_fraction: double (6 dp)  -- PR / dim
+
+    Determinism contract (the anisotropy/q114 discipline): components
+    quantize to ``round(x·scale)`` BIGINT in column algebra (Spark
+    F.round == oracle round, proven parity), so the moment sums
+    S_i = Σq_i and P_ij = Σ q_i·q_j are EXACT integer aggregates immune
+    to summation order; C_ij = (P_ij − S_i·S_j/n)/n is then a fixed
+    IEEE-double formula both engines evaluate identically, and the only
+    order-dependent float sums left are the two traces over ≤ dim²
+    doubles. tr_cov is reported in RAW units (trace / scale²): at
+    quantized magnitude (~variance·scale²) a double's ulp exceeds 6 dp
+    and the order-dependent trace noise becomes visible — measured as a
+    2e-4 absolute drift at sf0.1 — while in raw units the same relative
+    noise sits at 1e-16, invisible at 6 dp. The PR ratio cancels the
+    scale² factor entirely.
+
+    Scale shape: ONE corpus pass — an Arrow-batched ``mapInPandas``
+    computes each batch's integer Gram partials with a vectorized
+    ``Xᵀ·X`` (no per-row Python, no dim²-literal plan blowup, no n×dim²
+    explode), emitting dim·(dim+1)/2 packed rows per batch; a map-side-
+    combined groupBy((i,j)) reduces partials to ONE dim² frame, and the
+    marginal S-vector joins back via two dim-row broadcasts. Int64
+    headroom: |q| ≤ scale·max|x|, so P_ij ≲ n·(scale·max|x|)² — at
+    10^12 rows drop ``scale`` to 10³ or shard the sum; documented, not
+    silent."""
+    import numpy as np
+    import pandas as pd
+
+    v = F.col(vec_col)
+    if dim is None:
+        dim = df.agg(F.max(F.size(v))).first()[0]
+        if dim is None:
+            dim = 0
+    d = int(dim)
+    ok = v.isNotNull() & (F.size(v) == d) if d else F.lit(False)
+    stats = df.agg(
+        F.coalesce(F.sum(F.when(ok, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n"),
+        F.lit(d).cast("int").alias("dim"),
+        F.coalesce(F.sum(F.when(ok, 0).otherwise(1)), F.lit(0))
+        .cast("long").alias("n_degenerate"),
+    )
+    if d == 0:
+        return stats.select(
+            "n", "dim", "n_degenerate",
+            F.lit(None).cast("double").alias("tr_cov"),
+            F.lit(None).cast("double").alias("participation_ratio"),
+            F.lit(None).cast("double").alias("effective_rank_fraction"),
+        )
+    qv = F.transform(
+        v, lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0)
+        .cast("long")
+    )
+    quant = df.where(ok).select(qv.alias("__q"))
+    iu, ju = np.triu_indices(d)
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(a, dtype=np.int64) for a in pdf["__q"]]
+            )
+            m = x.T @ x  # exact int64 Gram
+            s = x.sum(axis=0, dtype=np.int64)
+            out = pd.DataFrame(
+                {"i": iu.astype("int32"), "j": ju.astype("int32"),
+                 "pp": m[iu, ju],
+                 "si": np.where(iu == ju, s[iu], 0),
+                 "nn": np.int64(0)}
+            )
+            out.loc[(out["i"] == 0) & (out["j"] == 0), "nn"] = len(x)
+            yield out
+
+    parts = quant.mapInPandas(
+        gram_partials, schema="i int, j int, pp long, si long, nn long"
+    )
+    g = parts.groupBy("i", "j").agg(
+        F.sum("pp").alias("pp"),
+        F.sum("si").alias("si"),
+        F.sum("nn").alias("nn"),
+    )
+    nrow = g.agg(
+        F.coalesce(F.sum("nn"), F.lit(0)).cast("long").alias("__n")
+    )
+    svec = g.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("__k"), F.col("si").alias("__s")
+    )
+    sa = svec.select(F.col("__k").alias("i"), F.col("__s").alias("s_i"))
+    sb = svec.select(F.col("__k").alias("j"), F.col("__s").alias("s_j"))
+    nd = F.col("__n").cast("double")
+    # the cross-engine contract formula: both engines compute
+    # (P - S_i*S_j/n) / n on IEEE doubles in this exact order
+    c = (
+        F.col("pp").cast("double")
+        - F.col("s_i").cast("double") * F.col("s_j").cast("double") / nd
+    ) / nd
+    cov = (
+        g.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .crossJoin(F.broadcast(nrow))
+        .where(F.col("__n") > 0)
+        .select(
+            F.when(F.col("i") == F.col("j"), c).alias("__diag"),
+            F.when(F.col("i") == F.col("j"), c * c)
+            .otherwise(F.lit(2.0) * c * c).alias("__sq"),
+        )
+    )
+    tr = cov.agg(
+        F.sum("__diag").alias("__tr"), F.sum("__sq").alias("__tr2")
+    )
+    pr = F.when(
+        F.col("__tr2") > 0, F.col("__tr") * F.col("__tr") / F.col("__tr2")
+    )
+    return stats.crossJoin(tr).select(
+        "n", "dim", "n_degenerate",
+        F.round(F.col("__tr") / F.lit(float(scale) ** 2), 6)
+        .alias("tr_cov"),
+        F.round(pr, 6).alias("participation_ratio"),
+        F.round(pr / F.lit(float(d)), 6)
+        .alias("effective_rank_fraction"),
+    )

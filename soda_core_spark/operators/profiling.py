@@ -3585,3 +3585,97 @@ def uncertainty_coefficient(
         F.round(F.when(F.col("__ha") > 0, mi / F.col("__ha")), 6)
         .alias("u_a_given_b"),
     )
+
+
+def _ws_tokens(text_col: str):
+    """Shared whitespace tokenizer (the q135/q136 idiom): lowered,
+    split on [ \\t\\n\\r]+, empties dropped — matches the oracle's
+    ``list_filter(regexp_split_to_array(lower(...)), w -> w <> '')``."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                "[ \\t\\n\\r]+"),
+        lambda w: w != "",
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-token collocations by pointwise mutual
+    information (Church & Hanks 1990): word pairs that co-occur far
+    more than their marginal frequencies predict — multiword entities,
+    boilerplate phrases, and templated constructions surface first, so
+    this is both a phrase-discovery pass (tokenizer/vocab planning) and
+    a template detector the per-doc repetition audits (q51/q52) cannot
+    see because the repetition lives ACROSS documents.
+
+    PMI = ln( p(a,b) / (p(a)·p(b)) ) in the Church & Hanks convention:
+    ONE normalizer N = total token count for unigrams AND bigrams, so
+    p(a,b) = c(a,b)/N ≤ min(p(a), p(b)) and NPMI (Bouma 2009),
+    pmi / -ln p(a,b), is genuinely bounded in [-1, 1] (mixing a
+    bigram-slot normalizer with a token normalizer — the common
+    shortcut — silently breaks that bound). ``min_count`` floors the
+    bigram count (PMI is noise for rare pairs — a hapax bigram of two
+    hapax tokens gets the corpus-maximum score).
+
+    Returns ``(a, b, c_ab, c_a, c_b, pmi, npmi)`` — counts exact
+    BIGINTs, scores 6 dp — ordered by rounded PMI desc, then (a, b)
+    for a deterministic cut.
+
+    Scale shape: two corpus passes (unigram groupBy, bigram groupBy),
+    each ONE map-side-combined shuffle on the token/pair key; the
+    min_count filter bounds the survivor set BEFORE the two marginal
+    joins (shuffle joins on the token key — the unigram table is
+    corpus-vocabulary-sized, never broadcast); top-k is orderBy+limit
+    = TakeOrderedAndProject. No window, no crossJoin, no Python."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    base = df.select(_ws_tokens(text_col).alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    n_uni = uni.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("nu")
+    )
+    sz = F.size("__t")
+    pairs = F.zip_with(
+        F.slice(F.col("__t"), 1, sz - 1),
+        F.slice(F.col("__t"), 2, sz - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    big = (
+        base.where(sz >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c1").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c1").alias("c_b"))
+    j = (
+        big.where(F.col("c_ab") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+    )
+    # formula order is the cross-engine contract: both engines evaluate
+    # ln((c_ab/nu) / ((c_a/nu) * (c_b/nu))) on IEEE doubles
+    p_ab = F.col("c_ab").cast("double") / F.col("nu").cast("double")
+    p_a = F.col("c_a").cast("double") / F.col("nu").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("nu").cast("double")
+    pmi = F.log(p_ab / (p_a * p_b))
+    npmi = F.when(p_ab < 1.0, pmi / -F.log(p_ab)).otherwise(F.lit(1.0))
+    return (
+        j.select(
+            "a", "b", "c_ab", "c_a", "c_b",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(npmi, 6).alias("npmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(int(top_k))
+    )

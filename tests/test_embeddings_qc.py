@@ -148,3 +148,46 @@ def test_anisotropy_degenerate_rows_excluded(spark):
     )
     r2 = embedding_anisotropy(single).collect()[0]
     assert r2.n_vectors == 1 and r2.anisotropy is None
+
+
+# -- participation_ratio -------------------------------------------------------
+
+
+def test_participation_ratio_isotropic_and_collapsed(spark):
+    from soda_core_spark.functions.embeddings_qc import participation_ratio
+
+    schema = "embedding array<float>"
+    # isotropic 2-d: C = diag(0.5, 0.5) -> PR = 2, fraction 1
+    iso = spark.createDataFrame(
+        [([1.0, 0.0],), ([-1.0, 0.0],), ([0.0, 1.0],), ([0.0, -1.0],)],
+        schema,
+    )
+    r = participation_ratio(iso, dim=2).collect()[0]
+    assert r.n == 4 and r.dim == 2 and r.n_degenerate == 0
+    assert r.participation_ratio == pytest.approx(2.0, abs=1e-6)
+    assert r.effective_rank_fraction == pytest.approx(1.0, abs=1e-6)
+    # collapsed onto one axis: C = diag(1, 0) -> PR = 1, fraction 0.5
+    flat = spark.createDataFrame([([1.0, 0.0],), ([-1.0, 0.0],)], schema)
+    r2 = participation_ratio(flat, dim=2).collect()[0]
+    assert r2.participation_ratio == pytest.approx(1.0, abs=1e-6)
+    assert r2.effective_rank_fraction == pytest.approx(0.5, abs=1e-6)
+
+
+def test_participation_ratio_degenerate_rows_and_empty(spark):
+    from soda_core_spark.functions.embeddings_qc import participation_ratio
+
+    schema = "embedding array<float>"
+    df = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],), (None,), ([1.0, 2.0, 3.0],)],
+        schema,
+    )
+    r = participation_ratio(df, dim=2).collect()[0]
+    assert r.n == 2 and r.n_degenerate == 2
+    # constant cloud: C = 0 -> PR undefined (NULL), tr_cov = 0
+    const = spark.createDataFrame([([3.0, 3.0],), ([3.0, 3.0],)], schema)
+    r2 = participation_ratio(const, dim=2).collect()[0]
+    assert r2.tr_cov == 0.0 and r2.participation_ratio is None
+    # empty frame with inferred dim
+    empty = spark.createDataFrame([], schema)
+    r3 = participation_ratio(empty).collect()[0]
+    assert r3.n == 0 and r3.participation_ratio is None

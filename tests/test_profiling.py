@@ -1407,3 +1407,38 @@ def test_uncertainty_coefficient_degenerate_and_nulls(spark):
     assert r.h_b == 0.0 and r.u_b_given_a is None
     assert r.u_a_given_b == pytest.approx(0.0, abs=1e-6)
     assert r.n_a == 3  # NULL is a value
+
+
+# -- pmi_collocations ----------------------------------------------------------
+
+
+def test_pmi_collocations_ranks_true_pair_first(spark):
+    from soda_core_spark.operators.profiling import pmi_collocations
+
+    # "hong kong" always adjacent; "the" everywhere -> low PMI for
+    # the-pairs despite high counts
+    docs = [("hong kong the market the report",)] * 6 + [
+        ("the market the report the news",)
+    ] * 6
+    df = spark.createDataFrame(docs, ["text"])
+    rows = pmi_collocations(df, min_count=5, top_k=5).collect()
+    assert rows[0].a == "hong" and rows[0].b == "kong"
+    assert rows[0].c_ab == 6 and rows[0].c_a == 6 and rows[0].c_b == 6
+    assert rows[0].pmi > rows[-1].pmi
+    # NPMI bounded
+    assert all(-1.0 <= r.npmi <= 1.0 for r in rows)
+
+
+def test_pmi_collocations_min_count_and_saturated_npmi(spark):
+    from soda_core_spark.operators.profiling import pmi_collocations
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("x y",)], ["text"])
+    # the only bigram IS the whole distribution: p_ab = 1 -> npmi = 1
+    r = pmi_collocations(df, min_count=1, top_k=5).collect()
+    assert len(r) == 1 and r[0].npmi == 1.0
+    # min_count filters it out
+    assert pmi_collocations(df, min_count=2, top_k=5).count() == 0
+    with _pytest.raises(ValueError):
+        pmi_collocations(df, min_count=0)
