@@ -3,13 +3,30 @@ healthy host window, so the ratio between them cancels any residual
 host-regime factor (the primary evidence form in BENCH/BASELINE.md —
 mixing windows lets multiplicative hypervisor noise forge a ratio).
 
-Gates (same thresholds as r4_gated_retry.py): fresh-page probe >= 4 GB/s
-and CPU steal < 2% BEFORE level A, BETWEEN the levels, and AFTER level
-B; per-level timed-run spread max/min <= 1.3. Any failed gate rejects
-the whole pair and the loop waits for the next quiet window.
+Gates (same thresholds as r4_gated_retry.py): recycled-page probe >=
+4 GB/s and CPU steal < 2% BEFORE level A, BETWEEN the levels, and AFTER
+level B; per-level timed-run spread max/min <= 1.3. Any failed gate
+rejects the whole pair and the loop waits for the next quiet window.
+
+Two opt-in hardenings added after a round-5 pair passed every gate yet
+ran inside the degraded fresh-page-fault regime with a concurrent
+test-suite JVM (fresh 0.05 GB/s before; efficiency read 0.59 —
+rejected):
+
+* ``--min-fresh G`` additionally gates on the TRULY-fresh-page probe
+  (never-mapped pages), the only probe that sees the degraded
+  fault-servicing mode; recycled-page reads healthy inside it.
+* ``--require-quiet`` refuses to open a window while any OTHER java or
+  pytest process is alive (concurrent JVMs contaminate both levels).
+
+While a window is open the script holds ``/tmp/scaling_pair_active`` as
+a lockfile so interactive sessions can avoid launching Spark work over
+a live measurement; it is removed when the pair finishes or is
+rejected.
 
 Usage: python scripts/paired_scaling_session.py LEVEL_A LEVEL_B \
           [--n-docs N] [--out OUT.json] [--max-hours H]
+          [--min-fresh GBPS] [--require-quiet]
 """
 
 from __future__ import annotations
@@ -79,6 +96,47 @@ def healthy() -> tuple[bool, float, float, float]:
     return (g >= MIN_GBPS and s <= MAX_STEAL_PCT), g, s, fp
 
 
+LOCK = "/tmp/scaling_pair_active"
+
+
+def other_jvms() -> list[str]:
+    """Command lines of OTHER java/pytest processes (not our children).
+    Children of this process tree are found via /proc ppid chains."""
+    import glob
+
+    me = os.getpid()
+    mine = {me}
+    # collect descendants so our own spark-submit JVMs don't trip the gate
+    parents = {}
+    for sd in glob.glob("/proc/[0-9]*"):
+        try:
+            pid = int(os.path.basename(sd))
+            with open(f"{sd}/stat") as f:
+                parts = f.read().split()
+            parents[pid] = int(parts[3])
+        except (OSError, ValueError, IndexError):
+            continue
+    changed = True
+    while changed:
+        changed = False
+        for pid, ppid in parents.items():
+            if pid not in mine and ppid in mine:
+                mine.add(pid); changed = True
+    hits = []
+    for pid in parents:
+        if pid in mine:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(
+                    "utf-8", "replace")
+        except OSError:
+            continue
+        if "java" in cmd or "pytest" in cmd:
+            hits.append(f"{pid}: {cmd[:120]}")
+    return hits
+
+
 def run_level(level: str, n_docs: int) -> dict | None:
     r = subprocess.run(
         [sys.executable, "scripts/scaling_bench.py", str(n_docs),
@@ -98,9 +156,17 @@ def run_level(level: str, n_docs: int) -> dict | None:
     return res
 
 
+def _unlock() -> None:
+    try:
+        os.remove(LOCK)
+    except OSError:
+        pass
+
+
 def main() -> int:
     args = sys.argv[1:]
     n_docs, out_path, max_hours = 1_600_000, "/tmp/sb_pair_final.json", 2.0
+    min_fresh, require_quiet = 0.0, False
     pos = []
     i = 0
     while i < len(args):
@@ -110,6 +176,10 @@ def main() -> int:
             out_path = args[i + 1]; i += 2
         elif args[i] == "--max-hours":
             max_hours = float(args[i + 1]); i += 2
+        elif args[i] == "--min-fresh":
+            min_fresh = float(args[i + 1]); i += 2
+        elif args[i] == "--require-quiet":
+            require_quiet = True; i += 1
         else:
             pos.append(args[i]); i += 1
     if len(pos) != 2:
@@ -118,25 +188,36 @@ def main() -> int:
     t0 = time.monotonic()
     while time.monotonic() - t0 < max_hours * 3600:
         ok0, g0, s0, f0 = healthy()
+        if f0 < min_fresh:
+            ok0 = False
+        jv = other_jvms() if require_quiet else []
+        if jv:
+            ok0 = False
         if not ok0:
-            print(f"wait: probe {g0} steal {s0} fresh {f0}", flush=True)
+            print(f"wait: probe {g0} steal {s0} fresh {f0} "
+                  f"jvms {len(jv)}", flush=True)
             time.sleep(SLEEP_UNHEALTHY)
             continue
+        open(LOCK, "w").write(str(os.getpid()))
         print(f"window open (probe {g0}, steal {s0}, fresh {f0}): "
               f"{a} then {b}", flush=True)
         ra = run_level(a, n_docs)
         ok1, g1, s1, f1 = healthy()
+        ok1 = ok1 and f1 >= min_fresh
         if ra is None or not ra["spread_ok"] or not ok1:
             print(f"pair rejected after {a} "
-                  f"(mid probe {g1}, steal {s1}, "
+                  f"(mid probe {g1}, steal {s1}, fresh {f1}, "
                   f"spread_ok={ra and ra['spread_ok']})", flush=True)
+            _unlock()
             continue
         rb = run_level(b, n_docs)
         ok2, g2, s2, f2 = healthy()
+        ok2 = ok2 and f2 >= min_fresh
         if rb is None or not rb["spread_ok"] or not ok2:
             print(f"pair rejected after {b} "
-                  f"(end probe {g2}, steal {s2}, "
+                  f"(end probe {g2}, steal {s2}, fresh {f2}, "
                   f"spread_ok={rb and rb['spread_ok']})", flush=True)
+            _unlock()
             continue
         out = {
             a: ra, b: rb,
@@ -147,6 +228,7 @@ def main() -> int:
         }
         json.dump(out, open(out_path, "w"), indent=1)
         print("PAIR " + json.dumps(out), flush=True)
+        _unlock()
         return 0
     print("no healthy window found in budget", flush=True)
     return 1
