@@ -11009,3 +11009,115 @@ def q196(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return participation_ratio(e, vec_col="embedding", dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Template-start detection (operators/profiling.py template_starts)
+# ---------------------------------------------------------------------------
+
+_Q197_SQL = """
+WITH base AS (
+  SELECT source AS g,
+         list_filter(regexp_split_to_array(
+           lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> '') AS l
+  FROM documents
+),
+fb AS (
+  SELECT g, l[1] || ' ' || l[2] AS fb FROM base WHERE len(l) >= 2
+),
+grain AS (SELECT g, fb, count(*)::BIGINT AS c FROM fb GROUP BY 1, 2),
+tot AS (
+  SELECT g, sum(c)::BIGINT AS n_docs, count(*)::BIGINT AS n_starts
+  FROM grain GROUP BY g
+),
+ent AS (
+  SELECT grain.g,
+         coalesce(sum(-(c::DOUBLE / t.n_docs)
+                      * ln(c::DOUBLE / t.n_docs)), 0.0) AS h
+  FROM grain JOIN tot t ON grain.g = t.g GROUP BY grain.g
+),
+modal AS (
+  SELECT g, fb AS modal_start, c AS mc FROM (
+    SELECT g, fb, c,
+           row_number() OVER (PARTITION BY g ORDER BY c DESC, fb) AS rn
+    FROM grain
+  ) WHERE rn = 1
+)
+SELECT t.g AS source, t.n_docs, t.n_starts, m.modal_start,
+       round(m.mc::DOUBLE / t.n_docs::DOUBLE, 6) AS modal_share,
+       round(e.h, 6) AS start_entropy
+FROM tot t JOIN modal m ON t.g = m.g JOIN ent e ON t.g = e.g
+ORDER BY source
+"""
+
+
+@register("q197_template_starts", _Q197_SQL)
+def q197(spark, sf_dir):
+    """Opening-bigram concentration per source (operators/profiling.py
+    template_starts): feeds and templated sites open every page the
+    same way — modal first-bigram share and start entropy catch what
+    per-doc repetition and paragraph dedup miss when the shared prefix
+    is shorter than their grain. One (group, start) groupBy; all else
+    grain-level."""
+    from soda_core_spark.operators.profiling import template_starts
+
+    d = _t(spark, sf_dir, "documents")
+    return template_starts(d, text_col="text", group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy (operators/profiling.py bigram_cond_entropy)
+# ---------------------------------------------------------------------------
+
+_Q198_SQL = """
+WITH base AS (
+  SELECT source AS g,
+         list_filter(regexp_split_to_array(
+           lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT g, l[i] AS a, l[i + 1] AS b
+  FROM (
+    SELECT g, l, unnest(generate_series(1, len(l) - 1)) AS i
+    FROM base WHERE len(l) >= 2
+  )
+),
+grain AS (
+  SELECT g, a, b, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2, 3
+),
+tot AS (SELECT g, sum(c)::BIGINT AS n FROM grain GROUP BY g),
+hp AS (
+  SELECT grain.g,
+         coalesce(sum(-(c::DOUBLE / t.n) * ln(c::DOUBLE / t.n)), 0.0)
+           AS h
+  FROM grain JOIN tot t ON grain.g = t.g GROUP BY grain.g
+),
+hf AS (
+  SELECT q.g,
+         coalesce(sum(-(m::DOUBLE / t.n) * ln(m::DOUBLE / t.n)), 0.0)
+           AS h
+  FROM (SELECT g, a, sum(c)::BIGINT AS m FROM grain GROUP BY g, a) q
+  JOIN tot t ON q.g = t.g GROUP BY q.g
+)
+SELECT t.g AS source, t.n AS n_bigrams,
+       round(hp.h, 6) AS h_pair, round(hf.h, 6) AS h_first,
+       round(hp.h - hf.h, 6) AS h_cond,
+       round(exp(hp.h - hf.h), 6) AS ppl_bigram
+FROM tot t JOIN hp ON t.g = hp.g JOIN hf ON t.g = hf.g
+ORDER BY source
+"""
+
+
+@register("q198_bigram_cond_entropy", _Q198_SQL)
+def q198(spark, sf_dir):
+    """Token-chain predictability per source (operators/profiling.py
+    bigram_cond_entropy): H(next|current) of the adjacent-bigram
+    distribution and its perplexity — the corpus-level repetitiveness
+    number (per-doc repetition is q51/q52; q195 names the pairs, this
+    says how deterministic the whole source's next-token process is).
+    One (group, a, b) groupBy; marginals re-aggregate from the grain."""
+    from soda_core_spark.operators.profiling import bigram_cond_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_cond_entropy(d, text_col="text", group_col="source")

@@ -3679,3 +3679,171 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(int(top_k))
     )
+
+
+def template_starts(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Boilerplate-START detection per group: how concentrated is the
+    distribution of each source's opening bigram? Feeds and templated
+    sites open every page with the same construction ("breaking news
+    ...", "cookie notice ..."), so a source whose modal first-bigram
+    share spikes — or whose start entropy crashes — is serving
+    templates, not prose; the per-doc repetition audits (q51/q52) and
+    cross-doc paragraph dedup (q99) both miss it when the shared prefix
+    is shorter than their n-gram/paragraph grain.
+
+    Per group::
+
+        <group_col>: as input
+        n_docs: bigint          -- docs with >= 2 tokens (a start exists)
+        n_starts: bigint        -- distinct opening bigrams
+        modal_start: string     -- "a b"; ties -> lexicographically least
+        modal_share: double (6 dp)
+        start_entropy: double (6 dp)   -- nats over the start distribution
+
+    Scale shape: one projection to (group, first-bigram) — array index,
+    no explode — then ONE map-side-combined groupBy to the (group,
+    start) grain; everything after (modal pick via a row_number window,
+    entropy fold) runs on that grain, bounded by distinct starts per
+    group, never corpus rows."""
+    toks = _ws_tokens(text_col)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.when(
+            F.size(toks) >= 2,
+            F.concat_ws(" ", toks[0], toks[1]),
+        ).alias("__fb"),
+    ).where(F.col("__fb").isNotNull())
+    grain = base.groupBy("g", "__fb").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("__fb"))
+    ranked = grain.withColumn("__rn", F.row_number().over(w))
+    tot = grain.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_starts"),
+    )
+    ent = (
+        grain.join(tot.select("g", "n_docs"), "g")
+        .groupBy("g")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    -(F.col("c") / F.col("n_docs").cast("double"))
+                    * F.log(F.col("c") / F.col("n_docs").cast("double"))
+                ),
+                F.lit(0.0),
+            ).alias("__h")
+        )
+    )
+    modal = ranked.where(F.col("__rn") == 1).select(
+        "g",
+        F.col("__fb").alias("modal_start"),
+        F.col("c").alias("__mc"),
+    )
+    return (
+        tot.join(modal, "g")
+        .join(ent, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_starts",
+            "modal_start",
+            F.round(
+                F.col("__mc").cast("double")
+                / F.col("n_docs").cast("double"), 6
+            ).alias("modal_share"),
+            F.round("__h", 6).alias("start_entropy"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def bigram_cond_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Token-chain predictability per group: the conditional entropy
+    H(next | current) = H(pair) − H(first) of each group's adjacent-
+    bigram distribution, and its exponential (the perplexity of the
+    group's own bigram MLE on itself). Prose sits high; templated,
+    generated, or heavily boilerplated text collapses — the CORPUS-
+    level repetitiveness signal, complementary to per-doc repetition
+    (q51/q52: one doc repeating itself) and PMI collocations (q195:
+    WHICH pairs bind): here one number says how deterministic the
+    whole source's next-token process is.
+
+    Per group::
+
+        <group_col>: as input
+        n_bigrams: bigint
+        h_pair, h_first: double (6 dp)      -- nats
+        h_cond: double (6 dp)               -- h_pair − h_first, >= 0
+        ppl_bigram: double (6 dp)           -- exp(h_cond)
+
+    Scale shape: ONE map-side-combined groupBy to the (group, a, b)
+    pair grain (zip_with adjacent pairing, no self-join); the first-
+    token marginal re-aggregates from that grain; both entropies are
+    grain-level folds. Groups with < 2 tokens per doc everywhere
+    simply have no bigrams and drop out."""
+    toks = _ws_tokens(text_col)
+    sz = F.size("__t")
+    pairs = F.zip_with(
+        F.slice(F.col("__t"), 1, sz - 1),
+        F.slice(F.col("__t"), 2, sz - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    grain = (
+        df.select(F.col(group_col).alias("g"), toks.alias("__t"))
+        .where(sz >= 2)
+        .select("g", F.explode(pairs).alias("__p"))
+        .groupBy("g", F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = grain.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_bigrams")
+    )
+
+    def h_over(keyed):
+        return (
+            keyed.join(tot, "g")
+            .groupBy("g")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        -(F.col("m") / F.col("n_bigrams").cast("double"))
+                        * F.log(
+                            F.col("m") / F.col("n_bigrams").cast("double")
+                        )
+                    ),
+                    F.lit(0.0),
+                ).alias("h")
+            )
+        )
+
+    h_pair = h_over(grain.select("g", F.col("c").alias("m"))).select(
+        "g", F.col("h").alias("__hp")
+    )
+    h_first = h_over(
+        grain.groupBy("g", "a").agg(F.sum("c").alias("m"))
+    ).select("g", F.col("h").alias("__hf"))
+    return (
+        tot.join(h_pair, "g")
+        .join(h_first, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_bigrams",
+            F.round("__hp", 6).alias("h_pair"),
+            F.round("__hf", 6).alias("h_first"),
+            F.round(F.col("__hp") - F.col("__hf"), 6).alias("h_cond"),
+            F.round(F.exp(F.col("__hp") - F.col("__hf")), 6)
+            .alias("ppl_bigram"),
+        )
+        .orderBy(group_col)
+    )

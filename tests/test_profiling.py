@@ -1442,3 +1442,60 @@ def test_pmi_collocations_min_count_and_saturated_npmi(spark):
     assert pmi_collocations(df, min_count=2, top_k=5).count() == 0
     with _pytest.raises(ValueError):
         pmi_collocations(df, min_count=0)
+
+
+# -- template_starts -----------------------------------------------------------
+
+
+def test_template_starts_modal_and_entropy(spark):
+    from soda_core_spark.operators.profiling import template_starts
+
+    df = spark.createDataFrame(
+        [("feed", "breaking news item one"),
+         ("feed", "breaking news item two"),
+         ("feed", "breaking news item three"),
+         ("feed", "other start here"),
+         ("blog", "alpha beta"),
+         ("blog", "gamma delta"),
+         ("blog", "x"),          # single token: no start, excluded
+         ("blog", None)],
+        ["source", "text"],
+    )
+    rows = {r.source: r for r in template_starts(df).collect()}
+    f = rows["feed"]
+    assert f.n_docs == 4 and f.n_starts == 2
+    assert f.modal_start == "breaking news"
+    assert f.modal_share == pytest.approx(0.75, abs=1e-6)
+    import math
+    expected_h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert f.start_entropy == pytest.approx(expected_h, abs=1e-6)
+    b = rows["blog"]
+    assert b.n_docs == 2 and b.n_starts == 2
+    # tie at c=1: lexicographically least start wins
+    assert b.modal_start == "alpha beta"
+    assert b.modal_share == pytest.approx(0.5, abs=1e-6)
+
+
+# -- bigram_cond_entropy ---------------------------------------------------------
+
+
+def test_bigram_cond_entropy_deterministic_vs_prose(spark):
+    from soda_core_spark.operators.profiling import bigram_cond_entropy
+
+    # fully deterministic chain: every token determines its successor
+    det = spark.createDataFrame(
+        [("tpl", "a b c a b c a b c")] * 3, ["source", "text"]
+    )
+    r = bigram_cond_entropy(det).collect()[0]
+    assert r.h_cond == pytest.approx(0.0, abs=1e-6)
+    assert r.ppl_bigram == pytest.approx(1.0, abs=1e-6)
+    assert r.n_bigrams == 24
+    # branching chain: "a" goes to b or c equally -> H(next|cur) > 0
+    br = spark.createDataFrame(
+        [("prose", "a b a c a b a c")], ["source", "text"]
+    )
+    r2 = bigram_cond_entropy(br).collect()[0]
+    assert r2.h_cond > 0.3
+    assert r2.ppl_bigram > 1.3
+    # h_cond = h_pair - h_first identity holds at rounding precision
+    assert r2.h_cond == pytest.approx(r2.h_pair - r2.h_first, abs=2e-6)
