@@ -11121,3 +11121,165 @@ def q198(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return bigram_cond_entropy(d, text_col="text", group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette (functions/embeddings_qc.py simplified_silhouette)
+# ---------------------------------------------------------------------------
+
+_Q199_SQL = """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS ord
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+cent AS (
+  SELECT label AS cl, ord, round(avg(x::DOUBLE), 12) AS c
+  FROM ex GROUP BY label, ord
+),
+dist AS (
+  SELECT e.vec_id, e.label AS own, c.cl,
+         sqrt(sum((e.x::DOUBLE - c.c) * (e.x::DOUBLE - c.c))) AS d
+  FROM ex e JOIN cent c ON e.ord = c.ord
+  GROUP BY e.vec_id, e.label, c.cl
+),
+per_row0 AS (
+  SELECT vec_id, own,
+         min(CASE WHEN cl = own THEN d END) AS a,
+         min(CASE WHEN cl <> own THEN d END) AS b
+  FROM dist GROUP BY vec_id, own
+),
+nearest AS (
+  SELECT vec_id, cl AS nl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cl) AS rn
+    FROM dist WHERE cl <> own
+  ) WHERE rn = 1
+),
+per_row AS (
+  SELECT p.vec_id, p.own, p.a, p.b, n.nl
+  FROM per_row0 p LEFT JOIN nearest n ON p.vec_id = n.vec_id
+),
+scored AS (
+  SELECT own,
+         CASE
+           WHEN b IS NOT NULL AND greatest(a, b) > 0
+             THEN round(round((b - a) / greatest(a, b), 6)
+                        * 1000000.0)::BIGINT
+           WHEN b IS NOT NULL THEN 0
+         END AS ic,
+         nl
+  FROM per_row
+),
+agg AS (
+  SELECT own, count(*)::BIGINT AS n_vecs,
+         count(ic)::BIGINT AS n_s,
+         sum(ic) AS sum_ic,
+         sum(CASE WHEN ic < 0 THEN 1 ELSE 0 END)::BIGINT AS neg
+  FROM scored GROUP BY own
+),
+modal AS (
+  SELECT own, nl AS nearest_label FROM (
+    SELECT own, nl, count(*) AS c,
+           row_number() OVER (PARTITION BY own
+                              ORDER BY count(*) DESC, nl) AS rn
+    FROM scored WHERE nl IS NOT NULL GROUP BY own, nl
+  ) WHERE rn = 1
+)
+SELECT agg.own AS label, agg.n_vecs,
+       round(agg.sum_ic::DOUBLE / agg.n_s::DOUBLE / 1000000.0, 6)
+         AS mean_silhouette,
+       round(agg.neg::DOUBLE / agg.n_vecs::DOUBLE, 6) AS p_negative,
+       modal.nearest_label
+FROM agg LEFT JOIN modal ON agg.own = modal.own
+ORDER BY label
+"""
+
+
+@register("q199_simplified_silhouette", _Q199_SQL)
+def q199(spark, sf_dir):
+    """Per-label simplified silhouette (functions/embeddings_qc.py
+    simplified_silhouette): (b − a)/max(a, b) against label centroids —
+    the one-number cluster-quality verdict combining within-coherence
+    (q114) and between-separation (q153), plus the modal nearest rival
+    label. Centroids broadcast; distances fold row-locally."""
+    from soda_core_spark.functions.embeddings_qc import (
+        simplified_silhouette,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return simplified_silhouette(e, vec_col="embedding",
+                                 label_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Head-vocabulary rank drift / RBO (operators/profiling.py vocab_rank_drift)
+# ---------------------------------------------------------------------------
+
+_Q200_SQL = """
+WITH grain AS (
+  SELECT (doc_id % 12)::INT AS day, tok, count(*)::BIGINT AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '[ \t\n\r]+'),
+             w -> w <> '')) AS tok
+    FROM documents
+  ) GROUP BY 1, 2
+),
+ranks AS (
+  SELECT day, tok, r FROM (
+    SELECT day, tok,
+           row_number() OVER (PARTITION BY day
+                              ORDER BY c DESC, tok) AS r
+    FROM grain
+  ) WHERE r <= 50
+),
+days AS (SELECT DISTINCT day FROM ranks),
+spine AS (
+  SELECT da.day AS day_a, db.day AS day_b
+  FROM days da JOIN days db ON da.day + 1 = db.day
+),
+matched AS (
+  SELECT a.day AS day_a, greatest(a.r, b.r) AS lo
+  FROM ranks a JOIN ranks b
+    ON a.tok = b.tok AND a.day + 1 = b.day
+),
+depth_grain AS (
+  SELECT day_a, unnest(generate_series(lo, 50)) AS d FROM matched
+),
+contrib AS (
+  SELECT day_a, sum(pow(0.9, d::DOUBLE - 1) / d::DOUBLE) AS s
+  FROM depth_grain GROUP BY day_a
+),
+ov AS (
+  SELECT day_a, count(*)::BIGINT AS overlap_k FROM matched GROUP BY day_a
+)
+SELECT spine.day_a, spine.day_b, 50 AS k,
+       coalesce(ov.overlap_k, 0)::BIGINT AS overlap_k,
+       round(coalesce(0.1 * contrib.s, 0.0), 6) AS rbo
+FROM spine
+LEFT JOIN ov ON spine.day_a = ov.day_a
+LEFT JOIN contrib ON spine.day_a = contrib.day_a
+ORDER BY spine.day_a
+"""
+
+
+@register("q200_vocab_rank_drift", _Q200_SQL)
+def q200(spark, sf_dir):
+    """Rank-biased overlap of consecutive days' top-50 token rankings
+    (operators/profiling.py vocab_rank_drift): the top-weighted drift
+    metric — PSI/KS and novelty counts stay flat when the HEAD
+    vocabulary merely reorders; RBO drops. Day = doc_id %% 12 (the q136
+    synthetic-day convention). One (day, token) groupBy; per-day top-k
+    via WindowGroupLimit; all else on days·k rows."""
+    from soda_core_spark.operators.profiling import vocab_rank_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_rank_drift(
+        d, text_col="text",
+        day_expr=(F.col("doc_id") % 12), top_k=50, p=0.9,
+    )

@@ -470,3 +470,144 @@ def participation_ratio(
         F.round(pr / F.lit(float(d)), 6)
         .alias("effective_rank_fraction"),
     )
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label simplified silhouette: for each vector, a = Euclidean
+    distance to its OWN label centroid, b = distance to the NEAREST
+    other centroid, s = (b − a) / max(a, b) ∈ [-1, 1]; the label's mean
+    s is its cluster quality in one number (≈1 compact & separated,
+    ≈0 touching its neighbor, <0 closer to another label's centroid
+    than its own — mislabeled or collapsed). The classical silhouette's
+    O(n²) pairwise distances are replaced by centroid distances
+    (Hruschka et al. 2004), which is what makes it computable at corpus
+    scale; it combines :func:`group_coherence` (within) and
+    :func:`centroid_separation` (between) into the per-label verdict
+    both halves only hint at.
+
+    Per label::
+
+        <label_col>: as input
+        n_vecs: bigint
+        mean_silhouette: double (6 dp)   -- NULL when no other label
+        p_negative: double (6 dp)        -- share of s < 0 rows
+        nearest_label: as input          -- modal nearest other label,
+                                            ties -> least label
+
+    Determinism contract: centroid components are avg rounded 12 dp
+    (the q114 pin); per-row s rounds to 6 dp then aggregates as the
+    EXACT integer round(s·10⁶) — the group_coherence discipline — so
+    the only cross-engine float risk is per-row folds over dim terms,
+    ulp-level under 6 dp rounding.
+
+    Scale shape: centroids via ONE posexplode → groupBy(label, dim)
+    partial agg (|labels|·dim tiny frame), rebuilt as arrays and
+    BROADCAST; each row crossJoins the |labels|-row centroid table and
+    folds its distance row-locally (zip_with + aggregate — no dims×rows
+    shuffle), then one groupBy(row) min-reduce and one groupBy(label)
+    integer-sum. Label cardinality must be bounded (taxonomy-sized,
+    dozens-to-thousands) — the n·|labels| intermediate is the cost
+    knob, exactly as in centroid_separation."""
+    g = F.col(label_col)
+    v = F.col(vec_col)
+    ok = v.isNotNull() & g.isNotNull()
+    ex = df.where(ok).select(
+        g.alias("__g"), F.posexplode(v).alias("__pos", "__x")
+    )
+    cent = (
+        ex.groupBy("__g", "__pos")
+        .agg(F.round(F.avg(F.col("__x").cast("double")), 12).alias("__c"))
+        .groupBy("__g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cent")
+        )
+        .select(F.col("__g").alias("__cl"), "__cent")
+    )
+    rows = df.where(ok).select(
+        F.monotonically_increasing_id().alias("__rid"),
+        g.alias("__own"),
+        v.alias("__v"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__v"), F.col("__cent"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = rows.crossJoin(F.broadcast(cent)).select(
+        "__rid", "__own", "__cl", F.sqrt(d2).alias("__d")
+    )
+    per_row = cand.groupBy("__rid", "__own").agg(
+        F.min(F.when(F.col("__cl") == F.col("__own"), F.col("__d")))
+        .alias("__a"),
+        F.min(F.when(F.col("__cl") != F.col("__own"), F.col("__d")))
+        .alias("__b"),
+        F.min_by(
+            F.when(F.col("__cl") != F.col("__own"), F.col("__cl")),
+            F.when(
+                F.col("__cl") != F.col("__own"),
+                F.struct(F.col("__d"), F.col("__cl")),
+            ),
+        ).alias("__nl"),
+    )
+    s = F.when(
+        F.col("__b").isNotNull()
+        & (F.greatest(F.col("__a"), F.col("__b")) > 0),
+        (F.col("__b") - F.col("__a"))
+        / F.greatest(F.col("__a"), F.col("__b")),
+    ).otherwise(
+        F.when(F.col("__b").isNotNull(), F.lit(0.0))
+    )
+    ic = F.round(F.round(s, 6) * F.lit(1000000.0)).cast("long")
+    per = per_row.select(
+        F.col("__own"), ic.alias("__ic"), F.col("__nl")
+    )
+    agg = per.groupBy("__own").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.count("__ic").cast("long").alias("__n_s"),
+        F.sum("__ic").alias("__sum_ic"),
+        F.sum(F.when(F.col("__ic") < 0, 1).otherwise(0)).cast("long")
+        .alias("__neg"),
+    )
+    # modal nearest label with (count desc, label asc) tiebreak — via
+    # an explicit grain, F.mode's tie choice is not contractual
+    nl_grain = per.where(F.col("__nl").isNotNull()).groupBy(
+        "__own", "__nl"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__own").orderBy(
+        F.col("__c").desc(), F.col("__nl")
+    )
+    modal = (
+        nl_grain.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__own", F.col("__nl").alias("nearest_label"))
+    )
+    return (
+        agg.join(modal, "__own", "left")
+        .select(
+            F.col("__own").alias(label_col),
+            "n_vecs",
+            F.round(
+                F.col("__sum_ic").cast("double")
+                / F.col("__n_s").cast("double") / F.lit(1000000.0),
+                6,
+            ).alias("mean_silhouette"),
+            F.round(
+                F.col("__neg").cast("double")
+                / F.col("n_vecs").cast("double"), 6
+            ).alias("p_negative"),
+            "nearest_label",
+        )
+        .orderBy(label_col)
+    )

@@ -3847,3 +3847,113 @@ def bigram_cond_entropy(
         )
         .orderBy(group_col)
     )
+
+
+def vocab_rank_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    day_col: str = "__day",
+    day_expr: Column | None = None,
+    top_k: int = 50,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    top-``top_k`` token RANKINGS of consecutive days — the top-weighted
+    drift metric the set-based diagnostics miss: PSI/KS (q78/q144)
+    compare distributions, vocabulary novelty (q136) counts NEW tokens,
+    but a corpus whose head vocabulary REORDERS (a topic surge, a crawl
+    source flip) keeps both of those flat while RBO drops, because RBO
+    weights agreement at rank 1 geometrically more than rank k.
+
+    Truncated RBO with persistence ``p``::
+
+        RBO@k = (1 − p) · Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d
+
+    computed on the equivalent per-match grain: a token at ranks
+    (ra, rb) contributes to every depth ≥ max(ra, rb). 1.0 = identical
+    rankings, 0 = disjoint heads.
+
+    Per consecutive day pair::
+
+        day_a, day_b: int
+        k: int
+        overlap_k: bigint       -- |A_k ∩ B_k|
+        rbo: double (6 dp)      -- 0.0 when the heads are disjoint
+
+    Ranking is deterministic: count desc, then token. Scale shape: ONE
+    (day, token) groupBy; per-day top-k via row_number ≤ k (Spark
+    rewrites to WindowGroupLimit — per-partition heaps, no full sort);
+    everything after runs on ≤ days·k rows (the match join, the
+    (match × depth) grain, one SUM). ``day_expr`` supplies the day when
+    the frame lacks ``day_col``."""
+    if not 0 < p < 1:
+        raise ValueError(f"p must be in (0,1), got {p}")
+    from pyspark.sql import Window
+
+    day = day_expr if day_expr is not None else F.col(day_col)
+    toks = F.explode(_ws_tokens(text_col)).alias("tok")
+    grain = (
+        df.select(day.cast("int").alias("day"), toks)
+        .groupBy("day", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("c").desc(), F.col("tok"))
+    ranks = (
+        grain.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= top_k)
+        .select("day", "tok", "r")
+    )
+    days = ranks.select("day").distinct()
+    spine = (
+        days.alias("da")
+        .join(
+            days.alias("db"),
+            F.col("da.day") + 1 == F.col("db.day"),
+        )
+        .select(
+            F.col("da.day").alias("day_a"), F.col("db.day").alias("day_b")
+        )
+    )
+    ra = ranks.select(
+        F.col("day").alias("day_a"), "tok", F.col("r").alias("ra")
+    )
+    rb = ranks.select(
+        (F.col("day") - 1).alias("day_a"), "tok", F.col("r").alias("rb")
+    )
+    matched = ra.join(rb, ["day_a", "tok"]).select(
+        "day_a", F.greatest("ra", "rb").alias("lo")
+    )
+    depth_grain = matched.select(
+        "day_a", F.explode(F.sequence(F.col("lo"), F.lit(top_k)))
+        .alias("d")
+    )
+    contrib = (
+        depth_grain.groupBy("day_a")
+        .agg(
+            F.sum(
+                F.pow(F.lit(float(p)), F.col("d").cast("double") - 1)
+                / F.col("d").cast("double")
+            ).alias("__s")
+        )
+    )
+    ov = matched.groupBy("day_a").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_k")
+    )
+    return (
+        spine.join(ov, "day_a", "left")
+        .join(contrib, "day_a", "left")
+        .select(
+            "day_a",
+            "day_b",
+            F.lit(int(top_k)).alias("k"),
+            F.coalesce(F.col("overlap_k"), F.lit(0)).cast("long")
+            .alias("overlap_k"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0 - float(p)) * F.col("__s"), F.lit(0.0)
+                ),
+                6,
+            ).alias("rbo"),
+        )
+        .orderBy("day_a")
+    )

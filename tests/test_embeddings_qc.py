@@ -191,3 +191,46 @@ def test_participation_ratio_degenerate_rows_and_empty(spark):
     empty = spark.createDataFrame([], schema)
     r3 = participation_ratio(empty).collect()[0]
     assert r3.n == 0 and r3.participation_ratio is None
+
+
+# -- simplified_silhouette -----------------------------------------------------
+
+
+def test_simplified_silhouette_separated_vs_mislabeled(spark):
+    from soda_core_spark.functions.embeddings_qc import (
+        simplified_silhouette,
+    )
+
+    schema = "embedding array<float>, label int"
+    # two tight, well-separated clusters -> silhouette near 1
+    good = spark.createDataFrame(
+        [([0.0, 0.1], 0), ([0.0, -0.1], 0),
+         ([10.0, 0.1], 1), ([10.0, -0.1], 1)],
+        schema,
+    )
+    rows = {r.label: r for r in simplified_silhouette(good).collect()}
+    assert rows[0].mean_silhouette > 0.9
+    assert rows[0].nearest_label == 1 and rows[1].nearest_label == 0
+    assert rows[0].p_negative == 0.0
+    # a point sitting in the OTHER cluster scores negative
+    bad = spark.createDataFrame(
+        [([0.0, 0.1], 0), ([0.0, -0.1], 0), ([10.0, 0.0], 0),
+         ([10.0, 0.1], 1), ([10.0, -0.1], 1)],
+        schema,
+    )
+    r0 = {r.label: r for r in simplified_silhouette(bad).collect()}[0]
+    assert r0.p_negative == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_simplified_silhouette_single_label_is_null(spark):
+    from soda_core_spark.functions.embeddings_qc import (
+        simplified_silhouette,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], 7), ([0.0, 1.0], 7), (None, 7)],
+        "embedding array<float>, label int",
+    )
+    r = simplified_silhouette(df).collect()[0]
+    assert r.n_vecs == 2  # NULL vector excluded
+    assert r.mean_silhouette is None and r.nearest_label is None

@@ -1499,3 +1499,46 @@ def test_bigram_cond_entropy_deterministic_vs_prose(spark):
     assert r2.ppl_bigram > 1.3
     # h_cond = h_pair - h_first identity holds at rounding precision
     assert r2.h_cond == pytest.approx(r2.h_pair - r2.h_first, abs=2e-6)
+
+
+# -- vocab_rank_drift ------------------------------------------------------------
+
+
+def test_vocab_rank_drift_identical_and_disjoint(spark):
+    from soda_core_spark.operators.profiling import vocab_rank_drift
+
+    import pytest as _pytest
+
+    # identical rankings day 0 -> 1: rbo == truncated-series max;
+    # disjoint day 1 -> 2: rbo == 0
+    df = spark.createDataFrame(
+        [(0, "alpha alpha beta"), (1, "alpha alpha beta"),
+         (2, "gamma gamma delta")],
+        ["day", "text"],
+    )
+    rows = vocab_rank_drift(
+        df, day_col="day", top_k=3, p=0.9
+    ).collect()
+    by = {r.day_a: r for r in rows}
+    # identical 2-token heads: X_1=1, X_2=2, X_3=2 (lists exhausted)
+    exp = 0.1 * (0.9**0 * 1 / 1 + 0.9**1 * 2 / 2 + 0.9**2 * 2 / 3)
+    assert by[0].overlap_k == 2
+    assert by[0].rbo == _pytest.approx(exp, abs=1e-6)
+    assert by[1].overlap_k == 0 and by[1].rbo == 0.0
+    with _pytest.raises(ValueError):
+        vocab_rank_drift(df, day_col="day", p=1.0)
+
+
+def test_vocab_rank_drift_reorder_drops_rbo(spark):
+    from soda_core_spark.operators.profiling import vocab_rank_drift
+
+    # same token SET both days, ranks 1 and 2 swapped: overlap stays
+    # maximal but rbo < identical-ranking value (the PSI-blind case)
+    df = spark.createDataFrame(
+        [(0, "x x x y y z"), (1, "y y y x x z")],
+        ["day", "text"],
+    )
+    r = vocab_rank_drift(df, day_col="day", top_k=3, p=0.9).collect()[0]
+    ident = 0.1 * (1 / 1 + 0.9 * 2 / 2 + 0.81 * 3 / 3)
+    assert r.overlap_k == 3
+    assert r.rbo < ident  # X_1 = 0 because rank 1 disagrees
