@@ -11283,3 +11283,60 @@ def q200(spark, sf_dir):
         d, text_col="text",
         day_expr=(F.col("doc_id") % 12), top_k=50, p=0.9,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization summary (operators/profiling.py sessionization_summary)
+# ---------------------------------------------------------------------------
+
+_Q201_SQL = """
+WITH base AS (
+  SELECT user_id AS u,
+         epoch_us(ts) AS us,
+         event_id AS id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+marked AS (
+  SELECT u, us, id,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+  WINDOW w AS (PARTITION BY u ORDER BY us, id)
+),
+sess AS (
+  SELECT u, us,
+         sum(new_s) OVER (PARTITION BY u ORDER BY us, id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+per_session AS (
+  SELECT u, sid, count(*)::BIGINT AS n,
+         (max(us) - min(us))::BIGINT AS dur_us
+  FROM sess GROUP BY u, sid
+)
+SELECT count(DISTINCT u)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_sessions,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS bounce_rate,
+       round(sum(n)::DOUBLE / count(*)::DOUBLE, 6) AS mean_events,
+       round(sum(dur_us)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+         AS mean_duration_s,
+       max(n)::BIGINT AS max_events
+FROM per_session
+"""
+
+
+@register("q201_sessionization", _Q201_SQL)
+def q201(spark, sf_dir):
+    """Inactivity-gap sessionization summary (operators/profiling.py
+    sessionization_summary): sessions cut at 30-min user gaps on exact
+    microsecond integers; bounce rate / events-per-session /
+    duration — the gap-structure health numbers per-event checks can't
+    see. ONE per-user window shuffle; aggregates map-side combine."""
+    from soda_core_spark.operators.profiling import (
+        sessionization_summary,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return sessionization_summary(e, gap_s=1800)

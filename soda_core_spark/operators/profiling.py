@@ -3957,3 +3957,91 @@ def vocab_rank_drift(
         )
         .orderBy("day_a")
     )
+
+
+def sessionization_summary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Inactivity-gap sessionization (the canonical clickstream cut:
+    a new session starts when a user's gap to their previous event
+    exceeds ``gap_s`` seconds) reduced to the corpus-health summary —
+    the numbers a crawl/telemetry contract thresholds on::
+
+        n_users: bigint
+        n_sessions: bigint
+        bounce_rate: double (6 dp)      -- share of 1-event sessions
+        mean_events: double (6 dp)      -- events per session
+        mean_duration_s: double (6 dp)  -- first-to-last, 0 for bounces
+        max_events: bigint
+
+    A collapsing bounce rate or exploding max_events is a bot cohort
+    or a broken session-id upstream; per-event checks can't see either
+    because both live in the GAP STRUCTURE between rows.
+
+    Determinism: events order by (ts, event_id) — the id breaks
+    timestamp ties; gaps compare exact MICROSECOND integers
+    (gap > gap_s·10⁶ strictly); durations aggregate as exact
+    microsecond sums and divide once at the end. NULL user/ts rows are
+    excluded (a session needs an owner and a clock).
+
+    Scale shape: ONE shuffle — the per-user window (partitionBy user,
+    orderBy ts, id) marking session starts; the running session index
+    is a second pass over the SAME partitioning (no new shuffle); the
+    per-session and corpus aggregates are map-side-combined groupBys.
+    This is the standard sessionize plan; skewed users (bots) are the
+    known hazard and show up in max_events first."""
+    from pyspark.sql import Window
+
+    u, t = F.col(user_col), F.col(ts_col)
+    base = df.where(u.isNotNull() & t.isNotNull()).select(
+        u.alias("__u"),
+        # cast handles TIMESTAMP_NTZ parquet columns; session TZ is
+        # pinned UTC so the cast is stable (the q174 idiom)
+        F.unix_micros(t.cast("timestamp")).alias("__us"),
+        F.col(id_col).alias("__id"),
+    )
+    w = Window.partitionBy("__u").orderBy("__us", "__id")
+    marked = base.withColumn(
+        "__new",
+        F.when(
+            F.lag("__us").over(w).isNull()
+            | (
+                F.col("__us") - F.lag("__us").over(w)
+                > F.lit(int(gap_s) * 1_000_000)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "__sid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sess.groupBy("__u", "__sid").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        (F.max("__us") - F.min("__us")).alias("__dur_us"),
+    )
+    return per_session.agg(
+        F.countDistinct("__u").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(
+            F.sum(F.when(F.col("__n") == 1, 1).otherwise(0))
+            .cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("__n").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_events"),
+        F.round(
+            F.sum("__dur_us").cast("double")
+            / F.count(F.lit(1)).cast("double") / F.lit(1000000.0),
+            6,
+        ).alias("mean_duration_s"),
+        F.max("__n").cast("long").alias("max_events"),
+    )

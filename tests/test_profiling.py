@@ -1542,3 +1542,49 @@ def test_vocab_rank_drift_reorder_drops_rbo(spark):
     ident = 0.1 * (1 / 1 + 0.9 * 2 / 2 + 0.81 * 3 / 3)
     assert r.overlap_k == 3
     assert r.rbo < ident  # X_1 = 0 because rank 1 disagrees
+
+
+# -- sessionization_summary ------------------------------------------------------
+
+
+def test_sessionization_gap_cut_and_bounce(spark):
+    from soda_core_spark.operators.profiling import sessionization_summary
+
+    from datetime import datetime as DT, timedelta as TD
+
+    def e(i, u, s):
+        return (i, u, DT(2024, 1, 1) + TD(seconds=s))
+
+    rows = [
+        # user 1: 3 events inside 30 min -> one session, duration 120 s
+        e(1, 1, 0), e(2, 1, 60), e(3, 1, 120),
+        # user 2: two events 1801 s apart -> two bounce sessions
+        (4, 2, DT(2024, 1, 1, 0, 0, 0)),
+        (5, 2, DT(2024, 1, 1, 0, 30, 1)),
+        # NULL user excluded
+        (6, None, DT(2024, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    r = sessionization_summary(df, gap_s=1800).collect()[0]
+    assert r.n_users == 2 and r.n_sessions == 3
+    assert r.bounce_rate == pytest.approx(2 / 3, abs=1e-6)
+    assert r.mean_events == pytest.approx(5 / 3, abs=1e-6)
+    assert r.mean_duration_s == pytest.approx(40.0, abs=1e-6)
+    assert r.max_events == 3
+
+
+def test_sessionization_exact_gap_is_same_session(spark):
+    from soda_core_spark.operators.profiling import sessionization_summary
+
+    from datetime import datetime as DT
+
+    # exactly gap_s apart: NOT a new session (strictly greater cuts)
+    df = spark.createDataFrame(
+        [(1, 1, DT(2024, 1, 1, 0, 0, 0)),
+         (2, 1, DT(2024, 1, 1, 0, 30, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    r = sessionization_summary(df, gap_s=1800).collect()[0]
+    assert r.n_sessions == 1 and r.max_events == 2
