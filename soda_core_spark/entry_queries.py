@@ -11340,3 +11340,141 @@ def q201(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return sessionization_summary(e, gap_s=1800)
+
+
+# ---------------------------------------------------------------------------
+# Source KL distinctiveness (operators/profiling.py
+# source_kl_distinctiveness)
+# ---------------------------------------------------------------------------
+
+_Q202_SQL = """
+WITH gt AS (
+  SELECT source AS g, tok, count(*)::BIGINT AS c
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(
+               lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> ''))
+             AS tok
+    FROM documents
+  ) GROUP BY source, tok
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, sum(c) AS tc FROM gt GROUP BY tok)
+  ORDER BY tc DESC, tok LIMIT 1000
+),
+folded AS (
+  SELECT g,
+         CASE WHEN v.tok IS NOT NULL THEN gt.tok ELSE '<oov>' END AS vt,
+         sum(c)::BIGINT AS c
+  FROM gt LEFT JOIN vocab v ON gt.tok = v.tok
+  GROUP BY 1, 2
+),
+cells AS (SELECT DISTINCT vt FROM folded),
+gtot AS (SELECT g, sum(c)::BIGINT AS n_g FROM folded GROUP BY g),
+ctot AS (SELECT vt, sum(c)::BIGINT AS cc FROM folded GROUP BY vt),
+n_all AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_all FROM folded),
+vsize AS (SELECT count(*)::BIGINT AS vv FROM cells),
+grid AS (
+  SELECT gtot.g, cells.vt, gtot.n_g,
+         coalesce(f.c, 0)::BIGINT AS cg, ctot.cc
+  FROM gtot CROSS JOIN cells
+  LEFT JOIN folded f ON f.g = gtot.g AND f.vt = cells.vt
+  JOIN ctot ON ctot.vt = cells.vt
+),
+kl AS (
+  SELECT g, max(n_g)::BIGINT AS n_tokens,
+         round(sum(
+           ((cg::DOUBLE + 0.5) / (n_g::DOUBLE + 0.5 * vsize.vv::DOUBLE))
+           * ln(((cg::DOUBLE + 0.5)
+                 / (n_g::DOUBLE + 0.5 * vsize.vv::DOUBLE))
+                / ((cc::DOUBLE + 0.5)
+                   / (n_all.n_all::DOUBLE
+                      + 0.5 * vsize.vv::DOUBLE)))), 6) AS kl_nats
+  FROM grid CROSS JOIN n_all CROSS JOIN vsize
+  GROUP BY g
+),
+top AS (
+  SELECT g, vt AS top_token FROM (
+    SELECT g, vt,
+           row_number() OVER (PARTITION BY g
+                              ORDER BY cg DESC, vt) AS rn
+    FROM grid
+  ) WHERE rn = 1
+)
+SELECT kl.g AS source, kl.n_tokens, kl.kl_nats, top.top_token
+FROM kl JOIN top ON kl.g = top.g
+ORDER BY source
+"""
+
+
+@register("q202_source_kl", _Q202_SQL)
+def q202(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram mix
+    (operators/profiling.py source_kl_distinctiveness): the |S|-row
+    scalar complement to q135's pairwise JSD, over the same global
+    top-1000 + <oov> vocabulary fold, smoothed α = 0.5 on both sides.
+    One corpus groupBy; all else |sources|·1001 rows."""
+    from soda_core_spark.operators.profiling import (
+        source_kl_distinctiveness,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return source_kl_distinctiveness(
+        d, group_col="source", text_col="text", top_k=1000, alpha=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Circadian activity profile (operators/profiling.py circadian_profile)
+# ---------------------------------------------------------------------------
+
+_Q203_SQL = """
+WITH grain AS (
+  SELECT event_type AS g, hour(ts)::INT AS h, count(*)::BIGINT AS c
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT g, sum(c)::BIGINT AS n_events FROM grain GROUP BY g),
+j AS (SELECT grain.g, grain.h, grain.c, tot.n_events
+      FROM grain JOIN tot ON grain.g = tot.g),
+stats AS (
+  SELECT g, max(n_events)::BIGINT AS n_events,
+         coalesce(sum(-(c::DOUBLE / n_events)
+                      * ln(c::DOUBLE / n_events)), 0.0) AS h_ent,
+         sum((c::DOUBLE - n_events::DOUBLE / 24.0)
+             * (c::DOUBLE - n_events::DOUBLE / 24.0)
+             / (n_events::DOUBLE / 24.0)) AS chi_present,
+         count(*)::BIGINT AS nh
+  FROM j GROUP BY g
+),
+peak AS (
+  SELECT g, h AS peak_hour,
+         round(c::DOUBLE / n_events::DOUBLE, 6) AS peak_share
+  FROM (
+    SELECT g, h, c, n_events,
+           row_number() OVER (PARTITION BY g
+                              ORDER BY c DESC, h) AS rn
+    FROM j
+  ) WHERE rn = 1
+)
+SELECT s.g AS event_type, s.n_events, p.peak_hour, p.peak_share,
+       round(s.h_ent, 6) AS hour_entropy,
+       round(s.chi_present
+             + (24.0 - s.nh::DOUBLE) * (s.n_events::DOUBLE / 24.0), 6)
+         AS chi2_uniform
+FROM stats s JOIN peak p ON s.g = p.g
+ORDER BY event_type
+"""
+
+
+@register("q203_circadian_profile", _Q203_SQL)
+def q203(spark, sf_dir):
+    """Hour-of-day activity profile per event type
+    (operators/profiling.py circadian_profile): hourly entropy, peak
+    hour/share, and uniformity chi-square — the automation tell at the
+    grain where schedulers show (q180 covers weekdays). At most
+    24·|groups| rows ever shuffle."""
+    from soda_core_spark.operators.profiling import circadian_profile
+
+    e = _t(spark, sf_dir, "events")
+    return circadian_profile(e, ts_col="ts", group_col="event_type")

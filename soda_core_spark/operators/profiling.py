@@ -4045,3 +4045,204 @@ def sessionization_summary(
         ).alias("mean_duration_s"),
         F.max("__n").cast("long").alias("max_events"),
     )
+
+
+def source_kl_distinctiveness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    each source's one-number "how differently does this slice speak"
+    (the |S|-row scalar complement to q135's |S|² pairwise JSD, and the
+    source-level rollup of q185's token-level Fightin'-Words z-scores).
+    A source whose KL spikes after a crawl config change switched
+    content type; one near 0 is linguistically redundant with the
+    corpus mix.
+
+    KL(source ‖ corpus) over the global top-``top_k`` vocabulary plus
+    an <oov> bucket (the q135 vocabulary fold, so both distributions
+    sum to 1 over the same cells), with symmetric additive smoothing
+    ``alpha`` on BOTH sides (KL is undefined on zero corpus cells;
+    smoothing keeps every log finite and is part of the reported
+    definition, not a hidden fudge)::
+
+        p̂(t|g) = (c_g(t) + α) / (n_g + α·V),   V = top_k + 1
+
+    Per group: ``(group, n_tokens, kl_nats, top_token)`` — 6 dp, where
+    top_token is the source's highest-probability vocabulary cell
+    (ties -> least token).
+
+    Scale shape: identical to q135's — ONE corpus (group, token)
+    groupBy; vocabulary via bounded TakeOrdered; fold + grid completion
+    on |groups|·(top_k+1) rows; the corpus marginal re-aggregates from
+    the folded grain, never rescans."""
+    toks = F.explode(_ws_tokens(text_col)).alias("tok")
+    gt = (
+        df.select(F.col(group_col).alias("g"), toks)
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vocab = (
+        gt.groupBy("tok")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("tok"))
+        .limit(int(top_k))
+        .select("tok")
+    )
+    folded = (
+        gt.join(F.broadcast(vocab.withColumn("__iv", F.lit(True))),
+                "tok", "left")
+        .select(
+            "g",
+            F.when(F.col("__iv").isNotNull(), F.col("tok"))
+            .otherwise(F.lit("<oov>")).alias("v"),
+            "c",
+        )
+        .groupBy("g", "v")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    cells = folded.select("v").distinct()
+    gtot = folded.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g")
+    )
+    ctot = folded.groupBy("v").agg(
+        F.sum("c").cast("long").alias("cc")
+    )
+    n_all = folded.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_all")
+    )
+    vsize = cells.agg(F.count(F.lit(1)).cast("long").alias("vv"))
+    grid = (
+        gtot.crossJoin(cells)
+        .join(folded, ["g", "v"], "left")
+        .select(
+            "g", "v", "n_g",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("cg"),
+        )
+        .join(F.broadcast(ctot), "v")
+        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(vsize))
+    )
+    a = float(alpha)
+    pg = (F.col("cg").cast("double") + F.lit(a)) / (
+        F.col("n_g").cast("double") + F.lit(a) * F.col("vv").cast("double")
+    )
+    pc = (F.col("cc").cast("double") + F.lit(a)) / (
+        F.col("n_all").cast("double")
+        + F.lit(a) * F.col("vv").cast("double")
+    )
+    kl = grid.groupBy("g").agg(
+        F.max("n_g").cast("long").alias("n_tokens"),
+        F.round(F.sum(pg * F.log(pg / pc)), 6).alias("kl_nats"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(
+        F.col("cg").desc(), F.col("v")
+    )
+    top = (
+        grid.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("g", F.col("v").alias("top_token"))
+    )
+    return (
+        kl.join(top, "g")
+        .select(
+            F.col("g").alias(group_col), "n_tokens", "kl_nats",
+            "top_token",
+        )
+        .orderBy(group_col)
+    )
+
+
+def circadian_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Hour-of-day activity profile per group — the bot/automation
+    tell: humans have a circadian rhythm (entropy over the 24 hourly
+    buckets well below ln 24, a pronounced peak, big uniformity
+    chi-square); schedulers and scrapers fire flat or on one exact
+    hour. Complements q180's weekday seasonality at the finer grain
+    where automation actually shows.
+
+    Per group::
+
+        <group_col>: as input
+        n_events: bigint
+        peak_hour: int          -- modal hour 0-23 (ties -> least hour)
+        peak_share: double (6 dp)
+        hour_entropy: double (6 dp)       -- nats; ln 24 ≈ 3.178 = flat
+        chi2_uniform: double (6 dp)       -- Σ (o-e)²/e vs uniform
+
+    Hours come from the UTC clock (session TZ pinned): hour(ts) on the
+    cast timestamp, identical on both engines. Scale shape: ONE
+    map-side-combined groupBy to the (group, hour) grain — at most
+    24·|groups| rows ever shuffle; every statistic is a grain-level
+    fold."""
+    t = F.col(ts_col)
+    grain = (
+        df.where(t.isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.hour(t.cast("timestamp")).alias("h"),
+        )
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = grain.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_events")
+    )
+    j = grain.join(tot, "g")
+    stats = j.groupBy("g").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.coalesce(
+            F.sum(
+                -(F.col("c") / F.col("n_events").cast("double"))
+                * F.log(F.col("c") / F.col("n_events").cast("double"))
+            ),
+            F.lit(0.0),
+        ).alias("__h"),
+        F.sum(
+            (F.col("c").cast("double")
+             - F.col("n_events").cast("double") / F.lit(24.0))
+            * (F.col("c").cast("double")
+               - F.col("n_events").cast("double") / F.lit(24.0))
+            / (F.col("n_events").cast("double") / F.lit(24.0))
+        ).alias("__chi_present"),
+        F.count(F.lit(1)).cast("long").alias("__nh"),
+    )
+    # hours with zero events still contribute e = n/24 to the chi-square
+    chi = F.col("__chi_present") + (
+        F.lit(24.0) - F.col("__nh").cast("double")
+    ) * (F.col("n_events").cast("double") / F.lit(24.0))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("h"))
+    peak = (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "g", F.col("h").cast("int").alias("peak_hour"),
+            F.round(
+                F.col("c").cast("double")
+                / F.col("n_events").cast("double"), 6
+            ).alias("peak_share"),
+        )
+    )
+    return (
+        stats.join(peak, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_events",
+            "peak_hour",
+            "peak_share",
+            F.round("__h", 6).alias("hour_entropy"),
+            F.round(chi, 6).alias("chi2_uniform"),
+        )
+        .orderBy(group_col)
+    )

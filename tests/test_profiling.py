@@ -1588,3 +1588,57 @@ def test_sessionization_exact_gap_is_same_session(spark):
     )
     r = sessionization_summary(df, gap_s=1800).collect()[0]
     assert r.n_sessions == 1 and r.max_events == 2
+
+
+# -- source_kl_distinctiveness ---------------------------------------------------
+
+
+def test_source_kl_redundant_vs_distinct(spark):
+    from soda_core_spark.operators.profiling import (
+        source_kl_distinctiveness,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "common words common words")] * 5
+        + [("b", "common words common words")] * 5
+        + [("c", "rare vocabulary entirely different")] * 5,
+        ["source", "text"],
+    )
+    rows = {r.source: r for r in
+            source_kl_distinctiveness(df, top_k=10).collect()}
+    # a and b share the corpus-majority vocabulary -> low KL;
+    # c speaks differently -> highest KL
+    assert rows["c"].kl_nats > rows["a"].kl_nats
+    assert rows["c"].kl_nats > rows["b"].kl_nats
+    assert rows["a"].kl_nats == pytest.approx(rows["b"].kl_nats, abs=1e-6)
+    assert rows["a"].top_token in ("common", "words")
+    assert rows["a"].n_tokens == 20
+
+
+# -- circadian_profile -----------------------------------------------------------
+
+
+def test_circadian_profile_spike_vs_flat(spark):
+    from soda_core_spark.operators.profiling import circadian_profile
+
+    from datetime import datetime as DT
+
+    rows = []
+    # "cron": always hour 3 -> entropy 0, peak_share 1, huge chi2
+    for i in range(24):
+        rows.append(("cron", DT(2024, 1, 1 + i, 3, 0, 0)))
+    # "human": one event each hour -> flat: entropy ln 24, chi2 0
+    for h in range(24):
+        rows.append(("human", DT(2024, 1, 1, h, 0, 0)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.event_type: r for r in circadian_profile(df).collect()}
+    import math
+    c = out["cron"]
+    assert c.peak_hour == 3 and c.peak_share == 1.0
+    assert c.hour_entropy == 0.0
+    # all mass on one hour: chi2 = (24-1)^2/1 + 23*1 = 552
+    assert c.chi2_uniform == pytest.approx(552.0, abs=1e-6)
+    h = out["human"]
+    assert h.hour_entropy == pytest.approx(math.log(24), abs=1e-6)
+    assert h.chi2_uniform == pytest.approx(0.0, abs=1e-6)
+    assert h.peak_hour == 0  # tie -> least hour
