@@ -11478,3 +11478,120 @@ def q203(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return circadian_profile(e, ts_col="ts", group_col="event_type")
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence outlier audit (operators/profiling.py tukey_outlier_audit)
+# ---------------------------------------------------------------------------
+
+_Q204_SQL = """
+WITH base AS (
+  SELECT event_type AS g, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL
+),
+qs AS (
+  SELECT g, count(*)::BIGINT AS n,
+         round(quantile_cont(v, 0.25), 6) AS q1,
+         round(quantile_cont(v, 0.5), 6) AS median,
+         round(quantile_cont(v, 0.75), 6) AS q3
+  FROM base GROUP BY g
+),
+fenced AS (
+  SELECT g, n, q1, median, q3,
+         round(q3 - q1, 6) AS iqr,
+         round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+         round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+  FROM qs
+),
+counted AS (
+  SELECT b.g,
+         sum(CASE WHEN b.v < f.lo_fence THEN 1 ELSE 0 END)::BIGINT
+           AS n_low,
+         sum(CASE WHEN b.v > f.hi_fence THEN 1 ELSE 0 END)::BIGINT
+           AS n_high
+  FROM base b JOIN fenced f ON b.g = f.g
+  GROUP BY b.g
+)
+SELECT f.g AS event_type, f.n, f.q1, f.median, f.q3, f.iqr,
+       f.lo_fence, f.hi_fence, c.n_low, c.n_high,
+       round((c.n_low + c.n_high)::DOUBLE / f.n::DOUBLE, 6)
+         AS outlier_share
+FROM fenced f JOIN counted c ON f.g = c.g
+ORDER BY event_type
+"""
+
+
+@register("q204_tukey_outliers", _Q204_SQL)
+def q204(spark, sf_dir):
+    """Tukey-fence outlier audit per event type
+    (operators/profiling.py tukey_outlier_audit): exact quartiles,
+    1.5·IQR fences from the 6 dp-rounded quartiles, and the share of
+    data outside — robust where the mean/stddev checks get dragged by
+    the tail being measured; approx_percentile is the stated 100-TB
+    swap."""
+    from soda_core_spark.operators.profiling import tukey_outlier_audit
+
+    e = _t(spark, sf_dir, "events")
+    return tukey_outlier_audit(
+        e, value_col="value", group_col="event_type", k=1.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-gap audit (operators/profiling.py calendar_gap_audit)
+# ---------------------------------------------------------------------------
+
+_Q205_SQL = """
+WITH days AS (
+  SELECT event_type AS g, (ts::TIMESTAMP)::DATE AS d
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+gaps AS (
+  SELECT g, d,
+         lag(d) OVER (PARTITION BY g ORDER BY d) AS prev,
+         date_diff('day', lag(d) OVER (PARTITION BY g ORDER BY d), d)
+           - 1 AS gap
+  FROM days
+),
+agg AS (
+  SELECT g, min(d) AS first_day, max(d) AS last_day,
+         count(*)::BIGINT AS present_days,
+         coalesce(max(gap), 0)::BIGINT AS maxgap
+  FROM gaps GROUP BY g
+),
+starts AS (
+  SELECT gaps.g, min(gaps.prev + INTERVAL 1 DAY)::DATE AS gap_start
+  FROM gaps JOIN agg ON gaps.g = agg.g
+  WHERE gaps.gap > 0 AND gaps.gap = agg.maxgap
+  GROUP BY gaps.g
+)
+SELECT agg.g AS event_type,
+       strftime(agg.first_day, '%Y-%m-%d') AS first_day,
+       strftime(agg.last_day, '%Y-%m-%d') AS last_day,
+       (date_diff('day', agg.first_day, agg.last_day) + 1)::BIGINT
+         AS span_days,
+       agg.present_days,
+       (date_diff('day', agg.first_day, agg.last_day) + 1
+        - agg.present_days)::BIGINT AS missing_days,
+       round(agg.present_days::DOUBLE
+             / (date_diff('day', agg.first_day, agg.last_day)
+                + 1)::DOUBLE, 6) AS coverage,
+       agg.maxgap AS max_gap_days,
+       strftime(starts.gap_start, '%Y-%m-%d') AS gap_start
+FROM agg LEFT JOIN starts ON agg.g = starts.g
+ORDER BY event_type
+"""
+
+
+@register("q205_calendar_gaps", _Q205_SQL)
+def q205(spark, sf_dir):
+    """Missing-day detection per event type (operators/profiling.py
+    calendar_gap_audit): which calendar days between first and last
+    simply never arrived — the completeness audit volume-anomaly
+    checks (q137) cannot express. One (group, day) groupBy; the gap
+    scan is a lag window over that tiny grain."""
+    from soda_core_spark.operators.profiling import calendar_gap_audit
+
+    e = _t(spark, sf_dir, "events")
+    return calendar_gap_audit(e, ts_col="ts", group_col="event_type")

@@ -4246,3 +4246,168 @@ def circadian_profile(
         )
         .orderBy(group_col)
     )
+
+
+def tukey_outlier_audit(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier audit per group: exact quartiles, IQR, the
+    classic fences [q1 − k·IQR, q3 + k·IQR], and how much data sits
+    outside them — the boxplot's numbers as a contract check. A group
+    whose outlier share jumps caught an upstream unit change or sensor
+    fault; one whose IQR collapses to 0 is serving a constant (dead
+    metric). Robust where mean/stddev checks (q29) get dragged by the
+    very outliers being counted; the winsorized stats (q163) REPAIR the
+    tail, this one MEASURES it.
+
+    Per group::
+
+        <group_col>: as input
+        n: bigint                  -- non-NULL values
+        q1, median, q3: double (6 dp)   -- exact interpolated quartiles
+        iqr: double (6 dp)
+        lo_fence, hi_fence: double (6 dp)
+        n_low, n_high: bigint      -- strictly outside the fences
+        outlier_share: double (6 dp)
+
+    Determinism: exact interpolated percentile on both engines (the
+    q25 contract: Spark ``percentile`` == DuckDB ``quantile_cont``);
+    fences derive from the 6 dp-ROUNDED quartiles so the outlier
+    comparison uses identical doubles cross-engine.
+
+    Scale shape: exact percentile is the one genuinely expensive piece
+    (per-group sort); at 100 TB swap ``percentile`` for
+    ``approx_percentile`` (same call shape, documented error) — the
+    fence logic is unchanged. Two passes: quartiles, then one fused
+    count-vs-fence scan joined on the group key."""
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(group_col).alias("g"), v.alias("__v")
+    )
+    qs = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(__v, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(__v, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(__v, 0.75)"), 6).alias("q3"),
+    )
+    fenced = qs.select(
+        "g", "n", "q1", "median", "q3",
+        F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+        F.round(
+            F.col("q1") - F.lit(float(k)) * (F.col("q3") - F.col("q1")), 6
+        ).alias("lo_fence"),
+        F.round(
+            F.col("q3") + F.lit(float(k)) * (F.col("q3") - F.col("q1")), 6
+        ).alias("hi_fence"),
+    )
+    counted = (
+        base.join(F.broadcast(fenced), "g")
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("__v") < F.col("lo_fence"), 1)
+                  .otherwise(0)).cast("long").alias("n_low"),
+            F.sum(F.when(F.col("__v") > F.col("hi_fence"), 1)
+                  .otherwise(0)).cast("long").alias("n_high"),
+        )
+    )
+    return (
+        fenced.join(counted, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n", "q1", "median", "q3", "iqr", "lo_fence", "hi_fence",
+            "n_low", "n_high",
+            F.round(
+                (F.col("n_low") + F.col("n_high")).cast("double")
+                / F.col("n").cast("double"), 6
+            ).alias("outlier_share"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def calendar_gap_audit(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Missing-day detection: which calendar days between a feed's
+    first and last day have NO rows at all? The ingestion-completeness
+    audit q137 (anomalous VOLUME days) can't express — a day that never
+    arrived has no row to look anomalous. Reports the gap structure,
+    not just its existence, so the backfill ticket writes itself.
+
+    Per group (or one corpus row when ``group_col`` is None)::
+
+        [<group_col>,] first_day, last_day: string yyyy-MM-dd
+        span_days: bigint           -- calendar days inclusive
+        present_days: bigint
+        missing_days: bigint        -- span - present
+        coverage: double (6 dp)
+        max_gap_days: bigint        -- longest run of missing days
+        gap_start: string           -- first day of that run; NULL if none
+                                       (ties -> earliest run)
+
+    Scale shape: ONE groupBy to the (group, day) grain — at most
+    groups·span rows ever shuffle; the gap scan is a lag window over
+    that tiny grain, never over events. Day = UTC date of the cast
+    timestamp (session TZ pinned)."""
+    from pyspark.sql import Window
+
+    t = F.col(ts_col)
+    gcols = [F.col(group_col).alias("g")] if group_col else [
+        F.lit("__all").alias("g")
+    ]
+    days = (
+        df.where(t.isNotNull())
+        .select(*gcols, F.to_date(t.cast("timestamp")).alias("d"))
+        .groupBy("g", "d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("g", "d")
+    )
+    w = Window.partitionBy("g").orderBy("d")
+    gaps2 = days.withColumn("__prev", F.lag("d").over(w)).withColumn(
+        "__gap", F.datediff(F.col("d"), F.col("__prev")) - 1
+    )
+    agg = gaps2.groupBy("g").agg(
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("present_days"),
+        F.coalesce(F.max("__gap"), F.lit(0)).cast("long")
+        .alias("__maxgap"),
+    )
+    # gap_start = day AFTER the previous present day, for the earliest
+    # maximal run
+    starts = (
+        gaps2.where(F.col("__gap") > 0)
+        .join(agg.select("g", "__maxgap"), "g")
+        .where(F.col("__gap") == F.col("__maxgap"))
+        .groupBy("g")
+        .agg(F.min(F.date_add("__prev", 1)).alias("gap_start"))
+    )
+    span = F.datediff(F.col("last_day"), F.col("first_day")) + 1
+    out = (
+        agg.join(starts, "g", "left")
+        .select(
+            F.col("g"),
+            # dates ship as strings — the q103 cross-engine convention
+            F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+            F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+            span.cast("long").alias("span_days"),
+            "present_days",
+            (span - F.col("present_days")).cast("long")
+            .alias("missing_days"),
+            F.round(
+                F.col("present_days").cast("double")
+                / span.cast("double"), 6
+            ).alias("coverage"),
+            F.col("__maxgap").alias("max_gap_days"),
+            F.date_format("gap_start", "yyyy-MM-dd").alias("gap_start"),
+        )
+        .orderBy("g")
+    )
+    if group_col:
+        return out.withColumnRenamed("g", group_col)
+    return out.drop("g")

