@@ -11595,3 +11595,171 @@ def q205(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return calendar_gap_audit(e, ts_col="ts", group_col="event_type")
+
+
+# ---------------------------------------------------------------------------
+# Row-level derived-column audit (operators/profiling.py
+# derived_column_audit)
+# ---------------------------------------------------------------------------
+
+_Q206_SQL = """
+SELECT source,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN n_chars IS NULL AND length(text) IS NULL
+           THEN 1 ELSE 0 END)::BIGINT AS n_both_null,
+       sum(CASE WHEN (n_chars IS NULL) <> (length(text) IS NULL)
+           THEN 1 ELSE 0 END)::BIGINT AS n_null_mismatch,
+       sum(CASE WHEN n_chars IS NOT NULL AND length(text) IS NOT NULL
+                 AND n_chars <> length(text)
+           THEN 1 ELSE 0 END)::BIGINT AS n_value_mismatch,
+       round((count(*)
+              - sum(CASE WHEN (n_chars IS NULL) <> (length(text) IS NULL)
+                    THEN 1 ELSE 0 END)
+              - sum(CASE WHEN n_chars IS NOT NULL
+                          AND length(text) IS NOT NULL
+                          AND n_chars <> length(text)
+                    THEN 1 ELSE 0 END))::DOUBLE
+             / count(*)::DOUBLE, 6) AS match_rate,
+       round(max(CASE WHEN n_chars IS NOT NULL
+                       AND length(text) IS NOT NULL
+                 THEN abs(n_chars::DOUBLE - length(text)::DOUBLE)
+                 END), 6) AS max_abs_drift
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q206_derived_column_audit", _Q206_SQL)
+def q206(spark, sf_dir):
+    """Row-level stored-vs-derived consistency for n_chars vs
+    length(text) (operators/profiling.py derived_column_audit): the
+    row-grain sibling of q175's table-level reconciliation — totals
+    can balance while rows disagree in compensating directions. ONE
+    fused projection + groupBy, zero extra scan."""
+    from soda_core_spark.operators.profiling import derived_column_audit
+
+    d = _t(spark, sf_dir, "documents")
+    return derived_column_audit(
+        d, stored_col="n_chars",
+        derived=F.length(F.col("text")).cast("long"),
+        group_col="source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 value autocorrelation (operators/profiling.py
+# value_autocorrelation)
+# ---------------------------------------------------------------------------
+
+_Q207_SQL = """
+WITH base AS (
+  SELECT event_type AS g,
+         epoch_us(ts) AS us, event_id AS id, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+paired AS (
+  SELECT g, v,
+         lag(v) OVER (PARTITION BY g ORDER BY us, id) AS p
+  FROM base
+),
+mom AS (
+  SELECT g, count(*)::BIGINT AS n_pairs,
+         sum(v) AS sy, sum(p) AS sx,
+         sum(v * v) AS syy, sum(p * p) AS sxx, sum(p * v) AS sxy,
+         sum(abs(v - p)) AS sad
+  FROM paired WHERE p IS NOT NULL GROUP BY g
+)
+SELECT g AS event_type, n_pairs,
+       round(CASE WHEN n_pairs >= 2
+                   AND sxx - sx * sx / n_pairs::DOUBLE > 0
+                   AND syy - sy * sy / n_pairs::DOUBLE > 0
+             THEN (sxy - sx * sy / n_pairs::DOUBLE)
+                  / sqrt((sxx - sx * sx / n_pairs::DOUBLE)
+                         * (syy - sy * sy / n_pairs::DOUBLE))
+             END, 6) AS r_lag1,
+       round(sad / n_pairs::DOUBLE, 6) AS mean_abs_step
+FROM mom
+ORDER BY event_type
+"""
+
+
+@register("q207_value_autocorrelation", _Q207_SQL)
+def q207(spark, sf_dir):
+    """Lag-1 Pearson autocorrelation of the value stream per event
+    type (operators/profiling.py value_autocorrelation): white noise
+    ≈ 0; memory (stuck sensor, retry resend, inserted smoothing)
+    drifts it up; oscillation goes negative. One per-group window to
+    attach the lag; moment sums map-side combine (the q177
+    discipline)."""
+    from soda_core_spark.operators.profiling import value_autocorrelation
+
+    e = _t(spark, sf_dir, "events")
+    return value_autocorrelation(e)
+
+
+# ---------------------------------------------------------------------------
+# Event-type mix shift (operators/profiling.py type_mix_shift)
+# ---------------------------------------------------------------------------
+
+_Q208_SQL = """
+WITH base AS (
+  SELECT event_type AS g, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+rng AS (SELECT min(us) AS lo, max(us) AS hi FROM base),
+grain AS (
+  SELECT g,
+         CASE WHEN us < lo + ((hi - lo) // 2) THEN 1 ELSE 2 END AS h,
+         count(*)::BIGINT AS c
+  FROM base CROSS JOIN rng
+  GROUP BY 1, 2
+),
+tots AS (SELECT h, sum(c)::BIGINT AS t FROM grain GROUP BY h),
+cats AS (SELECT DISTINCT g FROM grain),
+grid AS (
+  SELECT cats.g, tots.h, tots.t, coalesce(grain.c, 0)::BIGINT AS c
+  FROM cats CROSS JOIN tots
+  LEFT JOIN grain ON grain.g = cats.g AND grain.h = tots.h
+),
+piv AS (
+  SELECT g,
+         sum(CASE WHEN h = 1 THEN c ELSE 0 END)::BIGINT AS n_first,
+         sum(CASE WHEN h = 2 THEN c ELSE 0 END)::BIGINT AS n_second,
+         max(CASE WHEN h = 1 THEN t END)::BIGINT AS t1,
+         max(CASE WHEN h = 2 THEN t END)::BIGINT AS t2
+  FROM grid GROUP BY g
+)
+SELECT g AS event_type, n_first, n_second,
+       round(n_first::DOUBLE / t1::DOUBLE, 6) AS p_first,
+       round(n_second::DOUBLE / t2::DOUBLE, 6) AS p_second,
+       round(n_second::DOUBLE / t2::DOUBLE
+             - n_first::DOUBLE / t1::DOUBLE, 6) AS delta,
+       round((CASE WHEN n_first > 0
+              THEN (n_first::DOUBLE / t1::DOUBLE)
+                   * ln((n_first::DOUBLE / t1::DOUBLE)
+                        / ((n_first::DOUBLE / t1::DOUBLE
+                            + n_second::DOUBLE / t2::DOUBLE) / 2.0))
+              ELSE 0.0 END
+             + CASE WHEN n_second > 0
+               THEN (n_second::DOUBLE / t2::DOUBLE)
+                    * ln((n_second::DOUBLE / t2::DOUBLE)
+                         / ((n_first::DOUBLE / t1::DOUBLE
+                             + n_second::DOUBLE / t2::DOUBLE) / 2.0))
+               ELSE 0.0 END) / 2.0, 6) AS jsd_contrib
+FROM piv
+ORDER BY event_type
+"""
+
+
+@register("q208_type_mix_shift", _Q208_SQL)
+def q208(spark, sf_dir):
+    """Event-type composition drift between the first and second half
+    of the time range (operators/profiling.py type_mix_shift): the
+    categorical twin of q144's numeric KS drift, with per-category
+    JSD contributions so the culprit is the largest term. One
+    (category, half) groupBy after a min/max aggregate."""
+    from soda_core_spark.operators.profiling import type_mix_shift
+
+    e = _t(spark, sf_dir, "events")
+    return type_mix_shift(e, ts_col="ts", group_col="event_type")

@@ -4411,3 +4411,214 @@ def calendar_gap_audit(
     if group_col:
         return out.withColumnRenamed("g", group_col)
     return out.drop("g")
+
+
+def derived_column_audit(
+    df: DataFrame,
+    stored_col: str,
+    derived: Column,
+    group_col: str = "source",
+) -> DataFrame:
+    """Row-level stored-vs-derived consistency: does a materialized
+    column still equal the expression it claims to cache (n_chars vs
+    length(text), totals vs sums, normalized vs recomputed)? The
+    row-grain sibling of the table-level reconciliation audit (q175):
+    totals can balance while rows disagree in compensating directions,
+    and a pipeline that recomputes the derivation after an upstream
+    edit but misses ONE writer drifts exactly like this.
+
+    Per group::
+
+        <group_col>: as input
+        n_rows: bigint
+        n_both_null: bigint        -- stored and derived both NULL: ok
+        n_null_mismatch: bigint    -- exactly one side NULL
+        n_value_mismatch: bigint   -- both present, values differ
+        match_rate: double (6 dp)  -- (rows - null_mm - value_mm)/rows
+        max_abs_drift: double (6 dp)  -- numeric columns; NULL otherwise
+
+    Scale shape: ONE fused projection + map-side-combined groupBy —
+    the derivation is re-evaluated inline per row (zero extra scan,
+    zero shuffle beyond the group key); comparison uses null-safe
+    equality so NULL==NULL is agreement, not a mismatch."""
+    s = F.col(stored_col)
+    d = derived
+    both_null = s.isNull() & d.isNull()
+    null_mm = s.isNull() != d.isNull()
+    val_mm = s.isNotNull() & d.isNotNull() & ~s.eqNullSafe(d)
+    num = s.cast("double").isNotNull() & d.cast("double").isNotNull()
+    drift = F.when(num, F.abs(s.cast("double") - d.cast("double")))
+    return (
+        df.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(both_null, 1).otherwise(0)).cast("long")
+            .alias("n_both_null"),
+            F.sum(F.when(null_mm, 1).otherwise(0)).cast("long")
+            .alias("n_null_mismatch"),
+            F.sum(F.when(val_mm, 1).otherwise(0)).cast("long")
+            .alias("n_value_mismatch"),
+            F.round(
+                (
+                    F.count(F.lit(1))
+                    - F.sum(F.when(null_mm, 1).otherwise(0))
+                    - F.sum(F.when(val_mm, 1).otherwise(0))
+                ).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("match_rate"),
+            F.round(F.max(drift), 6).alias("max_abs_drift"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def value_autocorrelation(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Lag-1 autocorrelation of a metric stream per group: Pearson r
+    between consecutive values in time order. White-noise telemetry
+    sits near 0; r drifting up means the stream developed memory — a
+    stuck sensor, a retry loop resending the last value, a smoothing
+    layer someone inserted upstream — and r near −1 is oscillation
+    (two interleaved sources fighting). The runs test (q181) sees only
+    signs around the median; this is the magnitude-aware version on
+    the raw stream.
+
+    Per group::
+
+        <group_col>: as input
+        n_pairs: bigint            -- consecutive (prev, cur) pairs
+        r_lag1: double (6 dp)      -- NULL when < 2 pairs or 0 variance
+        mean_abs_step: double (6 dp)  -- mean |cur − prev|
+
+    Order is (ts, id) — the id breaks timestamp ties. Pearson uses the
+    one-pass moment form over the pair frame (the q177 discipline:
+    plain double moment sums, 6 dp rounding swallows order noise).
+    Scale shape: ONE per-group window shuffle to attach lag(value);
+    the moments are a map-side-combined aggregate over that frame."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy("__g").orderBy("__us", "__id")
+    base = (
+        df.where(v.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+            F.col(id_col).alias("__id"),
+            v.alias("__v"),
+        )
+        .withColumn("__p", F.lag("__v").over(w))
+        .where(F.col("__p").isNotNull())
+    )
+    mom = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__v").alias("__sy"),
+        F.sum("__p").alias("__sx"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__syy"),
+        F.sum(F.col("__p") * F.col("__p")).alias("__sxx"),
+        F.sum(F.col("__p") * F.col("__v")).alias("__sxy"),
+        F.sum(F.abs(F.col("__v") - F.col("__p"))).alias("__sad"),
+    )
+    n = F.col("n_pairs").cast("double")
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    vx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    r = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx * vy),
+    )
+    return mom.select(
+        F.col("__g").alias(group_col),
+        "n_pairs",
+        F.round(r, 6).alias("r_lag1"),
+        F.round(F.col("__sad") / n, 6).alias("mean_abs_step"),
+    ).orderBy(group_col)
+
+
+def type_mix_shift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Categorical mix drift between the FIRST and SECOND half of the
+    time range: did the composition of event types change over the
+    window? The categorical twin of ks_drift (q144 compares a numeric
+    signal's distribution between cohorts); here the signal IS the
+    category. Splits at the midpoint of [min ts, max ts] by exact
+    microseconds (second half inclusive of the midpoint), then per
+    category::
+
+        <group_col>: as input
+        n_first, n_second: bigint
+        p_first, p_second: double (6 dp)   -- within-half shares
+        delta: double (6 dp)               -- p_second − p_first
+        jsd_contrib: double (6 dp)         -- this category's term of
+                                              the halves' total JSD
+
+    Σ jsd_contrib over rows = JSD(first ‖ second) ∈ [0, ln 2] — the
+    one-number drift verdict, decomposed so the culprit category is
+    the largest contributor. Scale shape: one min/max aggregate, then
+    ONE (category, half) groupBy — map-side combine; everything after
+    is category-grain."""
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(group_col).alias("g"), t.alias("__us")
+    )
+    rng = base.agg(
+        F.min("__us").alias("__lo"), F.max("__us").alias("__hi")
+    )
+    # integer midpoint: lo + (hi - lo) / 2 floored, identical on both
+    # engines
+    mid = (
+        F.col("__lo")
+        + F.floor((F.col("__hi") - F.col("__lo")) / F.lit(2))
+    ).cast("long")
+    grain = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            "g", F.when(F.col("__us") < mid, 1).otherwise(2).alias("h")
+        )
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tots = grain.groupBy("h").agg(F.sum("c").cast("long").alias("t"))
+    cats = grain.select("g").distinct()
+    grid = (
+        cats.crossJoin(tots)
+        .join(grain, ["g", "h"], "left")
+        .select(
+            "g", "h", "t",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    piv = grid.groupBy("g").agg(
+        F.sum(F.when(F.col("h") == 1, F.col("c")).otherwise(0))
+        .cast("long").alias("n_first"),
+        F.sum(F.when(F.col("h") == 2, F.col("c")).otherwise(0))
+        .cast("long").alias("n_second"),
+        F.max(F.when(F.col("h") == 1, F.col("t"))).cast("long")
+        .alias("__t1"),
+        F.max(F.when(F.col("h") == 2, F.col("t"))).cast("long")
+        .alias("__t2"),
+    )
+    p1 = F.col("n_first").cast("double") / F.col("__t1").cast("double")
+    p2 = F.col("n_second").cast("double") / F.col("__t2").cast("double")
+    m = (p1 + p2) / F.lit(2.0)
+    jsd = (
+        F.when(F.col("n_first") > 0, p1 * F.log(p1 / m)).otherwise(0.0)
+        + F.when(F.col("n_second") > 0, p2 * F.log(p2 / m)).otherwise(0.0)
+    ) / F.lit(2.0)
+    return piv.select(
+        F.col("g").alias(group_col),
+        "n_first",
+        "n_second",
+        F.round(p1, 6).alias("p_first"),
+        F.round(p2, 6).alias("p_second"),
+        F.round(p2 - p1, 6).alias("delta"),
+        F.round(jsd, 6).alias("jsd_contrib"),
+    ).orderBy(group_col)

@@ -1696,3 +1696,92 @@ def test_calendar_gap_audit_finds_longest_run(spark):
     r2 = calendar_gap_audit(full).collect()[0]
     assert r2.missing_days == 0 and r2.gap_start is None
     assert r2.coverage == 1.0
+
+
+# -- derived_column_audit --------------------------------------------------------
+
+
+def test_derived_column_audit_counts_every_disagreement_kind(spark):
+    from soda_core_spark.operators.profiling import derived_column_audit
+
+    df = spark.createDataFrame(
+        [("s", "abc", 3),      # match
+         ("s", "abcd", 3),     # value mismatch (drift 1)
+         ("s", None, None),    # both NULL: agreement
+         ("s", "xy", None),    # null mismatch
+         ("s", None, 7)],      # null mismatch (derived NULL)
+        "source string, text string, n_chars long",
+    )
+    r = derived_column_audit(
+        df, stored_col="n_chars",
+        derived=F.length(F.col("text")).cast("long"),
+    ).collect()[0]
+    assert r.n_rows == 5 and r.n_both_null == 1
+    assert r.n_null_mismatch == 2 and r.n_value_mismatch == 1
+    assert r.match_rate == pytest.approx(2 / 5, abs=1e-6)
+    assert r.max_abs_drift == 1.0
+
+
+# -- value_autocorrelation -------------------------------------------------------
+
+
+def test_value_autocorrelation_memory_vs_alternation(spark):
+    from soda_core_spark.operators.profiling import value_autocorrelation
+
+    from datetime import datetime as DT, timedelta as TD
+
+    t0 = DT(2024, 1, 1)
+    rows = []
+    # monotone ramp: near-perfect lag-1 correlation
+    for i in range(20):
+        rows.append((i, t0 + TD(seconds=i), "ramp", float(i)))
+    # strict alternation: r = -1
+    for i in range(20):
+        rows.append(
+            (100 + i, t0 + TD(seconds=i), "osc", float(i % 2))
+        )
+    # constant: zero variance -> NULL
+    for i in range(5):
+        rows.append((200 + i, t0 + TD(seconds=i), "flat", 7.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.event_type: r for r in value_autocorrelation(df).collect()}
+    assert out["ramp"].r_lag1 > 0.99
+    assert out["osc"].r_lag1 == pytest.approx(-1.0, abs=1e-6)
+    assert out["osc"].mean_abs_step == 1.0
+    assert out["flat"].r_lag1 is None
+    assert out["ramp"].n_pairs == 19
+
+
+# -- type_mix_shift --------------------------------------------------------------
+
+
+def test_type_mix_shift_detects_composition_flip(spark):
+    from soda_core_spark.operators.profiling import type_mix_shift
+
+    from datetime import datetime as DT, timedelta as TD
+
+    t0 = DT(2024, 1, 1)
+    rows = []
+    # first half: all "a"; second half: all "b"
+    for i in range(10):
+        rows.append(("a", t0 + TD(hours=i)))
+    for i in range(10):
+        rows.append(("b", t0 + TD(hours=100 + i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.event_type: r for r in type_mix_shift(df).collect()}
+    import math
+    assert out["a"].p_first == 1.0 and out["a"].p_second == 0.0
+    assert out["b"].delta == 1.0
+    # total JSD = ln 2 for disjoint supports
+    total = out["a"].jsd_contrib + out["b"].jsd_contrib
+    assert total == pytest.approx(math.log(2), abs=1e-5)
+    # stable mix: contributions ~ 0
+    stable = spark.createDataFrame(
+        [("x", t0 + TD(hours=i)) for i in range(8)]
+        + [("y", t0 + TD(hours=i, minutes=30)) for i in range(8)],
+        "event_type string, ts timestamp",
+    )
+    o2 = type_mix_shift(stable).collect()
+    assert all(abs(r.jsd_contrib) < 0.02 for r in o2)
