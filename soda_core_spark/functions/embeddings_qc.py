@@ -364,15 +364,18 @@ def participation_ratio(
     noise sits at 1e-16, invisible at 6 dp. The PR ratio cancels the
     scale² factor entirely.
 
-    Scale shape: ONE corpus pass — an Arrow-batched ``mapInPandas``
-    computes each batch's integer Gram partials with a vectorized
-    ``Xᵀ·X`` (no per-row Python, no dim²-literal plan blowup, no n×dim²
-    explode), emitting dim·(dim+1)/2 packed rows per batch; a map-side-
-    combined groupBy((i,j)) reduces partials to ONE dim² frame, and the
-    marginal S-vector joins back via two dim-row broadcasts. Int64
-    headroom: |q| ≤ scale·max|x|, so P_ij ≲ n·(scale·max|x|)² — at
-    10^12 rows drop ``scale`` to 10³ or shard the sum; documented, not
-    silent."""
+    Scale shape: one row-local stats aggregate plus ONE Arrow-batched
+    ``mapInPandas`` Gram pass — a vectorized ``Xᵀ·X`` per batch (no
+    per-row Python, no dim²-literal plan blowup, no n×dim² explode)
+    emitting dim·(dim+1)/2 packed rows per batch that CARRY the batch's
+    marginal sums (si, sj, nn) alongside pp, so the whole statistic is
+    a straight-line plan: MapInPandas → map-side-combined
+    groupBy((i,j)) → projection → one-row reduce. No self-joins back
+    onto the Gram branch — an earlier join-based shape made Catalyst
+    re-execute the corpus pass once per consumer (observed: 4×).
+    Int64 headroom: |q| ≤ scale·max|x|, so P_ij ≲ n·(scale·max|x|)² —
+    at 10^12 rows drop ``scale`` to 10³ or shard the sum; documented,
+    not silent."""
     import numpy as np
     import pandas as pd
 
@@ -412,32 +415,26 @@ def participation_ratio(
                 [np.asarray(a, dtype=np.int64) for a in pdf["__q"]]
             )
             m = x.T @ x  # exact int64 Gram
-            s = x.sum(axis=0, dtype=np.int64)
-            out = pd.DataFrame(
+            sv = x.sum(axis=0, dtype=np.int64)
+            # each (i, j) row carries the batch marginals it will need
+            # downstream — keeps the reduced frame self-contained, so
+            # no join ever re-touches this branch
+            yield pd.DataFrame(
                 {"i": iu.astype("int32"), "j": ju.astype("int32"),
-                 "pp": m[iu, ju],
-                 "si": np.where(iu == ju, s[iu], 0),
-                 "nn": np.int64(0)}
+                 "pp": m[iu, ju], "si": sv[iu], "sj": sv[ju],
+                 "nn": np.int64(len(x))}
             )
-            out.loc[(out["i"] == 0) & (out["j"] == 0), "nn"] = len(x)
-            yield out
 
     parts = quant.mapInPandas(
-        gram_partials, schema="i int, j int, pp long, si long, nn long"
+        gram_partials,
+        schema="i int, j int, pp long, si long, sj long, nn long",
     )
     g = parts.groupBy("i", "j").agg(
         F.sum("pp").alias("pp"),
-        F.sum("si").alias("si"),
-        F.sum("nn").alias("nn"),
+        F.sum("si").alias("s_i"),
+        F.sum("sj").alias("s_j"),
+        F.sum("nn").alias("__n"),
     )
-    nrow = g.agg(
-        F.coalesce(F.sum("nn"), F.lit(0)).cast("long").alias("__n")
-    )
-    svec = g.where(F.col("i") == F.col("j")).select(
-        F.col("i").alias("__k"), F.col("si").alias("__s")
-    )
-    sa = svec.select(F.col("__k").alias("i"), F.col("__s").alias("s_i"))
-    sb = svec.select(F.col("__k").alias("j"), F.col("__s").alias("s_j"))
     nd = F.col("__n").cast("double")
     # the cross-engine contract formula: both engines compute
     # (P - S_i*S_j/n) / n on IEEE doubles in this exact order
@@ -445,16 +442,10 @@ def participation_ratio(
         F.col("pp").cast("double")
         - F.col("s_i").cast("double") * F.col("s_j").cast("double") / nd
     ) / nd
-    cov = (
-        g.join(F.broadcast(sa), "i")
-        .join(F.broadcast(sb), "j")
-        .crossJoin(F.broadcast(nrow))
-        .where(F.col("__n") > 0)
-        .select(
-            F.when(F.col("i") == F.col("j"), c).alias("__diag"),
-            F.when(F.col("i") == F.col("j"), c * c)
-            .otherwise(F.lit(2.0) * c * c).alias("__sq"),
-        )
+    cov = g.where(F.col("__n") > 0).select(
+        F.when(F.col("i") == F.col("j"), c).alias("__diag"),
+        F.when(F.col("i") == F.col("j"), c * c)
+        .otherwise(F.lit(2.0) * c * c).alias("__sq"),
     )
     tr = cov.agg(
         F.sum("__diag").alias("__tr"), F.sum("__sq").alias("__tr2")

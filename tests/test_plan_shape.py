@@ -495,3 +495,90 @@ def test_markup_residue_one_fused_aggregate(spark):
     assert plan.count("FileScan") == 1
     assert "partial_count" in plan or "partial_sum" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pmi_collocations_no_python_text_pruned_pre_shuffle(spark):
+    """PMI is pure column algebra: no Python eval node anywhere, and
+    the raw text column never rides an Exchange — only (token)/(a, b)
+    count grains shuffle."""
+    from soda_core_spark.operators.profiling import pmi_collocations
+
+    df = spark.range(200).select(
+        F.concat(F.lit("alpha beta gamma delta doc "), F.col("id"))
+        .alias("text")
+    )
+    plan = (
+        pmi_collocations(df, min_count=1, top_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    # the top-k cut must be a TakeOrdered, not a global sort
+    assert "TakeOrdered" in plan, plan
+
+
+def test_participation_ratio_single_arrow_node_dim2_reduce(spark):
+    """ONE Arrow-batched Gram pass; the only shuffle after it carries
+    the dim² (i, j) partials, never embeddings."""
+    from soda_core_spark.functions.embeddings_qc import (
+        participation_ratio,
+    )
+
+    df = spark.range(60).select(
+        F.array(
+            F.col("id").cast("float"), (F.col("id") % 7).cast("float")
+        ).alias("embedding")
+    )
+    plan = (
+        participation_ratio(df, dim=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "embedding" not in line, line
+
+
+def test_sessionization_single_window_shuffle(spark):
+    """Sessionize = exactly one hash Exchange (the per-user window);
+    the running session index reuses that partitioning and the
+    aggregates partial-combine."""
+    from soda_core_spark.operators.profiling import sessionization_summary
+
+    from datetime import datetime as DT, timedelta as TD
+
+    df = spark.createDataFrame(
+        [(i, i % 5, DT(2024, 1, 1) + TD(minutes=i)) for i in range(100)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    plan = (
+        sessionization_summary(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan, plan
+    # hashpartitioning exchanges: user-window + per-session groupBy
+    # share the (u) / (u, sid) key chain; no exchange may repartition
+    # by anything else, and the final reduce is a single partition
+    ex_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("__u" in l for l in ex_lines), plan
+
+
+def test_circadian_profile_shuffles_only_24_hour_grain(spark):
+    from soda_core_spark.operators.profiling import circadian_profile
+
+    from datetime import datetime as DT, timedelta as TD
+
+    df = spark.createDataFrame(
+        [("t", DT(2024, 1, 1) + TD(hours=i)) for i in range(72)],
+        "event_type string, ts timestamp",
+    )
+    plan = (
+        circadian_profile(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "ts" not in line, line
