@@ -11763,3 +11763,70 @@ def q208(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return type_mix_shift(e, ts_col="ts", group_col="event_type")
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (operators/profiling.py t_closeness_audit)
+# ---------------------------------------------------------------------------
+
+_Q209_SQL = """
+WITH grain AS (
+  SELECT coalesce(source::VARCHAR, '<null>') AS q0,
+         coalesce(lang::VARCHAR, '<null>') AS q1,
+         coalesce((n_chars // 500)::VARCHAR, '<null>') AS q2,
+         coalesce((doc_id % 7)::VARCHAR, '<null>') AS v,
+         count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2, 3, 4
+),
+cls AS (SELECT q0, q1, q2, sum(c)::BIGINT AS nc FROM grain
+        GROUP BY 1, 2, 3),
+gl AS (SELECT v, sum(c)::BIGINT AS cg FROM grain GROUP BY v),
+n_all AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_all FROM grain),
+grid AS (
+  SELECT cls.q0, cls.q1, cls.q2, cls.nc, gl.v, gl.cg,
+         coalesce(grain.c, 0)::BIGINT AS c
+  FROM cls CROSS JOIN gl
+  LEFT JOIN grain ON grain.q0 = cls.q0 AND grain.q1 = cls.q1
+                 AND grain.q2 = cls.q2 AND grain.v = gl.v
+),
+per_class AS (
+  SELECT q0, q1, q2, max(nc)::BIGINT AS nc,
+         sum(abs(c::DOUBLE / nc::DOUBLE
+                 - cg::DOUBLE / n_all.n_all::DOUBLE)) / 2.0 AS t
+  FROM grid CROSS JOIN n_all
+  GROUP BY q0, q1, q2
+)
+SELECT coalesce(sum(nc), 0)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_classes,
+       round(max(t), 6) AS max_t,
+       round(sum(t * nc::DOUBLE) / sum(nc)::DOUBLE, 6) AS mean_t,
+       round(sum(CASE WHEN t > 0.2 THEN nc ELSE 0 END)::DOUBLE
+             / sum(nc)::DOUBLE, 6) AS share_above_02,
+       round(sum(CASE WHEN t > 0.5 THEN nc ELSE 0 END)::DOUBLE
+             / sum(nc)::DOUBLE, 6) AS share_above_05
+FROM per_class
+"""
+
+
+@register("q209_t_closeness", _Q209_SQL)
+def q209(spark, sf_dir):
+    """t-closeness audit (operators/profiling.py t_closeness_audit)
+    over the q193 quasi-identifier classes and synthetic sensitive
+    attribute: worst/mean total-variation distance between each
+    class's sensitive distribution and the global one — the leak
+    l-diversity misses when a class is "diverse" but 99 %
+    concentrated. Completes the k-anonymity / l-diversity /
+    t-closeness release trio. One (class, value) groupBy; global
+    marginal re-aggregates from the grain."""
+    from soda_core_spark.operators.profiling import t_closeness_audit
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "source",
+        "lang",
+        F.floor(F.col("n_chars") / 500).alias("size_bucket"),
+        (F.col("doc_id") % 7).alias("sensitive"),
+    )
+    return t_closeness_audit(
+        staged, ["source", "lang", "size_bucket"], "sensitive"
+    )

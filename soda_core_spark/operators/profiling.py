@@ -4622,3 +4622,100 @@ def type_mix_shift(
         F.round(p2 - p1, 6).alias("delta"),
         F.round(jsd, 6).alias("jsd_contrib"),
     ).orderBy(group_col)
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third leg of the release trio after k-anonymity and l-diversity
+    (:func:`k_anonymity_audit`): l-diversity counts distinct sensitive
+    values per equivalence class but a class can be "diverse" while
+    its DISTRIBUTION still leaks (99 % one disease, 1 % scattered);
+    t-closeness bounds the distance between each class's sensitive
+    distribution and the global one. For a categorical sensitive
+    attribute the distance is total variation
+    TVD = ½ Σ |p_class(v) − p_global(v)| ∈ [0, 1] (the equal-ground-
+    distance EMD of the paper). NULL sensitive values are a category
+    (their concentration leaks too); NULL quasi values are ordinary
+    class keys, as in q193.
+
+    One summary row::
+
+        n_rows, n_classes: bigint
+        max_t: double (6 dp)          -- worst class TVD (the release
+                                         gate number)
+        mean_t: double (6 dp)         -- row-weighted mean class TVD
+        share_above_02, share_above_05: double (6 dp) — fraction of
+            ROWS in classes with t > 0.2 / 0.5
+
+    Scale shape: ONE map-side-combined groupBy to the
+    (class, sensitive-value) grain; the global marginal re-aggregates
+    from that grain (never rescans); the TVD fold runs on the grain
+    completed against the global value set (classes × values rows —
+    the sensitive attribute must be low-cardinality, which is what
+    makes it a sensitive CATEGORY; this is the documented cost knob).
+    Row-weighted aggregates come back from exact integer row counts."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    qi = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(
+            f"__q{i}"
+        )
+        for i, c in enumerate(quasi_cols)
+    ]
+    sv = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("<null>"))
+    keys = [f"__q{i}" for i in range(len(quasi_cols))]
+    grain = (
+        df.select(*qi, sv.alias("__v"))
+        .groupBy(*keys, "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cls = grain.groupBy(*keys).agg(
+        F.sum("c").cast("long").alias("nc")
+    )
+    gl = grain.groupBy("__v").agg(F.sum("c").cast("long").alias("cg"))
+    n_all = grain.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_all")
+    )
+    # complete each class against the GLOBAL value set: absent values
+    # contribute |0 - p_global| to the TVD
+    grid = (
+        cls.crossJoin(F.broadcast(gl))
+        .join(grain, [*keys, "__v"], "left")
+        .select(
+            *keys, "nc", "cg", "__v",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+        .crossJoin(F.broadcast(n_all))
+    )
+    tvd_term = F.abs(
+        F.col("c").cast("double") / F.col("nc").cast("double")
+        - F.col("cg").cast("double") / F.col("n_all").cast("double")
+    )
+    per_class = grid.groupBy(*keys).agg(
+        F.max("nc").cast("long").alias("nc"),
+        (F.sum(tvd_term) / F.lit(2.0)).alias("__t"),
+    )
+    return per_class.agg(
+        F.coalesce(F.sum("nc"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.round(F.max("__t"), 6).alias("max_t"),
+        F.round(
+            F.sum(F.col("__t") * F.col("nc").cast("double"))
+            / F.sum("nc").cast("double"),
+            6,
+        ).alias("mean_t"),
+        F.round(
+            F.sum(F.when(F.col("__t") > 0.2, F.col("nc")).otherwise(0))
+            .cast("double") / F.sum("nc").cast("double"),
+            6,
+        ).alias("share_above_02"),
+        F.round(
+            F.sum(F.when(F.col("__t") > 0.5, F.col("nc")).otherwise(0))
+            .cast("double") / F.sum("nc").cast("double"),
+            6,
+        ).alias("share_above_05"),
+    )

@@ -1785,3 +1785,43 @@ def test_type_mix_shift_detects_composition_flip(spark):
     )
     o2 = type_mix_shift(stable).collect()
     assert all(abs(r.jsd_contrib) < 0.02 for r in o2)
+
+
+# -- t_closeness_audit -----------------------------------------------------------
+
+
+def test_t_closeness_uniform_vs_concentrated(spark):
+    from soda_core_spark.operators.profiling import t_closeness_audit
+
+    import pytest as _pytest
+
+    # two classes, global sensitive mix 50/50:
+    #   class A mirrors the global mix -> t = 0
+    #   class B is all-"x"             -> t = |1-0.5|/2+|0-0.5|/2 = 0.5
+    rows = (
+        [("A", "x")] * 4 + [("A", "y")] * 4 + [("B", "x")] * 8
+        + [("C", "y")] * 8
+    )
+    # recompute: global x = 12/24, y = 12/24; B: t = 0.5; C: t = 0.5; A: 0
+    df = spark.createDataFrame(rows, "qc string, s string")
+    r = t_closeness_audit(df, ["qc"], "s").collect()[0]
+    assert r.n_rows == 24 and r.n_classes == 3
+    assert r.max_t == pytest.approx(0.5, abs=1e-6)
+    assert r.mean_t == pytest.approx((0 * 8 + 0.5 * 8 + 0.5 * 8) / 24,
+                                     abs=1e-6)
+    assert r.share_above_02 == pytest.approx(16 / 24, abs=1e-6)
+    assert r.share_above_05 == 0.0  # strictly greater
+    with _pytest.raises(ValueError):
+        t_closeness_audit(df, [], "s")
+
+
+def test_t_closeness_null_sensitive_is_a_category(spark):
+    from soda_core_spark.operators.profiling import t_closeness_audit
+
+    df = spark.createDataFrame(
+        [("A", None), ("A", None), ("B", "v"), ("B", "v")],
+        "qc string, s string",
+    )
+    r = t_closeness_audit(df, ["qc"], "s").collect()[0]
+    # each class fully concentrated on its own value vs 50/50 global
+    assert r.max_t == pytest.approx(0.5, abs=1e-6)
