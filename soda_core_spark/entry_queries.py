@@ -11830,3 +11830,97 @@ def q209(spark, sf_dir):
     return t_closeness_audit(
         staged, ["source", "lang", "size_bucket"], "sensitive"
     )
+
+
+# ---------------------------------------------------------------------------
+# Header-vs-detail reconciliation (operators/profiling.py
+# order_total_reconciliation)
+# ---------------------------------------------------------------------------
+
+_Q210_SQL = """
+WITH derived AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))
+           AS d
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderpriority, o.o_totalprice, derived.d
+  FROM orders o LEFT JOIN derived USING (o_orderkey)
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_no_items,
+       sum(CASE WHEN d IS NOT NULL
+                 AND abs(o_totalprice - d) <= 0.01
+           THEN 1 ELSE 0 END)::BIGINT AS n_match,
+       round(sum(CASE WHEN d IS NOT NULL
+                       AND abs(o_totalprice - d) <= 0.01
+                 THEN 1 ELSE 0 END)::DOUBLE
+             / sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE,
+             6) AS match_rate,
+       round(max(abs(o_totalprice - d)), 2) AS max_abs_drift,
+       round(avg(o_totalprice - d), 2) AS mean_drift
+FROM j
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q210_order_total_reconciliation", _Q210_SQL)
+def q210(spark, sf_dir):
+    """Header-vs-detail reconciliation (operators/profiling.py
+    order_total_reconciliation): every o_totalprice checked against
+    Σ extendedprice·(1−disc)·(1+tax) of its own lines — the cross-table
+    row-grain audit q175's table totals can't see (and on this
+    synthetic data it honestly reports the generator never enforced
+    the invariant). Detail collapses to the key before the join."""
+    from soda_core_spark.operators.profiling import (
+        order_total_reconciliation,
+    )
+
+    return order_total_reconciliation(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ship-latency profile (operators/profiling.py ship_latency_profile)
+# ---------------------------------------------------------------------------
+
+_Q211_SQL = """
+WITH base AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', (o.o_orderdate::TIMESTAMP)::DATE,
+                   (l.l_shipdate::TIMESTAMP)::DATE)::DOUBLE AS lag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN lag < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+       round(quantile_cont(lag, 0.25), 6) AS p25_days,
+       round(quantile_cont(lag, 0.5), 6) AS median_days,
+       round(quantile_cont(lag, 0.75), 6) AS p75_days,
+       round(quantile_cont(lag, 0.95), 6) AS p95_days,
+       round(sum(CASE WHEN lag > 60 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS share_over_60d
+FROM base
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q211_ship_latency", _Q211_SQL)
+def q211(spark, sf_dir):
+    """Order-to-ship latency distribution per priority
+    (operators/profiling.py ship_latency_profile): exact day lags,
+    exact interpolated quartiles + p95, late tail and negative-lag
+    (clock corruption) counters — does the priority field buy
+    latency? One key join, one priority-grain aggregate."""
+    from soda_core_spark.operators.profiling import ship_latency_profile
+
+    return ship_latency_profile(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )

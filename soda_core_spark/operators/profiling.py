@@ -4719,3 +4719,126 @@ def t_closeness_audit(
             6,
         ).alias("share_above_05"),
     )
+
+
+def order_total_reconciliation(
+    df_orders: DataFrame,
+    df_items: DataFrame,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Header-vs-detail reconciliation: does each order's stored
+    total equal the TPC-H derivation Σ extendedprice·(1−discount)·
+    (1+tax) over its lines? The cross-TABLE row-grain audit completing
+    the family — q206 checks derived columns in ONE row, q175 checks
+    whole-table totals (which can balance while headers and details
+    disagree in compensating directions); this checks every header
+    against its own detail rows::
+
+        o_orderpriority: as input
+        n_orders: bigint
+        n_no_items: bigint          -- headers with no detail rows
+        n_match: bigint             -- |stored − derived| <= tolerance
+        match_rate: double (6 dp)   -- over orders WITH items
+        max_abs_drift: double (2 dp)
+        mean_drift: double (2 dp)   -- signed, stored − derived
+
+    Scale shape: detail collapses to the order key FIRST (map-side-
+    combined groupBy — the q172 discipline: never join raw detail
+    rows), then ONE join to headers on the key, then a priority-grain
+    aggregate. Drift magnitudes report at 2 dp: these are currency
+    sums (~1e5), where 6 dp is below double ulp noise at group-sum
+    magnitude."""
+    derived = df_items.groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("__derived")
+    )
+    j = df_orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).join(derived, "o_orderkey", "left")
+    drift = F.col("o_totalprice") - F.col("__derived")
+    has = F.col("__derived").isNotNull()
+    ok = has & (F.abs(drift) <= F.lit(float(tolerance)))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(has, 0).otherwise(1)).cast("long")
+            .alias("n_no_items"),
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long")
+            .alias("n_match"),
+            F.round(
+                F.sum(F.when(ok, 1).otherwise(0)).cast("double")
+                / F.sum(F.when(has, 1).otherwise(0)).cast("double"),
+                6,
+            ).alias("match_rate"),
+            F.round(F.max(F.abs(drift)), 2).alias("max_abs_drift"),
+            F.round(F.avg(drift), 2).alias("mean_drift"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def ship_latency_profile(
+    df_orders: DataFrame,
+    df_items: DataFrame,
+) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    day lags from header date to each line's ship date, quartiles +
+    p95 + late-tail share — does the priority field actually buy
+    latency? A priority class whose p95 matches the lowest class is a
+    routing bug; negative lags (shipped before ordered) are clock or
+    join corruption and get their own counter::
+
+        o_orderpriority: as input
+        n_lines: bigint
+        n_negative: bigint
+        p25_days, median_days, p75_days, p95_days: double (6 dp)
+        share_over_60d: double (6 dp)
+
+    Determinism: lags are exact integer datediff days; percentiles
+    are the exact interpolated form (the q25 contract: Spark
+    ``percentile`` == DuckDB ``quantile_cont``). Scale shape: one
+    broadcast-or-shuffle join on the order key, one per-priority
+    aggregate; exact percentile is the stated cost, approx_percentile
+    the stated 100-TB swap."""
+    j = df_items.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_shipdate"),
+    ).join(
+        df_orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        "o_orderkey",
+    )
+    lag = F.datediff(
+        F.to_date(F.col("l_shipdate").cast("timestamp")),
+        F.to_date(F.col("o_orderdate").cast("timestamp")),
+    ).cast("double")
+    base = j.select(
+        "o_orderpriority", lag.alias("__lag")
+    ).where(F.col("__lag").isNotNull())
+    return (
+        base.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("__lag") < 0, 1).otherwise(0))
+            .cast("long").alias("n_negative"),
+            F.round(F.expr("percentile(__lag, 0.25)"), 6)
+            .alias("p25_days"),
+            F.round(F.expr("percentile(__lag, 0.5)"), 6)
+            .alias("median_days"),
+            F.round(F.expr("percentile(__lag, 0.75)"), 6)
+            .alias("p75_days"),
+            F.round(F.expr("percentile(__lag, 0.95)"), 6)
+            .alias("p95_days"),
+            F.round(
+                F.sum(F.when(F.col("__lag") > 60, 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("share_over_60d"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1825,3 +1825,59 @@ def test_t_closeness_null_sensitive_is_a_category(spark):
     r = t_closeness_audit(df, ["qc"], "s").collect()[0]
     # each class fully concentrated on its own value vs 50/50 global
     assert r.max_t == pytest.approx(0.5, abs=1e-6)
+
+
+# -- order_total_reconciliation --------------------------------------------------
+
+
+def test_order_total_reconciliation_header_vs_detail(spark):
+    from soda_core_spark.operators.profiling import (
+        order_total_reconciliation,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, "P1", 110.0),   # matches derived exactly
+         (2, "P1", 200.0),   # off by +50
+         (3, "P1", 10.0)],   # no detail rows
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    items = spark.createDataFrame(
+        # order 1: 100 * (1-0) * (1+0.1) = 110
+        [(1, 100.0, 0.0, 0.1),
+         # order 2: 100*(1-0.25)*(1+0) = 75, plus 75 -> 150
+         (2, 100.0, 0.25, 0.0),
+         (2, 75.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    r = order_total_reconciliation(orders, items).collect()[0]
+    assert r.n_orders == 3 and r.n_no_items == 1
+    assert r.n_match == 1
+    assert r.match_rate == pytest.approx(0.5, abs=1e-6)
+    assert r.max_abs_drift == 50.0
+    assert r.mean_drift == pytest.approx(25.0, abs=1e-2)
+
+
+# -- ship_latency_profile --------------------------------------------------------
+
+
+def test_ship_latency_profile_quartiles_and_negative(spark):
+    from soda_core_spark.operators.profiling import ship_latency_profile
+
+    from datetime import datetime as DT
+
+    orders = spark.createDataFrame(
+        [(1, "P", DT(2024, 1, 10))],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    )
+    items = spark.createDataFrame(
+        [(1, DT(2024, 1, 10)),   # 0 days
+         (1, DT(2024, 1, 20)),   # 10
+         (1, DT(2024, 3, 20)),   # 70 -> late
+         (1, DT(2024, 1, 5))],   # -5 -> negative
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    r = ship_latency_profile(orders, items).collect()[0]
+    assert r.n_lines == 4 and r.n_negative == 1
+    assert r.median_days == pytest.approx(5.0, abs=1e-6)  # interp 0|10
+    assert r.share_over_60d == pytest.approx(0.25, abs=1e-6)
