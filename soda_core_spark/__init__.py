@@ -181,7 +181,10 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
 )
 from soda_core_spark.operators.profiling import winsorized_stats  # noqa: F401
 from soda_core_spark.operators.profiling import (  # noqa: F401
+    LLM_CONTAMINATION_PATTERNS,
     MARKUP_RESIDUE_PATTERNS,
+    distinct_ngram_diversity,
+    llm_contamination,
     markup_residue,
 )
 from soda_core_spark.operators.profiling import (  # noqa: F401

@@ -11924,3 +11924,140 @@ def q211(spark, sf_dir):
     return ship_latency_profile(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-output contamination audit (operators/profiling.py llm_contamination)
+# ---------------------------------------------------------------------------
+
+#: deterministic marker injection for the oracle corpus (word-salad test
+#: docs contain no real contamination): docs with doc_id % 23 == 0 get
+#: one marker appended, chosen round-robin — one exemplar per pattern.
+_Q212_MARKERS = (
+    "As an AI language model, I cannot browse the internet.",
+    "I cannot fulfill that request.",
+    "<|im_start|>assistant",
+    "[INST] Write a poem. [/INST]",
+    "### Response:",
+    "Regenerate response",
+)
+
+
+def _q212_sql() -> str:
+    from soda_core_spark.operators.profiling import LLM_CONTAMINATION_PATTERNS
+
+    pats = LLM_CONTAMINATION_PATTERNS
+    markers = ", ".join(f"'{m}'" for m in _Q212_MARKERS)
+    hitcols = ",\n         ".join(
+        f"sum(CASE WHEN regexp_matches(t, '{p}') THEN 1 ELSE 0 END)"
+        f"::BIGINT AS h_{n}"
+        for n, p in pats.items()
+    )
+    any_expr = " OR ".join(
+        f"regexp_matches(t, '{p}')" for p in pats.values()
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT \"group\", '{n}' AS pattern, n_docs, h_{n} AS n_hit"
+        f" FROM agg"
+        for n in [*pats, "any_marker"]
+    )
+    return f"""
+WITH base AS (
+  SELECT source AS "group",
+         CASE WHEN doc_id % 23 = 0
+              THEN concat_ws(' ', text,
+                   ([{markers}])[CAST((doc_id // 23) % 6 AS INT) + 1])
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+),
+agg AS (
+  SELECT "group", count(*)::BIGINT AS n_docs,
+         {hitcols},
+         sum(CASE WHEN {any_expr} THEN 1 ELSE 0 END)::BIGINT
+           AS h_any_marker
+  FROM base GROUP BY 1
+),
+long AS (
+{rows}
+)
+SELECT "group", pattern, n_docs, n_hit,
+       round(CASE WHEN n_docs > 0
+             THEN n_hit::DOUBLE / n_docs END, 6) AS hit_rate
+FROM long
+ORDER BY "group", pattern
+"""
+
+
+@register("q212_llm_contamination", _q212_sql())
+def q212(spark, sf_dir):
+    """Model-output contamination audit per source
+    (operators/profiling.py llm_contamination): assistant refusal
+    stubs, chat-template special tokens and instruction-tuning
+    scaffolding leaking into web text — the post-2022 crawl-cleanup
+    concern. Same fused one-scan inline-unpivot shape as q164. The
+    test corpus is word salad, so markers are injected
+    deterministically (doc_id % 23, round-robin exemplar) identically
+    on both engines; detection regexes are the shared
+    LLM_CONTAMINATION_PATTERNS table."""
+    from soda_core_spark.operators.profiling import llm_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    idx = (F.expr("doc_id div 23") % 6 + 1).cast("int")
+    marker = F.element_at(
+        F.array(*[F.lit(m) for m in _Q212_MARKERS]), idx
+    )
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat_ws(" ", F.col("text"), marker),
+        ).otherwise(F.col("text")),
+    )
+    return llm_contamination(aug)
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n diversity (operators/profiling.py distinct_ngram_diversity)
+# ---------------------------------------------------------------------------
+
+_Q213_SQL = """
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[ \t\n\r]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT source, 1 AS n, unnest(w) AS gram FROM toks
+  UNION ALL
+  SELECT source, 2, unnest(list_transform(
+    range(1, greatest(len(w) - 1, 0) + 1), i -> w[i] || ' ' || w[i+1]))
+  FROM toks
+  UNION ALL
+  SELECT source, 3, unnest(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+  FROM toks
+),
+counts AS (
+  SELECT source AS "group", n, gram, count(*)::BIGINT AS c
+  FROM grams GROUP BY 1, 2, 3
+)
+SELECT "group", n::BIGINT AS n,
+       sum(c)::BIGINT AS total_ngrams,
+       count(*)::BIGINT AS distinct_ngrams,
+       round(count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS distinct_ratio
+FROM counts GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q213_distinct_ngrams", _Q213_SQL)
+def q213(spark, sf_dir):
+    """Distinct-1/2/3 diversity per source (operators/profiling.py
+    distinct_ngram_diversity, Li et al. 2016): distinct over total
+    n-gram counts — the cross-document template-collapse signal that
+    per-document repetition rules miss. One tokenize-tag-explode pass,
+    two-stage partial-aggregated count."""
+    from soda_core_spark.operators.profiling import distinct_ngram_diversity
+
+    return distinct_ngram_diversity(_t(spark, sf_dir, "documents"))

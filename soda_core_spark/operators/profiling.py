@@ -1813,11 +1813,52 @@ MARKUP_RESIDUE_PATTERNS: dict[str, str] = {
 }
 
 
+#: LLM-era contamination markers, shared VERBATIM with the SQL oracle —
+#: assistant-style refusal stubs, chat-template special tokens, and
+#: instruction-tuning scaffolding that leak into post-2022 web crawls
+#: when pages embed model output verbatim (the FineWeb/Dolma-era cleanup
+#: concern: training on such text teaches the model to imitate refusals
+#: and emit template tokens). Java-regex ∩ RE2 common subset; inline
+#: ``(?i)`` is honored by both engines; no apostrophes so the patterns
+#: embed directly in single-quoted SQL.
+LLM_CONTAMINATION_PATTERNS: dict[str, str] = {
+    "ai_self_reference": r"(?i)\bas an ai (language )?model\b",
+    "refusal_stub": r"(?i)\bi cannot (fulfill|assist with|comply with)\b",
+    "chat_special_token": r"<\|(im_start|im_end|endoftext|assistant|user|system)\|>",
+    "inst_template": r"\[/?INST\]|<<SYS>>",
+    "instruction_header": r"### (Instruction|Response|Assistant):",
+    "regenerate_ui": r"(?i)\bregenerate response\b",
+}
+
+
+def llm_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Model-output contamination audit per source: what fraction of
+    documents carry assistant-style refusal stubs, chat-template special
+    tokens, or instruction-tuning scaffolding (see
+    ``LLM_CONTAMINATION_PATTERNS``). Same fused one-scan shape and
+    output schema as :func:`markup_residue`; the synthetic OR row is
+    labeled ``any_marker``. soda-core analogue: invalid_count with regex
+    validity (invalid_check.py) generalized to a multi-pattern report."""
+    return markup_residue(
+        df,
+        text_col=text_col,
+        group_col=group_col,
+        patterns=patterns if patterns is not None else LLM_CONTAMINATION_PATTERNS,
+        any_label="any_marker",
+    )
+
+
 def markup_residue(
     df: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
     patterns: dict[str, str] | None = None,
+    any_label: str = "any_residue",
 ) -> DataFrame:
     """Extraction-residue audit per source: what fraction of documents
     still carry raw-HTML artifacts AFTER text extraction — residual
@@ -1832,8 +1873,9 @@ def markup_residue(
         group, pattern, n_docs: bigint
         n_hit: bigint, hit_rate: double (6 dp)
 
-    plus a synthetic ``pattern = 'any_residue'`` row per group (OR of
-    all patterns). NULL text counts as clean (no artifact to find).
+    plus a synthetic ``pattern = any_label`` row per group (OR of all
+    patterns; default ``'any_residue'``). NULL text counts as clean (no
+    artifact to find).
 
     Scale shape: all flags are ``rlike`` booleans in ONE fused
     map-side-combined aggregate — one corpus scan regardless of pattern
@@ -1845,6 +1887,10 @@ def markup_residue(
     pats = patterns if patterns is not None else MARKUP_RESIDUE_PATTERNS
     if not pats:
         raise ValueError("patterns must be non-empty")
+    if any_label in pats:
+        raise ValueError(
+            f"any_label {any_label!r} collides with a pattern name"
+        )
     t = F.coalesce(F.col(text_col), F.lit(""))
     flags = {n: t.rlike(p) for n, p in pats.items()}
     any_flag = None
@@ -1858,9 +1904,9 @@ def markup_residue(
         ],
         F.sum(F.when(any_flag, 1).otherwise(0))
         .cast("long")
-        .alias("__h_any_residue"),
+        .alias(f"__h_{any_label}"),
     )
-    names = [*pats, "any_residue"]
+    names = [*pats, any_label]
     out = agg.select(
         "group",
         "n_docs",
@@ -1889,6 +1935,92 @@ def markup_residue(
             6,
         ).alias("hit_rate"),
     ).orderBy("group", "pattern")
+
+
+def distinct_ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity per source (Li et al. 2016,
+    arXiv:1510.03055 §5's *distinct-1/distinct-2*, the standard text
+    diversity metric): for each n-gram order, the number of DISTINCT
+    n-grams over the TOTAL n-gram count. A source whose distinct ratio
+    collapses is template-generated or boilerplate-dominated even when
+    per-document repetition rules (Gopher §A1) pass — the repetition
+    lives ACROSS documents, not within them.
+
+    One row per (group, n)::
+
+        group, n: bigint, total_ngrams: bigint
+        distinct_ngrams: bigint, distinct_ratio: double (6 dp)
+
+    Groups with no n-grams of an order (all docs shorter than n tokens)
+    have no row for that order, mirroring the SQL twin's empty-unnest.
+
+    Shape for scale: tokens are built once per order with pure array
+    algebra (the tokenizer expression is inlined per order by Catalyst's
+    projection collapse — |ns| regex splits per row, no shuffle), all
+    orders tagged and exploded in ONE pass, then a two-stage aggregate:
+    ``groupBy(group, n, gram).count`` (partial-aggregated — repeated
+    grams combine map-side) feeding a tiny ``groupBy(group, n)``. Exact
+    by design (the oracle demands it); at extreme scale swap stage one
+    for ``approx_count_distinct`` on the same exploded frame — one less
+    shuffle, bounded error. soda-core analogue: distinct/duplicate
+    metrics (duplicate_count) lifted from rows to n-gram events."""
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty positive orders, got {ns}")
+    from soda_core_spark.functions.text import words_col
+
+    toks = words_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    t = F.col("__toks")
+    # NB: single-param lambdas via closure factories — a default-arg
+    # lambda (lambda i, _n=n: ...) is seen by pyspark's transform as the
+    # two-param (element, index) form and n silently becomes the index
+    # (the dedup._salted_hash gotcha)
+    def _gram_at(n: int):
+        return lambda i: F.concat_ws(" ", F.slice(t, i, n))
+
+    def _tag(n: int):
+        return lambda g: F.struct(
+            F.lit(n).cast("long").alias("n"), g.alias("gram")
+        )
+
+    tagged = []
+    for n in ns:
+        # sequence(1, 0) descends (step -1 when start > stop): short docs
+        # must yield [] here, not a slice-from-0 error (q129 convention)
+        starts = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        tagged.append(F.transform(F.transform(starts, _gram_at(n)), _tag(n)))
+    events = (
+        df.select(F.col(group_col).alias("group"), toks.alias("__toks"))
+        .select("group", F.explode(F.concat(*tagged)).alias("e"))
+        .select("group", F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
+    )
+    counts = events.groupBy("group", "n", "gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        counts.groupBy("group", "n")
+        .agg(
+            F.sum("__c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        )
+        .select(
+            "group",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams").cast("double"),
+                6,
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("group", "n")
+    )
 
 
 def mann_whitney_groups(
