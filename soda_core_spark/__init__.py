@@ -181,11 +181,14 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
 )
 from soda_core_spark.operators.profiling import winsorized_stats  # noqa: F401
 from soda_core_spark.operators.profiling import (  # noqa: F401
+    INVISIBLE_CHAR_CLASSES,
     LLM_CONTAMINATION_PATTERNS,
     MARKUP_RESIDUE_PATTERNS,
     distinct_ngram_diversity,
+    invisible_chars,
     llm_contamination,
     markup_residue,
+    pii_cooccurrence,
 )
 from soda_core_spark.operators.profiling import (  # noqa: F401
     mann_whitney_groups,

@@ -12061,3 +12061,172 @@ def q213(spark, sf_dir):
     from soda_core_spark.operators.profiling import distinct_ngram_diversity
 
     return distinct_ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Invisible-character audit (operators/profiling.py invisible_chars)
+# ---------------------------------------------------------------------------
+
+#: deterministic invisible-char injection (the word-salad corpus is
+#: clean ASCII): docs with doc_id % 29 == 0 get one payload appended,
+#: round-robin over the four non-control classes.
+_Q214_INJECTIONS = (
+    "‮hidden⁦",
+    "zero​width‌join",
+    "soft­hyphen",
+    "non break space",
+)
+
+
+def _q214_sql() -> str:
+    from soda_core_spark.operators.profiling import INVISIBLE_CHAR_CLASSES
+
+    cls = INVISIBLE_CHAR_CLASSES
+    inj = ", ".join(f"'{m}'" for m in _Q214_INJECTIONS)
+    aggs = ",\n         ".join(
+        f"sum(CASE WHEN regexp_matches(t, '{p}') THEN 1 ELSE 0 END)"
+        f"::BIGINT AS h_{n},\n         "
+        f"sum(length(t) - length(regexp_replace(t, '{p}', '', 'g')))"
+        f"::BIGINT AS o_{n}"
+        for n, p in cls.items()
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT \"group\", '{n}' AS class, n_docs,"
+        f" h_{n} AS n_docs_hit, o_{n} AS total_occurrences FROM agg"
+        for n in cls
+    )
+    return f"""
+WITH base AS (
+  SELECT source AS "group",
+         CASE WHEN doc_id % 29 = 0
+              THEN concat_ws(' ', text,
+                   ([{inj}])[CAST((doc_id // 29) % 4 AS INT) + 1])
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+),
+agg AS (
+  SELECT "group", count(*)::BIGINT AS n_docs,
+         {aggs}
+  FROM base GROUP BY 1
+),
+long AS (
+{rows}
+)
+SELECT "group", class, n_docs, n_docs_hit,
+       round(CASE WHEN n_docs > 0
+             THEN n_docs_hit::DOUBLE / n_docs END, 6) AS doc_rate,
+       total_occurrences
+FROM long
+ORDER BY "group", class
+"""
+
+
+@register("q214_invisible_chars", _q214_sql())
+def q214(spark, sf_dir):
+    """Invisible-character audit per source (operators/profiling.py
+    invisible_chars): bidi override controls (Trojan Source,
+    CVE-2021-42574), zero-width chars, soft hyphens, NBSP variants and
+    raw C0 controls — display-spoofing / hidden-watermark /
+    tokenizer-splitting channels that survive extraction. One fused
+    scan, hit flags + length-delta occurrence counts, inline unpivot.
+    Payloads are injected deterministically (doc_id % 29, round-robin)
+    identically on both engines; classes are the shared
+    INVISIBLE_CHAR_CLASSES table."""
+    from soda_core_spark.operators.profiling import invisible_chars
+
+    d = _t(spark, sf_dir, "documents")
+    idx = (F.expr("doc_id div 29") % 4 + 1).cast("int")
+    payload = F.element_at(
+        F.array(*[F.lit(m) for m in _Q214_INJECTIONS]), idx
+    )
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.concat_ws(" ", F.col("text"), payload),
+        ).otherwise(F.col("text")),
+    )
+    return invisible_chars(aug)
+
+
+# ---------------------------------------------------------------------------
+# PII co-occurrence census (operators/profiling.py pii_cooccurrence)
+# ---------------------------------------------------------------------------
+
+
+def _q215_sql() -> str:
+    from soda_core_spark.functions.scrub import ALL_RULES
+
+    names = [n for n, _p, _r in ALL_RULES]
+    flag_cols = ",\n         ".join(
+        f"regexp_matches(t, '{p}') AS f_{n}" for n, p, _r in ALL_RULES
+    )
+    combo = (
+        "concat_ws('+', "
+        + ", ".join(f"CASE WHEN f_{n} THEN '{n}' END" for n in names)
+        + ")"
+    )
+    ntypes = " + ".join(f"f_{n}::INT" for n in names)
+    return f"""
+WITH base AS (
+  SELECT coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact alice@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1 555 123 4567' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' from 10.1.2.3' ELSE '' END AS t
+  FROM documents
+),
+flags AS (
+  SELECT {flag_cols}
+  FROM base
+),
+keyed AS (
+  SELECT CASE WHEN {combo} = '' THEN 'none' ELSE {combo} END AS pii_types,
+         ({ntypes})::BIGINT AS n_types
+  FROM flags
+)
+SELECT pii_types, n_types,
+       CASE WHEN n_types = 0 THEN 'none'
+            WHEN n_types = 1 THEN 'low'
+            WHEN n_types = 2 THEN 'medium'
+            ELSE 'high' END AS risk_tier,
+       count(*)::BIGINT AS n_docs
+FROM keyed
+GROUP BY 1, 2
+ORDER BY n_types DESC, pii_types
+"""
+
+
+@register("q215_pii_cooccurrence", _q215_sql())
+def q215(spark, sf_dir):
+    """PII co-occurrence / re-identification risk census
+    (operators/profiling.py pii_cooccurrence): which scrub-rule PII
+    types fire TOGETHER per document, rolled up to one bounded row per
+    observed combination with a risk tier — the release-review and
+    scrub-QA prioritization signal. Independent per-type rlike flags
+    (no replacement-order masking), one scan, 2^|rules|-bounded
+    groupBy. PII strings are injected deterministically
+    (doc_id % 7/11/13/17 -> email/phone/ssn/ipv4; doc 0 fires all
+    four) identically on both engines."""
+    from soda_core_spark.operators.profiling import pii_cooccurrence
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" contact alice@example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" call +1 555 123 4567")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit(" from 10.1.2.3")).otherwise(F.lit("")),
+        ),
+    )
+    return pii_cooccurrence(aug)

@@ -2023,6 +2023,157 @@ def distinct_ngram_diversity(
     )
 
 
+#: invisible / format-control character classes, shared VERBATIM with
+#: the SQL oracle. Non-ASCII classes embed RAW codepoints (both Java
+#: regex and RE2 accept literal chars in classes — the one escape syntax
+#: they agree on above 0xFF); the control class uses two-digit ``\xhh``
+#: escapes, the shared sub-0xFF syntax. These are the corpus-poisoning
+#: and copy-paste-artifact channels: bidi overrides reorder rendered
+#: text against its logical order (Trojan Source, CVE-2021-42574),
+#: zero-width chars hide watermarks/fingerprints and break tokenizers,
+#: soft hyphens and NBSP variants split tokens invisibly.
+INVISIBLE_CHAR_CLASSES: dict[str, str] = {
+    "bidi_control": "[\u202a-\u202e\u2066-\u2069\u200e\u200f]",
+    "zero_width": "[\u200b-\u200d\u2060\ufeff]",
+    "soft_hyphen": "[\u00ad]",
+    "nbsp_variant": "[\u00a0\u2007\u202f]",
+    "c0_control": r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]",
+}
+
+
+def invisible_chars(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    classes: dict[str, str] | None = None,
+) -> DataFrame:
+    """Invisible-character audit per source: documents carrying bidi override
+    controls, zero-width chars, soft hyphens, NBSP variants or
+    raw C0 controls (see ``INVISIBLE_CHAR_CLASSES``) — the channels for
+    Trojan-Source-style display spoofing, hidden watermarks and
+    tokenizer-splitting artifacts that survive HTML extraction.
+
+    One row per (group, class)::
+
+        group, class, n_docs: bigint, n_docs_hit: bigint
+        doc_rate: double (6 dp), total_occurrences: bigint
+
+    NULL text counts as clean. Occurrences are counted by length delta
+    after ``regexp_replace`` (every class is single-codepoint, so the
+    delta IS the occurrence count).
+
+    Scale shape: one fused map-side-combined aggregate — hit flags and
+    length deltas are all column expressions over one corpus scan;
+    ``inline`` unpivots per class. soda-core analogue: invalid_count
+    with regex validity (invalid_check.py) as a multi-class report."""
+    cls = classes if classes is not None else INVISIBLE_CHAR_CLASSES
+    if not cls:
+        raise ValueError("classes must be non-empty")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            c
+            for n, p in cls.items()
+            for c in (
+                F.sum(F.when(t.rlike(p), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__h_{n}"),
+                F.sum(F.length(t) - F.length(F.regexp_replace(t, p, "")))
+                .cast("long")
+                .alias(f"__o_{n}"),
+            )
+        ],
+    )
+    out = agg.select(
+        "group",
+        "n_docs",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("class"),
+                        F.col(f"__h_{n}").alias("n_docs_hit"),
+                        F.col(f"__o_{n}").alias("total_occurrences"),
+                    )
+                    for n in cls
+                ]
+            )
+        ),
+    )
+    return out.select(
+        "group",
+        "class",
+        "n_docs",
+        "n_docs_hit",
+        F.round(
+            F.when(
+                F.col("n_docs") > 0,
+                F.col("n_docs_hit") / F.col("n_docs").cast("double"),
+            ),
+            6,
+        ).alias("doc_rate"),
+        "total_occurrences",
+    ).orderBy("group", "class")
+
+
+def pii_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """PII co-occurrence / re-identification risk census: for every
+    document, which scrub-rule PII types fire TOGETHER (detection via
+    the same ``functions/scrub.py`` rule patterns the scrubber
+    replaces), rolled up to one row per observed combination. A doc
+    leaking an email alone is low risk; email + phone + SSN in one page
+    is a re-identification record — exactly the tiering GDPR/HIPAA
+    release reviews apply, and the prioritization signal for scrub QA
+    sampling.
+
+    One row per observed type combination::
+
+        pii_types: string  ('none' or '+'-joined rule names, rule order)
+        n_types: bigint, risk_tier: string (none|low|medium|high)
+        n_docs: bigint
+
+    Tiers: 0 types → none, 1 → low, 2 → medium, ≥3 → high.
+
+    Scale shape: |rules| ``rlike`` flags per row (JVM-side, one corpus
+    scan), combination key built with ``concat_ws`` over conditional
+    names, then one partial-aggregated groupBy whose cardinality is
+    bounded by 2^|rules|, not corpus size. The flags deliberately test
+    each pattern INDEPENDENTLY (no replacement-order masking — the
+    scrubber's ordered chain means an SSN is eaten before the phone
+    rule sees it; the audit wants ground-truth presence per type).
+    soda-core analogue: failed-rows condition checks
+    (failed_rows_check.py) lifted to a combination census."""
+    from soda_core_spark.functions.scrub import ALL_RULES
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    flags = [(name, t.rlike(pat)) for name, pat, _repl in ALL_RULES]
+    combo = F.concat_ws("+", *[F.when(c, F.lit(n)) for n, c in flags])
+    n_types = None
+    for _n, c in flags:
+        term = F.when(c, 1).otherwise(0)
+        n_types = term if n_types is None else (n_types + term)
+    keyed = df.select(
+        F.when(combo == "", "none").otherwise(combo).alias("pii_types"),
+        n_types.cast("long").alias("n_types"),
+    )
+    tier = (
+        F.when(F.col("n_types") == 0, "none")
+        .when(F.col("n_types") == 1, "low")
+        .when(F.col("n_types") == 2, "medium")
+        .otherwise("high")
+    )
+    return (
+        keyed.groupBy("pii_types", "n_types")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select("pii_types", "n_types", tier.alias("risk_tier"), "n_docs")
+        .orderBy(F.col("n_types").desc(), "pii_types")
+    )
+
+
 def mann_whitney_groups(
     df: DataFrame,
     value_col: str,
