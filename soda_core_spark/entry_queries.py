@@ -12230,3 +12230,448 @@ def q215(spark, sf_dir):
         ),
     )
     return pii_cooccurrence(aug)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-analogue join-shape coverage (SURVEY §2.1: multi-way joins,
+# window-rank-per-group, self-join exclusivity, correlated scalar
+# subqueries). The reference's checks compile to exactly these SQL
+# shapes (soda-core sql_ast.py SELECT/JOIN/EXISTS builders); here each
+# is a DataFrame plan with the join strategy chosen explicitly:
+# dimension tables broadcast, fact-fact joins shuffle on their key and
+# reuse the partitioning for the following window/groupBy.
+# ---------------------------------------------------------------------------
+
+_Q216_SQL = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost, l_suppkey) AS rk
+  FROM cost
+)
+SELECT p.p_partkey, p.p_brand, p.p_type,
+       e.s_name, e.n_name,
+       round(r.unit_cost, 6) AS min_unit_cost
+FROM ranked r
+JOIN part p ON r.l_partkey = p.p_partkey
+JOIN eu_supp e ON r.l_suppkey = e.s_suppkey
+WHERE r.rk = 1
+ORDER BY p.p_partkey
+"""
+
+
+@register("q216_min_cost_supplier", _Q216_SQL)
+def q216(spark, sf_dir):
+    """TPC-H Q2 analogue (adapted: no partsupp table — unit cost is
+    min(l_extendedprice/l_quantity) observed per (part, supplier)):
+    cheapest EUROPE supplier per part. Shape: region/nation/supplier
+    collapse to ONE broadcast dimension BEFORE touching the fact
+    (reference: soda-core's reference-data validity joins,
+    checks.py:276 here); the fact aggregates on (part, supp) and the
+    per-part rank rides the same partitioning (partkey prefix) — one
+    shuffle total at any scale. min() is order-independent so the
+    rank key is bit-identical across engines; row_number tiebreak on
+    suppkey makes rank 1 deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    pa = _t(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    eu = (
+        su.join(F.broadcast(na),
+                su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(eu.select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = cost.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return (
+        best.join(F.broadcast(pa), best.l_partkey == pa.p_partkey)
+        .join(F.broadcast(eu), best.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "p_type", "s_name", "n_name",
+            F.round("unit_cost", 6).alias("min_unit_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_Q217_SQL = """
+WITH per_supp AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+             THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, l_suppkey, was_late,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         sum(was_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per_supp
+)
+SELECT s.s_name,
+       count(*)::BIGINT AS numwait
+FROM per_order p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.was_late = 1 AND p.n_supp > 1 AND p.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q217_lonely_late_supplier", _Q217_SQL)
+def q217(spark, sf_dir):
+    """TPC-H Q21 analogue (adapted: lateness is l_shipdate more than
+    90 days after o_orderdate — the table has no commit/receipt
+    dates): suppliers who were the ONLY late supplier in a
+    multi-supplier order. Shape: the classic EXISTS/NOT-EXISTS
+    self-join pair collapses to ONE pass — per-(order, supplier)
+    lateness flags, then order-grain counts via a window over the
+    SAME partitioning the groupBy just produced (no second shuffle),
+    then a broadcast supplier-name join. All-integer outputs: exact
+    cross-engine."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    per_supp = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = per_supp.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("was_late").over(w).alias("n_late"),
+    )
+    return (
+        per_order.where(
+            (F.col("was_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+_Q218_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("q218_promo_revenue", _Q218_SQL)
+def q218(spark, sf_dir):
+    """TPC-H Q14 analogue: monthly PROMO revenue share through 1997.
+    Shape: part is a broadcast dimension (its only consumed column is
+    p_type — pruned at scan), the date filter pushes to the parquet
+    scan, and both CASE branches ride one aggregate — the fused
+    numerator/denominator contract (q2_fused_metrics) applied to a
+    join."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(pa.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_Q219_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-04-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q219_top_supplier", _Q219_SQL)
+def q219(spark, sf_dir):
+    """TPC-H Q15 analogue: supplier(s) with the maximum quarterly
+    revenue. Shape: the revenue CTE computes once; the scalar max is
+    a 1-row broadcast joined back (Spark reuses the shuffle output of
+    `rev` for both branches under AQE) — never a driver collect.
+    Comparing on the 2-dp-rounded value keeps the equality
+    cross-engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1997-04-01")
+            & (F.col("l_shipdate") < "1997-07-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q220_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q220_returned_revenue", _Q220_SQL)
+def q220(spark, sf_dir):
+    """TPC-H Q10 analogue: top-20 customers by revenue lost to
+    returned items in one quarter. Shape: the quarter filter prunes
+    orders BEFORE the fact join (predicate pushdown through the
+    join), the returnflag filter prunes lineitem at its scan, nation
+    broadcasts, and the top-20 is a rank on the 2-dp-rounded revenue
+    with a custkey tiebreak — deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            od.where(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1997-04-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q221_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY n_name
+"""
+
+
+@register("q221_local_supplier_volume", _Q221_SQL)
+def q221(spark, sf_dir):
+    """TPC-H Q5 analogue: revenue shipped by a supplier in the
+    customer's own nation, per nation, one year. Shape: the 5-way
+    join keeps the two facts (orders→lineitem) on the orderkey
+    shuffle and broadcasts customer/supplier/nation; the
+    same-nation predicate is a join condition, not a post-filter, so
+    rows drop at the earliest possible point."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        od.where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_Q222_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem
+  GROUP BY 1
+  HAVING sum(l_quantity) > 200
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       o.o_orderdate, o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+
+@register("q222_large_volume_customers", _Q222_SQL)
+def q222(spark, sf_dir):
+    """TPC-H Q18 analogue: customers behind orders totalling > 200
+    units. Shape: the HAVING collapses lineitem to qualifying
+    orderkeys FIRST (the IN-subquery of the original becomes a plain
+    aggregate + join — Catalyst's semi-join rewrite done by hand so
+    the intent is visible); quantities are integer-valued so the
+    threshold is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            "o_orderdate", "o_totalprice", "sum_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_Q223_SQL = """
+WITH avg_qty AS (
+  SELECT l_partkey, avg(l_quantity) AS aq
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT p.p_brand,
+       count(*)::BIGINT AS n_small_lines,
+       round(sum(l.l_extendedprice), 2) AS small_qty_revenue
+FROM lineitem l
+JOIN avg_qty a ON l.l_partkey = a.l_partkey
+JOIN part p    ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < 0.5 * a.aq
+GROUP BY 1
+ORDER BY p_brand
+"""
+
+
+@register("q223_small_quantity_revenue", _Q223_SQL)
+def q223(spark, sf_dir):
+    """TPC-H Q17 analogue: revenue from lineitems ordering less than
+    half the part's average quantity, per brand. Shape: the
+    correlated scalar subquery (avg per part) becomes ONE aggregate
+    joined back on partkey — computed once, not per-row; quantities
+    are integers so sum/count (and therefore the 0.5·avg threshold)
+    are bit-exact on both engines, making the < comparison safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        .where(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .join(F.broadcast(pa.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+        )
+        .orderBy("p_brand")
+    )
