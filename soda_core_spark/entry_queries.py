@@ -12265,7 +12265,7 @@ ranked AS (
 )
 SELECT p.p_partkey, p.p_brand, p.p_type,
        e.s_name, e.n_name,
-       round(r.unit_cost, 6) AS min_unit_cost
+       floor(r.unit_cost * 1e6 + 0.5) / 1e6 AS min_unit_cost
 FROM ranked r
 JOIN part p ON r.l_partkey = p.p_partkey
 JOIN eu_supp e ON r.l_suppkey = e.s_suppkey
@@ -12316,7 +12316,12 @@ def q216(spark, sf_dir):
         .join(F.broadcast(eu), best.l_suppkey == F.col("s_suppkey"))
         .select(
             "p_partkey", "p_brand", "p_type", "s_name", "n_name",
-            F.round("unit_cost", 6).alias("min_unit_cost"),
+            # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): both
+            # engines then perform the IDENTICAL double ops, immune to
+            # HALF_UP-vs-scaled-float divergence when a quotient lands
+            # exactly on a .5 tie at the 7th digit (seen at sf0.1)
+            (F.floor(F.col("unit_cost") * 1e6 + 0.5) / 1e6)
+            .alias("min_unit_cost"),
         )
         .orderBy("p_partkey")
     )
@@ -12675,3 +12680,310 @@ def q223(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank-correlation matrix (operators/profiling.py
+# spearman_matrix)
+# ---------------------------------------------------------------------------
+
+def _q224_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    notnull = " AND ".join(
+        f"{c} IS NOT NULL AND NOT isnan({c}::DOUBLE)" for c in cols
+    )
+    ranks = ",\n         ".join(
+        f"rank() OVER (ORDER BY {c})"
+        f" + (count(*) OVER (PARTITION BY {c}) - 1) / 2.0 AS {c}"
+        for c in cols
+    )
+    pairs = [(cols[i], cols[j]) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    rows = []
+    for a, b in pairs:
+        vx = f"(n_d * sxx_{a}_{b} - sx_{a}_{b} * sx_{a}_{b})"
+        vy = f"(n_d * syy_{a}_{b} - sy_{a}_{b} * sy_{a}_{b})"
+        rows.append(f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b, n, round(
+    CASE WHEN n >= 2 AND {vx} > 0 AND {vy} > 0 THEN
+      (n_d * sxy_{a}_{b} - sx_{a}_{b} * sy_{a}_{b}) / sqrt({vx} * {vy})
+    END, 6) AS rho
+  FROM agg""")
+    sums = ", ".join(
+        f"sum({a}) AS sx_{a}_{b}, sum({b}) AS sy_{a}_{b},"
+        f" sum({a} * {b}) AS sxy_{a}_{b},"
+        f" sum({a} * {a}) AS sxx_{a}_{b},"
+        f" sum({b} * {b}) AS syy_{a}_{b}"
+        for a, b in pairs
+    )
+    body = "\n  UNION ALL\n".join(r.strip("\n") for r in rows)
+    return f"""
+WITH base AS (
+  SELECT {', '.join(f'{c}::DOUBLE AS {c}' for c in cols)}
+  FROM lineitem WHERE {notnull}
+),
+r AS (
+  SELECT {ranks}
+  FROM base
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n, count(*)::DOUBLE AS n_d, {sums}
+  FROM r
+)
+{body}
+ORDER BY col_a, col_b
+"""
+
+
+@register("q224_spearman_matrix", _q224_sql())
+def q224(spark, sf_dir):
+    """Spearman rank-correlation matrix over the lineitem numerics
+    (operators/profiling.py spearman_matrix): monotone association,
+    robust to outliers — the rank twin of q177's Pearson matrix.
+    Ranks are average-of-ties positions computed WITHOUT a global
+    sort: per-distinct-value counts, order-compatible range buckets
+    from a bounded quantile sketch, two-stage prefix cumsum (the
+    q49/q64 contract), then every pair's Pearson sums ride ONE fused
+    aggregate. Listwise NULL policy documented on the operator."""
+    from soda_core_spark.operators.profiling import spearman_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V categorical association (operators/profiling.py cramers_v)
+# ---------------------------------------------------------------------------
+
+def _q225_pair_sql(table: str, a: str, b: str) -> str:
+    return f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b, n, dof,
+         round(chi_obs + n - e_obs, 4) AS chi2,
+         round(CASE WHEN mindim > 0 AND n > 0 THEN
+           sqrt((chi_obs + n - e_obs) / (n::DOUBLE * mindim)) END, 6) AS v
+  FROM (
+    WITH cells AS (
+      SELECT {a} AS ca, {b} AS cb, count(*)::BIGINT AS o
+      FROM {table}
+      WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ma AS (SELECT ca, sum(o)::DOUBLE AS tot_a FROM cells GROUP BY 1),
+    mb AS (SELECT cb, sum(o)::DOUBLE AS tot_b FROM cells GROUP BY 1),
+    tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+    st AS (
+      SELECT
+        sum((c.o::DOUBLE - ma.tot_a * mb.tot_b / t.n)
+            * (c.o::DOUBLE - ma.tot_a * mb.tot_b / t.n)
+            / (ma.tot_a * mb.tot_b / t.n)) AS chi_obs,
+        sum(ma.tot_a * mb.tot_b / t.n) AS e_obs
+      FROM cells c
+      JOIN ma ON c.ca = ma.ca
+      JOIN mb ON c.cb = mb.cb
+      CROSS JOIN tot t
+    )
+    SELECT t.n, st.chi_obs, st.e_obs,
+           ((SELECT count(*) FROM ma) - 1)
+             * ((SELECT count(*) FROM mb) - 1) AS dof,
+           least((SELECT count(*) FROM ma),
+                 (SELECT count(*) FROM mb)) - 1 AS mindim
+    FROM st CROSS JOIN tot t
+  )"""
+
+
+_Q225_SQL = (
+    _q225_pair_sql("lineitem", "l_returnflag", "l_linestatus")
+    + "\nUNION ALL\n"
+    + _q225_pair_sql("orders", "o_orderstatus", "o_orderpriority")
+    + "\nORDER BY col_a"
+)
+
+
+@register("q225_cramers_v", _Q225_SQL)
+def q225(spark, sf_dir):
+    """Cramér's V for two categorical pairs — returnflag×linestatus
+    and orderstatus×orderpriority (operators/profiling.py cramers_v):
+    the categorical redundancy detector. χ² folds unobserved cells in
+    algebraically (Σ_obs (o−e)²/e + N − Σ_obs e) so only observed
+    cells ever materialize; ONE corpus pass per pair, everything
+    after runs on the tiny cell table."""
+    from soda_core_spark.operators.profiling import cramers_v
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    a = cramers_v(li, "l_returnflag", "l_linestatus")
+    b = cramers_v(od, "o_orderstatus", "o_orderpriority")
+    # dof must be long on both rows (Spark infers int for the literal
+    # product otherwise on some plans)
+    return a.unionByName(b).orderBy("col_a")
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outlier audit (operators/profiling.py mad_outlier_audit)
+# ---------------------------------------------------------------------------
+
+_Q226_SQL = """
+WITH base AS (
+  SELECT event_type AS g, value::DOUBLE AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+),
+med AS (
+  SELECT g, quantile_cont(x, 0.5) AS med, count(*)::BIGINT AS n
+  FROM base GROUP BY 1
+),
+dev AS (
+  SELECT b.g, abs(b.x - m.med) AS adev, m.med, m.n
+  FROM base b JOIN med m USING (g)
+),
+mad AS (SELECT g, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.g AS event_type,
+       any_value(d.n) AS n,
+       round(any_value(d.med), 6) AS median,
+       round(any_value(m.mad), 6) AS mad,
+       sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+         ::BIGINT AS n_outliers,
+       round(sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                 THEN 1 ELSE 0 END)::DOUBLE / any_value(d.n), 6)
+         AS outlier_share
+FROM dev d JOIN mad m USING (g)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("q226_mad_outliers", _Q226_SQL)
+def q226(spark, sf_dir):
+    """Median/MAD robust outlier audit per event type
+    (operators/profiling.py mad_outlier_audit): the heavy-tail-safe
+    sibling of q204's Tukey fences — a single wild value cannot move
+    the gate. Exact interpolated percentiles (the q25 contract), the
+    outlier comparison on un-rounded scalars broadcast back; three
+    grouped passes, approx_percentile the stated 100-TB swap."""
+    from soda_core_spark.operators.profiling import mad_outlier_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outlier_audit(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Yule's K / Simpson vocabulary richness (operators/profiling.py
+# vocabulary_richness)
+# ---------------------------------------------------------------------------
+
+_Q227_SQL = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> ''))
+           AS tok
+  FROM documents
+),
+tf AS (
+  SELECT source, tok, count(*)::BIGINT AS m FROM toks GROUP BY 1, 2
+),
+per AS (
+  SELECT source,
+         sum(m)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS vocab,
+         sum(m * m)::BIGINT AS m2,
+         sum(m * (m - 1))::BIGINT AS mm1
+  FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, vocab,
+       round(CASE WHEN n_tokens > 0 THEN
+         1e4 * (m2 - n_tokens)::DOUBLE
+         / (n_tokens::DOUBLE * n_tokens::DOUBLE) END, 4) AS yule_k,
+       round(CASE WHEN n_tokens > 1 THEN
+         mm1::DOUBLE / (n_tokens::DOUBLE * (n_tokens::DOUBLE - 1))
+         END, 8) AS simpson_d
+FROM per
+ORDER BY source
+"""
+
+
+@register("q227_vocabulary_richness", _Q227_SQL)
+def q227(spark, sf_dir):
+    """Yule's K + Simpson token diversity per source
+    (operators/profiling.py vocabulary_richness): length-invariant
+    repetitiveness constants — the size-free complement of q159's
+    Heaps-law growth curve. All-integer frequency-of-frequency sums
+    (Σ m²V_m ≤ N² fits a long) → bit-exact cross-engine before
+    display rounding; one explode + two grouped reduces."""
+    from soda_core_spark.operators.profiling import vocabulary_richness
+
+    d = _t(spark, sf_dir, "documents")
+    return vocabulary_richness(d, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# Embedding hubness audit (operators/similarity.py knn_hubness)
+# ---------------------------------------------------------------------------
+
+_Q228_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+),
+nn AS (
+  SELECT c.vec_id AS nid,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(
+                      q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id
+         ) AS rk
+  FROM s q, s c
+  WHERE q.vec_id <> c.vec_id
+  QUALIFY rk <= 5
+),
+occ AS (
+  SELECT s.vec_id, coalesce(o.cnt, 0)::BIGINT AS c
+  FROM s LEFT JOIN (
+    SELECT nid, count(*)::BIGINT AS cnt FROM nn GROUP BY 1
+  ) o ON s.vec_id = o.nid
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_vectors,
+         sum(c)::BIGINT AS sum_occ,
+         max(c)::BIGINT AS max_occ,
+         sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS n_antihubs,
+         sum(CASE WHEN c >= 10 THEN 1 ELSE 0 END)::BIGINT AS n_hubs,
+         sum(c * c)::BIGINT AS s2,
+         sum(c * c * c)::BIGINT AS s3
+  FROM occ
+)
+SELECT n_vectors, 5::BIGINT AS k, sum_occ, max_occ, n_antihubs,
+       round(n_antihubs::DOUBLE / n_vectors, 6) AS antihub_share,
+       n_hubs,
+       round(n_hubs::DOUBLE / n_vectors, 6) AS hub_share,
+       round(CASE WHEN (s2::DOUBLE / n_vectors
+                        - (sum_occ::DOUBLE / n_vectors)
+                          * (sum_occ::DOUBLE / n_vectors)) > 0 THEN
+         (s3::DOUBLE / n_vectors
+          - 3 * (sum_occ::DOUBLE / n_vectors) * (s2::DOUBLE / n_vectors)
+          + 2 * (sum_occ::DOUBLE / n_vectors)
+              * (sum_occ::DOUBLE / n_vectors)
+              * (sum_occ::DOUBLE / n_vectors))
+         / pow(s2::DOUBLE / n_vectors
+               - (sum_occ::DOUBLE / n_vectors)
+                 * (sum_occ::DOUBLE / n_vectors), 1.5)
+       END, 4) AS occ_skewness
+FROM agg
+"""
+
+
+@register("q228_knn_hubness", _Q228_SQL)
+def q228(spark, sf_dir):
+    """k-occurrence hubness audit over a deterministic embedding
+    sample (operators/similarity.py knn_hubness): the
+    high-dimensional pathology detector (Radovanović 2010) — hubs
+    distort ANN recall and near-dup graphs, anti-hubs are unreachable
+    islands, rising skewness is the canonical symptom. Exact top-5
+    via the broadcast-queries one-pass brute force (q17 shape);
+    sum_occ == n·k is the built-in self-check."""
+    from soda_core_spark.operators.similarity import knn_hubness
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    return knn_hubness(e, k=5)

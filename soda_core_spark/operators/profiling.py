@@ -20,7 +20,7 @@ Both touch the corpus once and produce tiny frames.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -5125,3 +5125,321 @@ def ship_latency_profile(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _avg_rank_table(
+    df: DataFrame, col: str, buckets: int = 32
+) -> DataFrame:
+    """Average (fractional) rank per DISTINCT value of ``col`` — the
+    building block of :func:`spearman_matrix`. Returns (``__v``,
+    ``__rank``) where ``__rank`` is the mean of the positions the
+    value's ties would occupy in a full sort (1-based).
+
+    Scale shape: never a global single-reducer sort. Values collapse
+    to per-value counts first (groupBy), each distinct value lands in
+    an order-compatible range bucket chosen from a driver-bounded
+    quantile sketch (≤ ``buckets`` cut points — the only collect), the
+    below-count prefix runs as per-bucket windows plus broadcast
+    bucket offsets — the q49/q64 two-stage-cumsum contract, keyed by
+    value order instead of hash order. Bucketing is a pure monotone
+    function of the value, so recomputation across stages is
+    deterministic and ties never straddle buckets."""
+    v = F.col(col).cast("double")
+    vals = df.select(v.alias("__v")).where(
+        F.col("__v").isNotNull() & ~F.isnan(F.col("__v"))
+    )
+    counts = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    if buckets > 1:
+        qs = [i / buckets for i in range(1, buckets)]
+        cuts = vals.agg(
+            F.percentile_approx("__v", qs, 10_000).alias("c")
+        ).collect()[0]["c"] or []
+        # strictly increasing cut list (duplicates collapse buckets)
+        uniq: list[float] = []
+        for c in cuts:
+            if not uniq or c > uniq[-1]:
+                uniq.append(float(c))
+    else:
+        uniq = []
+    if uniq:
+        # number of cut points strictly below the value — a plain
+        # CASE-sum over ≤ buckets-1 literals (a higher-order filter()
+        # here trips lambda rebinding when the plan branch is reused)
+        bucket = sum(
+            (
+                F.when(F.lit(c) < F.col("__v"), 1).otherwise(0)
+                for c in uniq
+            ),
+            F.lit(0),
+        ).cast("int")
+    else:
+        bucket = F.lit(0)
+    tagged = counts.select("__v", "__c", bucket.alias("__b"))
+    bsum = tagged.groupBy("__b").agg(F.sum("__c").alias("__s"))
+    off_w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bsum.withColumn(
+        "__off", F.coalesce(F.sum("__s").over(off_w), F.lit(0))
+    ).select("__b", "__off")
+    cum_w = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    below = F.col("__off") + F.sum("__c").over(cum_w) - F.col("__c")
+    return (
+        tagged.join(F.broadcast(offsets), "__b")
+        .select(
+            "__v",
+            (below.cast("double") + (F.col("__c") + 1) / 2.0)
+            .alias("__rank"),
+        )
+    )
+
+
+def spearman_matrix(
+    df: DataFrame, cols: list[str], buckets: int = 32
+) -> DataFrame:
+    """Pairwise Spearman rank correlation of k numeric columns —
+    the monotone-association companion to :func:`correlation_matrix`
+    (Pearson): outlier-robust, catches nonlinear-but-monotone
+    dependence that r misses. Listwise NULL/NaN policy: rows with a
+    missing value in ANY of ``cols`` are dropped first (average
+    ranks are corpus-wide positions, so pairwise deletion would give
+    each pair inconsistent rankings — the policy is documented, not
+    silent).
+
+    One row per unordered pair::
+
+        col_a, col_b: string, n: bigint, rho: double (6 dp)
+
+    Scale shape: one rank table per column via
+    :func:`_avg_rank_table` (distinct-value grain, two-stage cumsum,
+    no global sort), k value-keyed joins to pin ranks back on rows,
+    then ALL pairs' Pearson sums ride the single fused aggregate of
+    :func:`correlation_matrix`. Ranks of ties are exact half-integers
+    on both engines, so rho agrees to float-sum drift (rounded)."""
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    cond = None
+    for c in cols:
+        ok = F.col(c).isNotNull() & ~F.isnan(F.col(c))
+        cond = ok if cond is None else (cond & ok)
+    base = base.where(cond)
+    out = base
+    for c in cols:
+        rt = _avg_rank_table(base, c, buckets=buckets)
+        out = out.join(
+            rt.withColumnRenamed("__v", f"__v_{c}").withColumnRenamed(
+                "__rank", f"__r_{c}"
+            ),
+            out[c] == F.col(f"__v_{c}"),
+        ).drop(f"__v_{c}")
+    ranked = out.select(
+        *[F.col(f"__r_{c}").alias(c) for c in cols]
+    )
+    return correlation_matrix(ranked, cols).withColumnRenamed("r", "rho")
+
+
+def cramers_v(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    categorical analogue of a correlation coefficient: 0 independent,
+    1 one column determines the other. Flags redundant dimensions
+    (V≈1: drop one) and surprise couplings in release audits. NULL
+    policy: rows missing EITHER column are excluded (documented).
+
+    One row::
+
+        col_a, col_b: string, n: bigint, dof: bigint,
+        chi2: double (4 dp), v: double (6 dp) -- NULL when dof = 0
+
+    χ² sums over all r·c cells; unobserved cells contribute their
+    expectation, folded in algebraically (χ² = Σ_obs (o−e)²/e + N −
+    Σ_obs e) so empty cells are never materialized. Scale shape: ONE
+    corpus pass to (a, b) cell counts; marginals, totals and the χ²
+    reduction all run on the tiny cell table."""
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    ma = cells.groupBy("__a").agg(F.sum("__o").alias("__ca"))
+    mb = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    joined = cells.join(F.broadcast(ma), "__a").join(
+        F.broadcast(mb), "__b"
+    )
+    e = (
+        F.col("__ca").cast("double")
+        * F.col("__cb").cast("double")
+        / F.sum("__o").over(Window.partitionBy())
+    )
+    # window-total avoids a second pass; the window is over the tiny
+    # cell table, not the corpus
+    stats = joined.select(
+        F.col("__o").cast("double").alias("o"), e.alias("e")
+    ).agg(
+        F.sum(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+            / F.col("e")
+        ).alias("__chi_obs"),
+        F.sum("e").alias("__e_obs"),
+        F.sum("o").cast("long").alias("n"),
+    )
+    dims = (
+        ma.agg(F.count(F.lit(1)).alias("__r"))
+        .crossJoin(mb.agg(F.count(F.lit(1)).alias("__c")))
+    )
+    out = stats.crossJoin(F.broadcast(dims))
+    chi2 = (
+        F.col("__chi_obs")
+        + F.col("n").cast("double")
+        - F.col("__e_obs")
+    )
+    mindim = F.least("__r", "__c") - 1
+    dof = ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long")
+    return out.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.col("n"),
+        dof.alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.when(
+                (mindim > 0) & (F.col("n") > 0),
+                F.sqrt(chi2 / (F.col("n").cast("double") * mindim)),
+            ),
+            6,
+        ).alias("v"),
+    )
+
+
+def mad_outlier_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cutoff: float = 3.0,
+) -> DataFrame:
+    """Robust outlier audit per group: median + MAD (median absolute
+    deviation, scaled by 1.4826 to estimate σ under normality) and
+    the share of rows beyond ``cutoff`` robust z-units — the
+    Tukey-fence audit's (q204) heavy-tail-safe sibling: a single
+    wild value moves a mean/stddev gate but not a median/MAD gate.
+
+    One row per group::
+
+        <group_col>: as input, n: bigint,
+        median: double (6 dp), mad: double (6 dp),
+        n_outliers: bigint, outlier_share: double (6 dp)
+
+    Determinism: exact interpolated percentiles on both engines (the
+    q25 contract); the outlier comparison uses the un-rounded
+    median/MAD so both engines compare identical doubles. Scale
+    shape: three grouped passes (medians → MADs → counts), each a
+    plain aggregate with the per-group scalars broadcast back —
+    exact MAD is the stated cost, approx_percentile the stated
+    100-TB swap."""
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.select(g.alias("__g"), x.alias("__x")).where(
+        F.col("__x").isNotNull() & ~F.isnan(F.col("__x"))
+    )
+    med = base.groupBy("__g").agg(
+        F.expr("percentile(__x, 0.5)").alias("__med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = base.join(F.broadcast(med), "__g").select(
+        "__g", "__x", "__med",
+        F.abs(F.col("__x") - F.col("__med")).alias("__adev"),
+    )
+    mad = dev.groupBy("__g").agg(
+        F.expr("percentile(__adev, 0.5)").alias("__mad")
+    )
+    fenced = dev.join(F.broadcast(mad), "__g")
+    thresh = F.lit(float(cutoff)) * 1.4826 * F.col("__mad")
+    return (
+        fenced.groupBy("__g")
+        .agg(
+            F.sum(
+                F.when(F.col("__adev") > thresh, 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .join(F.broadcast(med), "__g")
+        .join(F.broadcast(mad), "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n"),
+            F.round("__med", 6).alias("median"),
+            F.round("__mad", 6).alias("mad"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("outlier_share"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def vocabulary_richness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Yule's K and Simpson's token diversity per group — repetition-
+    robust vocabulary-richness constants (unlike raw type/token ratio
+    both are nearly length-invariant): K rises when a corpus leans on
+    few types (boilerplate, spam), Simpson's D is the probability two
+    random tokens coincide. Complements q159 (Heaps-law growth) with
+    a size-free per-group constant.
+
+    One row per group::
+
+        <group_col>: as input, n_tokens: bigint, vocab: bigint,
+        yule_k: double (4 dp), simpson_d: double (8 dp)
+
+    K = 10⁴·(Σ m²V_m − N)/N², D = Σ m(m−1)/(N(N−1)) with V_m = #types
+    occurring m times, all-integer sums (Σ m²V_m ≤ N² stays inside a
+    long) → bit-exact across engines before the display rounding.
+    Scale shape: explode → (group, token) counts → per-group reduce;
+    the frequency-of-frequencies table never materializes wider than
+    the vocabulary."""
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(_ws_tokens(text_col)).alias("__tok"),
+    )
+    tf = toks.groupBy("__g", "__tok").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    per = tf.groupBy("__g").agg(
+        F.sum("__m").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("__m") * F.col("__m")).cast("long").alias("__m2"),
+        F.sum(F.col("__m") * (F.col("__m") - 1)).cast("long")
+        .alias("__mm1"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                1e4 * (F.col("__m2") - F.col("n_tokens")) / (n * n),
+            ),
+            4,
+        ).alias("yule_k"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 1,
+                F.col("__mm1") / (n * (n - 1)),
+            ),
+            8,
+        ).alias("simpson_d"),
+    ).orderBy(group_col)

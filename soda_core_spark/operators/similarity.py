@@ -694,3 +694,80 @@ def _decontaminate_arrow(
             )
 
     return c.mapInPandas(run, out_schema)
+
+
+def knn_hubness(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-occurrence (hubness) audit of an embedding space: how often
+    each vector appears in other vectors' exact top-k — the classic
+    high-dimensional pathology detector (Radovanović et al., JMLR
+    2010). A healthy space has k-occurrence concentrated near k;
+    hubs (≥ 2k appearances) distort ANN recall and nearest-neighbor
+    dedup, anti-hubs (0 appearances) are unreachable islands. Rising
+    skewness is the canonical symptom.
+
+    ONE summary row::
+
+        n_vectors: bigint, k: bigint, sum_occ: bigint,
+        max_occ: bigint, n_antihubs: bigint,
+        antihub_share: double (6 dp), n_hubs: bigint,
+        hub_share: double (6 dp), occ_skewness: double (4 dp)
+
+    sum_occ == n_vectors·k by construction (every vector emits k
+    votes when n > k) — a built-in self-check. Skewness is the
+    population form m₃/m₂^1.5 from exact integer power sums, so both
+    engines agree bit-for-bit before rounding.
+
+    Scale shape: the caller bounds the audit set (hubness is a
+    diagnostic over a deterministic sample, not the full corpus —
+    pass e.g. ``vec_id % m == 0``); within the set the exact top-k
+    reuses :func:`brute_force_topk`'s broadcast-queries one-pass
+    shape and the k-occurrence reduce is a single groupBy."""
+    ids = emb.select(F.col(id_col).alias("__id"))
+    occ_counts = (
+        brute_force_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+        .groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+    )
+    occ = ids.join(
+        occ_counts, ids["__id"] == F.col("neighbor_id"), "left"
+    ).select(
+        "__id", F.coalesce(F.col("__occ"), F.lit(0)).alias("__occ")
+    )
+    agg = occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("__occ").cast("long").alias("sum_occ"),
+        F.max("__occ").cast("long").alias("max_occ"),
+        F.sum(F.when(F.col("__occ") == 0, 1).otherwise(0))
+        .cast("long").alias("n_antihubs"),
+        F.sum(F.when(F.col("__occ") >= 2 * k, 1).otherwise(0))
+        .cast("long").alias("n_hubs"),
+        F.sum(F.col("__occ") * F.col("__occ")).cast("long").alias("__s2"),
+        F.sum(F.col("__occ") * F.col("__occ") * F.col("__occ"))
+        .cast("long").alias("__s3"),
+    )
+    n = F.col("n_vectors").cast("double")
+    mean = F.col("sum_occ") / n
+    m2 = F.col("__s2") / n - mean * mean
+    m3 = (
+        F.col("__s3") / n
+        - 3 * mean * (F.col("__s2") / n)
+        + 2 * mean * mean * mean
+    )
+    return agg.select(
+        "n_vectors",
+        F.lit(int(k)).cast("long").alias("k"),
+        "sum_occ",
+        "max_occ",
+        "n_antihubs",
+        F.round(F.col("n_antihubs") / n, 6).alias("antihub_share"),
+        "n_hubs",
+        F.round(F.col("n_hubs") / n, 6).alias("hub_share"),
+        F.round(
+            F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5))), 4
+        ).alias("occ_skewness"),
+    )
