@@ -12987,3 +12987,199 @@ def q228(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
     return knn_hubness(e, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Sentence-length profile (operators/profiling.py
+# sentence_length_profile)
+# ---------------------------------------------------------------------------
+
+_Q229_SQL = """
+WITH base AS (
+  SELECT source,
+         CASE WHEN len(regexp_extract_all(coalesce(text, ''),
+                                          '[.!?]+')) > 0
+              THEN len(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[ \t\n\r]+'),
+                       w -> w <> ''))::DOUBLE
+                   / len(regexp_extract_all(coalesce(text, ''),
+                                            '[.!?]+'))
+         END AS wps,
+         CASE WHEN regexp_matches(coalesce(text, ''),
+                                  '[.!?][ \t\n\r]*$')
+              THEN 0 ELSE 1 END AS noterm
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(quantile_cont(wps, 0.5), 6) AS median_wps,
+       round(avg(CASE WHEN wps IS NULL OR wps < 3.0 OR wps > 90.0
+                 THEN 1 ELSE 0 END), 6) AS share_wps_degenerate,
+       round(avg(noterm), 6) AS share_no_terminal_end
+FROM base
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q229_sentence_profile", _Q229_SQL)
+def q229(spark, sf_dir):
+    """Words-per-sentence profile per source (operators/profiling.py
+    sentence_length_profile): degenerate sentence structure — run-on
+    walls or staccato fragments — plus pages that never terminate a
+    sentence. Sentences are maximal [.!?]+ runs counted identically
+    on both engines; one projection, one grouped reduce."""
+    from soda_core_spark.operators.profiling import (
+        sentence_length_profile,
+    )
+
+    return sentence_length_profile(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Capitalization census (operators/profiling.py capitalization_profile)
+# ---------------------------------------------------------------------------
+
+_Q230_SQL = """
+WITH base AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                                           '[ \t\n\r]+'),
+                     w -> w <> '') AS toks,
+         length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '',
+                               'g'))::BIGINT AS n_alpha,
+         length(regexp_replace(coalesce(text, ''), '[^A-Z]', '',
+                               'g'))::BIGINT AS n_upper
+  FROM documents
+),
+per AS (
+  SELECT source,
+         len(toks)::BIGINT AS nt,
+         len(list_filter(toks,
+             w -> regexp_matches(w, '^[A-Z]{2,}$')))::BIGINT AS nc,
+         n_alpha, n_upper
+  FROM base
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS n_tokens,
+       round(CASE WHEN sum(nt) > 0
+             THEN sum(nc)::DOUBLE / sum(nt) END, 6)
+         AS allcaps_token_share,
+       round(CASE WHEN sum(n_alpha) > 0
+             THEN sum(n_upper)::DOUBLE / sum(n_alpha) END, 6)
+         AS upper_char_share
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q230_capitalization", _Q230_SQL)
+def q230(spark, sf_dir):
+    """ALL-CAPS token share + uppercase character share per source
+    (operators/profiling.py capitalization_profile): shouting spam
+    and navigation chrome sit far above prose on both. Raw-case
+    tokens (cannot reuse the lowered shared tokenizer); higher-order
+    column filters, never Python; all-integer counts."""
+    from soda_core_spark.operators.profiling import (
+        capitalization_profile,
+    )
+
+    return capitalization_profile(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Punctuation-run census (operators/profiling.py
+# punctuation_run_profile)
+# ---------------------------------------------------------------------------
+
+_Q231_SQL = """
+WITH base AS (
+  SELECT source,
+         regexp_extract_all(coalesce(text, ''), '[!?.,;:]{3,}')
+           AS runs,
+         length(coalesce(text, ''))::BIGINT AS n_chars
+  FROM documents
+),
+per AS (
+  SELECT source,
+         len(runs)::BIGINT AS nr,
+         list_max(list_transform(runs, r -> length(r)))::BIGINT AS mr,
+         n_chars
+  FROM base
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_with_runs,
+       sum(nr)::BIGINT AS n_runs,
+       round(CASE WHEN sum(n_chars) > 0
+             THEN 1000.0 * sum(nr)::DOUBLE / sum(n_chars)::DOUBLE
+             END, 4) AS runs_per_kchar,
+       max(mr)::BIGINT AS max_run_len
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q231_punctuation_runs", _Q231_SQL)
+def q231(spark, sf_dir):
+    """Repeated-punctuation run census per source
+    (operators/profiling.py punctuation_run_profile): "!!!"-style
+    runs are a spam/clickbait/ASCII-art fingerprint that survives
+    lowercasing and dedup. Identical maximal-run extraction both
+    engines; integer counts exact."""
+    from soda_core_spark.operators.profiling import (
+        punctuation_run_profile,
+    )
+
+    return punctuation_run_profile(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Bracket/quote balance audit (operators/profiling.py
+# bracket_balance_audit)
+# ---------------------------------------------------------------------------
+
+_Q232_SQL = """
+WITH per AS (
+  SELECT source,
+         (length(t) - length(translate(t, '(', ''))
+          <> length(t) - length(translate(t, ')', '')))::INT AS up,
+         (length(t) - length(translate(t, '[', ''))
+          <> length(t) - length(translate(t, ']', '')))::INT AS ub,
+         (length(t) - length(translate(t, '{', ''))
+          <> length(t) - length(translate(t, '}', '')))::INT AS uc,
+         ((length(t) - length(translate(t, '"', ''))) % 2 <> 0)::INT
+           AS oq
+  FROM (SELECT source, coalesce(text, '') AS t FROM documents)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(up)::BIGINT AS n_unbalanced_paren,
+       sum(ub)::BIGINT AS n_unbalanced_bracket,
+       sum(uc)::BIGINT AS n_unbalanced_brace,
+       sum(oq)::BIGINT AS n_odd_quotes,
+       round(avg(greatest(up, ub, uc, oq)), 6)
+         AS share_any_unbalanced
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q232_bracket_balance", _Q232_SQL)
+def q232(spark, sf_dir):
+    """Delimiter-balance audit per source (operators/profiling.py
+    bracket_balance_audit): unmatched parens/brackets/braces and odd
+    quote counts flag truncated or badly-stripped extractions — the
+    character-level sibling of q182's truncation artifacts.
+    Length-minus-translate counting (the C4 rule-pack idiom), exact
+    integers."""
+    from soda_core_spark.operators.profiling import (
+        bracket_balance_audit,
+    )
+
+    return bracket_balance_audit(_t(spark, sf_dir, "documents"))

@@ -5443,3 +5443,245 @@ def vocabulary_richness(
             8,
         ).alias("simpson_d"),
     ).orderBy(group_col)
+
+
+def sentence_length_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group words-per-sentence profile — the Gopher-adjacent
+    structure signal the word-level rules can't see: machine-generated
+    or boilerplate pages show degenerate sentence lengths (run-on walls
+    of text or staccato fragment lists), and a page that never ends a
+    sentence at all usually isn't prose. Sentences are maximal
+    ``[.!?]+`` runs; both engines count the SAME runs so the per-doc
+    ratio is bit-identical before the exact median interpolates.
+
+    One row per group::
+
+        <group_col>: as input, n_docs: bigint,
+        median_wps: double (6 dp)    -- doc-level words/sentence median
+        share_wps_degenerate: double (6 dp)
+            -- docs with no sentence at all, or mean wps outside [3, 90]
+        share_no_terminal_end: double (6 dp)
+            -- docs whose text does not end with .!? (+ trailing space)
+
+    Scale shape: one zero-shuffle projection to three per-doc numbers,
+    one grouped reduce; exact percentile is the stated cost,
+    approx_percentile the stated 100-TB swap."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = F.size(_ws_tokens(text_col))
+    n_sents = F.expr(f"regexp_count(coalesce({text_col}, ''), '[.!?]+')")
+    wps = F.when(n_sents > 0, n_words.cast("double") / n_sents)
+    degenerate = F.when(
+        wps.isNull() | (wps < 3.0) | (wps > 90.0), 1
+    ).otherwise(0)
+    no_term = F.when(
+        t.rlike("[.!?][ \\t\\n\\r]*$"), 0
+    ).otherwise(1)
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        wps.alias("__wps"),
+        degenerate.alias("__deg"),
+        no_term.alias("__noterm"),
+    )
+    return (
+        base.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.expr("percentile(__wps, 0.5)"), 6)
+            .alias("median_wps"),
+            F.round(F.avg("__deg"), 6).alias("share_wps_degenerate"),
+            F.round(F.avg("__noterm"), 6).alias("share_no_terminal_end"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs", "median_wps",
+            "share_wps_degenerate", "share_no_terminal_end",
+        )
+        .orderBy(group_col)
+    )
+
+
+def capitalization_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group capitalization census: ALL-CAPS token share and
+    uppercase share of alphabetic characters — shouting/spam and
+    navigation-chrome pages (menus, headers scraped as text) sit far
+    above prose on both. Case-sensitive by necessity, so it cannot
+    reuse the lowered shared tokenizer; tokens are raw whitespace
+    splits.
+
+    One row per group::
+
+        <group_col>: as input, n_docs: bigint, n_tokens: bigint,
+        allcaps_token_share: double (6 dp) -- tokens ~ ^[A-Z]{2,}$
+        upper_char_share: double (6 dp)    -- [A-Z] chars / [A-Za-z]
+
+    All-integer counts → exact cross-engine; one zero-shuffle
+    projection + one grouped reduce; the token filter is a
+    higher-order column function, never Python."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(
+        F.split(t, "[ \\t\\n\\r]+"), lambda w: w != F.lit("")
+    )
+    n_allcaps = F.size(
+        F.filter(toks, lambda w: w.rlike("^[A-Z]{2,}$"))
+    ).cast("long")
+    n_toks = F.size(toks).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    n_upper = F.length(F.regexp_replace(t, "[^A-Z]", "")).cast("long")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        n_toks.alias("__nt"),
+        n_allcaps.alias("__nc"),
+        n_alpha.alias("__na"),
+        n_upper.alias("__nu"),
+    )
+    return (
+        base.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.sum("__nt") > 0,
+                    F.sum("__nc").cast("double") / F.sum("__nt"),
+                ),
+                6,
+            ).alias("allcaps_token_share"),
+            F.round(
+                F.when(
+                    F.sum("__na") > 0,
+                    F.sum("__nu").cast("double") / F.sum("__na"),
+                ),
+                6,
+            ).alias("upper_char_share"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs", "n_tokens",
+            "allcaps_token_share", "upper_char_share",
+        )
+        .orderBy(group_col)
+    )
+
+
+def punctuation_run_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_run: int = 3,
+) -> DataFrame:
+    """Per-group repeated-punctuation census ("!!!", "????", "....."):
+    runs of ``min_run``+ punctuation marks are a spam/clickbait/ASCII-
+    art fingerprint that survives lowercasing and dedup. Runs are
+    maximal ``[!?.,;:]{min_run,}`` matches — identical extraction on
+    both engines.
+
+    One row per group::
+
+        <group_col>: as input, n_docs: bigint,
+        docs_with_runs: bigint, n_runs: bigint,
+        runs_per_kchar: double (4 dp) -- runs per 1000 text chars
+        max_run_len: bigint           -- longest single run
+
+    Integer counts → exact; one projection + one grouped reduce."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pat = "[!?.,;:]{" + str(int(min_run)) + ",}"
+    runs = F.expr(
+        f"regexp_extract_all(coalesce({text_col}, ''), '{pat}', 0)"
+    )
+    n_runs = F.size(runs).cast("long")
+    max_run = F.array_max(F.transform(runs, F.length)).cast("long")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        n_runs.alias("__nr"),
+        max_run.alias("__mr"),
+        F.length(t).cast("long").alias("__len"),
+    )
+    return (
+        base.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__nr") > 0, 1).otherwise(0))
+            .cast("long").alias("docs_with_runs"),
+            F.sum("__nr").cast("long").alias("n_runs"),
+            F.round(
+                F.when(
+                    F.sum("__len") > 0,
+                    1000.0 * F.sum("__nr").cast("double")
+                    / F.sum("__len").cast("double"),
+                ),
+                4,
+            ).alias("runs_per_kchar"),
+            F.max("__mr").alias("max_run_len"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs", "docs_with_runs", "n_runs",
+            "runs_per_kchar", "max_run_len",
+        )
+        .orderBy(group_col)
+    )
+
+
+def bracket_balance_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group delimiter-balance audit: unmatched parens/brackets/
+    braces and odd double-quote counts — truncated extractions, broken
+    markup stripping and mid-sentence cuts leave unbalanced delimiters
+    at rates prose never does (the q182 truncation audit's
+    character-level sibling). Counts use the length-minus-translate
+    idiom (the C4 rule-pack trick) so both engines count the same
+    bytes.
+
+    One row per group::
+
+        <group_col>: as input, n_docs: bigint,
+        n_unbalanced_paren / _bracket / _brace: bigint,
+        n_odd_quotes: bigint,
+        share_any_unbalanced: double (6 dp)
+
+    All-integer → exact; one projection + one grouped reduce."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def cnt(ch: str):
+        return F.length(t) - F.length(F.translate(t, ch, ""))
+
+    up = (cnt("(") != cnt(")")).cast("int")
+    ub = (cnt("[") != cnt("]")).cast("int")
+    uc = (cnt("{") != cnt("}")).cast("int")
+    oq = (cnt('"') % 2 != 0).cast("int")
+    any_bad = F.greatest(up, ub, uc, oq)
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        up.alias("__p"), ub.alias("__b"),
+        uc.alias("__c"), oq.alias("__q"),
+        any_bad.alias("__any"),
+    )
+    return (
+        base.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__p").cast("long").alias("n_unbalanced_paren"),
+            F.sum("__b").cast("long").alias("n_unbalanced_bracket"),
+            F.sum("__c").cast("long").alias("n_unbalanced_brace"),
+            F.sum("__q").cast("long").alias("n_odd_quotes"),
+            F.round(F.avg("__any"), 6).alias("share_any_unbalanced"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs", "n_unbalanced_paren", "n_unbalanced_bracket",
+            "n_unbalanced_brace", "n_odd_quotes",
+            "share_any_unbalanced",
+        )
+        .orderBy(group_col)
+    )
