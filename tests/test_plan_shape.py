@@ -582,3 +582,87 @@ def test_circadian_profile_shuffles_only_24_hour_grain(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "ts" not in line, line
+
+
+def test_surface_signals_text_pruned_no_python(spark):
+    """q229-q232 operators: per-doc signals reduce to numbers BEFORE
+    the group shuffle — no Exchange line may carry the text column,
+    and nothing runs in Python."""
+    from soda_core_spark.operators.profiling import (
+        bracket_balance_audit,
+        capitalization_profile,
+        punctuation_run_profile,
+        sentence_length_profile,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    for op in (
+        sentence_length_profile,
+        capitalization_profile,
+        punctuation_run_profile,
+        bracket_balance_audit,
+    ):
+        plan = _plan(op(d))
+        assert "ArrowEvalPython" not in plan, op.__name__
+        assert "BatchEvalPython" not in plan, op.__name__
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text" not in line, f"{op.__name__}: {line}"
+
+
+def test_cramers_v_corpus_reduces_to_cells_before_joins(spark):
+    """The χ² reduction runs on the (a, b) cell table: exactly one
+    corpus aggregate, marginals joined broadcast, no Python."""
+    from soda_core_spark.operators.profiling import cramers_v
+
+    d = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(cramers_v(d, "l_returnflag", "l_linestatus"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+
+
+def test_spearman_no_python_no_single_partition_sort(spark):
+    """Ranks come from the two-stage cumsum, never a global sort: no
+    Python nodes and no single-partition Exchange over the corpus
+    (the only SinglePartition allowed is the final 6-row pair agg
+    and the tiny bucket-offset table)."""
+    from soda_core_spark.operators.profiling import spearman_matrix
+
+    d = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(spearman_matrix(d, ["l_quantity", "l_discount"]))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mad_outlier_group_grain_exchanges_only(spark):
+    """Median/MAD scalars broadcast back onto the rows — the corpus
+    never shuffles on anything but the group key; no Python."""
+    from soda_core_spark.operators.profiling import mad_outlier_audit
+
+    d = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(mad_outlier_audit(d, "event_type", "value"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_vocabulary_richness_partial_agg_no_python(spark):
+    """(group, token) counts combine map-side; the
+    frequency-of-frequencies reduce never widens past the vocab."""
+    from soda_core_spark.operators.profiling import vocabulary_richness
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(vocabulary_richness(d))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+
+
+def test_knn_hubness_broadcasts_queries_no_corpus_shuffle_pre_topk(spark):
+    """The q17 brute-force contract carries over: queries broadcast,
+    the corpus streams one pass; the only row-grain shuffle is the
+    per-query top-k window on query_id."""
+    from soda_core_spark.operators.similarity import knn_hubness
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(knn_hubness(e.where(F.col("vec_id") % 4 == 0), k=3))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
