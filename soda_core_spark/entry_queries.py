@@ -13183,3 +13183,282 @@ def q232(spark, sf_dir):
     )
 
     return bracket_balance_audit(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Source token-cosine fingerprint matrix (operators/profiling.py
+# source_token_cosine)
+# ---------------------------------------------------------------------------
+
+_Q233_SQL = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '[ \t\n\r]+'), w -> w <> ''))
+           AS tok
+  FROM documents
+),
+tf AS (
+  SELECT source, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+),
+norms AS (SELECT source, sum(c * c)::BIGINT AS n2 FROM tf GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         sum(a.c * b.c)::BIGINT AS dot
+  FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.dot,
+       round(p.dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6)
+         AS cos_sim
+FROM pairs p
+JOIN norms na ON p.source_a = na.source
+JOIN norms nb ON p.source_b = nb.source
+ORDER BY p.source_a, p.source_b
+"""
+
+
+@register("q233_source_similarity", _Q233_SQL)
+def q233(spark, sf_dir):
+    """Source-fingerprint cosine matrix (operators/profiling.py
+    source_token_cosine): token-frequency cosine between every source
+    pair — cos ≈ 1 is the same upstream feed wearing two labels. The
+    dot and both norms are exact integer sums; the pair join is keyed
+    on token so fan-out is bounded by |sources|² per token, never by
+    corpus size."""
+    from soda_core_spark.operators.profiling import source_token_cosine
+
+    return source_token_cosine(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Year-mention recency histogram (operators/profiling.py
+# temporal_mentions)
+# ---------------------------------------------------------------------------
+
+_Q234_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           coalesce(text, '') || ' archived in '
+             || (1980 + doc_id % 45)::VARCHAR || ' .'
+         ELSE coalesce(text, '') END AS text
+  FROM documents
+),
+years AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+             '\b(19[0-9]{2}|20[0-2][0-9])\b')) AS y
+  FROM aug
+)
+SELECT y::BIGINT AS year,
+       count(*)::BIGINT AS n_mentions,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM years
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("q234_temporal_mentions", _Q234_SQL)
+def q234(spark, sf_dir):
+    """Content-recency histogram of word-bounded year mentions
+    (operators/profiling.py temporal_mentions). The word-salad corpus
+    carries no years, so the oracle fixture injects one deterministic
+    mention per doc_id % 3 == 0 (year = 1980 + doc_id % 45) on BOTH
+    engines — the operator's extraction, not the fixture, is what's
+    under test. \\b is the ASCII word boundary on both engines."""
+    from soda_core_spark.operators.profiling import temporal_mentions
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" archived in "),
+                (F.lit(1980) + F.col("doc_id") % 45).cast("string"),
+                F.lit(" ."),
+            ),
+        ).otherwise(F.coalesce(F.col("text"), F.lit(""))),
+    )
+    return temporal_mentions(aug)
+
+
+# ---------------------------------------------------------------------------
+# Quoted-text share (operators/profiling.py quoted_text_share)
+# ---------------------------------------------------------------------------
+
+_Q235_SQL = """
+WITH aug AS (
+  SELECT source,
+         CASE WHEN doc_id % 4 = 0 THEN
+           coalesce(text, '') || ' she said "deterministic quote '
+             || doc_id::VARCHAR || '" later.'
+         ELSE coalesce(text, '') END AS text
+  FROM documents
+),
+per AS (
+  SELECT source,
+         len(regexp_extract_all(text, '"[^"\n]*"'))::BIGINT AS ns,
+         coalesce(list_sum(list_transform(
+             regexp_extract_all(text, '"[^"\n]*"'),
+             s -> length(s) - 2)), 0)::BIGINT AS ic,
+         length(text)::BIGINT AS n_chars
+  FROM aug
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_with_quotes,
+       sum(ns)::BIGINT AS n_quotes,
+       round(CASE WHEN sum(n_chars) > 0
+             THEN sum(ic)::DOUBLE / sum(n_chars)::DOUBLE END, 6)
+         AS quoted_char_share,
+       round(CASE WHEN sum(ns) > 0
+             THEN sum(ic)::DOUBLE / sum(ns)::DOUBLE END, 4)
+         AS mean_quote_len
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q235_quoted_share", _Q235_SQL)
+def q235(spark, sf_dir):
+    """Quoted-text share per source (operators/profiling.py
+    quoted_text_share): heavy quoting marks wire/aggregator content —
+    mostly other people's words. Deterministic quote injection per
+    doc_id % 4 == 0 on both engines (the corpus itself has no
+    quotes); span extraction and all counts are integer-exact."""
+    from soda_core_spark.operators.profiling import quoted_text_share
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(' she said "deterministic quote '),
+                F.col("doc_id").cast("string"),
+                F.lit('" later.'),
+            ),
+        ).otherwise(F.coalesce(F.col("text"), F.lit(""))),
+    )
+    return quoted_text_share(aug)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (operators/profiling.py anova_oneway)
+# ---------------------------------------------------------------------------
+
+_Q236_SQL = """
+WITH base AS (
+  SELECT source AS g, n_chars::DOUBLE AS x
+  FROM documents
+  WHERE n_chars IS NOT NULL AND NOT isnan(n_chars::DOUBLE)
+),
+per AS (
+  SELECT g, count(*)::BIGINT AS n_g, sum(x) AS sx,
+         sum(x * x) AS sx2
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::BIGINT AS k_groups,
+         sum(n_g)::BIGINT AS n,
+         sum(sx) AS sx_all,
+         sum(sx2) AS sx2_all,
+         sum(sx * sx / n_g) AS sg
+  FROM per
+)
+SELECT k_groups, n,
+       round(sg - sx_all * sx_all / n::DOUBLE, 4) AS ssb,
+       round(sx2_all - sg, 4) AS ssw,
+       round(CASE WHEN k_groups >= 2 AND n > k_groups
+                  AND sx2_all - sg > 0 THEN
+         ((sg - sx_all * sx_all / n::DOUBLE)
+          / (k_groups - 1)::DOUBLE)
+         / ((sx2_all - sg) / (n - k_groups)::DOUBLE)
+       END, 6) AS f_stat,
+       round(CASE WHEN sx2_all - sx_all * sx_all / n::DOUBLE > 0 THEN
+         (sg - sx_all * sx_all / n::DOUBLE)
+         / (sx2_all - sx_all * sx_all / n::DOUBLE)
+       END, 6) AS eta_sq
+FROM tot
+"""
+
+
+@register("q236_anova_doc_length", _Q236_SQL)
+def q236(spark, sf_dir):
+    """One-way ANOVA of document length across sources
+    (operators/profiling.py anova_oneway): does source explain length
+    variance? Large F + η² mandates per-source thresholds (the q146
+    calibration), η² ≈ 0 licenses one global gate. Per-group
+    (n, Σx, Σx²) reduce first; every derived quantity is the same
+    double expression over exact-integer sums on both engines."""
+    from soda_core_spark.operators.profiling import anova_oneway
+
+    d = _t(spark, sf_dir, "documents")
+    return anova_oneway(d, "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe spread homogeneity (operators/profiling.py
+# brown_forsythe)
+# ---------------------------------------------------------------------------
+
+_Q237_SQL = """
+WITH base AS (
+  SELECT event_type AS g, value::DOUBLE AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+),
+med AS (
+  SELECT g, quantile_cont(x, 0.5) AS med FROM base GROUP BY 1
+),
+dev AS (
+  SELECT b.g, abs(b.x - m.med) AS z
+  FROM base b JOIN med m USING (g)
+),
+per AS (
+  SELECT g, count(*)::BIGINT AS n_g, sum(z) AS sx, sum(z * z) AS sx2
+  FROM dev GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n,
+         sum(sx) AS sx_all, sum(sx2) AS sx2_all,
+         sum(sx * sx / n_g) AS sg
+  FROM per
+)
+SELECT k_groups, n,
+       round(CASE WHEN k_groups >= 2 AND n > k_groups
+                  AND sx2_all - sg > 0 THEN
+         ((sg - sx_all * sx_all / n::DOUBLE)
+          / (k_groups - 1)::DOUBLE)
+         / ((sx2_all - sg) / (n - k_groups)::DOUBLE)
+       END, 6) AS bf_stat,
+       round(CASE WHEN sx2_all - sx_all * sx_all / n::DOUBLE > 0 THEN
+         (sg - sx_all * sx_all / n::DOUBLE)
+         / (sx2_all - sx_all * sx_all / n::DOUBLE)
+       END, 6) AS eta_sq
+FROM tot
+"""
+
+
+@register("q237_brown_forsythe", _Q237_SQL)
+def q237(spark, sf_dir):
+    """Brown–Forsythe spread-homogeneity test over event values per
+    type (operators/profiling.py brown_forsythe): ANOVA on
+    |x − group median| — unequal spreads invalidate pooled thresholds
+    even when means agree, and the median form stays calibrated under
+    heavy tails. Exact interpolated medians broadcast back; the
+    drift-prone ssb/ssw intermediates stay internal (only the
+    scale-free ratios are emitted)."""
+    from soda_core_spark.operators.profiling import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    return brown_forsythe(ev, "event_type", "value").select(
+        "k_groups", "n", "bf_stat", "eta_sq"
+    )

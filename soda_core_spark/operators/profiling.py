@@ -5685,3 +5685,290 @@ def bracket_balance_audit(
         )
         .orderBy(group_col)
     )
+
+
+def source_token_cosine(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group token-frequency
+    vectors — the source-fingerprint matrix: two feeds with cos ≈ 1
+    are the same upstream corpus wearing different labels (merge or
+    dedup them), a source whose similarity to every sibling drops
+    release-over-release changed its extraction. Complements q202
+    (per-source KL from the corpus mix) with a source×source view.
+
+    One row per unordered group pair::
+
+        source_a, source_b: string, dot: bigint, cos_sim: double (6 dp)
+
+    Determinism: the dot product and both squared norms are exact
+    integer sums (token counts); the one rounding-sensitive op,
+    dot/√(na²·nb²), is the same double expression on both engines.
+    Scale shape: ONE corpus pass to (group, token) counts; the pair
+    join is keyed on token, so each token contributes at most
+    |groups touching it|² pair rows — bounded by |groups|², never by
+    corpus size. For |groups| beyond dashboard scale, pre-filter to
+    top-vocab tokens before calling."""
+    tf = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(_ws_tokens(text_col)).alias("__tok"),
+        )
+        .groupBy("__g", "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    norms = tf.groupBy("__g").agg(
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__n2")
+    )
+    a = tf.select(
+        F.col("__g").alias("source_a"),
+        F.col("__tok"),
+        F.col("__c").alias("__ca"),
+    )
+    b = tf.select(
+        F.col("__g").alias("source_b"),
+        F.col("__tok"),
+        F.col("__c").alias("__cb"),
+    )
+    pairs = (
+        a.join(b, "__tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("__ca").cast("long") * F.col("__cb"))
+            .cast("long").alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("__g").alias("source_a"), F.col("__n2").alias("__na2")
+    )
+    nb = norms.select(
+        F.col("__g").alias("source_b"), F.col("__n2").alias("__nb2")
+    )
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a", "source_b", "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("__na2").cast("double")
+                    * F.col("__nb2").cast("double")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def temporal_mentions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Year-mention histogram (1900–2029 word-bounded tokens) across
+    the corpus — the content-recency profile: a training corpus whose
+    mentions cluster years behind the crawl date teaches a stale
+    world; a spike on one year flags a scraped archive or calendar
+    trap. Cheap proxy for document dating when no metadata survives
+    extraction.
+
+    One row per mentioned year::
+
+        year: bigint, n_mentions: bigint, n_docs: bigint
+
+    \\b is the ASCII word boundary on BOTH engines (Java default and
+    RE2 agree); counts are exact integers. Scale shape: extract-all →
+    explode → one (year) reduce; the distinct-doc count rides the
+    same aggregate."""
+    # doubled backslash: Spark SQL string literals eat one level of
+    # escaping before the regex engine sees the pattern
+    pat = r"\\b(19[0-9]{2}|20[0-2][0-9])\\b"
+    years = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(coalesce({text_col}, ''),"
+                f" '{pat}', 0)"
+            )
+        ).alias("__y"),
+    )
+    return (
+        years.groupBy(F.col("__y").cast("long").alias("year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.countDistinct("__id").cast("long").alias("n_docs"),
+        )
+        .orderBy("year")
+    )
+
+
+def quoted_text_share(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group share of text inside double quotes — heavy quoting
+    marks aggregation/news-wire content (mostly other people's words:
+    near-dup risk against the quoted originals) while zero quoting
+    across an allegedly conversational source flags extraction loss.
+    Spans are maximal ``"[^"\\n]*"`` matches — no backtracking
+    ambiguity, identical on both engines.
+
+    One row per group::
+
+        <group_col>: as input, n_docs: bigint, docs_with_quotes: bigint,
+        n_quotes: bigint, quoted_char_share: double (6 dp)
+            -- chars inside quotes (delimiters excluded) / all chars
+        mean_quote_len: double (4 dp)  -- inner length per span
+
+    Integer sums → exact; one projection + one grouped reduce."""
+    spans = F.expr(
+        f"regexp_extract_all(coalesce({text_col}, ''),"
+        " '\"[^\"\\n]*\"', 0)"
+    )
+    n_spans = F.size(spans).cast("long")
+    inner_chars = F.coalesce(
+        F.aggregate(
+            spans,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.length(s) - 2,
+        ),
+        F.lit(0).cast("long"),
+    )
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        n_spans.alias("__ns"),
+        inner_chars.alias("__ic"),
+        F.length(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long").alias("__len"),
+    )
+    return (
+        base.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__ns") > 0, 1).otherwise(0))
+            .cast("long").alias("docs_with_quotes"),
+            F.sum("__ns").cast("long").alias("n_quotes"),
+            F.round(
+                F.when(
+                    F.sum("__len") > 0,
+                    F.sum("__ic").cast("double")
+                    / F.sum("__len").cast("double"),
+                ),
+                6,
+            ).alias("quoted_char_share"),
+            F.round(
+                F.when(
+                    F.sum("__ns") > 0,
+                    F.sum("__ic").cast("double")
+                    / F.sum("__ns").cast("double"),
+                ),
+                4,
+            ).alias("mean_quote_len"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs", "docs_with_quotes", "n_quotes",
+            "quoted_char_share", "mean_quote_len",
+        )
+        .orderBy(group_col)
+    )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA across groups: does the group label explain any
+    of the numeric column's variance? F far above 1 with a large η²
+    means per-group thresholds (q146's language-fair calibration) are
+    mandatory; η² ≈ 0 licenses one global gate. NULL/NaN rows are
+    excluded.
+
+    ONE row::
+
+        k_groups: bigint, n: bigint,
+        ssb, ssw: double (4 dp), f_stat: double (6 dp),
+        eta_sq: double (6 dp)
+        -- f_stat NULL when k < 2 or n <= k or SSW = 0
+
+    Determinism: per-group (n, Σx, Σx²) reduce first; every derived
+    quantity is the same double expression over those sums on both
+    engines (SSB = Σ sx²/n_g − SX²/N, SSW = SX2 − Σ sx²/n_g). Scale
+    shape: one grouped pass, then a |groups|-row reduce."""
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.select(g.alias("__g"), x.alias("__x")).where(
+        F.col("__x").isNotNull() & ~F.isnan(F.col("__x"))
+    )
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sx2"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__sx").alias("__SX"),
+        F.sum("__sx2").alias("__SX2"),
+        F.sum(F.col("__sx") * F.col("__sx") / F.col("__n"))
+        .alias("__SG"),
+    )
+    nd = F.col("n").cast("double")
+    ssb = F.col("__SG") - F.col("__SX") * F.col("__SX") / nd
+    ssw = F.col("__SX2") - F.col("__SG")
+    sst = F.col("__SX2") - F.col("__SX") * F.col("__SX") / nd
+    k = F.col("k_groups")
+    f = F.when(
+        (k >= 2) & (F.col("n") > k) & (ssw > 0),
+        (ssb / (k - 1).cast("double"))
+        / (ssw / (F.col("n") - k).cast("double")),
+    )
+    eta = F.when(sst > 0, ssb / sst)
+    return tot.select(
+        "k_groups", "n",
+        F.round(ssb, 4).alias("ssb"),
+        F.round(ssw, 4).alias("ssw"),
+        F.round(f, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test: one-way ANOVA on
+    |x − group median| — are the groups' SPREADS equal, not just
+    their centers? Unequal spread invalidates pooled thresholds even
+    when means match, and the median-based form stays calibrated
+    under the heavy tails web data actually has (Levene's
+    mean-based form does not).
+
+    ONE row (same schema as :func:`anova_oneway` over the absolute
+    deviations)::
+
+        k_groups: bigint, n: bigint, ssb, ssw: double (4 dp),
+        bf_stat: double (6 dp), eta_sq: double (6 dp)
+
+    Scale shape: medians via exact percentile (one grouped pass),
+    broadcast back, then the ANOVA reduce on deviations — three
+    grouped passes total; approx_percentile is the 100-TB swap."""
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.select(g.alias("__g0"), x.alias("__x0")).where(
+        F.col("__x0").isNotNull() & ~F.isnan(F.col("__x0"))
+    )
+    med = base.groupBy("__g0").agg(
+        F.expr("percentile(__x0, 0.5)").alias("__med")
+    )
+    dev = base.join(F.broadcast(med), "__g0").select(
+        F.col("__g0").alias(group_col),
+        F.abs(F.col("__x0") - F.col("__med")).alias("__z"),
+    )
+    return anova_oneway(dev, group_col, "__z").withColumnRenamed(
+        "f_stat", "bf_stat"
+    )
