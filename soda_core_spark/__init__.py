@@ -255,3 +255,23 @@ from soda_core_spark.operators.profiling import (  # noqa: F401
 )
 from soda_core_spark.operators.profiling import language_mix  # noqa: F401
 from soda_core_spark.operators.profiling import k_anonymity_audit  # noqa: F401
+from soda_core_spark.operators.profiling import (  # noqa: F401
+    anova_oneway,
+    bracket_balance_audit,
+    brown_forsythe,
+    capitalization_profile,
+    cramers_v,
+    mad_outlier_audit,
+    punctuation_run_profile,
+    quoted_text_share,
+    sentence_length_profile,
+    source_token_cosine,
+    spearman_matrix,
+    temporal_mentions,
+    vocabulary_richness,
+)
+from soda_core_spark.operators.similarity import knn_hubness  # noqa: F401
+from soda_core_spark.operators.temporal_join import (  # noqa: F401
+    asof_join,
+    range_count_join,
+)

@@ -13462,3 +13462,84 @@ def q237(spark, sf_dir):
     return brown_forsythe(ev, "event_type", "value").select(
         "k_groups", "n", "bf_stat", "eta_sq"
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join (operators/temporal_join.py asof_join)
+# ---------------------------------------------------------------------------
+
+_Q238_SQL = """
+WITH r AS (
+  SELECT o_custkey AS k, o_orderdate AS rts, max(o_orderkey) AS v
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       r.rts AS asof_ts, r.v AS o_orderkey
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.k AND e.ts >= r.rts
+ORDER BY e.event_id
+"""
+
+
+@register("q238_asof_join", _Q238_SQL)
+def q238(spark, sf_dir):
+    """Point-in-time join (operators/temporal_join.py asof_join):
+    every event picks the customer's most recent order at-or-before
+    the event — the feature-lookup-at-event-time primitive Spark has
+    no native operator for. Composed as union + one keyed shuffle +
+    running last-non-null window (linear, no range fan-out, no
+    correlated rescan); DuckDB's native ASOF JOIN is the oracle.
+    Right-side ties collapse deterministically (max orderkey per
+    (customer, date)) BEFORE the join, per the operator's uniqueness
+    contract."""
+    from soda_core_spark.operators.temporal_join import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("rts"),
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return asof_join(
+        ev, od, "user_id", "ts", "rts", ["o_orderkey"]
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Range-window count join (operators/temporal_join.py range_count_join)
+# ---------------------------------------------------------------------------
+
+_Q239_SQL = """
+SELECT o.o_orderkey, o.o_orderdate,
+       count(l.l_linenumber)::BIGINT AS n_in_window
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+@register("q239_range_count_join", _Q239_SQL)
+def q239(spark, sf_dir):
+    """Range-window count join (operators/temporal_join.py
+    range_count_join): per order, lines shipped inside the half-open
+    30-day window from the order date — the conversion-window
+    primitive. One equi-join on the key with the range predicate AS a
+    join condition (rows drop before the aggregate), groupBy back to
+    left grain, unmatched keys keep 0."""
+    from soda_core_spark.operators.temporal_join import (
+        range_count_join,
+    )
+
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return range_count_join(
+        od, li, "o_orderkey", "o_orderdate", "l_shipdate",
+        horizon_days=30, right_key="l_orderkey",
+    ).orderBy("o_orderkey")
