@@ -13543,3 +13543,85 @@ def q239(spark, sf_dir):
         od, li, "o_orderkey", "o_orderdate", "l_shipdate",
         horizon_days=30, right_key="l_orderkey",
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets (SURVEY §2.1: multi-level aggregation)
+# ---------------------------------------------------------------------------
+
+_Q240_SQL = """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag)::BIGINT AS g_flag,
+       grouping(l_linestatus)::BIGINT AS g_status,
+       count(*)::BIGINT AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@register("q240_rollup_revenue", _Q240_SQL)
+def q240(spark, sf_dir):
+    """ROLLUP grouping sets: detail, per-flag subtotal, grand total in
+    ONE aggregate — the multi-level report soda-core users emit as
+    three scans, here one pass with grouping() indicators
+    disambiguating subtotal NULLs from data NULLs. Spark expands
+    grouping sets map-side; no extra corpus passes."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "n_rows", "revenue",
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (SURVEY §2.1: wide-form reshaping)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_Q241_SQL = f"""
+SELECT strftime(ts, '%Y-%m') AS month,
+       {', '.join(
+           "sum(CASE WHEN event_type = '" + t + "' THEN 1 ELSE 0 END)"
+           "::BIGINT AS n_" + t for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("q241_pivot_event_counts", _Q241_SQL)
+def q241(spark, sf_dir):
+    """Month × event-type pivot to wide form: Spark's pivot() with the
+    value list pinned explicitly — an open-vocabulary pivot needs a
+    discovery pass AND makes the output schema data-dependent, both
+    wrong for a contract table; the pinned list keeps it one
+    aggregate with a stable schema (absent types emit 0)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "month",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("month")
