@@ -13625,3 +13625,159 @@ def q241(spark, sf_dir):
             for t in _EVENT_TYPES
         ],
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Host-graph structure diagnostics (operators/linkgraph.py
+# triangle_stats / edge_reciprocity / degree_assortativity)
+# ---------------------------------------------------------------------------
+
+_Q242_SQL = f"""
+WITH {_LINKS_CTE},
+und AS (
+  SELECT DISTINCT least(src_host, dst_host) AS u,
+                  greatest(src_host, dst_host) AS v
+  FROM edges WHERE src_host <> dst_host
+),
+deg AS (
+  SELECT h, count(*)::BIGINT AS d FROM (
+    SELECT u AS h FROM und UNION ALL SELECT v AS h FROM und
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b
+  FROM und e
+  JOIN deg du ON e.u = du.h
+  JOIN deg dv ON e.v = dv.h
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM oriented c
+                WHERE c.a = e1.a AND c.b = e2.b)
+),
+tots AS (
+  SELECT (SELECT count(*)::BIGINT FROM und) AS n_edges,
+         (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+         (SELECT sum(d * (d - 1) / 2)::BIGINT FROM deg) AS n_wedges
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(CASE WHEN n_wedges > 0
+             THEN 3.0 * n_triangles / n_wedges END, 6)
+         AS transitivity
+FROM tots, tri
+"""
+
+
+@register("q242_host_triangles", _Q242_SQL)
+def q242(spark, sf_dir):
+    """Exact triangle count + transitivity of the undirected host
+    graph (operators/linkgraph.py triangle_stats): degree-ordered
+    orientation counts each triangle once at its smallest-degree apex
+    and bounds wedge fan-out by the oriented out-degree ≤ O(√|E|) —
+    the Suri-Vassilvitskii MapReduce bound. Host-grain joins only."""
+    from soda_core_spark.operators.linkgraph import (
+        host_edges,
+        outlink_hosts,
+        triangle_stats,
+    )
+
+    edges = host_edges(outlink_hosts(_lg_frame(spark, sf_dir)))
+    return triangle_stats(edges)
+
+
+_Q243_SQL = f"""
+WITH {_LINKS_CTE},
+e AS (
+  SELECT src_host, dst_host FROM edges WHERE src_host <> dst_host
+),
+mutual AS (
+  SELECT count(*)::BIGINT AS n_reciprocal
+  FROM e
+  WHERE EXISTS (SELECT 1 FROM e r
+                WHERE r.src_host = e.dst_host
+                  AND r.dst_host = e.src_host)
+)
+SELECT (SELECT count(*)::BIGINT FROM e) AS n_edges,
+       n_reciprocal,
+       round(CASE WHEN (SELECT count(*) FROM e) > 0
+             THEN n_reciprocal::DOUBLE / (SELECT count(*) FROM e)
+             END, 6) AS reciprocity
+FROM mutual
+"""
+
+
+@register("q243_link_reciprocity", _Q243_SQL)
+def q243(spark, sf_dir):
+    """Directed-edge reciprocity of the host graph
+    (operators/linkgraph.py edge_reciprocity): mirror/scraper rings
+    are near-fully mutual, spam-target patterns near zero. One
+    self-semi-join on the host-grain edge table."""
+    from soda_core_spark.operators.linkgraph import (
+        edge_reciprocity,
+        host_edges,
+        outlink_hosts,
+    )
+
+    edges = host_edges(outlink_hosts(_lg_frame(spark, sf_dir)))
+    return edge_reciprocity(edges)
+
+
+_Q244_SQL = f"""
+WITH {_LINKS_CTE},
+und AS (
+  SELECT DISTINCT least(src_host, dst_host) AS u,
+                  greatest(src_host, dst_host) AS v
+  FROM edges WHERE src_host <> dst_host
+),
+deg AS (
+  SELECT h, count(*)::BIGINT AS d FROM (
+    SELECT u AS h FROM und UNION ALL SELECT v AS h FROM und
+  ) GROUP BY 1
+),
+dbl AS (
+  SELECT u, v FROM und
+  UNION ALL
+  SELECT v AS u, u AS v FROM und
+),
+s AS (
+  SELECT count(*)::BIGINT AS m2,
+         sum(dj.d)::BIGINT AS sj, sum(dk.d)::BIGINT AS sk,
+         sum(dj.d * dk.d)::BIGINT AS sjk,
+         sum(dj.d * dj.d)::BIGINT AS sjj,
+         sum(dk.d * dk.d)::BIGINT AS skk
+  FROM dbl b
+  JOIN deg dj ON b.u = dj.h
+  JOIN deg dk ON b.v = dk.h
+)
+SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+       (SELECT count(*)::BIGINT FROM und) AS n_edges,
+       round(CASE WHEN (m2::DOUBLE * sjj - sj::DOUBLE * sj) > 0
+                   AND (m2::DOUBLE * skk - sk::DOUBLE * sk) > 0 THEN
+         (m2::DOUBLE * sjk - sj::DOUBLE * sk)
+         / sqrt((m2::DOUBLE * sjj - sj::DOUBLE * sj)
+                * (m2::DOUBLE * skk - sk::DOUBLE * sk))
+       END, 6) AS assortativity
+FROM s
+"""
+
+
+@register("q244_degree_assortativity", _Q244_SQL)
+def q244(spark, sf_dir):
+    """Newman degree assortativity of the undirected host graph
+    (operators/linkgraph.py degree_assortativity): r < 0 is the
+    organic hub-to-leaf web, r near +1 flags stratified link
+    exchange. Exact integer degree sums through the q177 six-sums
+    correlation — identical doubles on both engines."""
+    from soda_core_spark.operators.linkgraph import (
+        degree_assortativity,
+        host_edges,
+        outlink_hosts,
+    )
+
+    edges = host_edges(outlink_hosts(_lg_frame(spark, sf_dir)))
+    return degree_assortativity(edges)

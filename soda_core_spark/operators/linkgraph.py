@@ -398,3 +398,177 @@ def host_hits(
     out = _reliable_checkpoint(auths.join(hubs, "host"))
     w.unpersist()
     return out
+
+
+def undirected_host_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge list from weighted directed host
+    edges: self-loops dropped, endpoints ordered (u < v), duplicates
+    collapsed. The shared base of the triangle / assortativity
+    diagnostics. One distinct on the (already host-grain) edge
+    table."""
+    e = edges.where(F.col("src_host") != F.col("dst_host"))
+    return e.select(
+        F.least("src_host", "dst_host").alias("u"),
+        F.greatest("src_host", "dst_host").alias("v"),
+    ).distinct()
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering (transitivity) of the
+    undirected host graph — the community-density fingerprint: organic
+    web neighborhoods close triangles, link farms and ring schemes
+    show extreme transitivity (near 0 or near 1) for their size.
+
+    ONE row::
+
+        n_nodes, n_edges, n_wedges, n_triangles: bigint,
+        transitivity: double (6 dp)  -- 3·T / wedges, NULL when no
+                                        wedge
+
+    Algorithm: degree-ordered orientation (each undirected edge points
+    from the (degree, name)-smaller endpoint to the larger), then
+    wedge join + closing-edge semi-join — every triangle is counted
+    exactly ONCE at its smallest-degree apex, and per-node join
+    fan-out is bounded by the ORIENTED out-degree ≤ O(√|E|), the
+    standard MapReduce triangle bound (Suri & Vassilvitskii, WWW'11).
+    Scale: two joins on host keys over the host-grain edge table —
+    never page-grain."""
+    und = undirected_host_edges(edges)
+    deg = (
+        und.select(F.col("u").alias("h"))
+        .unionAll(und.select(F.col("v").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("h").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("h").alias("v"), F.col("d").alias("dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    # orient: smaller (degree, name) -> larger
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    oriented = keyed.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = oriented.select(F.col("a"), F.col("b"))
+    e2 = oriented.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = oriented.select(
+        F.col("a"), F.col("b").alias("c")
+    )
+    tri = wedges.join(closing, ["a", "c"], "left_semi")
+    counts = und.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")
+            .alias("n_wedges"),
+        )
+    ).crossJoin(
+        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return counts.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ),
+            6,
+        ).alias("transitivity"),
+    )
+
+
+def edge_reciprocity(edges: DataFrame) -> DataFrame:
+    """Reciprocity of the directed host graph: the share of non-loop
+    directed edges whose reverse edge also exists — organic linking is
+    partially mutual, scraper/mirror rings are near-fully mutual, and
+    pure spam-target patterns are near-zero. ONE self-join on the
+    host-grain edge table.
+
+    ONE row::
+
+        n_edges: bigint, n_reciprocal: bigint,
+        reciprocity: double (6 dp) -- NULL when no edges
+    """
+    e = edges.where(F.col("src_host") != F.col("dst_host")).select(
+        "src_host", "dst_host"
+    )
+    rev = e.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+    )
+    mutual = e.join(rev, ["src_host", "dst_host"], "left_semi")
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        mutual.agg(
+            F.count(F.lit(1)).cast("long").alias("n_reciprocal")
+        )
+    ).select(
+        "n_edges", "n_reciprocal",
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_reciprocal").cast("double") / F.col("n_edges"),
+            ),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman degree assortativity of the undirected host graph:
+    Pearson correlation of endpoint degrees over the edge list (each
+    edge counted in both directions). Social/organic webs are mildly
+    disassortative (hubs link to leaves, r < 0); r near +1 flags a
+    stratified link scheme where same-size hosts exchange links.
+
+    ONE row::
+
+        n_nodes, n_edges: bigint, assortativity: double (6 dp)
+            -- NULL when degenerate (all degrees equal or < 2 edges)
+
+    Determinism: degree sums are exact integers; the correlation is
+    the q177 six-sums expression over those integers — identical
+    doubles on both engines. Scale: degrees via one groupBy, two
+    broadcast-or-key joins to pin endpoint degrees, one fused sum."""
+    und = undirected_host_edges(edges)
+    deg = (
+        und.select(F.col("u").alias("h"))
+        .unionAll(und.select(F.col("v").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # double the edge list so each edge contributes (dj,dk) and (dk,dj)
+    both = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    dj = deg.select(F.col("h").alias("u"), F.col("d").alias("dj"))
+    dk = deg.select(F.col("h").alias("v"), F.col("d").alias("dk"))
+    pairs = both.join(dj, "u").join(dk, "v")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("dj").cast("long").alias("sj"),
+        F.sum("dk").cast("long").alias("sk"),
+        F.sum(F.col("dj") * F.col("dk")).cast("long").alias("sjk"),
+        F.sum(F.col("dj") * F.col("dj")).cast("long").alias("sjj"),
+        F.sum(F.col("dk") * F.col("dk")).cast("long").alias("skk"),
+    ).crossJoin(
+        und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    ).crossJoin(
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    n = F.col("m2").cast("double")
+    vx = n * F.col("sjj") - F.col("sj") * F.col("sj")
+    vy = n * F.col("skk") - F.col("sk") * F.col("sk")
+    num = n * F.col("sjk") - F.col("sj") * F.col("sk")
+    return s.select(
+        "n_nodes", "n_edges",
+        F.round(
+            F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy)), 6
+        ).alias("assortativity"),
+    )
