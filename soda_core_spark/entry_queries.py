@@ -13781,3 +13781,104 @@ def q244(spark, sf_dir):
 
     edges = host_edges(outlink_hosts(_lg_frame(spark, sf_dir)))
     return degree_assortativity(edges)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering exact Jaccard join (operators/dedup.py
+# prefix_filter_jaccard)
+# ---------------------------------------------------------------------------
+
+_Q245_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '[ \t\n\r]+'), x -> x <> '')
+           AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+         ELSE [array_to_string(ws, ' ')] END AS s
+  FROM w
+),
+nonempty AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+tok AS (SELECT doc_id, unnest(s) AS g FROM nonempty),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s)::BIGINT AS sz FROM nonempty)
+SELECT i.id_a, i.id_b,
+       sa.sz AS size_a, sb.sz AS size_b,
+       round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) >= 0.7
+ORDER BY i.id_a, i.id_b
+"""
+
+
+@register("q245_prefix_filter_jaccard", _Q245_SQL)
+def q245(spark, sf_dir):
+    """Lossless prefix-filtering exact Jaccard join
+    (operators/dedup.py prefix_filter_jaccard, PPJoin family): only
+    pairs colliding inside each other's rarest-shingle prefix are
+    verified — the exact ground truth q116 audits MinHash banding
+    against, with no all-pairs step. The oracle brute-forces the same
+    pairs through a full shingle join; prefix filtering must lose
+    nothing (that's the theorem under test)."""
+    from soda_core_spark.operators.dedup import prefix_filter_jaccard
+
+    return prefix_filter_jaccard(
+        _t(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (operators/profiling.py weighted_median)
+# ---------------------------------------------------------------------------
+
+_Q246_SQL = """
+WITH per_val AS (
+  SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v,
+         sum(l_quantity::BIGINT)::BIGINT AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v,
+         sum(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY g) AS W
+  FROM per_val
+)
+SELECT g AS l_returnflag,
+       max(W)::BIGINT AS total_weight,
+       min(v) AS weighted_median
+FROM cum
+WHERE 2 * cw >= W
+GROUP BY g
+ORDER BY g
+"""
+
+
+@register("q246_weighted_median", _Q246_SQL)
+def q246(spark, sf_dir):
+    """Quantity-weighted median price per return flag
+    (operators/profiling.py weighted_median): the price at which half
+    the QUANTITY has shipped. Rows collapse to (group, value) grain
+    before the window, the half-total test is the integer-exact
+    2·cumw ≥ W (no division, no float boundary), and the corpus
+    shuffles once on the group key."""
+    from soda_core_spark.operators.profiling import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )

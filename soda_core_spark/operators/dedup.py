@@ -2570,3 +2570,112 @@ def dedup_design_effect(
         F.round(ess / F.col("n_docs").cast("double"), 6)
         .alias("eff_fraction"),
     ).orderBy("group")
+
+
+def prefix_filter_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard join via prefix filtering
+    (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. PPJoin, WWW'08) —
+    the lossless scalable alternative to q33's crude blocking and the
+    exact ground truth MinHash banding approximates: two sets with
+    Jaccard ≥ t MUST share a shingle inside each other's first
+    ``s − ⌈t·s⌉ + 1`` rarest shingles, so only prefix collisions are
+    ever verified — no all-pairs step anywhere.
+
+    Output: ``id_a < id_b`` with exact ``jaccard`` (6 dp) ≥ threshold,
+    plus both set sizes.
+
+    Pipeline (all DataFrame ops):
+      1. distinct n-shingles per doc, document frequency per shingle;
+      2. each doc's shingles re-sorted rarest-first (join on shingle +
+         per-doc array rebuild — no global rank window);
+      3. prefix explode → self-join on shingle + size filter
+         (t·s_a ≤ s_b ≤ s_a/t), distinct candidate pairs;
+      4. exact verify on the full arrays.
+    The ⌈t·s⌉ terms subtract 1e-9 before ceil so float representation
+    of t can only ENLARGE a prefix/window (more candidates, never a
+    missed pair — losslessness survives floating point).
+
+    Scale shape: shuffles on shingle (df counts + candidate join) and
+    on doc id (array rebuild + verify) only; candidate volume is
+    Σ_prefix-shingle df², the quantity prefix filtering exists to
+    minimize — rarest-first ordering puts the smallest df in every
+    prefix. Skewed hot shingles are the residual risk: AQE skew-join
+    plus (at 100 TB) a df cap that shunts ubiquitous shingles out of
+    prefixes entirely (they cannot be discriminative)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold in (0, 1], got {threshold}")
+    sh = shingles_col(F.col(text_col), n)
+    docs = df.select(
+        F.col(id_col).alias("id"), sh.alias("sh")
+    ).where(F.size("sh") > 0)
+    tok = docs.select("id", F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    # rarest-first per-doc order, deterministic tiebreak on shingle
+    ordered = (
+        tok.join(dfreq, "s")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("df", "s"))
+                ),
+                lambda x: x["s"],
+            ).alias("sh"),
+            F.count(F.lit(1)).cast("long").alias("sz"),
+        )
+    )
+    t = float(threshold)
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.col("sz").cast("double") * t - 1e-9).cast("long")
+        + 1
+    )
+    pre = ordered.select(
+        "id", "sz",
+        F.explode(F.slice("sh", 1, prefix_len)).alias("s"),
+    )
+    a = pre.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "s"
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "s"
+    )
+    cand = (
+        a.join(b, "s")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b")
+               >= F.ceil(F.col("sz_a").cast("double") * t - 1e-9))
+            & (F.col("sz_b").cast("double")
+               <= F.col("sz_a").cast("double") / t + 1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full = docs.select("id", F.col("sh").alias("full_sh"))
+    verified = (
+        cand.join(full.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("full_sh", "sh_a"), "id_a")
+        .join(full.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("full_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        verified.select(
+            "id_a", "id_b",
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= t)
+        .orderBy("id_a", "id_b")
+    )

@@ -5972,3 +5972,60 @@ def brown_forsythe(
     return anova_oneway(dev, group_col, "__z").withColumnRenamed(
         "f_stat", "bf_stat"
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Weighted lower median per group: the smallest value whose
+    cumulative weight reaches half the group's total — "the price at
+    which half the QUANTITY (not half the rows) has shipped". Row
+    medians mis-state any quantity-weighted distribution where big
+    rows differ systematically from small ones.
+
+    One row per group::
+
+        <group_col>: as input, total_weight: bigint,
+        weighted_median: double
+
+    Determinism: rows collapse to (group, value) grain first, the
+    cumulative weight is an exact integer sum, and the half-total
+    test is ``2·cumw ≥ W`` — no division, no float boundary. Scale
+    shape: one (group, value) aggregate, one per-group window over
+    the DISTINCT-value grain (already shrunk), one argmin reduce —
+    the corpus shuffles once on the group key."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("long")
+    per_val = (
+        df.where(v.isNotNull() & ~F.isnan(v) & w.isNotNull())
+        .groupBy(g.alias("__g"), v.alias("__v"))
+        .agg(F.sum(w).alias("__w"))
+    )
+    win = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("__g")
+    cum = per_val.select(
+        "__g", "__v",
+        F.sum("__w").over(win).alias("__cw"),
+        F.sum("__w").over(tot_w).alias("__W"),
+    )
+    return (
+        cum.where(2 * F.col("__cw") >= F.col("__W"))
+        .groupBy("__g")
+        .agg(
+            F.max("__W").cast("long").alias("total_weight"),
+            F.min("__v").alias("weighted_median"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "total_weight", "weighted_median",
+        )
+        .orderBy(group_col)
+    )
