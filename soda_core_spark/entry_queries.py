@@ -13882,3 +13882,137 @@ def q246(spark, sf_dir):
     return weighted_median(
         li, "l_returnflag", "l_extendedprice", "l_quantity"
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier / skyline (operators/profiling.py
+# pareto_frontier2d)
+# ---------------------------------------------------------------------------
+
+_Q247_SQL = """
+WITH base AS (
+  SELECT p_partkey, p_retailprice, p_size
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+),
+per_min AS (
+  SELECT p_retailprice AS mn, max(p_size) AS mx
+  FROM base GROUP BY 1
+),
+frontier AS (
+  SELECT mn, mx,
+         max(mx) OVER (ORDER BY mn
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS best_cheaper
+  FROM per_min
+),
+reps AS (
+  SELECT p_retailprice AS mn, p_size AS mx,
+         min(p_partkey) AS p_partkey
+  FROM base GROUP BY 1, 2
+)
+SELECT r.p_partkey, f.mn AS p_retailprice, f.mx AS p_size
+FROM frontier f
+JOIN reps r ON f.mn = r.mn AND f.mx = r.mx
+WHERE f.best_cheaper IS NULL OR f.mx > f.best_cheaper
+ORDER BY p_retailprice
+"""
+
+
+@register("q247_pareto_parts", _Q247_SQL)
+def q247(spark, sf_dir):
+    """2-D skyline of parts — cheapest price per size class and
+    better (operators/profiling.py pareto_frontier2d): the quadratic
+    NOT-EXISTS dominance join collapsed to one (min, max)-grain
+    aggregate plus one ordered window with a strict -1-row frame;
+    deterministic smallest-key representative per frontier point."""
+    from soda_core_spark.operators.profiling import pareto_frontier2d
+
+    return pareto_frontier2d(
+        _t(spark, sf_dir, "part"),
+        "p_retailprice", "p_size", "p_partkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles (operators/profiling.py lorenz_deciles)
+# ---------------------------------------------------------------------------
+
+_Q248_SQL = """
+WITH per_key AS (
+  SELECT o_custkey AS k,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS vc,
+         sum(o_totalprice) AS v
+  FROM orders GROUP BY 1
+),
+tiled AS (
+  SELECT k, v, ntile(10) OVER (ORDER BY vc, k) AS decile
+  FROM per_key
+),
+per_dec AS (
+  SELECT decile, count(*)::BIGINT AS n_keys, sum(v) AS dv
+  FROM tiled GROUP BY 1
+)
+SELECT decile::BIGINT AS decile, n_keys,
+       round(dv, 2) AS decile_value,
+       round(sum(dv) OVER (ORDER BY decile
+                           ROWS UNBOUNDED PRECEDING)
+             / sum(dv) OVER (), 6) AS cum_value_share
+FROM per_dec
+ORDER BY decile
+"""
+
+
+@register("q248_lorenz_deciles", _Q248_SQL)
+def q248(spark, sf_dir):
+    """Customer-revenue Lorenz curve at decile grain
+    (operators/profiling.py lorenz_deciles): the curve behind q148's
+    Gini scalar — shows WHERE the concentration sits. ntile ordered
+    by (value, key) so ties split identically cross-engine; windows
+    touch the entity grain, never rows."""
+    from soda_core_spark.operators.profiling import lorenz_deciles
+
+    return lorenz_deciles(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (operators/profiling.py rfm_segments)
+# ---------------------------------------------------------------------------
+
+_Q249_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS c,
+         max(o_orderdate) AS last_ts,
+         count(*)::BIGINT AS freq,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS amtc,
+         sum(o_totalprice) AS amt
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT c, amt,
+         ntile(5) OVER (ORDER BY last_ts, c) AS r_score,
+         ntile(5) OVER (ORDER BY freq, c) AS f_score,
+         ntile(5) OVER (ORDER BY amtc, c) AS m_score
+  FROM per_cust
+)
+SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+       m_score::BIGINT AS m_score,
+       count(*)::BIGINT AS n_customers,
+       round(sum(amt), 2) AS total_amount
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@register("q249_rfm_segments", _Q249_SQL)
+def q249(spark, sf_dir):
+    """RFM customer segmentation (operators/profiling.py
+    rfm_segments): recency/frequency/monetary quintiles with
+    (metric, customer) tie ordering so both engines split equal
+    values identically; windows run over the customer grain."""
+    from soda_core_spark.operators.profiling import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))

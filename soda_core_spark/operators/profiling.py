@@ -6029,3 +6029,164 @@ def weighted_median(
         )
         .orderBy(group_col)
     )
+
+
+def pareto_frontier2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D skyline: rows not dominated by any other (another row with
+    ``minimize_col`` ≤ AND ``maximize_col`` ≥, one strictly better) —
+    the best-tradeoff set (cheapest part per size class and better,
+    best quality-per-cost document, …). The naive formulation is a
+    quadratic NOT-EXISTS self-join; the sort form is linear after ONE
+    range shuffle.
+
+    Output: ``id_col``, both criteria columns, dominated-free,
+    ordered by ``minimize_col``.
+
+    Algorithm: collapse to the per-``minimize`` best ``maximize``
+    (ties on the minimize axis can only dominate each other), then a
+    running max of ``maximize`` over STRICTLY smaller minimize values
+    (window ending at -1 row): a row survives iff it beats every
+    cheaper row's best. Representative per surviving point: smallest
+    ``id_col`` (deterministic). Scale: one (minimize, maximize)-grain
+    aggregate + one ordered window over the collapsed grain — never a
+    self-join."""
+    mn, mx = F.col(minimize_col), F.col(maximize_col)
+    base = df.where(mn.isNotNull() & mx.isNotNull())
+    per_min = base.groupBy(mn.alias("__mn")).agg(
+        F.max(mx).alias("__mx")
+    )
+    w = (
+        Window.orderBy("__mn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = per_min.select(
+        "__mn", "__mx",
+        F.max("__mx").over(w).alias("__best_cheaper"),
+    ).where(
+        F.col("__best_cheaper").isNull()
+        | (F.col("__mx") > F.col("__best_cheaper"))
+    )
+    # deterministic representative: the smallest id achieving the point
+    reps = base.groupBy(
+        mn.alias("__mn"), mx.alias("__mx")
+    ).agg(F.min(F.col(id_col)).alias(id_col))
+    return (
+        frontier.join(reps, ["__mn", "__mx"])
+        .select(
+            id_col,
+            F.col("__mn").alias(minimize_col),
+            F.col("__mx").alias(maximize_col),
+        )
+        .orderBy(minimize_col)
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Lorenz curve at decile grain: entities ranked by their summed
+    value ascending, cumulative value share per population decile —
+    the curve behind q148's Gini scalar (two corpora can share a Gini
+    and concentrate in different tails; the curve shows WHERE).
+
+    One row per decile::
+
+        decile: bigint (1..10),
+        n_keys: bigint, decile_value: double (2 dp),
+        cum_value_share: double (6 dp)
+
+    Determinism: deciles assigned by ntile over (value, key) — the
+    key tiebreak makes equal values order identically on both
+    engines, and the ORDERING value is the exact integer-cents sum
+    (a float sum's last-ulp depends on partial-sum order, so two
+    entities with identical value multisets can swap sort positions
+    across engines; integer cents cannot). Scale: one key-grain
+    aggregate, one ordered window over the key grain (entities, not
+    rows), one 10-row reduce."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(cents).alias("__vc"),
+        F.sum(F.col(value_col)).alias("__v"),
+    )
+    w = Window.orderBy("__vc", "__k")
+    tiled = per_key.select(
+        "__k", "__v", F.ntile(10).over(w).alias("decile")
+    )
+    per_dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__v").alias("__dv"),
+    )
+    w2 = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    return per_dec.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_keys",
+        F.round("__dv", 2).alias("decile_value"),
+        F.round(
+            F.sum("__dv").over(w2) / F.sum("__dv").over(wt), 6
+        ).alias("cum_value_share"),
+    ).orderBy("decile")
+
+
+def rfm_segments(
+    df_orders: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per customer, recency (last order date),
+    frequency (order count) and monetary (summed amount) quintile
+    scores 1..buckets (higher = better), plus the combined segment —
+    the standard customer-value census.
+
+    One row per (r_score, f_score, m_score) cell::
+
+        r_score, f_score, m_score: bigint, n_customers: bigint,
+        total_amount: double (2 dp)
+
+    Determinism: every ntile orders by (metric, customer) so ties
+    split identically on both engines; recency/frequency are exact,
+    and the monetary ORDERING key is the exact integer-cents sum — a
+    float sum's last ulp depends on partial-sum order, so two
+    customers with identical order multisets (common after corpus
+    replication) can swap sort positions across engines; integer
+    cents cannot. Scale: one customer-grain aggregate, three ordered
+    windows over the CUSTOMER grain (not rows), one cell-grain
+    reduce."""
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    per_cust = df_orders.groupBy(
+        F.col(customer_col).alias("__c")
+    ).agg(
+        F.max(F.col(ts_col)).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum(cents).alias("__amtc"),
+        F.sum(F.col(amount_col)).alias("__amt"),
+    )
+    b = int(buckets)
+    wr = Window.orderBy("__last", "__c")   # later last order = better
+    wf = Window.orderBy("__freq", "__c")
+    wm = Window.orderBy("__amtc", "__c")
+    scored = per_cust.select(
+        "__c", "__amt",
+        F.ntile(b).over(wr).cast("long").alias("r_score"),
+        F.ntile(b).over(wf).cast("long").alias("f_score"),
+        F.ntile(b).over(wm).cast("long").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("__amt"), 2).alias("total_amount"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
