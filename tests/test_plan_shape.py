@@ -666,3 +666,46 @@ def test_knn_hubness_broadcasts_queries_no_corpus_shuffle_pre_topk(spark):
     plan = _plan(knn_hubness(e.where(F.col("vec_id") % 4 == 0), k=3))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_pareto_frontier_no_quadratic_join_no_python(spark):
+    """The skyline must be the sort form: no BroadcastNestedLoopJoin
+    or CartesianProduct (the quadratic dominance join), no Python."""
+    from soda_core_spark.operators.profiling import pareto_frontier2d
+
+    d = spark.read.parquet(f"{SF}/part.parquet")
+    plan = _plan(pareto_frontier2d(d, "p_retailprice", "p_size",
+                                   "p_partkey"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_temporal_joins_no_python(spark):
+    """asof_join / range_count_join stay JVM-side end to end."""
+    from soda_core_spark.operators.temporal_join import (
+        asof_join,
+        range_count_join,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    od = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("rts"),
+        "o_orderkey",
+    )
+    p1 = _plan(asof_join(ev, od, "user_id", "ts", "rts",
+                         ["o_orderkey"]))
+    assert "ArrowEvalPython" not in p1 and "BatchEvalPython" not in p1
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    p2 = _plan(range_count_join(
+        od.select(F.col("user_id").alias("o_custkey"),
+                  F.col("rts").alias("o_orderdate")),
+        li, "o_custkey", "o_orderdate", "l_shipdate",
+        horizon_days=30, right_key="l_orderkey",
+    ))
+    assert "ArrowEvalPython" not in p2 and "BatchEvalPython" not in p2
