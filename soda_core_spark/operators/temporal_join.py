@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join", "range_count_join"]
 
@@ -60,32 +61,41 @@ def asof_join(
     last-non-null — right rows at ts == left_ts sort before (after,
     when ``strict``) the left row, which is the entire <=-vs-<
     semantic. Work is linear in |left| + |right|; contrast with the
-    correlated-subquery form, which rescans right per left row."""
+    correlated-subquery form, which rescans right per left row.
+
+    The match payload rides in ONE struct (ts + every value column),
+    and the running last-non-null applies to the struct as a whole:
+    a matched right row whose value column is genuinely NULL carries
+    that NULL (the struct itself is non-null), exactly as a real join
+    against that row would — per-column last-non-null would instead
+    leak an OLDER row's value into the NULL slot."""
     lc = set(left.columns)
-    for c in ("__side", "__ats", *(f"__v_{v}" for v in value_cols)):
+    for c in ("__side", "__ts", "__payload"):
         if c in lc or c in set(right.columns):
             raise ValueError(f"internal column name collision: {c}")
     # right rows sort BEFORE left at equal ts for <= semantics, AFTER
     # for strict <
     right_rank = 0 if not strict else 2
+    payload_type = T.StructType(
+        [T.StructField("__ats", right.schema[right_ts].dataType)]
+        + [T.StructField(f"__v_{v}", right.schema[v].dataType)
+           for v in value_cols]
+    )
     r = right.select(
         F.col(key).alias(key),
         F.col(right_ts).alias("__ts"),
         F.lit(right_rank).alias("__side"),
-        F.col(right_ts).alias("__ats"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        F.struct(
+            F.col(right_ts).alias("__ats"),
+            *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        ).cast(payload_type).alias("__payload"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(
         F.col(key).alias(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(
-            right.schema[right_ts].dataType
-        ).alias("__ats"),
-        *[F.lit(None).cast(
-            right.schema[v].dataType
-        ).alias(f"__v_{v}") for v in value_cols],
+        F.lit(None).cast(payload_type).alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     w = (
@@ -97,19 +107,15 @@ def asof_join(
         r.unionByName(l)
         .select(
             "*",
-            F.last("__ats", ignorenulls=True).over(w).alias("asof_ts"),
-            *[
-                F.last(f"__v_{v}", ignorenulls=True).over(w)
-                .alias(f"__m_{v}")
-                for v in value_cols
-            ],
+            F.last("__payload", ignorenulls=True).over(w)
+            .alias("__match"),
         )
         .where(F.col("__side") == 1)
     )
     return matched.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        "asof_ts",
-        *[F.col(f"__m_{v}").alias(v) for v in value_cols],
+        F.col("__match.__ats").alias("asof_ts"),
+        *[F.col(f"__match.__v_{v}").alias(v) for v in value_cols],
     )
 
 

@@ -71,6 +71,24 @@ def test_asof_join_strict_excludes_equal_ts(spark):
     assert got[2]["val"] == 200   # 12 < 20 still matches
 
 
+def test_asof_join_null_value_carries_not_leaks(spark):
+    # the MATCHED right row's NULL value must come through as NULL —
+    # per-column last-non-null would leak the older row's 100 here
+    left = spark.createDataFrame(
+        [(1, "k1", _ts("2024-01-15T00:00:00"))], ["event_id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-08T00:00:00"), 100),
+            ("k1", _ts("2024-01-12T00:00:00"), None),  # matched, NULL val
+        ],
+        "k string, rts timestamp, val int",
+    )
+    got = asof_join(left, right, "k", "ts", "rts", ["val"]).collect()[0]
+    assert got["asof_ts"] == _ts("2024-01-12T00:00:00")
+    assert got["val"] is None
+
+
 def test_asof_join_one_shuffle_no_python(spark):
     left, right = _frames(spark)
     plan = (
