@@ -142,7 +142,16 @@ def range_count_join(
     back to left grain. Fan-out is |left_k|·|right_k| per key — the
     question's own grain; AQE skew-join splits hot keys. A
     sort-merge-interval optimization is unnecessary while the key
-    cardinality dominates (hosts/users), the common corpus case."""
+    cardinality dominates (hosts/users), the common corpus case.
+
+    Left grain is ROW grain, not distinct-column grain: the regroup
+    keys on a per-row id minted before the join, so two byte-identical
+    left rows each keep their own count instead of collapsing to one
+    output row (the id never leaves this operator; within one job the
+    pre-join mint is stable because the grouping consumes it in the
+    same lineage that created it)."""
+    if "__rowid" in left.columns or "__rts" in left.columns:
+        raise ValueError("internal column name collision: __rowid/__rts")
     lk = [F.col(c) for c in left.columns]
     lt = F.col(left_ts)
     rt = F.col("__rts")
@@ -155,12 +164,16 @@ def range_count_join(
         & (rt >= lt)
         & (rt < F.timestamp_add("DAY", F.lit(horizon_days), lt))
     )
-    joined = left.join(r, cond, "left")
+    tagged = left.withColumn(
+        "__rowid", F.monotonically_increasing_id()
+    )
+    joined = tagged.join(r, cond, "left")
     return (
-        joined.groupBy(*lk)
+        joined.groupBy(F.col("__rowid"), *lk)
         .agg(
             F.sum(F.when(F.col("__rts").isNotNull(), 1).otherwise(0))
             .cast("long")
             .alias(count_alias)
         )
+        .drop("__rowid")
     )

@@ -130,6 +130,25 @@ def test_range_count_join_hand_values(spark):
     assert got[12] == 0   # key with no right rows -> 0, not a lost row
 
 
+def test_range_count_join_duplicate_left_rows_keep_row_grain(spark):
+    # two byte-identical left rows must each produce an output row
+    left = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01T00:00:00")),
+            ("k", _ts("2024-01-01T00:00:00")),
+        ],
+        ["k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-02T00:00:00"))], ["k", "rts"]
+    )
+    got = range_count_join(
+        left, right, "k", "ts", "rts", horizon_days=30
+    ).collect()
+    assert len(got) == 2
+    assert sorted(r["n_in_window"] for r in got) == [1, 1]
+
+
 def test_range_count_join_boundary_is_half_open(spark):
     # rts == left_ts counts; rts == left_ts + horizon does NOT
     left = spark.createDataFrame(
