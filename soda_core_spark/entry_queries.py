@@ -637,29 +637,42 @@ def q15(spark, sf_dir):
     "q16_quality_flags",
     f"""
     SELECT doc_id,
-           (length(text) < 150) AS fail_min_chars,
-           (len({_WORDS_SQL}) < 20) AS fail_min_words,
-           (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
-             / length(text) < 0.55) AS fail_alnum,
-           NOT (length(text) < 150 OR len({_WORDS_SQL}) < 20
-                OR length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
-                   / length(text) < 0.55) AS keep
+           coalesce(length(text) < 150, TRUE) AS fail_min_chars,
+           coalesce(len({_WORDS_SQL}) < 20, TRUE) AS fail_min_words,
+           coalesce(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+             / length(text) < 0.55, TRUE) AS fail_alnum,
+           NOT (coalesce(length(text) < 150, TRUE)
+                OR coalesce(len({_WORDS_SQL}) < 20, TRUE)
+                OR coalesce(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                   / length(text) < 0.55, TRUE)) AS keep
     FROM documents
     """,
 )
 def q16(spark, sf_dir):
     """The keep/drop compiler on SQL-expressible rules: per-row fail flags
-    + keep (the quality_filter core, oracle-checked end to end)."""
+    + keep (the quality_filter core, oracle-checked end to end).
+
+    NULL policy is FAIL-CLOSED and explicit on both engines: a NULL
+    text fails every rule and is never kept. Left implicit, the two
+    engines disagree — Spark's non-ANSI ``size(NULL)`` is -1 (so
+    ``< 20`` is TRUE) while DuckDB's ``len(NULL)`` is NULL."""
     from soda_core_spark.functions.text import alnum_ratio, words_col
 
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    f1 = (F.length(t) < 150).alias("fail_min_chars")
-    f2 = (F.size(words_col(t)) < 20).alias("fail_min_words")
-    f3 = (alnum_ratio(t) < 0.55).alias("fail_alnum")
+
+    def _fc(c):
+        return F.coalesce(c, F.lit(True))
+
+    f1 = _fc(F.length(t) < 150)
+    f2 = _fc(F.size(words_col(t)) < 20)
+    f3 = _fc(alnum_ratio(t) < 0.55)
     return d.select(
-        "doc_id", f1, f2, f3,
-        (~((F.length(t) < 150) | (F.size(words_col(t)) < 20) | (alnum_ratio(t) < 0.55))).alias("keep"),
+        "doc_id",
+        f1.alias("fail_min_chars"),
+        f2.alias("fail_min_words"),
+        f3.alias("fail_alnum"),
+        (~(f1 | f2 | f3)).alias("keep"),
     )
 
 
@@ -2047,7 +2060,8 @@ ext AS (
   FROM src
 )
 SELECT doc_id, extracted_text, title,
-       round(CASE WHEN length(extracted_text) > 0
+       round(CASE WHEN extracted_text IS NULL THEN NULL
+                  WHEN length(extracted_text) > 0
                   THEN least(1.0, anchor_len::DOUBLE
                              / length(extracted_text)::DOUBLE)
                   ELSE 0.0 END, 6) AS link_density
@@ -3074,7 +3088,9 @@ def _q70_sql(
         " j -> (p.e[j]-c.c[j])*(p.e[j]-c.c[j])), (x,y) -> x+y)"
     )
     ctes = [
-        "pts AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        # NULL embeddings are excluded (mirrors semdedup's input policy)
+        "pts AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+        " WHERE embedding IS NOT NULL AND len(embedding) > 0)",
         f"""c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
           FROM (SELECT * FROM pts ORDER BY vec_id LIMIT {k})
@@ -4586,8 +4602,13 @@ def q90(spark, sf_dir):
 
 
 def _q91_sql() -> str:
+    # NULL-input guard first: a NULL embedding stays NULL through the
+    # corruption stage on BOTH engines (DuckDB's list_concat treats a
+    # NULL operand as empty — ['nan'] — while Spark's concat propagates
+    # NULL; without the guard the %10=2 branch diverges on NULL input)
     deco = """
-      CASE WHEN vec_id % 10 = 0 THEN NULL
+      CASE WHEN embedding IS NULL THEN NULL
+           WHEN vec_id % 10 = 0 THEN NULL
            WHEN vec_id % 10 = 1 THEN embedding[1:63]
            WHEN vec_id % 10 = 2 THEN
              list_concat(['nan'::FLOAT], embedding[2:])
@@ -8067,9 +8088,12 @@ def q144(spark, sf_dir):
 _Q145_SQL = """
 WITH fp AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(list_filter(
+         -- coalesce: DuckDB's array_to_string([]) is NULL (Spark's
+         -- array_join is ''); a NULL fingerprint class would vanish in
+         -- the sm join below
+         md5(coalesce(array_to_string(list_sort(list_filter(
              regexp_split_to_array(lower(coalesce(text, '')), '[ \t\n\r]+'),
-             w -> w <> '')), ' ')) AS bag_fp
+             w -> w <> '')), ' '), '')) AS bag_fp
   FROM documents
 ),
 cl AS (
@@ -8124,8 +8148,10 @@ t AS (
   FROM s GROUP BY 1
 ),
 d AS (
+  -- null-safe group join: the NULL group's rows must still meet their
+  -- threshold row (mirrors the engine's eqNullSafe join)
   SELECT s."group", s.v < t.threshold AS bad
-  FROM s JOIN t USING ("group")
+  FROM s JOIN t ON s."group" IS NOT DISTINCT FROM t."group"
 )
 SELECT t."group", t.threshold, t.n,
        coalesce(dd.n_dropped, 0)::BIGINT AS n_dropped,
@@ -8134,7 +8160,7 @@ FROM t
 LEFT JOIN (
   SELECT "group", sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_dropped
   FROM d GROUP BY 1
-) dd USING ("group")
+) dd ON t."group" IS NOT DISTINCT FROM dd."group"
 ORDER BY t."group"
 """
 
@@ -9282,9 +9308,12 @@ _Q166_SQL = """
 WITH lab AS (
   SELECT md5(lower(regexp_replace(trim(coalesce(text, '')),
                                   '[ \t\n\r]+', ' ', 'g'))) AS a,
-         md5(array_to_string(list_sort(list_filter(
+         -- coalesce: DuckDB's array_to_string([]) is NULL (Spark's
+         -- array_join is ''), and a NULL label silently drops from the
+         -- mi JOIN below
+         md5(coalesce(array_to_string(list_sort(list_filter(
              regexp_split_to_array(lower(coalesce(text, '')), '[ \t\n\r]+'),
-             w -> w <> '')), ' ')) AS b
+             w -> w <> '')), ' '), '')) AS b
   FROM documents
 ),
 cont AS (SELECT a, b, count(*)::BIGINT AS nij FROM lab GROUP BY 1, 2),
@@ -13805,13 +13834,18 @@ sh AS (
   FROM w
 ),
 nonempty AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-tok AS (SELECT doc_id, unnest(s) AS g FROM nonempty),
+-- duplicate-id policy mirrors the engine: a document's shingle set is
+-- the distinct UNION over all rows sharing the id
+tok AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest(s) AS g FROM nonempty)
+),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
   FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, len(s)::BIGINT AS sz FROM nonempty)
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY 1)
 SELECT i.id_a, i.id_b,
        sa.sz AS size_a, sb.sz AS size_b,
        round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) AS jaccard

@@ -393,8 +393,20 @@ def calibrate_group_thresholds(
         if direction == "low"
         else F.col("__v") > F.col("threshold")
     )
+    # null-safe: a NULL group is a real group (groupBy kept it in the
+    # threshold table; a plain equi-join would drop its rows here and
+    # lose the whole group from the report)
+    sj, tj = s.alias("__cg_s"), F.broadcast(t).alias("__cg_t")
     d = (
-        s.join(F.broadcast(t), "group")
+        sj.join(
+            tj, F.col("__cg_s.group").eqNullSafe(F.col("__cg_t.group"))
+        )
+        .select(
+            F.col("__cg_s.group").alias("group"),
+            F.col("__cg_s.__v").alias("__v"),
+            F.col("__cg_t.threshold").alias("threshold"),
+            F.col("__cg_t.n").alias("n"),
+        )
         .groupBy("group", "threshold", "n")
         .agg(F.sum(bad.cast("long")).cast("long").alias("n_dropped"))
     )

@@ -147,7 +147,15 @@ def _parse_bytes(v: str) -> int:
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram array (default 3-shingles), lowercased."""
+    """Distinct word n-gram array (default 3-shingles), lowercased.
+
+    Documents with 1..n-1 words get ONE whole-text shingle; documents
+    with ZERO words (empty, whitespace-only, or NULL text) get an
+    EMPTY set — not ``['']``. The '' sentinel made every empty doc a
+    jaccard-1.0 duplicate of every other empty doc, a degenerate hot
+    key at corpus scale and a cross-engine hazard (DuckDB's
+    ``array_to_string([])`` is NULL while Spark's ``concat_ws`` is '',
+    so the two engines disagreed on exactly these rows)."""
     words = F.filter(
         F.split(F.lower(text), "[ \\t\\n\\r]+"), lambda w: w != ""
     )
@@ -157,7 +165,9 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     for c in cols[1:]:
         grams = F.zip_with(grams, c, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(k >= n, F.array_distinct(grams)).otherwise(
-        F.array(F.concat_ws(" ", words))
+        F.when(k > 0, F.array(F.concat_ws(" ", words))).otherwise(
+            F.array().cast("array<string>")
+        )
     )
 
 
@@ -2614,7 +2624,11 @@ def prefix_filter_jaccard(
     docs = df.select(
         F.col(id_col).alias("id"), sh.alias("sh")
     ).where(F.size("sh") > 0)
-    tok = docs.select("id", F.explode("sh").alias("s"))
+    # duplicate-id policy: a document's shingle set is the distinct
+    # UNION over all rows sharing the id (byte-identical replica rows
+    # collapse to one set; without this, replicas double df counts and
+    # fan out the verify join)
+    tok = docs.select("id", F.explode("sh").alias("s")).distinct()
     dfreq = tok.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -2660,7 +2674,10 @@ def prefix_filter_jaccard(
         .select("id_a", "id_b")
         .distinct()
     )
-    full = docs.select("id", F.col("sh").alias("full_sh"))
+    # the rebuilt rarest-first arrays ARE the full distinct sets —
+    # set-intersection/union don't care about order, and reusing them
+    # avoids a second scan of the raw docs
+    full = ordered.select("id", F.col("sh").alias("full_sh"))
     verified = (
         cand.join(full.withColumnRenamed("id", "id_a")
                   .withColumnRenamed("full_sh", "sh_a"), "id_a")

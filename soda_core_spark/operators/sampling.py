@@ -423,8 +423,19 @@ def sample_to_token_budget(
         .orderBy(order, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # null-safe on the group key: a NULL group is a real budget group
+    # (window PARTITION BY keeps a NULL partition; a plain equi-join
+    # would silently drop every NULL-group row from the sample)
+    t, o = tagged.alias("__tb_t"), F.broadcast(offsets).alias("__tb_o")
+    cond = F.col("__tb_t.__tb_bucket") == F.col("__tb_o.__tb_bucket")
+    for kc in keys:
+        cond = cond & F.col(f"__tb_t.{kc}").eqNullSafe(F.col(f"__tb_o.{kc}"))
     return (
-        tagged.join(F.broadcast(offsets), [*keys, "__tb_bucket"])
+        t.join(o, cond)
+        .select(
+            *[F.col(f"__tb_t.{c}") for c in tagged.columns],
+            F.col("__tb_o.__tb_offset"),
+        )
         .withColumn("__tb_cum", F.col("__tb_offset") + F.sum(tok).over(cum_w))
         .where(F.col("__tb_cum") <= budget_tokens)
         .select(*df.columns)

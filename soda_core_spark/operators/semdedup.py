@@ -259,6 +259,13 @@ def semdedup(
     tests/test_semdedup.py on a pathological one-cluster corpus."""
     if block_factor < 1:
         raise ValueError(f"block_factor must be >= 1, got {block_factor}")
+    # NULL/empty vectors cannot cluster or score a cosine — they are
+    # excluded from the report entirely (embedding sanity checks own
+    # them); left in, they poison the k-means init and the two engines'
+    # NULL-distance orderings disagree row by row
+    embeddings = embeddings.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    )
     assigned = kmeans_fit_assign(
         embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
     )

@@ -289,7 +289,11 @@ def pq_train(
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub = dim // n_subspaces
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # NULL/empty vectors cannot train a quantizer — and a single NULL
+    # reaching the init collect would crash the float() materialization
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).where(F.col("v").isNotNull() & (F.size("v") > 0))
     if max_train_rows is not None:
         n = base.count()
         if n > max_train_rows:
@@ -436,7 +440,11 @@ def kmeans_centroids(
     — a shuffle of n·dim scalar rows with full map-side partial
     aggregation.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # NULL/empty vectors cannot train a quantizer — and a single NULL
+    # reaching the init collect would crash the float() materialization
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).where(F.col("v").isNotNull() & (F.size("v") > 0))
     if max_train_rows is not None:
         n = base.count()
         if n > max_train_rows:
@@ -625,10 +633,16 @@ def decontaminate_embeddings(
             F.struct(F.col("__cs").alias("s"), (-F.col("__bid")).alias("nb"))
         ).alias("__best"),
     )
+    # a corpus vector that could not be scored (NULL embedding → every
+    # cosine NULL) reports NULL across the board — the struct max would
+    # otherwise still pick a bench id (NULL s sorts lowest, nb decides)
     return best.select(
         id_col,
         "max_bench_cosine",
-        (-F.col("__best.nb")).cast("long").alias("nearest_bench_id"),
+        F.when(
+            F.col("max_bench_cosine").isNotNull(),
+            (-F.col("__best.nb")).cast("long"),
+        ).alias("nearest_bench_id"),
         (F.col("max_bench_cosine") >= F.lit(float(threshold))).alias(
             "contaminated"
         ),
