@@ -171,6 +171,76 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
+def _words_of(text: Column) -> Column:
+    """Lowercased non-empty whitespace tokens — the shared tokenization
+    of :func:`shingles_col`, exposed so callers can materialize it ONCE
+    per row (see :func:`shingle_frame`)."""
+    return F.filter(
+        F.split(F.lower(text), "[ \\t\\n\\r]+"), lambda w: w != ""
+    )
+
+
+def _shingles_of_words(w: Column, n: int) -> Column:
+    """Shingle array from an already-materialized token-array column.
+    Value-identical to :func:`shingles_col` (same slice/zip_with grams,
+    same 1..n-1-word whole-text shingle, same empty-set policy)."""
+    k = F.size(w)
+    cols = [F.slice(w, i + 1, k - (n - 1)) for i in range(n)]
+    grams = cols[0]
+    for c in cols[1:]:
+        grams = F.zip_with(grams, c, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.when(k > 0, F.array(F.concat_ws(" ", w))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def shingle_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(id, *extra_cols, shl)`` with the tokenization materialized ONCE
+    per row — the fast formulation of ``select(id, shingles_col(text))``.
+
+    Why a DataFrame helper instead of the single :func:`shingles_col`
+    expression: higher-order functions run interpreted with NO
+    common-subexpression elimination, and the inline shingle expression
+    references ``split(lower(text))`` ~3n times internally — so every
+    evaluation used to re-tokenize the full text ~9 times (n=3), and
+    plan rules multiplied evaluations further (``InferFiltersFromGenerate``
+    inlined the whole expression into a pre-exchange Filter; size lookups
+    re-evaluated it per reference). Here the token array is its own
+    projection level: it is multi-referenced and non-cheap, so
+    ``CollapseProject`` keeps the level (SPARK-36718) and the split runs
+    once per row; downstream shingle/size/signature expressions reference
+    the ARRAY ATTRIBUTE, not the tokenization. Measured on the r6 bench:
+    the q33 plan carried 9 split() calls per scan node before, 1 after.
+
+    Rows with empty/whitespace/NULL text are dropped (they have no
+    shingles — the existing policy of every caller); consequently every
+    returned ``shl`` is non-empty, so ``size(shl)`` equals the exploded
+    per-id row count and ``explode_outer`` is row-identical to
+    ``explode`` (callers use the outer form to keep
+    ``InferFiltersFromGenerate`` from re-inlining the shingle expression
+    into scan filters)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    filtered = _spread(df.where(F.length(F.trim(t)) > 0))
+    step = filtered.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        _words_of(t).alias("__w"),
+    )
+    return step.select(
+        "id",
+        *extra_cols,
+        _shingles_of_words(F.col("__w"), n).alias("shl"),
+    )
+
+
 def _salted_hash(i: int):
     # NB: must be a single-param lambda via closure — a default-arg lambda
     # (lambda s, i=i: ...) is seen by pyspark as the two-param
@@ -283,52 +353,69 @@ PORTABLE_HASH_BITS = 60
 
 
 
-def _band_keys_of(
-    base: DataFrame, num_hashes: int, bands: int, portable_hash: bool
-) -> DataFrame:
-    """(id, band) keys from an (id, sh) shingle frame — the shared
-    signature+banding stage of MinHash LSH.
+def _md5_salted(i: int):
+    # single-param lambda via closure — same reason as _salted_hash
+    return lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s))
 
-    Signatures via explode → hash → groupBy(id) min-aggregates rather
-    than nested array expressions: higher-order functions run
-    interpreted with NO common-subexpression elimination, so the
-    expression form re-evaluates the shingle construction per hash
-    family member (measured 8s for 5k docs; this form: <1s). The
-    groupBy adds one shuffle, but partial aggregation collapses each
-    partition to one row per id before the wire — at corpus scale the
-    shuffle carries n_docs × num_hashes longs, not the shingles."""
+
+def _band_keys_expr(
+    sh: Column, num_hashes: int, bands: int, portable_hash: bool
+) -> Column:
+    """Array of LSH band keys as ONE per-row expression over a
+    MATERIALIZED shingle-array attribute — the signature+banding stage
+    of MinHash LSH with no shuffle at all.
+
+    Signature m_i = ``array_min(transform(sh, hash_i))`` — the same
+    min-over-a-doc's-shingle-hashes the former explode → groupBy(id)
+    aggregate computed, value-identical (``array_min`` ignores no
+    elements here: shingle hashes are never NULL). The aggregate form
+    existed to dodge re-evaluating the INLINE shingle expression per
+    hash; with ``sh`` an attribute (:func:`shingle_frame`) that hazard
+    is gone, and dropping the aggregate removes an Exchange on id —
+    plus, in portable mode, a Sort + SortAggregate pair per evaluation
+    (min over md5 STRINGS has no mutable hash-aggregation buffer, so
+    Spark used sort-based aggregation over the full exploded shingle
+    set). The md5/xxhash64 work per shingle is unchanged — that is the
+    declared computation."""
     rows = num_hashes // bands
-    exploded = base.select("id", F.explode("sh").alias("s"))
     if portable_hash:
-        sig_cols = [
-            F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s")))).alias(f"m{i}")
+        mins = [
+            F.array_min(F.transform(sh, _md5_salted(i)))
             for i in range(num_hashes)
         ]
-        band_keys = F.array(
+        return F.array(
             *[
                 F.md5(
                     F.concat_ws(
                         ",",
                         F.lit(str(b)),
-                        *[F.col(f"m{b * rows + r}") for r in range(rows)],
+                        *[mins[b * rows + r] for r in range(rows)],
                     )
                 )
                 for b in range(bands)
             ]
         )
-    else:
-        sig_cols = [
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
-            for i in range(num_hashes)
+    mins = [
+        F.array_min(F.transform(sh, _salted_hash(i)))
+        for i in range(num_hashes)
+    ]
+    # same band-key derivation lsh_band_keys produces over materialized
+    # m_i columns: xxhash64(b, concat_ws(",", m_{b·rows}..m_{b·rows+rows-1}))
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",",
+                    *[
+                        mins[b * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                ),
+            )
+            for b in range(bands)
         ]
-        # one band-key derivation for both code paths: lsh_band_keys over
-        # the materialized m_i columns (Catalyst simplifies
-        # element_at(array(...), literal) to the single column — no
-        # re-evaluation)
-        sig_array = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
-        band_keys = lsh_band_keys(sig_array, bands, rows)
-    sig = exploded.groupBy("id").agg(*sig_cols)
-    return sig.select("id", F.explode(band_keys).alias("band"))
+    )
 
 
 def minhash_near_duplicates(
@@ -361,13 +448,29 @@ def minhash_near_duplicates(
     key = md5("b,m..")) — identical results in any engine with md5, so
     the whole LSH pipeline is DuckDB-oracle-checkable. Empty/whitespace
     documents are excluded in both modes (they have no shingles; pairing
-    them is meaningless)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    sh = shingles_col(t, shingle_n)
-    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
-        F.col(id_col).alias("id"), sh.alias("sh")
+    them is meaningless).
+
+    r6 optimization: signatures are ``array_min(transform(shl, hash_i))``
+    over the MATERIALIZED shingle-array attribute (:func:`shingle_frame`),
+    not the explode → groupBy(id) min-aggregate — value-identical (min
+    over a doc's shingle hashes either way), but the aggregate form cost
+    one exchange on id plus, in portable mode, a Sort + SortAggregate
+    per join side (min over md5 STRINGS has no mutable hash-agg buffer,
+    so Spark fell back to sort-based aggregation over the full exploded
+    shingle set). The expression form is safe now that ``shl`` is an
+    attribute: the round-2 hazard it replaced (re-evaluating the whole
+    shingle pipeline per hash) was a property of the INLINE expression,
+    which :func:`shingle_frame` retired. Plan effect on the bench:
+    2 Exchange + 2 Sort + 4 SortAggregate removed from q18."""
+    base = shingle_frame(df, id_col, text_col, shingle_n).withColumnRenamed(
+        "shl", "sh"
     )
-    banded = _band_keys_of(base, num_hashes, bands, portable_hash)
+    banded = base.select(
+        "id",
+        F.explode_outer(
+            _band_keys_expr(F.col("sh"), num_hashes, bands, portable_hash)
+        ).alias("band"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
@@ -645,6 +748,14 @@ def ngram_jaccard_all_pairs(
     Reference parity: soda-core only counts duplicates
     (duplicate_check.py:58-343); pairwise similarity is the
     training-pipeline extension.
+
+    r6 plan shape: the shingle-set size rides THROUGH the self-join as
+    an 8-byte column on each exploded row (``n_sh`` is functionally
+    dependent on id, recovered with ``max`` in the pair aggregate) —
+    value-identical to the former separate size table, but it deletes
+    two extra document scans (each re-running the shingle pipeline) and
+    the two post-aggregation size joins the old plan paid. 4 scans →
+    2, 6 plan joins → 1.
     """
     if isinstance(max_doc_freq, _DefaultCap):
         global _default_cap_warned
@@ -661,16 +772,16 @@ def ngram_jaccard_all_pairs(
                 "the cap explicitly.",
                 stacklevel=2,
             )
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
-        F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
+    base = shingle_frame(df, id_col, text_col, n)
+    ex = base.select(
+        "id",
+        F.size("shl").cast("long").alias("n_sh"),
+        F.explode_outer("shl").alias("s"),
     )
-    sizes = base.select("id", F.size("shl").cast("long").alias("n_sh"))
-    ex = base.select("id", F.explode("shl").alias("s"))
     if hash_shingles == "xxhash64":
-        ex = ex.select("id", F.xxhash64("s").alias("s"))
+        ex = ex.select("id", "n_sh", F.xxhash64("s").alias("s"))
     elif hash_shingles == "portable":
-        ex = ex.select("id", portable_token_hash(F.col("s")).alias("s"))
+        ex = ex.select("id", "n_sh", portable_token_hash(F.col("s")).alias("s"))
     elif hash_shingles is not None:
         raise ValueError(
             f"hash_shingles must be None, 'xxhash64' or 'portable', got "
@@ -687,21 +798,18 @@ def ngram_jaccard_all_pairs(
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-    )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .where(jac >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            "n_shared",
-            F.round(jac, 6).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.max(F.col("a.n_sh")).alias("n_a"),
+            F.max(F.col("b.n_sh")).alias("n_b"),
         )
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return inter.where(jac >= threshold).select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        F.round(jac, 6).alias("jaccard"),
     )
 
 
@@ -726,17 +834,20 @@ def ngram_containment_pairs(
     shingle — never the quadratic space); output keeps BOTH directions
     plus ``contained_id``, the side with the higher containment (ties →
     the smaller document; the id a trim-or-drop policy acts on). Pairs
-    kept when max(containment_a, containment_b) ≥ ``threshold``."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
-        F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
+    kept when max(containment_a, containment_b) ≥ ``threshold``.
+    Shingle sizes ride through the self-join as an 8-byte column
+    (recovered with ``max`` in the pair aggregate) — same r6 plan-shape
+    rationale as :func:`ngram_jaccard_all_pairs`: 4 scans → 2."""
+    base = shingle_frame(df, id_col, text_col, n)
+    ex = base.select(
+        "id",
+        F.size("shl").cast("long").alias("n_sh"),
+        F.explode_outer("shl").alias("s"),
     )
-    sizes = base.select("id", F.size("shl").cast("long").alias("n_sh"))
-    ex = base.select("id", F.explode("shl").alias("s"))
     if hash_shingles == "xxhash64":
-        ex = ex.select("id", F.xxhash64("s").alias("s"))
+        ex = ex.select("id", "n_sh", F.xxhash64("s").alias("s"))
     elif hash_shingles == "portable":
-        ex = ex.select("id", portable_token_hash(F.col("s")).alias("s"))
+        ex = ex.select("id", "n_sh", portable_token_hash(F.col("s")).alias("s"))
     elif hash_shingles is not None:
         raise ValueError(
             f"hash_shingles must be None, 'xxhash64' or 'portable', got "
@@ -751,19 +862,19 @@ def ngram_containment_pairs(
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.max(F.col("a.n_sh")).alias("n_a"),
+            F.max(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     ca = F.col("n_shared") / F.col("n_a")
     cb = F.col("n_shared") / F.col("n_b")
     contained = F.when(ca > cb, F.col("id_a")).when(cb > ca, F.col("id_b")).otherwise(
         F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a")).otherwise(F.col("id_b"))
     )
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .where(F.greatest(ca, cb) >= threshold)
+        inter.where(F.greatest(ca, cb) >= threshold)
         .select(
             "id_a",
             "id_b",
@@ -812,18 +923,28 @@ def decontaminate(
     can only over-count a doc's overlap (false positive toward
     ``contaminated`` — the safe direction for decontamination) with
     probability ~d²/2^{60} over d distinct shingles.
+
+    r6 plan shape: ONE scan of the training corpus. The former plan
+    scanned it twice (hit counting + a separate size table) and joined
+    the two back on id; since a doc's exploded distinct-shingle count
+    IS ``size(shl)`` and every kept doc has ≥ 1 shingle, one LEFT join
+    against the benchmark set with a hit marker gives ``n_sh`` (count
+    of all rows) and ``n_overlap`` (count of marked rows) in a single
+    groupBy — value-identical, 3 scans → 2, the id join deleted.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     bench_sh = (
         benchmark_df.where(F.length(F.trim(t)) > 0)
-        .select(F.explode(shingles_col(t, n)).alias("s"))
+        .select(_words_of(t).alias("__w"))
+        .select(
+            F.explode_outer(
+                _shingles_of_words(F.col("__w"), n)
+            ).alias("s")
+        )
         .distinct()
     )
-    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
-        F.col(id_col).alias("id"), shingles_col(t, n).alias("shl")
-    )
-    sizes = base.select("id", F.size("shl").cast("long").alias("n_sh"))
-    ex = base.select("id", F.explode("shl").alias("s"))
+    base = shingle_frame(df, id_col, text_col, n)
+    ex = base.select("id", F.explode_outer("shl").alias("s"))
     if hash_shingles == "xxhash64":
         ex = ex.select("id", F.xxhash64("s").alias("s"))
         bench_sh = bench_sh.select(F.xxhash64("s").alias("s")).distinct()
@@ -837,20 +958,24 @@ def decontaminate(
             f"hash_shingles must be None, 'xxhash64' or 'portable', got "
             f"{hash_shingles!r}"
         )
-    hits = (
+    marked = bench_sh.select("s", F.lit(1).alias("__hit"))
+    per_doc = (
         ex.join(
-            F.broadcast(bench_sh) if broadcast_bench else bench_sh,
+            F.broadcast(marked) if broadcast_bench else marked,
             "s",
-            "left_semi",
+            "left",
         )
         .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.count("__hit").cast("long").alias("n_overlap"),
+        )
     )
-    overlap = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_sh")
-    return sizes.join(hits, "id", "left").select(
+    overlap = F.col("n_overlap") / F.col("n_sh")
+    return per_doc.select(
         F.col("id").alias("doc_id"),
         F.col("n_sh"),
-        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+        F.col("n_overlap"),
         F.round(overlap, 6).alias("overlap"),
         (overlap >= overlap_threshold).alias("contaminated"),
     )

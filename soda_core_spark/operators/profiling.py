@@ -578,43 +578,48 @@ def spearman_correlation(
     Standard tie handling: Pearson correlation over AVERAGE ranks
     (``avg_rank = |values below| + (tie_size + 1)/2``).
 
-    Shape for scale — NO corpus-wide per-row rank window:
+    Shape for scale — NO corpus-wide per-row rank window, and (r6) no
+    single-partition DISTINCT-VALUE window either:
 
     1. per signal, one partial-aggregated groupBy → one row per
        DISTINCT value;
-    2. the cumulative count runs over that bounded distinct-value
-       frame (quality scores at 6 dp ⇒ ≤ 10^6 + 1 rows — the
-       ``classifier_auc`` bounded-window rule);
+    2. the below-count prefix runs as quantile-sketch range buckets +
+       per-bucket windows + broadcast bucket offsets
+       (:func:`_avg_rank_table` — the ``spearman_matrix`` machinery,
+       now shared; the former ``Window.orderBy`` over the distinct
+       values serialized a wide-range signal through one task);
     3. rank tables join back to the rows on the value key (AQE
        broadcasts them when small), then ONE ``corr`` aggregate.
 
     Average ranks are half-integers — exact in doubles to 2^52 — so
     the only float work is the final correlation fold; rounded to 6 dp
-    for cross-engine stability. Rows where either signal is NULL are
-    excluded entirely (kappa NULL policy). Returns one row
-    ``(n, spearman_rho)``; ``rho`` is NULL when fewer than 2 rows or
-    either signal is constant."""
-    from pyspark.sql import Window
-
+    for cross-engine stability. Rows where either signal is NULL or
+    NaN are excluded entirely (the ``spearman_matrix`` listwise
+    policy). Returns one row ``(n, spearman_rho)``; ``rho`` is NULL
+    when fewer than 2 rows or either signal is constant."""
     rows = df.select(
         F.col(x).cast("double").alias("__x"),
         F.col(y).cast("double").alias("__y"),
-    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-
-    def avg_ranks(col: str, out: str) -> DataFrame:
-        counts = rows.groupBy(col).agg(
-            F.count(F.lit(1)).cast("long").alias("__c")
-        )
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        below = F.coalesce(F.sum("__c").over(w), F.lit(0)).cast("double")
-        return counts.select(
-            col,
-            (below + (F.col("__c").cast("double") + 1.0) / 2.0).alias(out),
-        )
+    ).where(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & ~F.isnan(F.col("__x"))
+        & ~F.isnan(F.col("__y"))
+    )
 
     ranked = (
-        rows.join(avg_ranks("__x", "__rx"), "__x")
-        .join(avg_ranks("__y", "__ry"), "__y")
+        rows.join(
+            _avg_rank_table(rows, "__x")
+            .withColumnRenamed("__v", "__x")
+            .withColumnRenamed("__rank", "__rx"),
+            "__x",
+        )
+        .join(
+            _avg_rank_table(rows, "__y")
+            .withColumnRenamed("__v", "__y")
+            .withColumnRenamed("__rank", "__ry"),
+            "__y",
+        )
     )
     # corr() itself raises DIVIDE_BY_ZERO under ANSI mode on a constant
     # signal; build it from guarded covar/var components instead
@@ -6086,6 +6091,111 @@ def pareto_frontier2d(
     )
 
 
+def _exact_ntiles(
+    df: DataFrame,
+    specs: list[tuple],
+    tiles: int,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact ``ntile(tiles) OVER (ORDER BY value, key)`` for one or more
+    ``(value_col, key_col, out_col)`` specs — WITHOUT a single-partition
+    window over the input grain (the q248/q249 scale fix; pattern of
+    ``retrieval.rank_fusion`` / ``_avg_rank_table``).
+
+    Stage shape per spec:
+
+    1. ≤ ``buckets``−1 order-compatible cut points from ONE shared
+       quantile-sketch aggregate over all specs (the only collect —
+       driver-bounded);
+    2. bucket id = count of cuts strictly below the value (monotone in
+       the value, so ties never straddle buckets; NULL values take
+       bucket −1, reproducing the global window's NULLS FIRST);
+    3. exclusive lower-bucket count offsets — a window over the tiny
+       bucket summary only;
+    4. within-bucket ``row_number`` ordered by (value, key) — windows
+       partitioned by bucket, parallel across buckets; global row
+       r = offset + within;
+    5. ntile from r and the broadcast total N by the standard-SQL
+       split (first N mod tiles tiles get ⌈N/tiles⌉ rows) — exactly
+       Spark's and DuckDB's NTile arithmetic, so results are provably
+       identical to the window form.
+
+    Tie-safety requires (value, key) to be unique per row — the callers
+    order by an aggregate with the group key as tiebreak, which is.
+    Integer math throughout (float division only below 2^53).
+
+    A spec may carry a 4th element ``bucket_col``: a NUMERIC column
+    that is a monotone (possibly coarser) image of ``value_col`` with
+    NULL exactly where the value is NULL — used for the sketch and the
+    bucket assignment while the within-bucket ordering stays on the
+    ORIGINAL value (e.g. epoch days for a timestamp: the sketch needs
+    a numeric column, and day-truncation maps order-contiguous value
+    ranges into buckets without losing intra-day rank order)."""
+    norm = [
+        (s[0], s[1], s[2], (s[3] if len(s) > 3 else s[0]))
+        for s in specs
+    ]
+    qs = [i / buckets for i in range(1, buckets)]
+    sketch = df.agg(
+        *[
+            F.percentile_approx(bc, qs, 10_000).alias(f"__cuts_{i}")
+            for i, (_v, _k, _o, bc) in enumerate(norm)
+        ]
+    ).collect()[0]
+    out = df
+    for i, (value_col, key_col, out_col, bucket_col) in enumerate(norm):
+        cuts = sketch[f"__cuts_{i}"] or []
+        uniq: list = []
+        for c in cuts:
+            if not uniq or c > uniq[-1]:
+                uniq.append(c)
+        if uniq:
+            # count of cut points strictly below the value — a CASE-sum
+            # over ≤ buckets-1 literals (the _avg_rank_table idiom)
+            nn_bucket = sum(
+                (
+                    F.when(F.lit(c) < F.col(bucket_col), 1).otherwise(0)
+                    for c in uniq
+                ),
+                F.lit(0),
+            ).cast("int")
+        else:
+            nn_bucket = F.lit(0)
+        bucket = F.when(
+            F.col(value_col).isNull(), F.lit(-1)
+        ).otherwise(nn_bucket)
+        b, off, n, rn = f"__b_{i}", f"__off_{i}", f"__n_{i}", f"__rn_{i}"
+        tagged = out.withColumn(b, bucket)
+        bsum = tagged.groupBy(b).agg(F.count(F.lit(1)).alias("__s"))
+        off_w = Window.orderBy(b).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = bsum.select(
+            b,
+            F.coalesce(F.sum("__s").over(off_w), F.lit(0)).alias(off),
+        )
+        total = bsum.agg(F.sum("__s").cast("long").alias(n))
+        in_w = Window.partitionBy(b).orderBy(
+            F.col(value_col).asc_nulls_first(), F.col(key_col)
+        )
+        joined = (
+            tagged.join(F.broadcast(offsets), b)
+            .crossJoin(F.broadcast(total))
+            .withColumn(rn, F.row_number().over(in_w))
+        )
+        r = (F.col(off) + F.col(rn)).cast("long")
+        q = F.floor(F.col(n) / tiles).cast("long")
+        rem = F.col(n) % tiles
+        cut_rows = rem * (q + 1)
+        tile = F.when(
+            r <= cut_rows, F.floor((r - 1) / (q + 1)) + 1
+        ).otherwise(rem + F.floor((r - 1 - cut_rows) / q) + 1)
+        out = joined.withColumn(out_col, tile.cast("long")).drop(
+            b, off, n, rn
+        )
+    return out
+
+
 def lorenz_deciles(
     df: DataFrame,
     key_col: str,
@@ -6108,17 +6218,18 @@ def lorenz_deciles(
     (a float sum's last-ulp depends on partial-sum order, so two
     entities with identical value multisets can swap sort positions
     across engines; integer cents cannot). Scale: one key-grain
-    aggregate, one ordered window over the key grain (entities, not
-    rows), one 10-row reduce."""
+    aggregate, a BUCKETED exact ntile over the key grain
+    (:func:`_exact_ntiles` — no single-partition window; at 10^8-10^9
+    entities the former global ``Window.orderBy`` funneled every key
+    through one reducer), one 10-row reduce."""
     cents = F.round(F.col(value_col) * 100).cast("long")
     per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
         F.sum(cents).alias("__vc"),
         F.sum(F.col(value_col)).alias("__v"),
     )
-    w = Window.orderBy("__vc", "__k")
-    tiled = per_key.select(
-        "__k", "__v", F.ntile(10).over(w).alias("decile")
-    )
+    tiled = _exact_ntiles(
+        per_key, [("__vc", "__k", "decile")], 10
+    ).select("__k", "__v", "decile")
     per_dec = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("__v").alias("__dv"),
@@ -6160,9 +6271,17 @@ def rfm_segments(
     float sum's last ulp depends on partial-sum order, so two
     customers with identical order multisets (common after corpus
     replication) can swap sort positions across engines; integer
-    cents cannot. Scale: one customer-grain aggregate, three ordered
-    windows over the CUSTOMER grain (not rows), one cell-grain
-    reduce."""
+    cents cannot. Scale: one customer-grain aggregate, three BUCKETED
+    exact ntiles over the CUSTOMER grain (:func:`_exact_ntiles`, one
+    shared quantile sketch — the former three global ``Window.orderBy``
+    windows each funneled every customer through one reducer), one
+    cell-grain reduce. The recency SKETCH/BUCKET column is a monotone
+    numeric image of ``__last`` (epoch days); the within-bucket window
+    orders by the full-precision timestamp itself, so ranks are
+    unchanged — the image only has to keep order-contiguous ranges in
+    the same bucket, which day truncation does."""
+    from pyspark.sql import types as T
+
     cents = F.round(F.col(amount_col) * 100).cast("long")
     per_cust = df_orders.groupBy(
         F.col(customer_col).alias("__c")
@@ -6172,16 +6291,31 @@ def rfm_segments(
         F.sum(cents).alias("__amtc"),
         F.sum(F.col(amount_col)).alias("__amt"),
     )
+    last_type = per_cust.schema["__last"].dataType
+    if isinstance(last_type, T.DateType):
+        last_num = F.datediff(F.col("__last"), F.lit("1970-01-01"))
+    elif isinstance(last_type, (T.TimestampType, T.TimestampNTZType)):
+        # coarse monotone bucket image (epoch DAYS); the within-bucket
+        # window still orders by the full-precision __last, so
+        # intra-day order is preserved
+        last_num = F.datediff(
+            F.col("__last").cast("date"), F.lit("1970-01-01")
+        )
+    else:  # already numeric
+        last_num = F.col("__last")
+    per_cust = per_cust.withColumn("__lastd", last_num)
     b = int(buckets)
-    wr = Window.orderBy("__last", "__c")   # later last order = better
-    wf = Window.orderBy("__freq", "__c")
-    wm = Window.orderBy("__amtc", "__c")
-    scored = per_cust.select(
-        "__c", "__amt",
-        F.ntile(b).over(wr).cast("long").alias("r_score"),
-        F.ntile(b).over(wf).cast("long").alias("f_score"),
-        F.ntile(b).over(wm).cast("long").alias("m_score"),
-    )
+    scored = _exact_ntiles(
+        per_cust,
+        [
+            # later last order = better; sketch/bucket on the numeric
+            # day image, order by the full-precision value
+            ("__last", "__c", "r_score", "__lastd"),
+            ("__freq", "__c", "f_score"),
+            ("__amtc", "__c", "m_score"),
+        ],
+        b,
+    ).select("__c", "__amt", "r_score", "f_score", "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

@@ -740,7 +740,16 @@ def knn_hubness(
     diagnostic over a deterministic sample, not the full corpus —
     pass e.g. ``vec_id % m == 0``); within the set the exact top-k
     reuses :func:`brute_force_topk`'s broadcast-queries one-pass
-    shape and the k-occurrence reduce is a single groupBy."""
+    shape and the k-occurrence reduce is a single groupBy.
+
+    NULL/empty embedding vectors are excluded up front (the same
+    guard pq_train / kmeans_centroids / semdedup apply): a NULL
+    vector has no cosine to anything, yet without the guard it still
+    counted in n_vectors and could occupy top-k slots via NULL
+    scores, skewing the sum_occ == n·k self-check."""
+    emb = emb.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
     ids = emb.select(F.col(id_col).alias("__id"))
     occ_counts = (
         brute_force_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)

@@ -49,12 +49,20 @@ def asof_join(
     Output: all left columns + ``asof_ts`` (the matched right
     timestamp, NULL when unmatched) + ``value_cols``.
 
-    Determinism contract: ``right`` must be unique per (key,
-    right_ts) — pre-aggregate ties away (the caller chooses the
-    tiebreak; this operator refuses to pick silently and will raise
-    on duplicates found at plan-build time via a documented
-    uniqueness precondition rather than scanning eagerly; violations
-    surface in the uniqueness check the tests pin).
+    Determinism contract (CALLER precondition, not checked here):
+    ``right`` must be unique per (key, right_ts) — pre-aggregate ties
+    away, choosing the tiebreak explicitly. Duplicate (key, right_ts)
+    right rows would be resolved by the window's residual sort order,
+    which is not deterministic; this operator does NOT scan for
+    violations (an eager uniqueness pass over the full right side is a
+    scale cost the caller may not want to pay — run
+    ``right.groupBy(key, right_ts).count().where("count > 1")`` as a
+    one-off check when in doubt).
+
+    NULL keys follow equi-join semantics: a NULL-key right row matches
+    NOTHING (it is dropped before the union — without that filter the
+    window's partitionBy would group NULL keys together and "match"
+    them); a NULL-key left row is kept and is always unmatched.
 
     Scale shape: union the two sides, ONE hash shuffle on the key,
     per-key window ordered by (ts, side) with a running
@@ -81,7 +89,7 @@ def asof_join(
         + [T.StructField(f"__v_{v}", right.schema[v].dataType)
            for v in value_cols]
     )
-    r = right.select(
+    r = right.where(F.col(key).isNotNull()).select(
         F.col(key).alias(key),
         F.col(right_ts).alias("__ts"),
         F.lit(right_rank).alias("__side"),
@@ -147,9 +155,17 @@ def range_count_join(
     Left grain is ROW grain, not distinct-column grain: the regroup
     keys on a per-row id minted before the join, so two byte-identical
     left rows each keep their own count instead of collapsing to one
-    output row (the id never leaves this operator; within one job the
-    pre-join mint is stable because the grouping consumes it in the
-    same lineage that created it)."""
+    output row (the id never leaves this operator).
+
+    PRECONDITION (documented, not checked): the minted id is
+    ``monotonically_increasing_id``, whose values depend on the left
+    plan's partition layout — the left input's partitioning must be
+    deterministic under task retry (a plain scan, or any deterministic
+    lineage). Downstream of a nondeterministic repartition (e.g. AQE
+    re-coalescing after a fetch failure) a stage retry could reassign
+    ids between the join and the groupBy, merging or splitting
+    duplicate-row counts; ``left.localCheckpoint()`` first if that
+    lineage cannot be guaranteed."""
     if "__rowid" in left.columns or "__rts" in left.columns:
         raise ValueError("internal column name collision: __rowid/__rts")
     lk = [F.col(c) for c in left.columns]

@@ -129,20 +129,78 @@ def test_fused_aggregation_is_one_job(spark):
 
 def test_decontamination_broadcasts_benchmark(spark):
     """The benchmark shingle set must broadcast — the training corpus is
-    never shuffled on the shingle key."""
+    never shuffled on the shingle key. r6: the semi-join became a
+    LEFT join with a hit marker so ONE scan yields both n_sh and
+    n_overlap (the old plan scanned the training corpus twice and
+    joined sizes back on id); pin the scan count too."""
     from soda_core_spark.entry_queries import REGISTRY
 
     plan = _plan(REGISTRY["q34_decontamination"][0](spark, SF))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+    # exactly 2 scans of documents: one for the training side, one for
+    # the benchmark shingle set (was 3 before r6)
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan
 
 
-def test_minhash_signatures_partial_aggregate(spark):
-    """MinHash signature aggregation must map-side combine (partial_min)
-    so the shuffle carries one row per doc, not one per shingle."""
+def test_minhash_signatures_no_sort_aggregate(spark):
+    """r6: MinHash signatures are per-row array_min expressions over the
+    materialized shingle array — no explode → groupBy(id) aggregation
+    stage at all. In portable (md5) mode the old aggregate was worse
+    than a shuffle: min over md5 STRINGS has no mutable hash-agg
+    buffer, so Spark ran Sort + SortAggregate over the full exploded
+    shingle set, twice per self-join side. Pin both gone."""
     from soda_core_spark.entry_queries import REGISTRY
 
     plan = _plan(REGISTRY["q18_minhash_near_dups"][0](spark, SF))
-    assert "partial_min" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "array_min" in plan, plan
+
+
+def test_shingle_frame_single_tokenization(spark):
+    """The q33 inverted-index plan must tokenize each document ONCE per
+    scan: the split(lower(text)) appears exactly once per document scan
+    (two scans: the two self-join sides). Before r6 the inline shingle
+    expression carried ~9 split() calls per evaluation and the plan
+    evaluated it in 4 scans plus 2 inferred filters."""
+    from soda_core_spark.entry_queries import REGISTRY
+
+    plan = _plan(REGISTRY["q33_ngram_jaccard_pairs"][0](spark, SF))
+    n_scans = plan.count("Location: InMemoryFileIndex")
+    assert n_scans == 2, plan
+    assert plan.count("split(") == n_scans, plan
+
+
+def test_lorenz_rfm_no_global_ntile_window(spark):
+    """q248/q249 must not run ntile over a single-partition window at
+    entity grain: the r6 bucketed exact ntile keeps every per-entity
+    window partitioned by the range bucket; the only unpartitioned
+    windows run over the ≤ buckets-row summaries (lorenz additionally
+    keeps its 10-row decile cumsum). Pin: no ntile anywhere, and every
+    row_number window is partitioned by a bucket column."""
+    from soda_core_spark.entry_queries import REGISTRY
+
+    for q in ("q248_lorenz_deciles", "q249_rfm_segments"):
+        plan = _plan(REGISTRY[q][0](spark, SF))
+        assert "ntile" not in plan, (q, plan)
+        for line in plan.splitlines():
+            if "row_number()" in line:
+                assert "windowspecdefinition(__b_" in line, (q, line)
+
+
+def test_spearman_correlation_no_distinct_value_global_window(spark):
+    """q134's rank tables must come from the sketch-bucketed two-stage
+    cumsum (the spearman_matrix machinery): the per-value cumulative
+    windows are partitioned by range bucket; no sum() window runs over
+    an unpartitioned distinct-value frame."""
+    from soda_core_spark.entry_queries import REGISTRY
+
+    plan = _plan(REGISTRY["q134_signal_correlation"][0](spark, SF))
+    for line in plan.splitlines():
+        # per-value cumsum windows must carry the __b partition key;
+        # the only unpartitioned windows are over the ≤ buckets-row
+        # bucket summaries (their spec orders by __b itself)
+        if "windowspecdefinition(__v" in line:
+            raise AssertionError(line)
 
 
 def test_hash_sample_is_pure_filter(spark):

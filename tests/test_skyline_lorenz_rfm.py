@@ -76,3 +76,86 @@ def test_rfm_segments_hand_values(spark):
         (i, i, i, 1) for i in range(1, 6)
     ]
     assert got[4]["total_amount"] == pytest.approx(5 * 500.0)
+
+
+def test_exact_ntiles_matches_window_ntile(spark):
+    """_exact_ntiles must reproduce ntile() OVER (ORDER BY v, k)
+    bit-for-bit: ties, NULL values (Spark sorts them FIRST), N not
+    divisible by tiles, and N < tiles all covered. This is the
+    provable-equivalence pin behind the q248/q249 rewrite."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.operators.profiling import _exact_ntiles
+
+    rng = random.Random(7)
+    for n_rows, tiles in ((157, 10), (23, 5), (3, 5), (40, 7)):
+        rows = []
+        for k in range(n_rows):
+            v = rng.choice([None, 0, 1, 5, 5, 5, 17, 17, 1000, -3])
+            rows.append((k, v))
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            (r["k"]): r["t"]
+            for r in _exact_ntiles(df, [("v", "k", "t")], tiles)
+            .select("k", "t")
+            .collect()
+        }
+        w = Window.orderBy(F.col("v").asc_nulls_first(), F.col("k"))
+        want = {
+            r["k"]: r["t"]
+            for r in df.select(
+                "k", F.ntile(tiles).over(w).cast("long").alias("t")
+            ).collect()
+        }
+        assert got == want, (n_rows, tiles)
+
+
+def test_exact_ntiles_multi_spec_shared_sketch(spark):
+    """Multiple specs over one frame (the rfm shape) each match their
+    own window ntile."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.operators.profiling import _exact_ntiles
+
+    rows = [(k, k % 13, (k * 7) % 5) for k in range(97)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    out = _exact_ntiles(
+        df, [("a", "k", "ta"), ("b", "k", "tb")], 4
+    ).select("k", "ta", "tb")
+    got = {r["k"]: (r["ta"], r["tb"]) for r in out.collect()}
+    wa = Window.orderBy(F.col("a").asc_nulls_first(), F.col("k"))
+    wb = Window.orderBy(F.col("b").asc_nulls_first(), F.col("k"))
+    want = {
+        r["k"]: (r["ta"], r["tb"])
+        for r in df.select(
+            "k",
+            F.ntile(4).over(wa).cast("long").alias("ta"),
+            F.ntile(4).over(wb).cast("long").alias("tb"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rfm_segments_timestamp_intraday_ordering(spark):
+    """Timestamps differing only within one day must still order the
+    recency quintiles (the numeric encode is exact epoch micros, not
+    truncated days)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # 4 customers, one order each, SAME day, strictly increasing time
+    # of day; amounts/frequency identical -> r_score must follow the
+    # intra-day order (tiebreak never reached)
+    for i in range(1, 5):
+        rows.append((i, base + dt.timedelta(minutes=i), 100.0))
+    df = spark.createDataFrame(
+        rows, ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    got = rfm_segments(df, buckets=4).collect()
+    # each cell has one customer; r_scores 1..4 all present
+    assert sorted(r["r_score"] for r in got) == [1, 2, 3, 4]
