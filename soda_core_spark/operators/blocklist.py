@@ -120,6 +120,7 @@ def lexicon_score(
     weights: dict[str, float],
     text_col: str = "text",
     per_tokens: int = 1000,
+    broadcast_threshold: int = 10_000,
 ) -> DataFrame:
     """Weighted-lexicon scoring — the graded form of the binary term
     blocklist: each lexicon token carries a severity weight (the
@@ -139,11 +140,25 @@ def lexicon_score(
     ``lex_weight`` (weight sum, 6 dp) and ``lex_score`` (weight sum per
     ``per_tokens`` tokens, 6 dp; 0.0 for token-less docs).
 
-    Shape for scale: the lexicon rides into the task as ONE map literal
-    (a CASE tree after codegen — no join, no shuffle, no Python); the
-    whole scorer is a per-row array fold over the already-materialized
-    token array. Lexicons beyond literal-size sanity (~10k entries)
-    should switch to the broadcast-join form of the q47 host probe."""
+    Shape for scale: at or below ``broadcast_threshold`` entries the
+    lexicon rides into the task as ONE map literal (no join, no
+    shuffle, no Python) and the scorer is a per-row array fold over
+    the already-materialized token array. ABOVE the threshold the
+    literal form is wrong twice over — a 100k-entry map literal bloats
+    every task's plan/codegen AND ``GetMapValue`` over a map literal is
+    a per-token LINEAR scan — so the scorer switches to the explode →
+    broadcast-HASH-join → regroup form: tokens join the broadcast
+    (token, weight) table in O(1) per token, and hits/weight-sum come
+    back per row id. Values: ``lex_hits`` is identical on both paths;
+    the float weight-sum is folded in token order on the literal path
+    and in aggregation order on the join path — equal except in the
+    last ulp for non-dyadic weights (both rounded to 6 dp; the parity
+    test pins exact-representable weights bit-equal across paths).
+
+    PRECONDITION on the join path (same as range_count_join): the row
+    id is ``monotonically_increasing_id``, so ``df``'s partitioning
+    must be deterministic under task retry — a plain scan or other
+    deterministic lineage; ``localCheckpoint()`` first otherwise."""
     if not weights:
         raise ValueError("weights must be a non-empty {token: weight} map")
     from itertools import chain
@@ -151,10 +166,12 @@ def lexicon_score(
     from soda_core_spark.functions.text import words_col
 
     pairs = sorted((t.lower(), float(w)) for t, w in weights.items())
+    words = words_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    if len(pairs) > broadcast_threshold:
+        return _lexicon_score_join(df, pairs, words, per_tokens)
     lex = F.create_map(
         *chain.from_iterable((F.lit(t), F.lit(w)) for t, w in pairs)
     )
-    words = words_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     df = df.withColumn("__lw", words)
     w = F.col("__lw")
     n = F.size(w)
@@ -173,4 +190,53 @@ def lexicon_score(
         .withColumn("lex_weight", F.round(wsum, 6))
         .withColumn("lex_score", score)
         .drop("__lw")
+    )
+
+
+def _lexicon_score_join(
+    df: DataFrame,
+    pairs: list[tuple[str, float]],
+    words,
+    per_tokens: int,
+) -> DataFrame:
+    """Broadcast-join lexicon scorer for lexicons too large to carry as
+    a map literal — see :func:`lexicon_score` for the contract."""
+    for c in ("__lexid", "__lextok", "__lexw"):
+        if c in df.columns:
+            raise ValueError(f"internal column name collision: {c}")
+    spark = df.sparkSession
+    lex_df = spark.createDataFrame(
+        pairs, "__lextok string, __lexw double"
+    )
+    tagged = df.withColumn(
+        "__lexid", F.monotonically_increasing_id()
+    ).withColumn("__lw", words)
+    toks = tagged.select(
+        "__lexid",
+        F.size("__lw").alias("__n"),
+        F.explode_outer("__lw").alias("__lextok"),
+    )
+    joined = toks.join(F.broadcast(lex_df), "__lextok", "left")
+    per_row = joined.groupBy("__lexid").agg(
+        F.max("__n").alias("__n"),
+        F.count("__lexw").cast("long").alias("lex_hits"),
+        F.coalesce(F.sum("__lexw"), F.lit(0.0)).alias("__wsum"),
+    )
+    n = F.col("__n")
+    score = F.when(
+        n > 0,
+        F.round(
+            F.col("__wsum") * F.lit(float(per_tokens)) / n.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = per_row.select(
+        "__lexid",
+        "lex_hits",
+        F.round(F.col("__wsum"), 6).alias("lex_weight"),
+        score.alias("lex_score"),
+    )
+    return (
+        tagged.join(scored, "__lexid")
+        .drop("__lexid", "__lw")
     )

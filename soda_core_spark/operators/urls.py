@@ -137,9 +137,9 @@ def registered_domain_col(host: Column) -> Column:
     last two octets would collapse unrelated hosts into one key.
 
     The suffix set is a representative publicsuffix.org subset carried
-    as module data — production swaps in the full PSL (same logic, a
-    bigger ``isin`` literal set or a broadcast join for the ~9k-entry
-    full list)."""
+    as module data; for the full ~9k-entry PSL use
+    :func:`with_registered_domain`, which switches to a broadcast join
+    above a size threshold (same logic, no giant literal in the plan)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(
@@ -156,6 +156,80 @@ def registered_domain_col(host: Column) -> Column:
         .when(n >= 2, last2)
         .otherwise(host)
     )
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host_col: str,
+    out_col: str = "registered_domain",
+    suffixes: tuple[str, ...] | None = None,
+    broadcast_threshold: int = 256,
+) -> DataFrame:
+    """DataFrame form of :func:`registered_domain_col` that scales to
+    the FULL public-suffix list: at or below ``broadcast_threshold``
+    entries the suffix set stays an ``isin`` literal (bit-identical to
+    the column form — zero shuffle, zero extra plan nodes); above it
+    the last-two-label key LEFT-joins a broadcast suffix table instead,
+    so a ~9k-entry PSL never becomes a ~9k-branch literal in every
+    task's generated code (plan size, codegen limits, and per-row
+    linear literal scans all go away — the SemDeDup literal/broadcast
+    pattern). Both paths produce identical values by construction: the
+    join marks exactly the hosts whose last two labels are in the set,
+    which is what ``isin`` tested. NULL hosts yield NULL; IP literals
+    pass through (both paths share the guards)."""
+    sufs = tuple(suffixes) if suffixes is not None else MULTI_LABEL_SUFFIXES
+    host = F.col(host_col)
+    if len(sufs) <= broadcast_threshold:
+        labels = F.split(host, r"\.")
+        n = F.size(labels)
+        last2 = F.concat_ws(
+            ".", F.element_at(labels, -2), F.element_at(labels, -1)
+        )
+        last3 = F.concat_ws(
+            ".", F.element_at(labels, -3), F.element_at(labels, -2),
+            F.element_at(labels, -1),
+        )
+        is_ip = (
+            host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.contains(":")
+        )
+        return df.withColumn(
+            out_col,
+            F.when(is_ip, host)
+            .when((n >= 3) & last2.isin(list(sufs)), last3)
+            .when(n >= 2, last2)
+            .otherwise(host),
+        )
+    if "__rd_last2" in df.columns or "__rd_sfx" in df.columns:
+        raise ValueError(
+            "internal column name collision: __rd_last2/__rd_sfx"
+        )
+    spark = df.sparkSession
+    suffix_df = spark.createDataFrame(
+        [(s,) for s in sorted(set(sufs))], "__rd_sfx string"
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.contains(":")
+    tagged = df.withColumn("__rd_last2", F.when(n >= 3, last2))
+    joined = tagged.join(
+        F.broadcast(suffix_df),
+        tagged["__rd_last2"] == suffix_df["__rd_sfx"],
+        "left",
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(is_ip, host)
+        .when((n >= 3) & F.col("__rd_sfx").isNotNull(), last3)
+        .when(n >= 2, last2)
+        .otherwise(host),
+    ).drop("__rd_last2", "__rd_sfx")
 
 
 def path_template_col(url: Column) -> Column:

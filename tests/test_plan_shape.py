@@ -158,16 +158,19 @@ def test_minhash_signatures_no_sort_aggregate(spark):
 
 def test_shingle_frame_single_tokenization(spark):
     """The q33 inverted-index plan must tokenize each document ONCE per
-    scan: the split(lower(text)) appears exactly once per document scan
-    (two scans: the two self-join sides). Before r6 the inline shingle
-    expression carried ~9 split() calls per evaluation and the plan
-    evaluated it in 4 scans plus 2 inferred filters."""
+    scan — before r6 the inline shingle expression carried ~9 split()
+    calls per evaluation and plan rules (InferFiltersFromGenerate,
+    filter pushdown through the class aggregate) inlined it into scan
+    filters on top. Also pin the r6 exact-duplicate class grouping: the
+    quadratic join runs above a collect_list class aggregate, so an
+    r-replica corpus pays candidates/r², and identical class-aggregate
+    subtrees share their shuffle via ReusedExchange at runtime."""
     from soda_core_spark.entry_queries import REGISTRY
 
     plan = _plan(REGISTRY["q33_ngram_jaccard_pairs"][0](spark, SF))
     n_scans = plan.count("Location: InMemoryFileIndex")
-    assert n_scans == 2, plan
     assert plan.count("split(") == n_scans, plan
+    assert "collect_list" in plan, plan
 
 
 def test_lorenz_rfm_no_global_ntile_window(spark):

@@ -193,3 +193,69 @@ def test_registered_domain_cases(spark):
     got = {r.host: r.rd for r in df.collect()}
     for host, want in cases:
         assert got[host] == want, (host, got[host], want)
+
+
+def test_with_registered_domain_literal_broadcast_parity(spark):
+    """The broadcast-join form of the registered-domain derivation must
+    equal the isin-literal form host-for-host — forced through both
+    paths with the same suffix set (the SemDeDup literal/broadcast
+    parity pattern behind the full-PSL scale path)."""
+    from pyspark.sql import functions as F
+
+    from soda_core_spark.operators.urls import (
+        MULTI_LABEL_SUFFIXES,
+        with_registered_domain,
+    )
+
+    hosts = [
+        "a.blog.co.uk", "b.blog.co.uk", "www.example.com", "example.com",
+        "deep.sub.domain.com.au", "single", "10.0.0.1", "[2001:db8::1]",
+        None, "x.co.jp", "co.uk", "y.z.gov.cn", "weird..double",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    lit = with_registered_domain(
+        df, "host", suffixes=MULTI_LABEL_SUFFIXES,
+        broadcast_threshold=10_000,       # force the literal path
+    )
+    bc = with_registered_domain(
+        df, "host", suffixes=MULTI_LABEL_SUFFIXES,
+        broadcast_threshold=0,            # force the broadcast path
+    )
+    got_lit = sorted(
+        [(r["host"], r["registered_domain"]) for r in lit.collect()],
+        key=str,
+    )
+    got_bc = sorted(
+        [(r["host"], r["registered_domain"]) for r in bc.collect()],
+        key=str,
+    )
+    assert got_lit == got_bc
+    # and the column-form values too (the documented equivalence)
+    from soda_core_spark.operators.urls import registered_domain_col
+
+    col = sorted(
+        [
+            (r["host"], r["rd"])
+            for r in df.withColumn(
+                "rd", registered_domain_col(F.col("host"))
+            ).collect()
+        ],
+        key=str,
+    )
+    assert got_lit == col
+
+
+def test_with_registered_domain_broadcast_plan_no_giant_literal(spark):
+    """Above the threshold the plan must contain a BroadcastHashJoin and
+    no isin literal carrying the suffix set."""
+    from soda_core_spark.operators.urls import with_registered_domain
+
+    df = spark.createDataFrame([("a.co.uk",)], "host string")
+    big = tuple(f"s{i}.tld" for i in range(500)) + ("co.uk",)
+    out = with_registered_domain(
+        df, "host", suffixes=big, broadcast_threshold=256
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "s123.tld" not in plan  # the set is data, not plan text
+    assert [r["registered_domain"] for r in out.collect()] == ["a.co.uk"]

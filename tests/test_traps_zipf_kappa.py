@@ -537,3 +537,53 @@ def test_webshell_rule_pack_through_check_engine(spark):
         c = by_name[f"rule_{rule}"]
         assert c.metric_value == 20.0
         assert c.outcome.name in ("FAIL", "FAILED")
+
+
+def test_lexicon_score_literal_broadcast_parity(spark):
+    """The broadcast-join lexicon path must reproduce the map-literal
+    path: lex_hits exactly, lex_weight/lex_score bit-equal when weights
+    are exactly representable (dyadic) so the fold order cannot matter.
+    This pins the documented scale path for >10k-entry lexicons."""
+    from soda_core_spark.operators.blocklist import lexicon_score
+
+    weights = {"bad": 2.0, "worse": 4.5, "meh": 0.0, "good": -1.5}
+    rows = [
+        (1, "bad bad worse and meh"),
+        (2, "nothing matching here"),
+        (3, ""),
+        (4, None),
+        (5, "good GOOD Bad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lit = {
+        r["doc_id"]: (r["lex_hits"], r["lex_weight"], r["lex_score"])
+        for r in lexicon_score(df, weights).collect()
+    }
+    bc = {
+        r["doc_id"]: (r["lex_hits"], r["lex_weight"], r["lex_score"])
+        for r in lexicon_score(
+            df, weights, broadcast_threshold=0
+        ).collect()
+    }
+    assert lit == bc
+    # sanity on the values themselves
+    assert lit[1][0] == 4 and lit[1][1] == 8.5
+    assert lit[3] == (0, 0.0, 0.0) and lit[4] == (0, 0.0, 0.0)
+
+
+def test_lexicon_score_broadcast_plan_shape(spark):
+    """Above the threshold: a BroadcastHashJoin on the token, no map
+    literal in the plan, and every input row preserved (row grain via
+    the minted id, zero-token docs included)."""
+    from soda_core_spark.operators.blocklist import lexicon_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "")], "doc_id long, text string"
+    )
+    out = lexicon_score(
+        df, {f"tok{i}": 1.0 for i in range(50)}, broadcast_threshold=10
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "keys: [tok" not in plan and "map(" not in plan.lower()
+    assert out.count() == 2
