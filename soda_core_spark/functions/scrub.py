@@ -95,23 +95,69 @@ _DIGIT_TRANS = str.maketrans(DIGIT_FOLD_FROM, DIGIT_FOLD_TO)
 _FOLD_NEEDED = re.compile("[" + DIGIT_FOLD_FROM + "]")
 
 
+try:  # RE2 path for the DETECTION scans (see _contains_mask)
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    _HAVE_PA = True
+except Exception:  # pragma: no cover - pyarrow ships with pyspark
+    _HAVE_PA = False
+
+
+def _contains_mask(texts: pd.Series, re2_pattern: str, fallback) -> "pd.Series":
+    """Boolean contains-mask via pyarrow/RE2 with a Python-``re``
+    fallback. DETECTION ONLY — the replacement passes stay Python
+    ``re`` (the byte-parity contract engine). Safe because every
+    pattern routed here is a plain character class or an
+    ASCII-word-boundary alternation, on which RE2 and ``re.ASCII``
+    agree exactly (``\\b`` is [A-Za-z0-9_]-delimited in both;
+    character classes are set membership); equality is additionally
+    pinned row-for-row by tests/test_scrub_masks.py on adversarial
+    unicode/boundary cases. Why: profiled on the r6 bench corpus, the
+    two detection scans (650-char digit class + candidate mask) were
+    73 % of the scrub batch — Python ``re`` scans ~55 ns/char where
+    RE2's DFA measured 13-16× faster (0.67 s → 0.05 s per 20k docs).
+    NULL rows are False (matching the fallback's isinstance gate)."""
+    if _HAVE_PA:
+        try:
+            arr = _pa.Array.from_pandas(texts)
+            m = _pc.fill_null(
+                _pc.match_substring_regex(arr, re2_pattern), False
+            )
+            return pd.Series(
+                m.to_numpy(zero_copy_only=False), index=texts.index
+            )
+        except Exception:
+            pass
+    return fallback(texts)
+
+
+def _fold_needed_re(texts: pd.Series) -> pd.Series:
+    """Python-re fold detection (fallback): O(1) ``str.isascii`` gate,
+    650-char class scan only over the non-ASCII minority."""
+    arr = texts.to_numpy(dtype=object)
+    return pd.Series(
+        [
+            isinstance(s, str)
+            and not s.isascii()
+            and bool(_FOLD_NEEDED.search(s))
+            for s in arr
+        ],
+        index=texts.index,
+    )
+
+
 def _fold_digits(texts: pd.Series) -> pd.Series:
     """Fold Unicode digits to ASCII on the rows that need it (most rows
     contain none and keep their original string object — no copy).
-
-    Gated on ``str.isascii()`` first — CPython stores an ASCII flag in
-    every str header, so the test is O(1) per row and the 650-char class
-    scan only ever runs over the non-ASCII minority."""
-    arr = texts.to_numpy(dtype=object)
-    hits = [
-        i
-        for i, s in enumerate(arr)
-        if isinstance(s, str) and not s.isascii() and _FOLD_NEEDED.search(s)
-    ]
-    if not hits:
+    Detection via :func:`_contains_mask` (RE2, re fallback)."""
+    mask = _contains_mask(
+        texts, "[" + DIGIT_FOLD_FROM + "]", _fold_needed_re
+    )
+    if not mask.any():
         return texts
     out = texts.copy()
-    pos = texts.index[hits]
+    pos = texts.index[mask.to_numpy()]
     out[pos] = out[pos].str.translate(_DIGIT_TRANS)
     return out
 
@@ -150,10 +196,23 @@ _CAN_MATCH = re.compile(
 )
 
 
-def _candidate_mask(texts: pd.Series) -> pd.Series:
+#: the same pattern in RE2 syntax (inline (?i:) group; \b and the
+#: classes are ASCII-identical across engines — see _contains_mask)
+_CAN_MATCH_RE2 = (
+    r"[0-9@]|(?i:\b(?:"
+    + "|".join(re.escape(w) for w in TOXICITY_LEXICON)
+    + r")\b)"
+)
+
+
+def _candidate_mask_re(texts: pd.Series) -> pd.Series:
     # `== True` folds the NaN rows (null text) to False without the
     # object-dtype fillna downcast warning
     return texts.str.contains(_CAN_MATCH, regex=True) == True  # noqa: E712
+
+
+def _candidate_mask(texts: pd.Series) -> pd.Series:
+    return _contains_mask(texts, _CAN_MATCH_RE2, _candidate_mask_re)
 
 
 def can_match_col(text: "Column") -> "Column":

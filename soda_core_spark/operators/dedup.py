@@ -501,9 +501,16 @@ def ngram_jaccard_pairs(
     (default: equal word count bucket — a cheap blocking key). For true
     all-pairs use minhash_near_duplicates instead; this exists as the
     exact oracle-able variant."""
-    sh = shingles_col(F.col(text_col), n)
     key = join_key if join_key is not None else F.md5(normalized_text(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"), key.alias("k"))
+    # two-level projection: tokenize once per row (shingle_frame rationale)
+    step = df.select(
+        F.col(id_col).alias("id"),
+        key.alias("k"),
+        _words_of(F.col(text_col)).alias("__w"),
+    )
+    base = step.select(
+        "id", "k", _shingles_of_words(F.col("__w"), n).alias("sh")
+    )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b, (F.col("a.k") == F.col("b.k")) & (F.col("a.id") < F.col("b.id"))
@@ -758,6 +765,28 @@ def _intra_class_pairs(ids: Column) -> Column:
                 ),
             ),
         )
+    )
+
+
+def _banded_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    portable_hash: bool,
+) -> DataFrame:
+    """(id, band) LSH band keys per document — the shared
+    signature+banding stage (:func:`shingle_frame` +
+    :func:`_band_keys_expr`: one tokenization per row, per-row
+    signatures, no aggregate)."""
+    base = shingle_frame(df, id_col, text_col, shingle_n)
+    return base.select(
+        "id",
+        F.explode_outer(
+            _band_keys_expr(F.col("shl"), num_hashes, bands, portable_hash)
+        ).alias("band"),
     )
 
 
@@ -1224,18 +1253,27 @@ def duplicated_ngram_stats(
     ``min_docs`` distinct documents.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(F.lower(t), "[ \\t\\n\\r]+"), lambda w: w != "")
-    k = F.size(words)
+    # tokenize ONCE per row (shingle_frame rationale): the former inline
+    # form embedded the split inside the transform lambda, re-tokenizing
+    # per WINDOW (O(k) splits per doc) and again for the totals pass
+    step = _spread(df).select(
+        F.col(id_col).alias("id"), _words_of(t).alias("__w")
+    )
+    w = F.col("__w")
+    k = F.size(w)
     # all n-gram windows, positions kept implicit (we only need counts)
     grams = F.when(
         k >= n,
         F.transform(
             F.sequence(F.lit(1), k - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = _spread(df).select(F.col(id_col).alias("id"), grams.alias("g"))
-    ex = base.select("id", F.explode("g").alias("gram"))
+    base = step.select("id", grams.alias("g"))
+    # outer explode: no InferFiltersFromGenerate re-inlining; the NULL
+    # gram a window-less doc emits never equi-joins and the flagged
+    # counts ignore it
+    ex = base.select("id", F.explode_outer("g").alias("gram"))
     dup_grams = (
         ex.select("id", "gram")
         .distinct()
@@ -1248,7 +1286,12 @@ def duplicated_ngram_stats(
     dup_counts = flagged.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_windows")
     )
-    totals = base.select("id", F.size("g").cast("long").alias("n_windows"))
+    # n_windows = max(k - n + 1, 0) in closed form — no second gram
+    # construction and the row grain of the input is preserved
+    totals = step.select(
+        "id",
+        F.greatest(k - (n - 1), F.lit(0)).cast("long").alias("n_windows"),
+    )
     nd = F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long"))
     frac = F.when(F.col("n_windows") > 0, nd / F.col("n_windows")).otherwise(0.0)
     return totals.join(dup_counts, "id", "left").select(
@@ -1286,17 +1329,23 @@ def duplicated_spans(
     from pyspark.sql import Window
 
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(F.lower(t), "[ \\t\\n\\r]+"), lambda w: w != "")
-    k = F.size(words)
+    # one tokenization per row + outer posexplode (shingle_frame
+    # rationale; the semi-join below ignores the NULL row an empty
+    # window array emits)
+    step = _spread(df).select(
+        F.col(id_col).alias("id"), _words_of(t).alias("__w")
+    )
+    wq = F.col("__w")
+    k = F.size(wq)
     grams = F.when(
         k >= n,
         F.transform(
             F.sequence(F.lit(1), k - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            lambda i: F.concat_ws(" ", F.slice(wq, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = _spread(df).select(F.col(id_col).alias("id"), grams.alias("g"))
-    ex = base.select("id", F.posexplode("g").alias("pos", "gram"))
+    base = step.select("id", grams.alias("g"))
+    ex = base.select("id", F.posexplode_outer("g").alias("pos", "gram"))
     dup_grams = (
         ex.select("id", "gram")
         .distinct()
@@ -1357,13 +1406,18 @@ def trim_spans(
         F.col("__spans"),
         F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
     )
+    # materialize the token array and the kept-subset ONCE each (both
+    # are multi-referenced non-cheap expressions; inline they were
+    # re-evaluated ~5x/2x per row — the shingle_frame rationale)
+    out = out.withColumn("__tw", words)
+    tw = F.col("__tw")
     wp = F.zip_with(
-        words,
-        F.sequence(F.lit(0), F.size(words) - 1).cast("array<bigint>"),
+        tw,
+        F.sequence(F.lit(0), F.size(tw) - 1).cast("array<bigint>"),
         lambda w, i: F.struct(w.alias("w"), i.alias("i")),
     )
     kept = F.filter(
-        F.when(F.size(words) > 0, wp).otherwise(
+        F.when(F.size(tw) > 0, wp).otherwise(
             F.array().cast("array<struct<w:string,i:bigint>>")
         ),
         lambda x: ~F.exists(
@@ -1371,11 +1425,14 @@ def trim_spans(
             lambda s: (x["i"] >= s["span_start"]) & (x["i"] < s["span_end"]),
         ),
     )
-    trimmed = F.concat_ws(" ", F.transform(kept, lambda x: x["w"]))
-    n_dropped = F.size(words) - F.size(kept)
+    out = out.withColumn("__kept", kept)
+    trimmed = F.concat_ws(
+        " ", F.transform(F.col("__kept"), lambda x: x["w"])
+    )
+    n_dropped = F.size(tw) - F.size(F.col("__kept"))
     return out.withColumns(
         {"text_trimmed": trimmed, "n_words_trimmed": n_dropped.cast("long")}
-    ).drop("__spans")
+    ).drop("__spans", "__tw", "__kept")
 
 
 # ---------------------------------------------------------------------------
@@ -1754,12 +1811,11 @@ def corpus_band_keys(
     ``band`` so successive crawl increments probe it shuffle-free; the
     state is ``bands`` keys per document regardless of document size
     (text and shingles never persist)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
-        F.col(id_col).alias("id"), shingles_col(t, shingle_n).alias("sh")
-    )
     return (
-        _band_keys_of(base, num_hashes, bands, portable_hash)
+        _banded_frame(
+            df, text_col, id_col, num_hashes, bands, shingle_n,
+            portable_hash,
+        )
         .select("band")
         .distinct()
     )
@@ -1792,12 +1848,11 @@ def incremental_minhash_dedup(
     among the survivors are a separate, existing concern
     (minhash_near_duplicates → connected_components →
     dedup_by_components)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    base = _spread(new_df.where(F.length(F.trim(t)) > 0)).select(
-        F.col(id_col).alias("id"), shingles_col(t, shingle_n).alias("sh")
-    )
     hits = (
-        _band_keys_of(base, num_hashes, bands, portable_hash)
+        _banded_frame(
+            new_df, text_col, id_col, num_hashes, bands, shingle_n,
+            portable_hash,
+        )
         .join(seen_bands.select("band"), "band", "left_semi")
         .select(F.col("id").alias(id_col))
         .distinct()
@@ -2140,26 +2195,33 @@ def minhash_calibration(
     re-attach by two id-joins (num_hashes values per side, once per
     pair)."""
     rows = num_hashes // bands
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    sh = shingles_col(t, shingle_n)
-    base = _spread(df.where(F.length(F.trim(t)) > 0)).select(
-        F.col(id_col).alias("id"), sh.alias("sh")
+    base = shingle_frame(df, id_col, text_col, shingle_n).withColumnRenamed(
+        "shl", "sh"
     )
-    exploded = base.select("id", F.explode("sh").alias("s"))
+    # signatures as per-row array_min expressions over the materialized
+    # shingle attribute (the r6 minhash_near_duplicates shape — no
+    # explode → groupBy(id) aggregate, no portable-mode SortAggregate)
     if portable_hash:
-        sig_cols = [
-            F.min(
-                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s")))
-            ).alias(f"m{i}")
+        sig_exprs = [
+            F.array_min(F.transform(F.col("sh"), _md5_salted(i))).alias(
+                f"m{i}"
+            )
             for i in range(num_hashes)
         ]
     else:
-        sig_cols = [
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+        sig_exprs = [
+            F.array_min(F.transform(F.col("sh"), _salted_hash(i))).alias(
+                f"m{i}"
+            )
             for i in range(num_hashes)
         ]
-    sig = exploded.groupBy("id").agg(*sig_cols)
-    banded = _band_keys_of(base, num_hashes, bands, portable_hash)
+    sig = base.select("id", *sig_exprs)
+    banded = base.select(
+        "id",
+        F.explode_outer(
+            _band_keys_expr(F.col("sh"), num_hashes, bands, portable_hash)
+        ).alias("band"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -2325,19 +2387,28 @@ def winnow_fingerprints(
     from pyspark.sql import Window
 
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(F.lower(t), "[ \\t\\n\\r]+"), lambda x: x != "")
-    m = F.size(words)
+    # one tokenization per row (shingle_frame rationale — the inline
+    # form re-split the text per k-gram window inside the transform
+    # lambda); outer posexplode keeps InferFiltersFromGenerate from
+    # inlining the gram pipeline into a scan filter; the NULL row an
+    # empty array emits is removed by the explicit isnotnull below
+    # (a filter on the GENERATOR OUTPUT stays above the Generate)
+    step = _spread(df).select(
+        F.col(id_col).alias("id"), _words_of(t).alias("__w")
+    )
+    wq = F.col("__w")
+    m = F.size(wq)
     grams = F.when(
         m >= k,
         F.transform(
             F.sequence(F.lit(1), m - F.lit(k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            lambda i: F.concat_ws(" ", F.slice(wq, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     hx = (
-        _spread(df)
-        .select(F.col(id_col).alias("id"), grams.alias("g"))
-        .select("id", F.posexplode("g").alias("pos", "gram"))
+        step.select("id", grams.alias("g"))
+        .select("id", F.posexplode_outer("g").alias("pos", "gram"))
+        .where(F.col("gram").isNotNull())
     )
     if hash == "portable":
         hx = hx.select("id", "pos", portable_token_hash(F.col("gram")).alias("h"))
@@ -2961,15 +3032,18 @@ def prefix_filter_jaccard(
     prefixes entirely (they cannot be discriminative)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold in (0, 1], got {threshold}")
-    sh = shingles_col(F.col(text_col), n)
-    docs = df.select(
-        F.col(id_col).alias("id"), sh.alias("sh")
-    ).where(F.size("sh") > 0)
+    # shingle_frame: one tokenization per row, and its text pre-filter
+    # (trimmed length > 0) is exactly the former size(sh) > 0 guard —
+    # a doc has ≥ 1 shingle iff it has ≥ 1 word iff its trimmed text
+    # is non-empty
+    docs = shingle_frame(df, id_col, text_col, n).withColumnRenamed(
+        "shl", "sh"
+    )
     # duplicate-id policy: a document's shingle set is the distinct
     # UNION over all rows sharing the id (byte-identical replica rows
     # collapse to one set; without this, replicas double df counts and
     # fan out the verify join)
-    tok = docs.select("id", F.explode("sh").alias("s")).distinct()
+    tok = docs.select("id", F.explode_outer("sh").alias("s")).distinct()
     dfreq = tok.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
