@@ -7505,12 +7505,16 @@ def q134(spark, sf_dir):
     from soda_core_spark.operators.profiling import spearman_correlation
 
     d = _t(spark, sf_dir, "documents")
+    # kept integral: ranks are cast-invariant, and an integral input
+    # lets spearman_correlation skip its isnan guard (which would be
+    # pushed into the scan filter and re-evaluate this tokenization
+    # per row — the operator casts to double internally anyway)
     nw = F.size(
         F.filter(
             F.split(F.coalesce(F.col("text"), F.lit("")), "[ \\t\\n\\r]+"),
             lambda w: w != "",
         )
-    ).cast("double")
+    )
     return spearman_correlation(
         d.where(F.col("n_chars").isNotNull()).select(
             F.col("n_chars").alias("x_chars"), nw.alias("y_words")

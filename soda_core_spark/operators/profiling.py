@@ -597,25 +597,36 @@ def spearman_correlation(
     NaN are excluded entirely (the ``spearman_matrix`` listwise
     policy). Returns one row ``(n, spearman_rho)``; ``rho`` is NULL
     when fewer than 2 rows or either signal is constant."""
+    from pyspark.sql import types as T
+
+    def _floaty(col_name: str) -> bool:
+        return isinstance(
+            df.schema[col_name].dataType, (T.FloatType, T.DoubleType)
+        )
+
+    cond = F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    # only genuinely floating INPUTS can be NaN; an unconditional
+    # isnan() would be inlined into the pushed-down scan filter and
+    # re-evaluate a derived column's whole expression per row (isNotNull
+    # on a null-intolerant chain simplifies away; isnan cannot)
+    if _floaty(x):
+        cond = cond & ~F.isnan(F.col("__x"))
+    if _floaty(y):
+        cond = cond & ~F.isnan(F.col("__y"))
     rows = df.select(
         F.col(x).cast("double").alias("__x"),
         F.col(y).cast("double").alias("__y"),
-    ).where(
-        F.col("__x").isNotNull()
-        & F.col("__y").isNotNull()
-        & ~F.isnan(F.col("__x"))
-        & ~F.isnan(F.col("__y"))
-    )
+    ).where(cond)
 
     ranked = (
         rows.join(
-            _avg_rank_table(rows, "__x")
+            _avg_rank_table(rows, "__x", pre_filtered=True)
             .withColumnRenamed("__v", "__x")
             .withColumnRenamed("__rank", "__rx"),
             "__x",
         )
         .join(
-            _avg_rank_table(rows, "__y")
+            _avg_rank_table(rows, "__y", pre_filtered=True)
             .withColumnRenamed("__v", "__y")
             .withColumnRenamed("__rank", "__ry"),
             "__y",
@@ -5133,7 +5144,8 @@ def ship_latency_profile(
 
 
 def _avg_rank_table(
-    df: DataFrame, col: str, buckets: int = 32
+    df: DataFrame, col: str, buckets: int = 32,
+    pre_filtered: bool = False,
 ) -> DataFrame:
     """Average (fractional) rank per DISTINCT value of ``col`` — the
     building block of :func:`spearman_matrix`. Returns (``__v``,
@@ -5150,9 +5162,16 @@ def _avg_rank_table(
     function of the value, so recomputation across stages is
     deterministic and ties never straddle buckets."""
     v = F.col(col).cast("double")
-    vals = df.select(v.alias("__v")).where(
-        F.col("__v").isNotNull() & ~F.isnan(F.col("__v"))
-    )
+    vals = df.select(v.alias("__v"))
+    if not pre_filtered:
+        # ``pre_filtered=True`` skips this for callers that already
+        # exclude NULL/NaN rows: on a DERIVED column the isnan predicate
+        # is pushed into the scan filter and re-evaluates the column's
+        # whole expression per row (spearman_correlation's word-count
+        # signal carried a full tokenization into the filter)
+        vals = vals.where(
+            F.col("__v").isNotNull() & ~F.isnan(F.col("__v"))
+        )
     counts = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
     if buckets > 1:
         qs = [i / buckets for i in range(1, buckets)]

@@ -160,17 +160,19 @@ def test_shingle_frame_single_tokenization(spark):
     """The q33 inverted-index plan must tokenize each document ONCE per
     scan — before r6 the inline shingle expression carried ~9 split()
     calls per evaluation and plan rules (InferFiltersFromGenerate,
-    filter pushdown through the class aggregate) inlined it into scan
-    filters on top. Also pin the r6 exact-duplicate class grouping: the
-    quadratic join runs above a collect_list class aggregate, so an
-    r-replica corpus pays candidates/r², and identical class-aggregate
-    subtrees share their shuffle via ReusedExchange at runtime."""
+    filter pushdown) inlined it into scan filters on top. Also pin the
+    A/B-measured join/aggregate shape: SHUFFLE_HASH self-join (not the
+    planner's broadcast pick) and a count-only pair aggregate with the
+    size table re-attached by broadcast joins on the aggregate
+    output."""
     from soda_core_spark.entry_queries import REGISTRY
 
     plan = _plan(REGISTRY["q33_ngram_jaccard_pairs"][0](spark, SF))
     n_scans = plan.count("Location: InMemoryFileIndex")
     assert plan.count("split(") == n_scans, plan
-    assert "collect_list" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    # pair aggregate carries ONLY the count — no max(n_sh) buffers
+    assert "partial_max" not in plan, plan
 
 
 def test_lorenz_rfm_no_global_ntile_window(spark):
