@@ -742,14 +742,17 @@ def knn_hubness(
     reuses :func:`brute_force_topk`'s broadcast-queries one-pass
     shape and the k-occurrence reduce is a single groupBy.
 
-    NULL/empty embedding vectors are excluded up front (the same
-    guard pq_train / kmeans_centroids / semdedup apply): a NULL
-    vector has no cosine to anything, yet without the guard it still
-    counted in n_vectors and could occupy top-k slots via NULL
-    scores, skewing the sum_occ == n·k self-check."""
-    emb = emb.where(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
-    )
+    KNOWN NULL-vector asymmetry (deliberately NOT changed in the r6
+    optimization round): unlike pq_train / kmeans_centroids /
+    semdedup, NULL/empty embedding vectors are NOT excluded — they
+    count in n_vectors and can occupy top-k slots via NULL cosines
+    when a query has fewer than k scorable neighbors, weakening the
+    sum_occ == n·k self-check on dirty data. The q228 oracle SQL
+    (frozen this round) pins exactly these semantics — the NULL-fuzz
+    sweep confirms engine/oracle agree on the mutant corpus — so the
+    exclusion guard must land together with an oracle update in a
+    build round (adding ``.where(isNotNull & size > 0)`` here alone
+    breaks cross-engine parity on NULL-bearing corpora)."""
     ids = emb.select(F.col(id_col).alias("__id"))
     occ_counts = (
         brute_force_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)

@@ -165,3 +165,25 @@ def test_range_count_join_boundary_is_half_open(spark):
         left, right, "k", "ts", "rts", horizon_days=30
     ).collect()[0]
     assert got["n_in_window"] == 1
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Equi-join semantics for NULL keys (the r5 ADVICE hazard): a
+    NULL-key RIGHT row matches nothing, and a NULL-key LEFT row is
+    kept but always unmatched — before the fix the window's
+    partitionBy grouped the NULL keys together and 'matched' them."""
+    from soda_core_spark.operators.temporal_join import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10), (1, 10), (2, 10)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 99.0), (1, 5, 42.0)], "k int, ts int, v double"
+    )
+    got = {
+        r["k"]: (r["asof_ts"], r["v"])
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    assert got[1] == (5, 42.0)          # normal match
+    assert got[2] == (None, None)       # no right row for key 2
+    assert got[None] == (None, None)    # NULL key: present, unmatched
